@@ -1,0 +1,128 @@
+"""Conversion: long-form samples -> the two-table Parquet series layout.
+
+Spark-first equivalent of ``ConvertTSDBBlock`` (reference:
+convert/convert.go:348-426).  The reference iterates TSDB postings,
+re-encodes chunks into 8h data columns, globally sorts series by sort
+labels, splits into shards, and writes a labels file + chunks file pair per
+shard (convert/writer.go:63-107).  Here the same job is ONE declarative
+plan:
+
+    input (labels map | wide label cols, ts, value)
+      -> wide frame with one l_* column per label name present   (dynamic schema,
+         reference: convert/convert.go:495-503)
+      -> series_hash = xxhash64(sorted pairs)                    (reference: convert/reader.go:136)
+      -> series table:  distinct label sets + hash
+      -> samples table: (series_hash, time_bucket, ts, value)    (time_bucket ==
+         DataColumIdx, reference: schema/schema_builder.go:155-161)
+      -> repartitionByRange(sort_labels) + sortWithinPartitions  (== sortedPostings +
+         shardSeries, reference: convert/convert.go:633-826 — range partitioning IS
+         the reference's equal-size shard split)
+      -> write parquet, bloom filter on l___name__ + series_hash (reference:
+         convert/convert.go:81-88), maxRecordsPerFile == rowGroupSize,
+         samples partitioned by time_bucket (== per-time data columns)
+
+Scale notes (100 TB): the only shuffles are the range-repartition for sort
+order (required by the output contract) and the distinct for the series
+table (keyed on series_hash — high cardinality, no skew).  Samples are
+written partitioned by time_bucket so time-range queries prune at the
+directory level before any file I/O; label-equality queries prune via
+bloom + dictionary + min/max inside the sorted labels files.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, functions as F
+
+from parquet_common_spark import schema as S
+
+
+def wide_from_label_map(df: DataFrame, labels_col: str = "labels") -> DataFrame:
+    """map<string,string> labels -> one ``l_*`` column per label name.
+
+    The union of label names is collected to the driver (small: label-name
+    cardinality, not series cardinality — same information the reference
+    gathers at convert/convert.go:495-503 before building the schema).
+    """
+    names_row = (
+        df.select(F.explode(F.map_keys(F.col(labels_col))).alias("k")).distinct().collect()
+    )
+    names = sorted(r["k"] for r in names_row)
+    cols = [F.col(labels_col).getItem(n).alias(S.label_to_column(n)) for n in names]
+    other = [c for c in df.columns if c != labels_col]
+    return df.select(*cols, *other)
+
+
+def convert(
+    df: DataFrame,
+    out_dir: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    labels_col: str | None = "labels",
+    sort_labels: tuple[str, ...] = S.DEFAULT_SORT_LABELS,
+    col_duration_ms: int = S.DEFAULT_COL_DURATION_MS,
+    row_group_size: int = S.DEFAULT_ROW_GROUP_SIZE,
+    mint_ms: int | None = None,
+    maxt_ms: int | None = None,
+    num_shards: int | None = None,
+) -> S.ShardMeta:
+    """Write one shard directory: ``series.parquet`` + ``samples.parquet`` + meta.
+
+    ``df``: either long form with a map column ``labels_col``, or already-wide
+    with ``l_*`` columns (pass ``labels_col=None``).
+    """
+    if labels_col is not None and labels_col in df.columns:
+        df = wide_from_label_map(df, labels_col)
+    label_cols = S.label_columns(df.columns)
+    if mint_ms is None or maxt_ms is None:
+        row = df.agg(
+            F.min(ts_col).alias("mn"), F.max(ts_col).alias("mx")
+        ).collect()[0]
+        mint_ms = int(row["mn"]) if mint_ms is None else mint_ms
+        maxt_ms = int(row["mx"]) if maxt_ms is None else maxt_ms
+
+    hashed = df.withColumn(S.SERIES_HASH_COLUMN, S.series_hash_column(label_cols))
+
+    sort_cols = [S.label_to_column(l) for l in sort_labels if S.label_to_column(l) in label_cols]
+    remaining = [c for c in sorted(label_cols) if c not in sort_cols]
+    series_order = sort_cols + remaining  # sort labels first, then full label set
+                                          # (reference comparator: convert/convert.go:745-755)
+
+    series = hashed.select(*label_cols, S.SERIES_HASH_COLUMN).distinct()
+    nparts = num_shards or max(1, series.sparkSession.sparkContext.defaultParallelism // 2)
+    series_sorted = series.repartitionByRange(nparts, *[F.col(c) for c in series_order]) \
+        .sortWithinPartitions(*series_order)
+
+    samples = hashed.select(
+        F.col(S.SERIES_HASH_COLUMN),
+        S.data_col_idx(F.col(ts_col).cast("long"), mint_ms, col_duration_ms).alias(S.TIME_BUCKET_COLUMN),
+        F.col(ts_col).cast("long").alias(S.TS_COLUMN),
+        F.col(value_col).cast("double").alias(S.VALUE_COLUMN),
+    )
+
+    os.makedirs(out_dir, exist_ok=True)
+    (
+        series_sorted.write.mode("overwrite")
+        .option("maxRecordsPerFile", row_group_size)
+        .option("parquet.bloom.filter.enabled#" + S.label_to_column(S.METRIC_NAME_LABEL), "true")
+        .option("parquet.bloom.filter.enabled#" + S.SERIES_HASH_COLUMN, "true")
+        .parquet(os.path.join(out_dir, "series.parquet"))
+    )
+    (
+        samples.repartition(nparts, F.col(S.SERIES_HASH_COLUMN))
+        .sortWithinPartitions(S.SERIES_HASH_COLUMN, S.TS_COLUMN)
+        .write.mode("overwrite")
+        .partitionBy(S.TIME_BUCKET_COLUMN)
+        .option("maxRecordsPerFile", row_group_size)
+        .option("parquet.bloom.filter.enabled#" + S.SERIES_HASH_COLUMN, "true")
+        .parquet(os.path.join(out_dir, "samples.parquet"))
+    )
+    meta = S.ShardMeta(
+        mint_ms=mint_ms,
+        maxt_ms=maxt_ms,
+        col_duration_ms=col_duration_ms,
+        sort_labels=tuple(sort_labels),
+    )
+    meta.write(out_dir)
+    return meta

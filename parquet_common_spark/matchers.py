@@ -1,0 +1,183 @@
+"""PromQL label matchers -> Catalyst ``Column`` predicates.
+
+This is the Spark equivalent of the reference's constraint compiler
+(reference: search/constraint.go:55-102 ``MatchersToConstraints``) plus its
+rewrite set (SURVEY.md §4 O1/O2):
+
+  - ``=~".*"``      -> dropped (matches everything, incl. absent labels)
+  - ``=~".+"``      -> ``!= ""``
+  - literal regex   -> equality
+  - ``a|b|c``       -> IN-list  (pushed to Parquet as ``In``)
+  - ``prefix.*``    -> ``startswith`` (pushed as ``StringStartsWith``)
+  - ``!~re``        -> NOT(compile(``=~re``))
+
+The #1 correctness trap (SURVEY.md §7) is the Prometheus three-way
+equivalence  NULL column value == "" value == label absent from schema.
+Each compiled predicate therefore explicitly handles NULLs so that Catalyst
+can still push the core comparison to the Parquet scan:
+
+  =  v (v!="")   ->  col == v                       (NULL rows correctly fail)
+  =  ""          ->  col IS NULL OR col == ""
+  != v (v!="")   ->  col IS NULL OR col != v
+  != ""          ->  col IS NOT NULL AND col != ""
+  =~ re          ->  rlike anchored; OR col IS NULL if re matches ""
+
+A matcher whose column is absent from the shard schema degenerates to a
+constant: True if the matcher matches "", else False (reference:
+search/constraint.go:368-376, 448-456, 678-686).
+
+Regex dialect: PromQL matchers are RE2 and fully anchored
+(``^(?:re)$``).  We evaluate with Java regex on the Spark side and Python
+``re`` on the driver side (for the matches-empty probe).  Constructs where
+RE2 and Java diverge materially (backreferences don't exist in RE2;
+``(?i)`` etc. are common to both) are accepted as-is; see
+``tests/test_matchers.py`` for the covered dialect surface.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from parquet_common_spark.schema import label_to_column
+
+MatchOp = str  # '=', '!=', '=~', '!~'
+
+_REGEX_META = set(".+*?()[]{}|\\^$")
+
+
+@dataclass(frozen=True)
+class Matcher:
+    """One PromQL label matcher, e.g. ``Matcher("job", "=~", "api-.*")``."""
+
+    name: str
+    op: MatchOp
+    value: str
+
+    def __post_init__(self):
+        if self.op not in ("=", "!=", "=~", "!~"):
+            raise ValueError(f"bad matcher op {self.op!r}")
+
+    def matches_empty(self) -> bool:
+        """Does this matcher accept the empty string (== absent label)?"""
+        if self.op == "=":
+            return self.value == ""
+        if self.op == "!=":
+            return self.value != ""
+        m = bool(re.fullmatch(self.value, ""))
+        return m if self.op == "=~" else not m
+
+
+def _is_literal(pattern: str) -> bool:
+    return not any(ch in _REGEX_META for ch in pattern)
+
+
+def _as_alternation_of_literals(pattern: str) -> list[str] | None:
+    """``a|b|c`` (literals only, no empty alternative) -> ["a","b","c"].
+
+    Mirrors the reference's set-regex optimization (search/constraint.go:894-909):
+    compile to an IN-list so Parquet stats/dictionary pruning applies.
+    """
+    if "|" not in pattern:
+        return None
+    parts = pattern.split("|")
+    if any(p == "" for p in parts):
+        return None
+    if all(_is_literal(p) for p in parts):
+        return parts
+    return None
+
+
+def _as_prefix(pattern: str) -> str | None:
+    """``thanos-.*`` -> "thanos-" (prefix-regex optimization,
+    reference: search/constraint.go:719-735)."""
+    for suffix in (".*", ".+"):
+        if pattern.endswith(suffix):
+            prefix = pattern[: -len(suffix)]
+            if prefix and _is_literal(prefix):
+                return prefix
+    return None
+
+
+def _eq_predicate(col: Column, value: str) -> Column:
+    if value == "":
+        return col.isNull() | (col == "")
+    return col == value
+
+
+def _neq_predicate(col: Column, value: str) -> Column:
+    if value == "":
+        return col.isNotNull() & (col != "")
+    return col.isNull() | (col != value)
+
+
+def matcher_to_predicate(m: Matcher, columns: list[str] | set[str]) -> Column:
+    """Compile one matcher against a shard's physical schema."""
+    phys = label_to_column(m.name)
+    if phys not in set(columns):
+        # Absent column: accept-all iff the matcher matches "" (reference:
+        # search/constraint.go:368-376).
+        return F.lit(m.matches_empty())
+
+    col = F.col(phys)
+    if m.op == "=":
+        return _eq_predicate(col, m.value)
+    if m.op == "!=":
+        return _neq_predicate(col, m.value)
+
+    # regex ops — rewrite chain first (O1/O2)
+    pattern = m.value
+    negate = m.op == "!~"
+
+    if pattern == ".*":
+        return F.lit(False) if negate else F.lit(True)
+    if pattern == ".+":
+        base = col.isNotNull() & (col != "")
+        return ~base if negate else base
+    if _is_literal(pattern):
+        base = _eq_predicate(col, pattern)
+        return _neq_predicate(col, pattern) if negate else base
+    alts = _as_alternation_of_literals(pattern)
+    if alts is not None:
+        base = col.isin(alts)
+        if "" in alts:
+            base = base | col.isNull()
+        if negate:
+            # null => "" ; "" in alts => excluded
+            none_match = F.lit("" not in alts)
+            return F.when(col.isNull(), none_match).otherwise(~F.coalesce(base, F.lit(False)))
+        return base
+    prefix = _as_prefix(pattern)
+    if prefix is not None and pattern.endswith(".*"):
+        base = col.startswith(prefix)
+        if negate:
+            return F.when(col.isNull(), F.lit(True)).otherwise(~base)
+        return base
+
+    anchored = f"^(?:{pattern})$"
+    matches_empty = bool(re.fullmatch(pattern, ""))
+    base = col.rlike(anchored)
+    if negate:
+        return F.when(col.isNull(), F.lit(not matches_empty)).otherwise(~base)
+    if matches_empty:
+        return col.isNull() | base
+    return base
+
+
+def matchers_to_predicate(
+    matchers: list[Matcher] | list[tuple[str, str, str]],
+    columns: list[str] | set[str],
+) -> Column:
+    """AND of all matchers (reference: search/constraint.go:55 + the row-range
+    intersection in search/rowrange.go:50-70, which Catalyst's conjunction
+    replaces outright)."""
+    ms = [m if isinstance(m, Matcher) else Matcher(*m) for m in matchers]
+    if not ms:
+        return F.lit(True)
+    pred = matcher_to_predicate(ms[0], columns)
+    for m in ms[1:]:
+        pred = pred & matcher_to_predicate(m, columns)
+    return pred

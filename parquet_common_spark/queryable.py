@@ -1,0 +1,220 @@
+"""The query surface: matcher-based Select, LabelNames, LabelValues.
+
+Spark-first equivalent of ``Queryable``/``Querier`` (reference:
+queryable/parquet_queryable.go:153-346).  The reference's whole pipeline —
+constraint compile, two-phase page filtering, lazy label+chunk
+materialization, per-shard fan-out, k-way sorted merge
+(SURVEY.md §3.1) — collapses into one declarative plan per shard:
+
+    series.where(matcher_predicate)           # Catalyst + Parquet do
+       .select(projected label columns)       # bloom/stats/dict pruning
+       .join(samples  time-pruned by bucket)  # == chunk materialization
+    union across shards (unionByName allowMissingColumns — shards can have
+    different label column sets, reference: convert/merge.go:25)
+    orderBy(labels) if sorted output demanded  # == k-way heap merge
+
+Multi-shard dedup of identical series (reference vertical chunk merge,
+convert/merge.go:85-127) is free in the exploded-sample model: the union of
+sample rows IS the merged series.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from parquet_common_spark import schema as S
+from parquet_common_spark.limits import Quota
+from parquet_common_spark.matchers import Matcher, matchers_to_predicate
+
+
+@dataclass
+class ShardDataset:
+    """One shard: aligned series + samples tables plus metadata.
+
+    Replaces the reference's two-parquet-file pair (ParquetShard,
+    storage/parquet_shard.go:138-185); positional row alignment is replaced
+    by the explicit ``s_series_hash`` key.
+    """
+
+    series: DataFrame
+    samples: DataFrame | None
+    meta: S.ShardMeta
+
+    @classmethod
+    def read(cls, spark: SparkSession, shard_dir: str) -> "ShardDataset":
+        meta = S.ShardMeta.read(shard_dir)
+        series = spark.read.parquet(os.path.join(shard_dir, "series.parquet"))
+        samples = spark.read.parquet(os.path.join(shard_dir, "samples.parquet"))
+        return cls(series=series, samples=samples, meta=meta)
+
+    @property
+    def label_cols(self) -> list[str]:
+        return S.label_columns(self.series.columns)
+
+
+class ParquetQueryable:
+    """Matcher-query engine over one or more shards.
+
+    ``shards_finder`` hook (reference: queryable/parquet_queryable.go:39)
+    is the constructor: pass whatever shards the catalog says overlap the
+    query time range.
+    """
+
+    def __init__(self, shards: list[ShardDataset]):
+        if not shards:
+            raise ValueError("at least one shard required")
+        self.shards = shards
+
+    @classmethod
+    def from_paths(cls, spark: SparkSession, shard_dirs: list[str]) -> "ParquetQueryable":
+        return cls([ShardDataset.read(spark, d) for d in shard_dirs])
+
+    # -- Select -----------------------------------------------------------
+    def select(
+        self,
+        mint_ms: int,
+        maxt_ms: int,
+        matchers: list[Matcher] | list[tuple[str, str, str]],
+        projection: list[str] | None = None,
+        exclude: list[str] | None = None,
+        skip_chunks: bool = False,
+        sorted_output: bool = False,
+        quota: Quota | None = None,
+        drop_empty_series: bool = True,
+    ) -> DataFrame:
+        """Matcher select (reference: Querier.Select,
+        queryable/parquet_queryable.go:283-346).
+
+        Returns label columns + (unless ``skip_chunks``) sample columns
+        ``s_ts``/``s_value``.  ``projection``/``exclude`` mirror the
+        reference's projection hints include/exclude mode (reference:
+        search/materialize.go:404-494).  ``drop_empty_series`` mirrors
+        FilterEmptyChunkSeriesSet (search/iterators.go:100-184): series with
+        no samples in range are dropped (inner join does this naturally).
+        """
+        parts: list[DataFrame] = []
+        for shard in self.shards:
+            parts.append(
+                self._select_shard(
+                    shard, mint_ms, maxt_ms, matchers, projection, exclude,
+                    skip_chunks, quota, drop_empty_series,
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        if skip_chunks and len(parts) > 1:
+            out = out.distinct()  # same series in >1 shard (reference dedup, merge.go:85)
+        if quota is not None:
+            quota.check_rows(out)
+        label_cols = sorted(S.label_columns(out.columns))
+        if sorted_output:
+            # sorted contract forced for >1 shard in the reference
+            # (parquet_queryable.go:311-314); callers opt in here.
+            order = label_cols + ([] if skip_chunks else [S.TS_COLUMN])
+            out = out.orderBy(*order)
+        return out
+
+    def _select_shard(
+        self,
+        shard: ShardDataset,
+        mint_ms: int,
+        maxt_ms: int,
+        matchers,
+        projection,
+        exclude,
+        skip_chunks: bool,
+        quota: Quota | None,
+        drop_empty_series: bool,
+    ) -> DataFrame:
+        pred = matchers_to_predicate(matchers, shard.series.columns)
+        series = shard.series.where(pred)
+        keep = sorted(S.label_columns(series.columns))
+        if projection is not None:
+            req = {S.label_to_column(n) for n in projection}
+            keep = [c for c in keep if c in req]
+        if exclude:
+            drop = {S.label_to_column(n) for n in exclude}
+            keep = [c for c in keep if c not in drop]
+        series = series.select(*keep, S.SERIES_HASH_COLUMN)
+        if quota is not None:
+            quota.check_bytes(series)
+        if skip_chunks or shard.samples is None:
+            # "series" fast path (reference: parquet_queryable.go:322) —
+            # labels only, zero sample I/O. Distinct because projection may
+            # collapse series.
+            return series.drop(S.SERIES_HASH_COLUMN).distinct()
+
+        lo, hi = shard.meta.bucket_range(mint_ms, maxt_ms)
+        samples = shard.samples.where(
+            (F.col(S.TIME_BUCKET_COLUMN) >= lo)   # partition pruning
+            & (F.col(S.TIME_BUCKET_COLUMN) <= hi)
+            & (F.col(S.TS_COLUMN) >= mint_ms)     # exact chunk time filter
+            & (F.col(S.TS_COLUMN) <= maxt_ms)     # (reference: encoder.go:311-321)
+        ).select(S.SERIES_HASH_COLUMN, S.TS_COLUMN, S.VALUE_COLUMN)
+        how = "inner" if drop_empty_series else "left"
+        joined = series.join(samples, on=S.SERIES_HASH_COLUMN, how=how)
+        return joined.drop(S.SERIES_HASH_COLUMN)
+
+    # -- Label APIs -------------------------------------------------------
+    def label_names(
+        self,
+        matchers: list | None = None,
+        limit: int | None = None,
+    ) -> list[str]:
+        """Distinct label names, optionally under matchers (reference:
+        Querier.LabelNames, parquet_queryable.go:172-224).
+
+        No-matcher fast path is schema-only (reference:
+        search/materialize.go:250-261) — a catalog lookup, zero I/O.
+        """
+        names: set[str] = set()
+        for shard in self.shards:
+            cols = shard.label_cols
+            if not matchers:
+                names.update(S.extract_label_from_column(c) for c in cols)
+                continue
+            pred = matchers_to_predicate(matchers, shard.series.columns)
+            # one pass: per-column "any non-null non-empty value survives"
+            aggs = [
+                F.max((F.col(c).isNotNull()) & (F.col(c) != "")).alias(c)
+                for c in cols
+            ]
+            row = shard.series.where(pred).agg(*aggs).collect()[0]
+            names.update(
+                S.extract_label_from_column(c) for c in cols if row[c]
+            )
+        out = sorted(names)
+        return out[:limit] if limit is not None else out
+
+    def label_values(
+        self,
+        name: str,
+        matchers: list | None = None,
+        limit: int | None = None,
+    ) -> list[str]:
+        """Distinct values of one label (reference: Querier.LabelValues,
+        parquet_queryable.go:226-277; dictionary-page fast path
+        search/materialize.go:358-380 — Spark's parquet aggregate/distinct
+        pushdown covers the unfiltered case)."""
+        values: DataFrame | None = None
+        phys = S.label_to_column(name)
+        for shard in self.shards:
+            if phys not in shard.series.columns:
+                continue
+            df = shard.series
+            if matchers:
+                df = df.where(matchers_to_predicate(matchers, shard.series.columns))
+            v = df.select(F.col(phys).alias("value")).where(
+                F.col("value").isNotNull() & (F.col("value") != "")
+            ).distinct()
+            values = v if values is None else values.unionByName(v)
+        if values is None:
+            return []
+        merged = values.distinct().orderBy("value")  # sorted-dedup merge
+        if limit is not None:                        # (reference: util/strutil.go:24-45)
+            merged = merged.limit(limit)
+        return [r["value"] for r in merged.collect()]
