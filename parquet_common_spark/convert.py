@@ -54,6 +54,41 @@ def wide_from_label_map(df: DataFrame, labels_col: str = "labels") -> DataFrame:
     return df.select(*cols, *other)
 
 
+def to_shard(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    labels_col: str | None = "labels",
+    col_duration_ms: int = S.DEFAULT_COL_DURATION_MS,
+    mint_ms: int | None = None,
+    maxt_ms: int | None = None,
+):
+    """In-memory conversion: long-form samples -> a ShardDataset (no I/O).
+
+    Same transform as :func:`convert` but returns live DataFrames — used to
+    run the matcher engine directly over any relational input.
+    """
+    from parquet_common_spark.queryable import ShardDataset
+
+    if labels_col is not None and labels_col in df.columns:
+        df = wide_from_label_map(df, labels_col)
+    label_cols = S.label_columns(df.columns)
+    if mint_ms is None or maxt_ms is None:
+        row = df.agg(F.min(ts_col).alias("mn"), F.max(ts_col).alias("mx")).collect()[0]
+        mint_ms = int(row["mn"]) if mint_ms is None else mint_ms
+        maxt_ms = int(row["mx"]) if maxt_ms is None else maxt_ms
+    hashed = df.withColumn(S.SERIES_HASH_COLUMN, S.series_hash_column(label_cols))
+    series = hashed.select(*label_cols, S.SERIES_HASH_COLUMN).distinct()
+    samples = hashed.select(
+        F.col(S.SERIES_HASH_COLUMN),
+        S.data_col_idx(F.col(ts_col).cast("long"), mint_ms, col_duration_ms).alias(S.TIME_BUCKET_COLUMN),
+        F.col(ts_col).cast("long").alias(S.TS_COLUMN),
+        F.col(value_col).cast("double").alias(S.VALUE_COLUMN),
+    )
+    meta = S.ShardMeta(mint_ms=mint_ms, maxt_ms=maxt_ms, col_duration_ms=col_duration_ms)
+    return ShardDataset(series=series, samples=samples, meta=meta)
+
+
 def convert(
     df: DataFrame,
     out_dir: str,

@@ -1,0 +1,464 @@
+"""Window functions, grouping sets, set ops, event analytics, and the
+matcher-parity queries (the reference's Select/LabelValues surface run
+through the engine and checked against plain SQL over the source table).
+
+Scale notes:
+  - every window is partitioned by a high-cardinality key (user_id,
+    c_custkey) — no global windows in the hot path (q15's global rank runs
+    over a 10-row aggregate, not raw data);
+  - sessionization and as-of join use a single sort-within-partition per
+    user (one shuffle), the standard scalable formulation;
+  - rollup/cube are native Catalyst Expand operators — one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_common_spark.plans.common import dsum, load, query
+
+# ---------------------------------------------------------------- windows
+
+
+@query(
+    "w1_top_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice, CAST(rn AS INT) AS rn
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          FROM orders)
+    WHERE rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+)
+def w1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        t["orders"]
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), F.col("rn").cast("int"))
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@query(
+    "w2_running_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def w2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t["orders"]
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "w3_moving_avg_events",
+    """
+    SELECT event_id, user_id,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6) AS moving_avg
+    FROM events
+    ORDER BY user_id, event_id
+    """,
+)
+def w3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-4, 0)
+    return (
+        t["events"]
+        .select("event_id", "user_id", F.round(F.avg("value").over(w), 6).alias("moving_avg"))
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "w4_sessionization",
+    """
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, CAST(SUM(new_session) AS BIGINT) AS n_sessions
+    FROM (SELECT user_id,
+                 CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                           > INTERVAL 1 HOUR
+                       OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events)
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def w4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    # microsecond arithmetic so the comparison matches INTERVAL 1 HOUR exactly
+    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(prev.cast("timestamp"))
+    new_sess = F.when(prev.isNull() | (gap_us > 3_600_000_000), 1).otherwise(0)
+    return (
+        t["events"]
+        .withColumn("new_session", new_sess)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("new_session").cast("long").alias("n_sessions"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ------------------------------------------------- grouping sets / set ops
+
+
+@query(
+    "g1_rollup_revenue",
+    """
+    SELECT r_name, n_name, CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation   ON c_nationkey = n_nationkey
+                JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+    """,
+)
+def g1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "orders", "customer", "nation", "region")
+    j = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        j.rollup("r_name", "n_name")
+        .agg(dsum(F.col("o_totalprice"), 2).alias("revenue"))
+        .orderBy(F.asc_nulls_first("r_name"), F.asc_nulls_first("n_name"))
+    )
+
+
+@query(
+    "g2_cube_orders",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def g2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.asc_nulls_first("o_orderstatus"), F.asc_nulls_first("o_orderpriority"))
+    )
+
+
+@query(
+    "s1_nation_setops",
+    """
+    WITH cn AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+         sn AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+    SELECT 'both' AS side, nationkey FROM (SELECT nationkey FROM cn INTERSECT SELECT nationkey FROM sn)
+    UNION ALL
+    SELECT 'customer_only' AS side, nationkey FROM (SELECT nationkey FROM cn EXCEPT SELECT nationkey FROM sn)
+    ORDER BY side, nationkey
+    """,
+)
+def s1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "customer", "supplier")
+    cn = t["customer"].select(F.col("c_nationkey").alias("nationkey")).distinct()
+    sn = t["supplier"].select(F.col("s_nationkey").alias("nationkey")).distinct()
+    both = cn.intersect(sn).select(F.lit("both").alias("side"), "nationkey")
+    conly = cn.exceptAll(sn).select(F.lit("customer_only").alias("side"), "nationkey")
+    return both.unionByName(conly).orderBy("side", "nationkey")
+
+
+# ----------------------------------------------------------- event analytics
+
+
+@query(
+    "e1_event_type_stats",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS total_value,
+           ROUND(AVG(value), 6) AS avg_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    headline=True,
+)
+def e1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "events")
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum(F.col("value"), 2).alias("total_value"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "e2_daily_activity",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY day, event_type
+    """,
+)
+def e2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "events")
+    return (
+        t["events"]
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("day", "event_type")
+    )
+
+
+@query(
+    "e3_json_props",
+    """
+    SELECT event_type,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def e3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "events")
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(F.round(F.avg(F.get_json_object("props", "$.k").cast("int")), 6).alias("avg_k"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "e4_asof_last_click_before_purchase",
+    """
+    SELECT p.event_id AS purchase_id, p.user_id,
+           (SELECT MAX(c.ts) FROM events c
+            WHERE c.user_id = p.user_id AND c.event_type = 'click' AND c.ts <= p.ts) AS last_click_ts
+    FROM events p
+    WHERE p.event_type = 'purchase'
+    ORDER BY purchase_id
+    """,
+)
+def e4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest click at-or-before
+    it.  Implemented scalably as union + one per-user window pass (single
+    shuffle on user_id), not a range join: tag clicks/purchases, sort by
+    (user_id, ts), carry last-click-ts forward with ``last(ignorenulls)``.
+    DuckDB oracle uses a correlated MAX (== ASOF JOIN semantics)."""
+    t = load(spark, sf_dir, "events")
+    ev = t["events"].select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+        F.col("event_type"),
+    )
+    # order clicks before purchases at identical ts ("at-or-before"): click tag 0, others 1
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.when(F.col("event_type") == "click", 0).otherwise(1), "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = ev.withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+    return (
+        carried.where(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), "user_id", "last_click_ts")
+        .orderBy("purchase_id")
+    )
+
+
+@query(
+    "e5_top_users_by_value",
+    """
+    SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS total_value, COUNT(*) AS n
+    FROM events
+    GROUP BY user_id
+    ORDER BY total_value DESC, user_id
+    LIMIT 10
+    """,
+)
+def e5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "events")
+    return (
+        t["events"]
+        .groupBy("user_id")
+        .agg(dsum(F.col("value"), 2).alias("total_value"), F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("total_value"), "user_id")
+        .limit(10)
+    )
+
+
+# --------------------------------------------- matcher-parity (engine surface)
+#
+# These run the reference's Select / LabelValues surface through OUR engine:
+# the events table is converted in-memory to the series/samples model
+# (labels: __name__, event_type, user_bucket; err label only on error
+# events — exercising the NULL==""==absent semantics), queried with
+# matchers, and the result is aggregated so the DuckDB oracle can express
+# the same answer as plain SQL over the raw events table.
+
+
+def _events_shard(spark: SparkSession, sf_dir: str):
+    from parquet_common_spark.convert import to_shard
+
+    ev = load(spark, sf_dir, "events")["events"]
+    labeled = ev.select(
+        F.create_map(
+            F.lit("__name__"), F.lit("events"),
+            F.lit("event_type"), F.col("event_type"),
+            F.lit("user_bucket"), (F.col("user_id") % 10).cast("string"),
+            F.lit("err"), F.when(F.col("event_type") == "error", F.lit("1")).otherwise(F.lit(None)),
+        ).alias("labels"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts"),  # µs, not ms:
+        F.col("value"),                                            # exact boundaries
+    )
+    # create_map with a NULL value keeps the key → strip absent labels
+    labeled = labeled.withColumn(
+        "labels", F.map_filter("labels", lambda k, v: v.isNotNull())
+    )
+    return to_shard(labeled, col_duration_ms=24 * 3600 * 1_000_000)
+
+
+@query(
+    "m1_matcher_eq",
+    """
+    SELECT COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS total
+    FROM events WHERE event_type = 'click'
+    """,
+)
+def m1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_common_spark import Matcher, ParquetQueryable
+
+    q = ParquetQueryable([_events_shard(spark, sf_dir)])
+    sel = q.select(0, 2**62, [Matcher("__name__", "=", "events"), Matcher("event_type", "=", "click")])
+    return sel.agg(F.count(F.lit(1)).alias("n"), dsum(F.col("s_value"), 2).alias("total"))
+
+
+@query(
+    "m2_matcher_regex_set",
+    """
+    SELECT event_type, COUNT(*) AS n
+    FROM events WHERE event_type IN ('click', 'view')
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def m2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_common_spark import Matcher, ParquetQueryable
+
+    q = ParquetQueryable([_events_shard(spark, sf_dir)])
+    sel = q.select(0, 2**62, [Matcher("event_type", "=~", "click|view")])
+    return (
+        sel.groupBy(F.col("l_event_type").alias("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "m3_matcher_negative_regex",
+    """
+    SELECT event_type, COUNT(*) AS n
+    FROM events WHERE NOT regexp_full_match(event_type, 'c.*')
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def m3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_common_spark import Matcher, ParquetQueryable
+
+    q = ParquetQueryable([_events_shard(spark, sf_dir)])
+    sel = q.select(0, 2**62, [Matcher("event_type", "!~", "c.*")])
+    return (
+        sel.groupBy(F.col("l_event_type").alias("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "m4_empty_label_semantics",
+    """
+    SELECT COUNT(*) AS n_no_err, CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err_inside
+    FROM events WHERE event_type <> 'error'
+    """,
+)
+def m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """err="" must match exactly the series where the err label is ABSENT
+    (the F3 truth table from FIXTURES.md, over real data)."""
+    from parquet_common_spark import Matcher, ParquetQueryable
+
+    q = ParquetQueryable([_events_shard(spark, sf_dir)])
+    sel = q.select(0, 2**62, [Matcher("err", "=", "")])
+    return sel.agg(
+        F.count(F.lit(1)).alias("n_no_err"),
+        F.sum(F.when(F.col("l_event_type") == "error", 1).otherwise(0)).cast("long").alias("n_err_inside"),
+    )
+
+
+@query(
+    "m5_label_values",
+    """
+    SELECT DISTINCT event_type AS value FROM events ORDER BY value
+    """,
+)
+def m5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_common_spark import ParquetQueryable
+
+    shard = _events_shard(spark, sf_dir)
+    vals = ParquetQueryable([shard]).label_values("event_type")
+    return spark.createDataFrame([(v,) for v in vals], "value string").orderBy("value")
+
+
+@query(
+    "m6_time_range_pruning",
+    """
+    SELECT COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS total
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10' AND ts <= TIMESTAMP '2024-01-12'
+      AND event_type = 'purchase'
+    """,
+)
+def m6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_common_spark import Matcher, ParquetQueryable
+    import datetime as dt
+
+    lo = int(dt.datetime(2024, 1, 10, tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    hi = int(dt.datetime(2024, 1, 12, tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    q = ParquetQueryable([_events_shard(spark, sf_dir)])
+    sel = q.select(lo, hi, [Matcher("event_type", "=", "purchase")])
+    return sel.agg(F.count(F.lit(1)).alias("n"), dsum(F.col("s_value"), 2).alias("total"))
