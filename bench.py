@@ -1,0 +1,59 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "headline_total_sec", "value": N, "unit": "sec",
+   "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Mirrors the reference's benchmark contract (BASELINE.md): wall sec/query
+== ns/op; rows collected == series/op.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    from parquet_common_spark.session import get_spark
+    import __spark_entry__ as E
+    from parquet_common_spark.plans.common import REGISTRY
+
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    E.queries()  # populate registry
+
+    headline = [name for name, q in REGISTRY.items() if q.headline]
+    # warm the JVM + parquet footers once with the cheapest query
+    REGISTRY[headline[0]].fn(spark, sf_dir).collect()
+
+    times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    for name in headline:
+        t0 = time.perf_counter()
+        out = REGISTRY[name].fn(spark, sf_dir).collect()
+        times[name] = round(time.perf_counter() - t0, 3)
+        rows[name] = len(out)
+
+    result = {
+        "metric": "headline_total_sec",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "rows": rows,
+        "sf": sf,
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

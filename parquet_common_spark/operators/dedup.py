@@ -1,0 +1,266 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, all designed shuffle-light for 100 TB:
+
+  - exact:        one hash-groupBy on the normalized text (the shuffle key
+                  is effectively a hash; Spark's exchange hashes the string)
+  - MinHash+LSH:  per-doc signature (map-only) -> explode k/r bands ->
+                  groupBy band key (the ONLY shuffle, keyed on short band
+                  strings) -> candidate pairs -> exact-jaccard verify.
+                  Candidate volume, not corpus volume, drives the join.
+  - SimHash:      per-doc 30-bit signature (map-only); candidates by
+                  all-pairs here (test scale) — at 100 TB band the signature
+                  bytes (4 rotations x 15-bit halves) and join per band.
+  - n-gram Jaccard: brute-force verify *within a blocking key* (language) —
+                  the classic blocked-dedup shape; block sizes bound the
+                  quadratic term.
+  - embedding near-dup: cosine over the embedding column; same blocking
+                  caveat (see similarity.py for the LSH-bucketed scale path).
+
+Everything is built from higher-order Column expressions using the
+cross-engine polynomial hash (operators/text.py), so every operator has a
+DuckDB-checkable oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from parquet_common_spark.operators.text import (
+    HASH_P,
+    char_poly_hash,
+    normalize_text,
+    tokens,
+)
+
+# deterministic MinHash family: g_i(h) = (A[i]*h + B[i]) mod P
+MINHASH_K = 32
+MINHASH_BANDS = 16  # r = K/BANDS = 2 rows per band
+MINHASH_A = [37 + 101 * i for i in range(MINHASH_K)]
+MINHASH_B = [91 + 57 * i for i in range(MINHASH_K)]
+
+
+def word_shingles(col, n: int = 3):
+    """Distinct word n-gram shingles of normalized text (empty-safe)."""
+    toks = tokens(normalize_text(col))
+    joined = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, joined).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def char_shingles(col, n: int = 5):
+    """Distinct character n-gram shingles of normalized text."""
+    s = normalize_text(col)
+    return F.array_distinct(
+        F.when(
+            F.length(s) >= n,
+            F.transform(F.sequence(F.lit(1), F.length(s) - n + 1), lambda i: F.substring(s, i, n)),
+        ).otherwise(F.array(s))
+    )
+
+
+def shingle_hashes(col, n: int = 3):
+    """Distinct polynomial hashes of the word n-gram shingles."""
+    return F.array_distinct(F.transform(word_shingles(col, n), lambda sh: char_poly_hash(sh)))
+
+
+def jaccard(a, b):
+    """Exact Jaccard of two distinct arrays."""
+    return F.size(F.array_intersect(a, b)).cast("double") / F.size(F.array_union(a, b)).cast("double")
+
+
+# ------------------------------------------------------------------ exact
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the min id per normalized text; one hash-groupBy.
+    Returns (keep_id, n_dupes) per surviving document."""
+    return (
+        df.groupBy(normalize_text(F.col(text_col)).alias("_norm"))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dupes"))
+        .drop("_norm")
+    )
+
+
+# ----------------------------------------------------------- MinHash + LSH
+
+
+def _affine(a: int, b: int):
+    return lambda h: (a * h + b) % HASH_P
+
+
+def minhash_signature(col):
+    """Array of MINHASH_K min-hash values for a text column (map-only)."""
+    hashes = shingle_hashes(col)
+    sig = [
+        F.array_min(F.transform(hashes, _affine(a, b)))
+        for a, b in zip(MINHASH_A, MINHASH_B)
+    ]
+    return F.array(*sig)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str, text_col: str, tau: float = 0.25
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact-Jaccard verify.
+
+    Plan shape (the 100 TB story): signature + bands are a map-only stage;
+    the band groupBy shuffles (doc_id, band_key) pairs — tiny rows; the
+    verify join only touches candidate pairs.  No all-pairs stage at any
+    scale; skew-prone giant buckets are AQE's skew-join problem, and a cap
+    can be added per band key.
+    """
+    r = MINHASH_K // MINHASH_BANDS
+    sigs = df.select(
+        F.col(id_col).alias("_id"),
+        shingle_hashes(F.col(text_col)).alias("_sh"),
+    ).withColumn(
+        "_sig",
+        F.array(
+            *[
+                F.array_min(F.transform(F.col("_sh"), _affine(a, b)))
+                for a, b in zip(MINHASH_A, MINHASH_B)
+            ]
+        ),
+    )
+    bands = sigs.select(
+        "_id",
+        "_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "_",
+                        F.lit(j),
+                        *[F.element_at(F.col("_sig"), j * r + k + 1) for k in range(r)],
+                    )
+                    for j in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("_band"),
+    )
+    left = bands.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), "_band")
+    right = bands.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), "_band")
+    cand = (
+        left.join(right, "_band")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn("jac", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("jac") >= tau)
+        .select("id_a", "id_b", F.round("jac", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------- SimHash
+
+SIMHASH_BITS = 30  # our poly hash is mod 1e9+7 < 2^30
+
+
+def simhash_from_hashes(th):
+    """30-bit SimHash from an already-materialized feature-hash array.
+    `th` must be a plain column reference: the 30 per-bit filters each
+    reference it, and Catalyst does not CSE repeated higher-order
+    subexpressions — inlining the hash pipeline here costs 30x."""
+    n = F.size(th)
+
+    def _bit_set(i: int):
+        return lambda h: F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1
+
+    bits = [
+        F.when(
+            2 * F.size(F.filter(th, _bit_set(i))) > n,
+            F.lit(1 << i).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for i in range(SIMHASH_BITS)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def simhash(col):
+    """30-bit SimHash over distinct word-3-gram shingle hashes (map-only).
+
+    Shingles, not unigram tokens: with a small shared vocabulary unigram
+    simhashes saturate (every doc looks alike); 3-gram features keep the
+    background hamming distance high."""
+    return simhash_from_hashes(shingle_hashes(col))
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 4) -> DataFrame:
+    """Pairs within `max_hamming` bits of SimHash distance.
+
+    Test-scale all-pairs; the scale path bands the signature into
+    (max_hamming+1) segments — any pair within the radius must agree
+    exactly on ≥1 segment (pigeonhole), giving an equi-join key.
+    """
+    s = (
+        df.select(F.col(id_col).alias("_id"), shingle_hashes(F.col(text_col)).alias("_th"))
+        .select("_id", simhash_from_hashes(F.col("_th")).alias("_sim"))
+    )
+    a = s.select(F.col("_id").alias("id_a"), F.col("_sim").alias("sim_a"))
+    b = s.select(F.col("_id").alias("id_b"), F.col("_sim").alias("sim_b"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+    )
+
+
+# ------------------------------------------------------- blocked n-gram
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    n: int = 5,
+    tau: float = 0.4,
+) -> DataFrame:
+    """Character-n-gram Jaccard near-dup pairs, brute-forced WITHIN a
+    blocking key (equi-join on the block column — never all-pairs)."""
+    s = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(block_col).alias("_blk"),
+        char_shingles(F.col(text_col), n).alias("_sh"),
+    )
+    a = s.select(F.col("_id").alias("id_a"), F.col("_blk").alias("_blk"), F.col("_sh").alias("sh_a"))
+    b = s.select(F.col("_id").alias("id_b"), F.col("_blk").alias("_blk"), F.col("_sh").alias("sh_b"))
+    return (
+        a.join(b, "_blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("jac", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("jac") >= tau)
+        .select("id_a", "id_b", F.round("jac", 6).alias("jaccard"))
+    )
+
+
+# -------------------------------------------------- embedding near-dup
+
+
+def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.4) -> DataFrame:
+    """Pairs of vectors with cosine >= threshold (exact; see
+    similarity.lsh_topk for the banded scale path)."""
+    from parquet_common_spark.operators.similarity import cosine
+
+    v = df.select(F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v"))
+    a = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"))
+    b = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 5).alias("cos"))
+    )

@@ -1,4 +1,338 @@
-"""Training-data pipeline operators exposed as registry queries.
+"""Training-data pipeline operators exposed as oracle-checked registry
+queries over the documents/embeddings tables.
 
-Filled in by operators/{dedup,similarity,text,multimodal}.py.
+The DuckDB oracle SQL strings are *generated* from the same constants as
+the Spark operators (hash family, band layout, thresholds), so both
+engines execute the identical algorithm.  Intermediate representations
+(band-key strings etc.) only need within-engine equality; the final
+row sets must match bit-for-bit.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from parquet_common_spark.operators import dedup as D
+from parquet_common_spark.operators import similarity as SIM
+from parquet_common_spark.operators import text as T
+from parquet_common_spark.plans.common import load, query
+
+# ---------------------------------------------------------------- SQL helpers
+
+_P = T.HASH_P
+_NORM = r"trim(regexp_replace(lower({c}), '\s+', ' ', 'g'))"
+_TOKS = r"string_split_regex(" + _NORM + r", '\s+')"
+_RAW_TOKS = r"string_split_regex(trim(lower({c})), '\s+')"
+
+
+def _phash(expr: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), c -> CAST(ascii(c) AS BIGINT))), "
+        f"(a, b) -> (a * {T.HASH_MULT} + b) % {_P})"
+    )
+
+
+def _stop_hits(col: str, words) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({_RAW_TOKS.format(c=col)}, t -> t IN ({inlist})))"
+
+
+# ----------------------------------------------------------------- d1: exact
+
+
+@query(
+    "d1_exact_dedup",
+    f"""
+    SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dupes
+    FROM documents
+    GROUP BY {_NORM.format(c='text')}
+    ORDER BY keep_id
+    """,
+)
+def d1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return D.exact_dedup(docs, "text", "doc_id").orderBy("keep_id")
+
+
+# ---------------------------------------------------------- d2: MinHash LSH
+
+_SH_TAU = 0.25
+_r = D.MINHASH_K // D.MINHASH_BANDS
+_sig_sql = ", ".join(
+    f"list_min(list_transform(sh, h -> ({a} * h + {b}) % {_P}))"
+    for a, b in zip(D.MINHASH_A, D.MINHASH_B)
+)
+_band_sql = ", ".join(
+    "'" + str(j) + "_' || " + " || '_' || ".join(
+        f"CAST(sig[{j * _r + k + 1}] AS VARCHAR)" for k in range(_r)
+    )
+    for j in range(D.MINHASH_BANDS)
+)
+
+_D2_SQL = f"""
+    WITH t0 AS (SELECT doc_id AS id, {_TOKS.format(c='text')} AS toks FROM documents),
+    t1 AS (SELECT id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_transform(generate_series(1, len(toks) - 2),
+                                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                  ELSE [array_to_string(toks, ' ')] END AS shingles
+           FROM t0),
+    docs AS (SELECT id, list_distinct(list_transform(shingles, s -> {_phash('s')})) AS sh FROM t1),
+    sigs AS (SELECT id, sh, [{_sig_sql}] AS sig FROM docs),
+    bands AS (SELECT id, unnest([{_band_sql}]) AS band FROM sigs),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM bands a JOIN bands b ON a.band = b.band AND a.id < b.id),
+    pairs AS (SELECT id_a, id_b,
+                CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+                / CAST(len(list_distinct(da.sh || db.sh)) AS DOUBLE) AS jac
+              FROM cand JOIN docs da ON da.id = cand.id_a JOIN docs db ON db.id = cand.id_b)
+    SELECT id_a, id_b, ROUND(jac, 6) AS jaccard FROM pairs WHERE jac >= {_SH_TAU}
+    ORDER BY id_a, id_b
+"""
+
+
+@query("d2_minhash_lsh_dedup", _D2_SQL, headline=True)
+def d2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return D.minhash_lsh_pairs(docs, "doc_id", "text", tau=_SH_TAU).orderBy("id_a", "id_b")
+
+
+# -------------------------------------------------------------- d3: SimHash
+
+_HAM_MAX = 3
+_simhash_terms = " + ".join(
+    f"CASE WHEN 2 * len(list_filter(th, h -> ((h >> {i}) & 1) = 1)) > len(th) "
+    f"THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    for i in range(D.SIMHASH_BITS)
+)
+
+_D3_SQL = f"""
+    WITH s0 AS (SELECT doc_id AS id, {_TOKS.format(c='text')} AS toks FROM documents),
+    s1 AS (SELECT id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_transform(generate_series(1, len(toks) - 2),
+                                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                  ELSE [array_to_string(toks, ' ')] END AS shingles
+           FROM s0),
+    t0 AS (SELECT id, list_distinct(list_transform(shingles, sg -> {_phash('sg')})) AS th FROM s1),
+    s AS (SELECT id, {_simhash_terms} AS sim FROM t0)
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+    FROM s a JOIN s b ON a.id < b.id
+    WHERE bit_count(xor(a.sim, b.sim)) <= {_HAM_MAX}
+    ORDER BY id_a, id_b
+"""
+
+
+@query("d3_simhash_dedup", _D3_SQL)
+def d3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return D.simhash_pairs(docs, "doc_id", "text", max_hamming=_HAM_MAX).orderBy("id_a", "id_b")
+
+
+# ----------------------------------------------------- d4: blocked n-gram
+
+_NG_TAU = 0.4
+_D4_SQL = f"""
+    WITH t0 AS (SELECT doc_id AS id, lang, {_NORM.format(c='text')} AS s FROM documents),
+    t1 AS (SELECT id, lang,
+             list_distinct(CASE WHEN length(s) >= 5
+                  THEN list_transform(generate_series(1, length(s) - 4), i -> substr(s, i, 5))
+                  ELSE [s] END) AS sh
+           FROM t0)
+    SELECT a.id AS id_a, b.id AS id_b,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 6) AS jaccard
+    FROM t1 a JOIN t1 b ON a.lang = b.lang AND a.id < b.id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= {_NG_TAU}
+    ORDER BY id_a, id_b
+"""
+
+
+@query("d4_ngram_jaccard_dedup", _D4_SQL)
+def d4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return D.ngram_jaccard_pairs(docs, "doc_id", "text", "lang", n=5, tau=_NG_TAU).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# ------------------------------------------------- d5: embedding near-dup
+
+_COS_TAU = 0.4
+_COSSQL = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+_D5_SQL = f"""
+    WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT a.id AS id_a, b.id AS id_b,
+           ROUND({_COSSQL.format(a='a.e', b='b.e')}, 5) AS cos
+    FROM v a JOIN v b ON a.id < b.id
+    WHERE {_COSSQL.format(a='a.e', b='b.e')} >= {_COS_TAU}
+    ORDER BY id_a, id_b
+"""
+
+
+@query("d5_embedding_neardup", _D5_SQL)
+def d5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    return D.embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=_COS_TAU).orderBy(
+        "id_a", "id_b"
+    )
+
+
+# ------------------------------------------------------------- text analysis
+
+
+@query(
+    "t1_token_stats",
+    f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS sum_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{T.BPE_ISH_PATTERN}'))) AS BIGINT) AS sum_bpe_tokens,
+           ROUND(AVG(n_chars), 6) AS avg_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def t1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(T.token_count(F.col("text"))).cast("long").alias("sum_tokens"),
+            F.sum(T.bpe_ish_token_count(F.col("text"))).cast("long").alias("sum_bpe_tokens"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+_QUALITY_SQL = f"""ROUND(
+      0.25 * least(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) / 100.0, 1.0)
+    + 0.25 * (CASE WHEN length(text) > 0
+              THEN CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+              ELSE 0.0 END)
+    + 0.25 * (1.0 - CASE WHEN length(text) > 0
+              THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / CAST(length(text) AS DOUBLE)
+              ELSE 0.0 END)
+    + 0.25 * least(4.0 * (CASE WHEN len(string_split_regex(trim(text), '\\s+')) > 0
+              THEN CAST({_stop_hits('text', T.STOPWORDS['en'])} AS DOUBLE)
+                   / CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE)
+              ELSE 0.0 END), 1.0), 6)"""
+
+
+@query(
+    "t2_quality_scores",
+    f"""
+    SELECT doc_id, {_QUALITY_SQL} AS quality
+    FROM documents ORDER BY doc_id
+    """,
+    headline=True,
+)
+def t2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return docs.select("doc_id", T.quality_score(F.col("text")).alias("quality")).orderBy("doc_id")
+
+
+_langscore = {lang: _stop_hits("text", T.STOPWORDS[lang]) for lang in T.LANG_ORDER}
+_best = "greatest(" + ", ".join(_langscore.values()) + ")"
+_langcase = "CASE " + " ".join(
+    f"WHEN {_langscore[lang]} = {_best} AND {_best} > 0 THEN '{lang}'" for lang in T.LANG_ORDER
+) + " ELSE 'und' END"
+
+
+@query(
+    "t3_lang_id",
+    f"""
+    SELECT lang, {_langcase} AS predicted, COUNT(*) AS n
+    FROM documents
+    GROUP BY lang, predicted
+    ORDER BY lang, predicted
+    """,
+)
+def t3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return (
+        docs.groupBy("lang", T.lang_id(F.col("text")).alias("predicted"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "predicted")
+    )
+
+
+@query(
+    "t4_fingerprints",
+    f"""
+    SELECT doc_id, {_phash(_NORM.format(c='text'))} AS fingerprint
+    FROM documents ORDER BY doc_id
+    """,
+)
+def t4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint")).orderBy("doc_id")
+
+
+# --------------------------------------------------------- similarity search
+
+
+@query(
+    "sim1_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+    scored AS (SELECT query_id, neighbor_id, {_COSSQL.format(a='qv', b='cv')} AS cos
+               FROM q, c WHERE query_id <> neighbor_id),
+    ranked AS (SELECT query_id, neighbor_id, cos,
+                      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+               FROM scored)
+    SELECT query_id, neighbor_id, ROUND(cos, 5) AS cos, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= 5 ORDER BY query_id, rank
+    """,
+    headline=True,
+)
+def sim1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    return SIM.brute_force_topk(emb, emb.where(F.col("vec_id") < 5), k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+@query("sim2_lsh_topk", None)  # bucket bits depend on float sign boundaries ->
+def sim2(spark: SparkSession, sf_dir: str) -> DataFrame:  # rows-only check
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    return SIM.lsh_topk(emb, emb.where(F.col("vec_id") < 5), k=5).orderBy("query_id", "rank")
+
+
+# ------------------------------------------------------------- multimodal
+
+
+@query(
+    "mm1_media_metadata",
+    """
+    SELECT doc_id,
+           (['image', 'audio', 'video'])[(doc_id % 3) + 1] AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN (doc_id % 3) IN (0, 2)
+                THEN octet_length(encode(text)) % 640 + 1 ELSE 0 END AS INT) AS width,
+           CAST(CASE WHEN (doc_id % 3) IN (0, 2)
+                THEN octet_length(encode(text)) % 480 + 1 ELSE 0 END AS INT) AS height,
+           CAST(CASE WHEN (doc_id % 3) = 0 THEN 1
+                     WHEN (doc_id % 3) = 2 THEN octet_length(encode(text)) % 300 + 1
+                     ELSE octet_length(encode(text)) % 48000 + 1 END AS INT) AS n_frames
+    FROM documents ORDER BY doc_id
+    """,
+)
+def mm1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exercises the real mapInPandas/Arrow plumbing; the decode itself is
+    the documented stub, mirrored arithmetically in the oracle."""
+    from parquet_common_spark.operators.multimodal import attach_fake_media, decode_media
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return decode_media(attach_fake_media(docs)).orderBy("doc_id")

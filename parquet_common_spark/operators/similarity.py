@@ -1,0 +1,130 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per SURVEY.md §7 phase 4:
+  - brute-force cosine top-k: the exactness baseline.  Queries are
+    broadcast (small side), the corpus is scanned once, per-partition
+    top-k heaps via window row_number — no all-pairs shuffle.
+  - LSH-bucketed top-k (random hyperplanes): the 100 TB path.  Signature
+    is map-only; candidates come from an equi-join on bucket id, so cost
+    scales with bucket occupancy, not corpus size.  Recall is tested
+    against the brute-force baseline (tests/test_similarity.py).
+
+Dot products use JVM higher-order functions (zip_with + aggregate) — no
+Python serialization in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from parquet_common_spark.operators.text import HASH_P
+
+
+def dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a):
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a, b):
+    """cos(a, b) with sequential-fold double arithmetic (mirrors the
+    DuckDB oracle's list_dot_product formulation)."""
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: for each query row, the k nearest corpus rows
+    (self excluded), deterministic tie-break on neighbor id."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("_cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("_qv")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 5).alias("cos"), F.col("rank").cast("int"))
+    )
+
+
+# ----------------------------------------------------------- LSH (scale path)
+
+N_PLANES = 16
+
+
+def _plane_component(plane: int, dim: int):
+    """Deterministic pseudo-random hyperplane component in [-1, 1):
+    poly-hash the (plane, dim) pair and scale.  Pure arithmetic — works
+    in any engine, no stored model."""
+    h = (1_000_003 * (plane + 1) + 7919 * (dim + 1)) % HASH_P
+    h = (h * 2_654_435_761) % HASH_P
+    return (h / HASH_P) * 2.0 - 1.0
+
+
+def lsh_bucket(vec, n_planes: int = N_PLANES, dim: int = 64):
+    """Random-hyperplane signature: bit p = sign(v · plane_p)."""
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(_plane_component(p, d)) for d in range(dim)])
+        bucket = bucket + F.when(dot(vec, plane) > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates share the LSH bucket (equi-join),
+    then exact cosine re-rank inside the bucket.  Multi-probe (flip one
+    bit) widens recall."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("_cv")
+    ).withColumn("_bkt", lsh_bucket(F.col("_cv"), dim=dim))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("_qv")
+    ).withColumn("_bkt0", lsh_bucket(F.col("_qv"), dim=dim))
+    # multi-probe: original bucket + each 1-bit flip
+    probes = q.select(
+        "query_id",
+        "_qv",
+        F.explode(
+            F.array(F.col("_bkt0"), *[F.col("_bkt0").bitwiseXOR(F.lit(1 << p)) for p in range(N_PLANES)])
+        ).alias("_bkt"),
+    )
+    cand = (
+        probes.join(c, "_bkt")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "_qv", "neighbor_id", "_cv")
+        .distinct()
+        .withColumn("cos", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 5).alias("cos"), F.col("rank").cast("int"))
+    )

@@ -1,0 +1,110 @@
+"""Text-analysis operators: tokenization, token counting, quality scoring,
+language ID, document fingerprinting.
+
+All JVM-side Column expressions (no Python UDFs): higher-order functions
+(transform/filter/aggregate) keep the hot path inside whole-stage codegen
+and scale linearly with no shuffle — at 100 TB these are embarrassingly
+parallel map stages.
+
+Every function here is *cross-engine deterministic*: the same algorithm is
+expressible in ANSI SQL (see pipeline_queries.py oracles), which is what
+makes these operators oracle-checkable.  The string hash is a polynomial
+rolling hash mod P — chosen over xxhash64 precisely because the oracle
+engine can compute it too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+HASH_P = 1_000_000_007
+HASH_MULT = 131
+
+# small per-language stopword lists (deterministic, ASCII)
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu", "den"),
+    "fr": ("le", "la", "de", "et", "un", "est", "que", "pour"),
+    "zh": ("de", "shi", "le", "zai", "he", "you", "wo", "ta"),
+}
+LANG_ORDER = ("en", "es", "de", "fr", "zh")  # deterministic tie-break
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens of trimmed text."""
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-flavoured token count: letter runs, digit runs, and individual
+    punctuation each count as one token (regex split, no model needed)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
+def char_poly_hash(col: Column) -> Column:
+    """Polynomial rolling hash of a string, mod 1e9+7 (fits in long with
+    no overflow: acc*131 + 255 < 2^63).  Identical in DuckDB via
+    list_reduce(list_prepend(0, list_transform(string_split(s,''), ascii)))."""
+    codes = F.transform(F.split(col, ""), lambda c: F.ascii(c))
+    return F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * HASH_MULT + x) % HASH_P,
+    )
+
+
+def normalize_text(col: Column) -> Column:
+    """lowercase, collapse runs of whitespace, trim — the canonical form
+    used by fingerprinting and dedup."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def fingerprint(col: Column) -> Column:
+    """Deterministic 30-bit document fingerprint of normalized text."""
+    return char_poly_hash(normalize_text(col))
+
+
+def stopword_hits(col: Column, words: tuple[str, ...]) -> Column:
+    """Number of tokens that are in the given stopword list."""
+    toks = tokens(F.lower(col))
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID: argmax of stopword hits over LANG_ORDER,
+    'und' when no list scores > 0.  Ties break in LANG_ORDER."""
+    scores = {lang: stopword_hits(col, STOPWORDS[lang]) for lang in LANG_ORDER}
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in reversed(LANG_ORDER):
+        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_score(col: Column) -> Column:
+    """Deterministic 0..1 quality heuristic from length / alpha ratio /
+    punctuation ratio / stopword ratio.  Integer-derived ratios only, so
+    both engines produce bit-identical doubles."""
+    n_chars = F.length(col)
+    n_alpha = F.length(F.regexp_replace(col, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", ""))
+    n_tok = token_count(col)
+    n_stop = stopword_hits(col, STOPWORDS["en"])
+    safe = lambda num, den: F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(F.lit(0.0))
+    score = (
+        0.25 * F.least(n_tok.cast("double") / 100.0, F.lit(1.0))
+        + 0.25 * safe(n_alpha, n_chars)
+        + 0.25 * (1.0 - safe(n_punct, n_chars))
+        + 0.25 * F.least(4.0 * safe(n_stop, n_tok), F.lit(1.0))
+    )
+    return F.round(score, 6)
