@@ -67,7 +67,9 @@ def brute_force_topk(
 
 # ----------------------------------------------------------- LSH (scale path)
 
-N_PLANES = 16
+N_TABLES = 8  # independent hash tables (union of candidates)
+N_BITS = 6    # hyperplanes per table; recall ≈ 1-(1-p^N_BITS)^N_TABLES
+              # with p = 1 - angle/pi per bit
 
 
 def _plane_component(plane: int, dim: int):
@@ -79,15 +81,21 @@ def _plane_component(plane: int, dim: int):
     return (h / HASH_P) * 2.0 - 1.0
 
 
-def lsh_bucket(vec, n_planes: int = N_PLANES, dim: int = 64):
-    """Random-hyperplane signature: bit p = sign(v · plane_p)."""
-    bucket = F.lit(0).cast("long")
-    for p in range(n_planes):
-        plane = F.array(*[F.lit(_plane_component(p, d)) for d in range(dim)])
-        bucket = bucket + F.when(dot(vec, plane) > 0, F.lit(1 << p).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return bucket
+def lsh_buckets(vec, dim: int = 64):
+    """Array of N_TABLES bucket keys; table t uses hyperplanes
+    [t*N_BITS, (t+1)*N_BITS).  Key encodes (table, bits) so tables never
+    collide with each other in the equi-join."""
+    keys = []
+    for t in range(N_TABLES):
+        bucket = F.lit(t << N_BITS).cast("long")
+        for b in range(N_BITS):
+            plane_idx = t * N_BITS + b
+            plane = F.array(*[F.lit(_plane_component(plane_idx, d)) for d in range(dim)])
+            bucket = bucket + F.when(dot(vec, plane) > 0, F.lit(1 << b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+        keys.append(bucket)
+    return F.array(*keys)
 
 
 def lsh_topk(
@@ -98,25 +106,17 @@ def lsh_topk(
     k: int = 5,
     dim: int = 64,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the LSH bucket (equi-join),
-    then exact cosine re-rank inside the bucket.  Multi-probe (flip one
-    bit) widens recall."""
+    """Approximate top-k via multi-table hyperplane LSH: candidates share
+    a bucket in ANY of the N_TABLES tables (equi-join on (table,bits)
+    key), then exact cosine re-rank over the candidate union."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("_cv")
-    ).withColumn("_bkt", lsh_bucket(F.col("_cv"), dim=dim))
+    ).select("neighbor_id", "_cv", F.explode(lsh_buckets(F.col("_cv"), dim=dim)).alias("_bkt"))
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("_qv")
-    ).withColumn("_bkt0", lsh_bucket(F.col("_qv"), dim=dim))
-    # multi-probe: original bucket + each 1-bit flip
-    probes = q.select(
-        "query_id",
-        "_qv",
-        F.explode(
-            F.array(F.col("_bkt0"), *[F.col("_bkt0").bitwiseXOR(F.lit(1 << p)) for p in range(N_PLANES)])
-        ).alias("_bkt"),
-    )
+    ).select("query_id", "_qv", F.explode(lsh_buckets(F.col("_qv"), dim=dim)).alias("_bkt"))
     cand = (
-        probes.join(c, "_bkt")
+        q.join(c, "_bkt")
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "_qv", "neighbor_id", "_cv")
         .distinct()

@@ -1,0 +1,154 @@
+"""Conversion round-trip + queryable surface (reference test model:
+convert/convert_test.go, queryable/parquet_queryable_test.go)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_common_spark import Matcher, ParquetQueryable, Quota, ResourceExhausted
+from parquet_common_spark import convert as C
+from parquet_common_spark import schema as S
+
+
+def make_long_df(spark, n_series=24, samples=8, step_ms=30 * 60 * 1000, name="foo"):
+    rows = []
+    for i in range(n_series):
+        labels = {"__name__": name, "bar": f"{2*i:04d}", "env": "prod" if i % 2 else "dev"}
+        for s in range(samples):
+            rows.append((labels, s * step_ms, float(i)))
+    return spark.createDataFrame(rows, "labels map<string,string>, ts long, value double")
+
+
+@pytest.fixture(scope="module")
+def shard(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("shards") / "s0")
+    df = make_long_df(spark)
+    meta = C.convert(df, out, col_duration_ms=8 * 3600 * 1000, sort_labels=("__name__", "bar"))
+    return out, meta
+
+
+def test_meta_roundtrip(shard):
+    out, meta = shard
+    got = S.ShardMeta.read(out)
+    assert got.mint_ms == 0
+    assert got.maxt_ms == 7 * 30 * 60 * 1000
+    assert got.col_duration_ms == 8 * 3600 * 1000
+    assert got.sort_labels == ("__name__", "bar")
+
+
+@pytest.mark.parametrize(
+    "col_h,step_m,samples,expected_buckets",
+    [(1, 60, 3, 3), (1, 60, 48, 48), (8, 30, 10, 1), (8, 30, 32, 2)],
+)
+def test_bucketing_matrix(spark, tmp_path, col_h, step_m, samples, expected_buckets):
+    # F4 parameter matrix (convert/convert_test.go:40-77): bucket count ==
+    # DataColumIdx behavior
+    out = str(tmp_path / "b")
+    df = make_long_df(spark, n_series=4, samples=samples, step_ms=step_m * 60 * 1000)
+    C.convert(df, out, col_duration_ms=col_h * 3600 * 1000)
+    sh = ParquetQueryable.from_paths(df.sparkSession, [out]).shards[0]
+    buckets = sh.samples.select(S.TIME_BUCKET_COLUMN).distinct().count()
+    assert buckets == expected_buckets
+
+
+def test_select_roundtrip(spark, shard):
+    out, _ = shard
+    q = ParquetQueryable.from_paths(spark, [out])
+    sel = q.select(0, 10**12, [Matcher("__name__", "=", "foo"), Matcher("env", "=", "dev")])
+    rows = sel.collect()
+    assert len(rows) == 12 * 8  # 12 dev series x 8 samples
+    assert all(r["l_env"] == "dev" for r in rows)
+
+
+def test_select_time_range(spark, shard):
+    out, _ = shard
+    q = ParquetQueryable.from_paths(spark, [out])
+    # [0, 1h] covers samples at 0,30,60 min
+    sel = q.select(0, 3600 * 1000, [Matcher("bar", "=", "0000")])
+    assert sel.count() == 3
+
+
+def test_skip_chunks(spark, shard):
+    out, _ = shard
+    q = ParquetQueryable.from_paths(spark, [out])
+    sel = q.select(0, 10**12, [Matcher("env", "=", "prod")], skip_chunks=True)
+    assert sel.count() == 12
+    assert S.TS_COLUMN not in sel.columns
+
+
+def test_projection_hints(spark, shard):
+    out, _ = shard
+    q = ParquetQueryable.from_paths(spark, [out])
+    inc = q.select(0, 10**12, [], projection=["__name__", "bar"])
+    assert sorted(S.label_columns(inc.columns)) == ["l___name__", "l_bar"]
+    exc = q.select(0, 10**12, [], exclude=["bar"])
+    assert sorted(S.label_columns(exc.columns)) == ["l___name__", "l_env"]
+
+
+def test_sorted_output(spark, shard):
+    out, _ = shard
+    q = ParquetQueryable.from_paths(spark, [out])
+    sel = q.select(0, 10**12, [], skip_chunks=True, sorted_output=True)
+    bars = [r["l_bar"] for r in sel.collect()]
+    assert bars == sorted(bars)
+
+
+def test_label_apis(spark, shard):
+    out, _ = shard
+    q = ParquetQueryable.from_paths(spark, [out])
+    assert q.label_names() == ["__name__", "bar", "env"]
+    assert q.label_values("env") == ["dev", "prod"]
+    assert q.label_values("env", matchers=[Matcher("bar", "=", "0000")]) == ["dev"]
+    assert q.label_values("env", limit=1) == ["dev"]
+    assert q.label_values("nonexistent") == []
+    # filtered label_names: restrict to series where env=dev
+    assert q.label_names(matchers=[Matcher("bar", "=", "0000")]) == ["__name__", "bar", "env"]
+
+
+def test_quota(spark, shard):
+    out, _ = shard
+    q = ParquetQueryable.from_paths(spark, [out])
+    with pytest.raises(ResourceExhausted):
+        q.select(0, 10**12, [], quota=Quota(max_rows=10))
+    with pytest.raises(ResourceExhausted):
+        q.select(0, 10**12, [], quota=Quota(max_bytes=1))
+
+
+def test_multi_shard_union_and_dedup(spark, tmp_path):
+    # F6: two shards with different label-column sets + overlapping series
+    d1 = str(tmp_path / "s1")
+    d2 = str(tmp_path / "s2")
+    df1 = spark.createDataFrame(
+        [({"__name__": "m", "a": "1"}, 0, 1.0), ({"__name__": "m", "a": "2"}, 0, 2.0)],
+        "labels map<string,string>, ts long, value double",
+    )
+    df2 = spark.createDataFrame(
+        [({"__name__": "m", "a": "1"}, 1000, 3.0), ({"__name__": "m", "b": "9"}, 0, 4.0)],
+        "labels map<string,string>, ts long, value double",
+    )
+    C.convert(df1, d1)
+    C.convert(df2, d2)
+    q = ParquetQueryable.from_paths(spark, [d1, d2])
+    # shards have different label columns (a vs b) -> unionByName must fill
+    sel = q.select(0, 10**12, [Matcher("__name__", "=", "m")], sorted_output=True)
+    rows = sel.collect()
+    assert len(rows) == 4
+    # series {a=1} exists in both shards: its samples merge vertically
+    merged = [r for r in rows if r["l_a"] == "1"]
+    assert sorted(r[S.TS_COLUMN] for r in merged) == [0, 1000]
+    # labels-only view dedups the overlapping series
+    names = q.select(0, 10**12, [Matcher("__name__", "=", "m")], skip_chunks=True)
+    assert names.count() == 3
+    assert q.label_names() == ["__name__", "a", "b"]
+
+
+def test_series_hash_stability(spark):
+    # same label set in different input orders -> same hash (dedup contract)
+    df = spark.createDataFrame(
+        [({"x": "1", "y": "2"}, 0, 1.0), ({"y": "2", "x": "1"}, 5, 2.0)],
+        "labels map<string,string>, ts long, value double",
+    )
+    sh = C.to_shard(df)
+    assert sh.series.count() == 1
+    assert sh.samples.count() == 2

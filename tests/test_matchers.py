@@ -1,0 +1,125 @@
+"""Matcher-compiler semantics: the F3 truth table (FIXTURES.md) plus the
+rewrite surface (reference: search/constraint.go:55-102)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_common_spark.matchers import Matcher, matcher_to_predicate, matchers_to_predicate
+
+
+@pytest.fixture(scope="module")
+def series_df(spark):
+    # pods from the reference's empty-matcher corpus
+    # (parquet_queryable_test.go:553-582)
+    rows = [
+        ("nginx-1", "/"),
+        ("nginx-2", None),
+        ("nginx-3", "/"),
+        ("nginx-4", None),
+    ]
+    return spark.createDataFrame(rows, "l_pod string, l_route string")
+
+
+def pods(series_df, m: Matcher):
+    pred = matcher_to_predicate(m, series_df.columns)
+    return sorted(r["l_pod"] for r in series_df.where(pred).collect())
+
+
+TRUTH_TABLE = [
+    (Matcher("route", "=", ""), ["nginx-2", "nginx-4"]),
+    (Matcher("route", "=~", ""), ["nginx-2", "nginx-4"]),
+    (Matcher("route", "!~", ".+"), ["nginx-2", "nginx-4"]),
+    (Matcher("route", "!=", ""), ["nginx-1", "nginx-3"]),
+    (Matcher("route", "!~", ""), ["nginx-1", "nginx-3"]),
+    (Matcher("route", "=~", ".+"), ["nginx-1", "nginx-3"]),
+    (Matcher("route", "=", "/"), ["nginx-1", "nginx-3"]),
+    (Matcher("route", "!=", "/"), ["nginx-2", "nginx-4"]),
+    (Matcher("route", "=~", ".*"), ["nginx-1", "nginx-2", "nginx-3", "nginx-4"]),
+    (Matcher("route", "!~", ".*"), []),
+]
+
+
+@pytest.mark.parametrize("m,expected", TRUTH_TABLE, ids=[f"{m.name}{m.op}{m.value!r}" for m, _ in TRUTH_TABLE])
+def test_truth_table(series_df, m, expected):
+    assert pods(series_df, m) == expected
+
+
+ALL = ["nginx-1", "nginx-2", "nginx-3", "nginx-4"]
+
+
+@pytest.mark.parametrize(
+    "m,expected",
+    [
+        (Matcher("absent", "=", ""), ALL),
+        (Matcher("absent", "=~", ".*"), ALL),
+        (Matcher("absent", "!~", ".+"), ALL),
+        (Matcher("absent", "=", "x"), []),
+        (Matcher("absent", "=~", ".+"), []),
+        (Matcher("absent", "!=", ""), []),
+        (Matcher("absent", "!=", "x"), ALL),
+    ],
+)
+def test_absent_column(series_df, m, expected):
+    # reference: search/constraint.go:368-376 — missing column accepts all
+    # rows iff the matcher matches ""
+    assert pods(series_df, m) == expected
+
+
+def test_regex_rewrites(spark):
+    df = spark.createDataFrame(
+        [("api-1",), ("api-2",), ("web-1",), (None,), ("",)], "l_job string"
+    )
+
+    def vals(m):
+        pred = matcher_to_predicate(m, df.columns)
+        return sorted((r["l_job"] or "∅") for r in df.where(pred).collect())
+
+    # set regex -> IN
+    assert vals(Matcher("job", "=~", "api-1|web-1")) == ["api-1", "web-1"]
+    # prefix regex -> startswith
+    assert vals(Matcher("job", "=~", "api-.*")) == ["api-1", "api-2"]
+    # negated prefix: NULL/"" match (they're not api-*)
+    assert vals(Matcher("job", "!~", "api-.*")) == ["web-1", "∅", "∅"]
+    # literal regex -> equality
+    assert vals(Matcher("job", "=~", "web-1")) == ["web-1"]
+    # general regex stays a regex
+    assert vals(Matcher("job", "=~", "(api|web)-[0-9]")) == ["api-1", "api-2", "web-1"]
+    # negated set including empty alternation handling
+    assert vals(Matcher("job", "!~", "api-1|web-1")) == ["api-2", "∅", "∅"]
+
+
+def test_conjunction(spark):
+    df = spark.createDataFrame(
+        [("m1", "a"), ("m1", None), ("m2", "a")], "l___name__ string, l_env string"
+    )
+    pred = matchers_to_predicate(
+        [("__name__", "=", "m1"), ("env", "=", "")], df.columns
+    )
+    got = df.where(pred).collect()
+    assert len(got) == 1 and got[0]["l_env"] is None
+
+
+def test_empty_matcher_list(spark):
+    df = spark.createDataFrame([("x",)], "l_a string")
+    assert df.where(matchers_to_predicate([], df.columns)).count() == 1
+
+
+def test_matches_empty():
+    assert Matcher("x", "=", "").matches_empty()
+    assert not Matcher("x", "=", "v").matches_empty()
+    assert Matcher("x", "!=", "v").matches_empty()
+    assert Matcher("x", "=~", ".*").matches_empty()
+    assert not Matcher("x", "=~", ".+").matches_empty()
+    assert Matcher("x", "!~", ".+").matches_empty()
+
+
+def test_pushdown_shapes():
+    """The rewrites must produce pushdown-friendly expression heads
+    (EqualTo / In / StartsWith), not RLike."""
+    cols = ["l_job"]
+    assert "RLIKE" not in str(matcher_to_predicate(Matcher("job", "=~", "a|b"), cols)).upper()
+    assert "RLIKE" not in str(matcher_to_predicate(Matcher("job", "=~", "ab.*"), cols)).upper()
+    assert "RLIKE" not in str(matcher_to_predicate(Matcher("job", "=~", "abc"), cols)).upper()
+    assert "RLIKE" in str(matcher_to_predicate(Matcher("job", "=~", "a[0-9]+"), cols)).upper()

@@ -1,0 +1,133 @@
+"""Pipeline operators: dedup recall on planted dups, LSH vs brute-force
+recall, text functions, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_common_spark.operators import dedup as D
+from parquet_common_spark.operators import similarity as SIM
+from parquet_common_spark.operators import text as T
+from parquet_common_spark.operators.multimodal import attach_fake_media, decode_media
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again in the yard"
+    mut = base.replace("lazy", "sleepy")
+    other = "completely different content about spark engines and parquet files here now"
+    rows = [
+        (0, base),
+        (1, base),              # exact dup of 0
+        (2, mut),               # near dup of 0
+        (3, other),
+        (4, other.upper()),     # exact dup of 3 after normalization
+        (5, "tiny"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = {r["keep_id"]: r["n_dupes"] for r in D.exact_dedup(docs, "text", "doc_id").collect()}
+    assert out == {0: 2, 2: 1, 3: 2, 5: 1}
+
+
+def test_minhash_lsh_finds_planted_pairs(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in D.minhash_lsh_pairs(docs, "doc_id", "text", tau=0.25).collect()}
+    assert (0, 1) in pairs          # exact dup -> jaccard 1.0
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup
+    assert (3, 4) in pairs          # case-normalized dup
+    assert not any(5 in p for p in pairs)
+
+
+def test_simhash_pairs(docs):
+    # exact dups collide at hamming 0; the single-word mutation on a short
+    # doc flips several shingles, so give it a wider (but still sub-random)
+    # radius — random 30-bit signatures differ by ~15 bits
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in D.simhash_pairs(docs, "doc_id", "text", max_hamming=12).collect()}
+    assert pairs[(0, 1)] == 0
+    assert pairs[(3, 4)] == 0
+    assert (0, 2) in pairs
+    assert (0, 3) not in pairs and (1, 3) not in pairs
+
+
+def test_ngram_jaccard_blocked(spark, docs):
+    blocked = docs.withColumn("blk", F.lit("all"))
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in D.ngram_jaccard_pairs(blocked, "doc_id", "text", "blk", tau=0.4).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs
+    assert (3, 4) in pairs  # char shingles of normalized text
+
+
+def test_embedding_neardup(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0, 0.0]),   # near 0
+        (2, [0.0, 1.0, 0.0, 0.0]),    # orthogonal
+        (3, [-1.0, 0.0, 0.0, 0.0]),   # opposite
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {(r["id_a"], r["id_b"]) for r in D.embedding_neardup_pairs(df, "vec_id", "embedding", 0.9).collect()}
+    assert pairs == {(0, 1)}
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = SIM.brute_force_topk(emb, queries, k=3).collect()
+    approx = SIM.lsh_topk(emb, queries, k=3).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # approximate: multi-probe 16-plane LSH on random vectors; loose bound
+    assert recall >= 0.2, f"LSH recall collapsed: {recall}"
+    # everything LSH returns must be correctly scored (subset sanity)
+    exact_cos = {(r["query_id"], r["neighbor_id"]): r["cos"] for r in exact}
+    for r in approx:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in exact_cos:
+            assert abs(exact_cos[key] - r["cos"]) < 1e-9
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [("The quick brown fox, it jumps! 42 times.",), ("",), ("   ",)],
+        "text string",
+    )
+    out = df.select(
+        T.token_count(F.col("text")).alias("tc"),
+        T.bpe_ish_token_count(F.col("text")).alias("bpe"),
+        T.fingerprint(F.col("text")).alias("fp"),
+        T.lang_id(F.col("text")).alias("lang"),
+        T.quality_score(F.col("text")).alias("q"),
+    ).collect()
+    assert out[0]["tc"] == 8
+    # The|quick|brown|fox|,|it|jumps|!|42|times|. -> 11
+    assert out[0]["bpe"] == 11
+    assert out[0]["lang"] == "en"  # 'the'+'it' hits
+    assert 0.0 < out[0]["q"] <= 1.0
+    assert out[0]["fp"] > 0
+    # degenerate inputs don't blow up
+    assert out[1]["q"] == out[2]["q"]
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame([("A  B\tC",), ("a b c",)], "text string")
+    fps = [r["fp"] for r in df.select(T.fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_multimodal_plumbing(spark, docs):
+    media = attach_fake_media(docs)
+    assert dict(media.dtypes)["payload"] == "binary"
+    decoded = decode_media(media).collect()
+    assert len(decoded) == 6
+    by_id = {r["doc_id"]: r for r in decoded}
+    assert by_id[0]["media_type"] == "image" and by_id[0]["n_frames"] == 1
+    assert by_id[1]["media_type"] == "audio" and by_id[1]["width"] == 0
+    assert by_id[2]["media_type"] == "video" and by_id[2]["n_frames"] > 1
+    # deterministic: n_bytes == utf-8 length of text
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for i, r in by_id.items():
+        assert r["n_bytes"] == len(texts[i].encode())
