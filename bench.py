@@ -43,6 +43,14 @@ def main() -> int:
         times[name] = round(time.perf_counter() - t0, 3)
         rows[name] = len(out)
 
+    # reference-shaped BenchmarkSelect: 11 matcher workloads over the
+    # 1.5M-series F2 dataset (mirrors BASELINE.md's primary benchmark)
+    from parquet_common_spark.benchmarks import select_bench
+
+    for name, r in select_bench.run(spark).items():
+        times[f"select_{name}"] = r["sec"]
+        rows[f"select_{name}"] = r["series"]
+
     result = {
         "metric": "headline_total_sec",
         "value": round(sum(times.values()), 3),

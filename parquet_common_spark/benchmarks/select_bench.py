@@ -1,0 +1,152 @@
+"""Reference-shaped BenchmarkSelect: the 11 matcher workloads over the
+1,500,000-series cross-product dataset (reference:
+queryable/parquet_queryable_test.go:612-760; FIXTURES.md F2).
+
+This mirrors the reference's primary continuous benchmark so BENCH numbers
+are comparable in *shape*: same matchers, same series cardinalities, one
+sample per series.  Results are forced through a noop sink so every label
+column and sample is materialized (a count() would let Catalyst prune the
+labels and understate the work).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from parquet_common_spark import Matcher, ParquetQueryable
+from parquet_common_spark import convert as C
+from parquet_common_spark import schema as S
+
+BENCH_DIR = os.environ.get("SPARK_GRAFT_SELECT_BENCH_DIR", "/tmp/pcs_bench_select")
+
+# reference benchmarkCases, verbatim matcher-for-matcher
+WORKLOADS: list[tuple[str, list[Matcher]]] = [
+    ("SingleMetricAllSeries", [Matcher("__name__", "=", "test_metric_1")]),
+    (
+        "SingleMetricReducedSeries",
+        [Matcher("__name__", "=", "test_metric_1"), Matcher("instance", "=", "instance-1")],
+    ),
+    (
+        "SingleMetricOneSeries",
+        [
+            Matcher("__name__", "=", "test_metric_1"),
+            Matcher("instance", "=", "instance-2"),
+            Matcher("region", "=", "region-1"),
+            Matcher("zone", "=", "zone-3"),
+            Matcher("service", "=", "service-10"),
+            Matcher("environment", "=", "environment-1"),
+        ],
+    ),
+    (
+        "SingleMetricSparseSeries",
+        [
+            Matcher("__name__", "=", "test_metric_1"),
+            Matcher("service", "=", "service-1"),
+            Matcher("environment", "=", "environment-0"),
+        ],
+    ),
+    (
+        "NonExistentSeries",
+        [
+            Matcher("__name__", "=", "test_metric_1"),
+            Matcher("environment", "=", "non-existent-environment"),
+        ],
+    ),
+    ("MultipleMetricsRange", [Matcher("__name__", "=~", "test_metric_[1-5]")]),
+    ("MultipleMetricsSparse", [Matcher("__name__", "=~", "test_metric_(1|5|10|15|20)")]),
+    (
+        "NegativeRegexSingleMetric",
+        [
+            Matcher("__name__", "=", "test_metric_1"),
+            Matcher("instance", "!~", "(instance-1.*|instance-2.*)"),
+        ],
+    ),
+    (
+        "NegativeRegexMultipleMetrics",
+        [
+            Matcher("__name__", "=~", "test_metric_[1-3]"),
+            Matcher("instance", "!~", "(instance-1.*|instance-2.*)"),
+        ],
+    ),
+    (
+        "ExpensiveRegexSingleMetric",
+        [
+            Matcher("__name__", "=", "test_metric_1"),
+            Matcher(
+                "instance",
+                "=~",
+                "(container-1|instance-2|container-3|instance-4|container-5)",
+            ),
+        ],
+    ),
+    (
+        "ExpensiveRegexMultipleMetrics",
+        [
+            Matcher("__name__", "=~", "test_metric_[1-3]"),
+            Matcher(
+                "instance",
+                "=~",
+                "(instance-1|instance-2|instance-3|instance-4|instance-5)",
+            ),
+        ],
+    ),
+]
+
+
+def generate_dataset(spark: SparkSession, out_dir: str = BENCH_DIR) -> str:
+    """5 metrics x 100 instances x 5 regions x 10 zones x 20 services x
+    3 environments = 1.5M series, 1 sample each at ts=0 (reference:
+    parquet_queryable_test.go:710-753).  Cached on disk."""
+    if os.path.exists(os.path.join(out_dir, S.META_FILE)):
+        return out_dir
+    dims = {
+        "metric": 5,
+        "instance": 100,
+        "region": 5,
+        "zone": 10,
+        "service": 20,
+        "environment": 3,
+    }
+    df = spark.range(dims["metric"]).select(F.col("id").alias("m"))
+    for name, n in list(dims.items())[1:]:
+        df = df.crossJoin(spark.range(n).select(F.col("id").alias(name[0] + "_i")))
+    wide = df.select(
+        F.concat(F.lit("test_metric_"), F.col("m")).alias(S.label_to_column("__name__")),
+        F.concat(F.lit("instance-"), F.col("i_i")).alias(S.label_to_column("instance")),
+        F.concat(F.lit("region-"), F.col("r_i")).alias(S.label_to_column("region")),
+        F.concat(F.lit("zone-"), F.col("z_i")).alias(S.label_to_column("zone")),
+        F.concat(F.lit("service-"), F.col("s_i")).alias(S.label_to_column("service")),
+        F.concat(F.lit("environment-"), F.col("e_i")).alias(S.label_to_column("environment")),
+        F.lit(0).cast("long").alias("ts"),
+        F.rand(seed=42).alias("value"),
+    )
+    C.convert(wide, out_dir, labels_col=None, mint_ms=0, maxt_ms=0, col_duration_ms=3_600_000)
+    return out_dir
+
+
+def run(spark: SparkSession, out_dir: str = BENCH_DIR) -> dict:
+    """Run all 11 workloads; returns {name: {sec, series}}."""
+    generate_dataset(spark, out_dir)
+    q = ParquetQueryable.from_paths(spark, [out_dir])
+    results: dict[str, dict] = {}
+    # warm-up: footers + code paths
+    _force(q.select(0, 120, WORKLOADS[0][1]))
+    for name, matchers in WORKLOADS:
+        sel = q.select(0, 120, matchers)
+        t0 = time.perf_counter()
+        n = _force(sel)
+        results[name] = {"sec": round(time.perf_counter() - t0, 3), "series": n}
+    return results
+
+
+def _force(df: DataFrame) -> int:
+    """Materialize every column (noop sink) and return the row count."""
+    df = df.cache()
+    try:
+        df.write.format("noop").mode("overwrite").save()
+        return df.count()
+    finally:
+        df.unpersist()

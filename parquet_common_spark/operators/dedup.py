@@ -52,9 +52,11 @@ def word_shingles(col, n: int = 3):
     )
 
 
-def char_shingles(col, n: int = 5):
-    """Distinct character n-gram shingles of normalized text."""
-    s = normalize_text(col)
+def char_shingles_from_norm(s, n: int = 5):
+    """Distinct character n-gram shingles of an ALREADY-normalized text
+    column.  `s` must be a materialized column reference: substring(s, i)
+    inside the transform lambda evaluates `s` per element, so passing the
+    normalize_text expression here re-runs its regexes length(s) times."""
     return F.array_distinct(
         F.when(
             F.length(s) >= n,
@@ -63,9 +65,48 @@ def char_shingles(col, n: int = 5):
     )
 
 
+def char_shingles(col, n: int = 5):
+    """Distinct character n-gram shingles of normalized text (convenience;
+    prefer materializing normalize_text first — see char_shingles_from_norm)."""
+    return char_shingles_from_norm(normalize_text(col), n)
+
+
+# combining multiplier for token-hash -> shingle-hash composition
+TOKEN_COMBINE = 1_000_003
+
+
+def token_hashes(col):
+    """Polynomial hash of each whitespace token of normalized text."""
+    return F.transform(tokens(normalize_text(col)), lambda t: char_poly_hash(t))
+
+
+def shingle_hashes_from_token_hashes(th, n: int = 3):
+    """Distinct word-n-gram shingle hashes composed arithmetically from
+    per-token hashes: shingle(i) = fold_j (acc*K + th[i+j]) mod P.
+
+    Two performance rules baked in (higher-order expressions are
+    interpreted, not codegen'd):
+      - compose from token hashes instead of re-hashing concatenated
+        shingle STRINGS (chars walked once per token, not once per shingle);
+      - build the n-gram windows with slice + zip_with, NOT
+        element_at(th, i) inside a transform lambda — an indexed lookup
+        into a non-attribute array expression re-evaluates the whole array
+        per element (measured 4x slowdown at sf0.1)."""
+    m = F.size(th) - (n - 1)
+    acc = F.slice(th, 1, m)
+    for j in range(1, n):
+        acc = F.zip_with(
+            acc, F.slice(th, j + 1, m), lambda x, y: (x * TOKEN_COMBINE + y) % HASH_P
+        )
+    whole = F.aggregate(
+        th, F.lit(0).cast("long"), lambda a, h: (a * TOKEN_COMBINE + h) % HASH_P
+    )
+    return F.array_distinct(F.when(F.size(th) >= n, acc).otherwise(F.array(whole)))
+
+
 def shingle_hashes(col, n: int = 3):
-    """Distinct polynomial hashes of the word n-gram shingles."""
-    return F.array_distinct(F.transform(word_shingles(col, n), lambda sh: char_poly_hash(sh)))
+    """Distinct word-n-gram shingle hashes of a text column."""
+    return shingle_hashes_from_token_hashes(token_hashes(col), n)
 
 
 def jaccard(a, b):
@@ -89,18 +130,26 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 # ----------------------------------------------------------- MinHash + LSH
 
 
-def _affine(a: int, b: int):
-    return lambda h: (a * h + b) % HASH_P
+def _affine_array(h):
+    """The K affine hashes of one shingle hash, as an array expression."""
+    return F.array(*[(h * a + b) % HASH_P for a, b in zip(MINHASH_A, MINHASH_B)])
+
+
+def minhash_signature_from_hashes(sh):
+    """All MINHASH_K minima in ONE traversal of the shingle-hash array:
+    elementwise-min fold of the per-shingle affine arrays.  K separate
+    array_min(transform(...)) calls would each re-evaluate (and, after
+    Project collapsing, re-COMPUTE) the shingle pipeline — measured 30x
+    slower at sf0.1."""
+    init = F.array_repeat(F.lit(HASH_P).cast("long"), MINHASH_K)
+    return F.aggregate(
+        sh, init, lambda acc, h: F.zip_with(acc, _affine_array(h), lambda x, y: F.least(x, y))
+    )
 
 
 def minhash_signature(col):
     """Array of MINHASH_K min-hash values for a text column (map-only)."""
-    hashes = shingle_hashes(col)
-    sig = [
-        F.array_min(F.transform(hashes, _affine(a, b)))
-        for a, b in zip(MINHASH_A, MINHASH_B)
-    ]
-    return F.array(*sig)
+    return minhash_signature_from_hashes(shingle_hashes(col))
 
 
 def minhash_lsh_pairs(
@@ -118,18 +167,12 @@ def minhash_lsh_pairs(
     sigs = df.select(
         F.col(id_col).alias("_id"),
         shingle_hashes(F.col(text_col)).alias("_sh"),
-    ).withColumn(
-        "_sig",
-        F.array(
-            *[
-                F.array_min(F.transform(F.col("_sh"), _affine(a, b)))
-                for a, b in zip(MINHASH_A, MINHASH_B)
-            ]
-        ),
-    )
+    ).withColumn("_sig", minhash_signature_from_hashes(F.col("_sh")))
+    # bands carry ONLY (id, band_key): the shingle arrays would otherwise be
+    # duplicated x BANDS through the explode and dragged through the join +
+    # distinct (array comparisons in the shuffle) — measured 3x slowdown.
     bands = sigs.select(
         "_id",
-        "_sh",
         F.explode(
             F.array(
                 *[
@@ -143,16 +186,18 @@ def minhash_lsh_pairs(
             )
         ).alias("_band"),
     )
-    left = bands.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), "_band")
-    right = bands.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), "_band")
     cand = (
-        left.join(right, "_band")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
+        bands.alias("a")
+        .join(bands.alias("b"), "_band")
+        .where(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .distinct()
     )
+    hashes = sigs.select("_id", "_sh")
     return (
-        cand.withColumn("jac", jaccard(F.col("sh_a"), F.col("sh_b")))
+        cand.join(hashes.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
+        .join(hashes.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b")
+        .withColumn("jac", jaccard(F.col("sh_a"), F.col("sh_b")))
         .where(F.col("jac") >= tau)
         .select("id_a", "id_b", F.round("jac", 6).alias("jaccard"))
     )
@@ -233,8 +278,8 @@ def ngram_jaccard_pairs(
     s = df.select(
         F.col(id_col).alias("_id"),
         F.col(block_col).alias("_blk"),
-        char_shingles(F.col(text_col), n).alias("_sh"),
-    )
+        normalize_text(F.col(text_col)).alias("_norm"),
+    ).select("_id", "_blk", char_shingles_from_norm(F.col("_norm"), n).alias("_sh"))
     a = s.select(F.col("_id").alias("id_a"), F.col("_blk").alias("_blk"), F.col("_sh").alias("sh_a"))
     b = s.select(F.col("_id").alias("id_b"), F.col("_blk").alias("_blk"), F.col("_sh").alias("sh_b"))
     return (

@@ -70,15 +70,20 @@ _band_sql = ", ".join(
     for j in range(D.MINHASH_BANDS)
 )
 
+_K = D.TOKEN_COMBINE
+_SHINGLE_CTES = f"""t0 AS (SELECT doc_id AS id,
+             list_transform({_TOKS.format(c='text')}, t -> {_phash('t')}) AS th
+           FROM documents),
+    docs AS (SELECT id,
+             list_distinct(CASE WHEN len(th) >= 3
+                  THEN list_transform(generate_series(1, len(th) - 2),
+                                      i -> (((th[i] * {_K} + th[i+1]) % {_P}) * {_K} + th[i+2]) % {_P})
+                  ELSE [list_reduce(list_prepend(CAST(0 AS BIGINT), th), (a, b) -> (a * {_K} + b) % {_P})]
+                  END) AS sh
+           FROM t0)"""
+
 _D2_SQL = f"""
-    WITH t0 AS (SELECT doc_id AS id, {_TOKS.format(c='text')} AS toks FROM documents),
-    t1 AS (SELECT id,
-             CASE WHEN len(toks) >= 3
-                  THEN list_transform(generate_series(1, len(toks) - 2),
-                                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-                  ELSE [array_to_string(toks, ' ')] END AS shingles
-           FROM t0),
-    docs AS (SELECT id, list_distinct(list_transform(shingles, s -> {_phash('s')})) AS sh FROM t1),
+    WITH {_SHINGLE_CTES},
     sigs AS (SELECT id, sh, [{_sig_sql}] AS sig FROM docs),
     bands AS (SELECT id, unnest([{_band_sql}]) AS band FROM sigs),
     cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
@@ -108,15 +113,8 @@ _simhash_terms = " + ".join(
 )
 
 _D3_SQL = f"""
-    WITH s0 AS (SELECT doc_id AS id, {_TOKS.format(c='text')} AS toks FROM documents),
-    s1 AS (SELECT id,
-             CASE WHEN len(toks) >= 3
-                  THEN list_transform(generate_series(1, len(toks) - 2),
-                                      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
-                  ELSE [array_to_string(toks, ' ')] END AS shingles
-           FROM s0),
-    t0 AS (SELECT id, list_distinct(list_transform(shingles, sg -> {_phash('sg')})) AS th FROM s1),
-    s AS (SELECT id, {_simhash_terms} AS sim FROM t0)
+    WITH {_SHINGLE_CTES.replace(' AS sh', ' AS th').replace('docs AS', 'd0 AS')},
+    s AS (SELECT id, {_simhash_terms} AS sim FROM d0)
     SELECT a.id AS id_a, b.id AS id_b,
            CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
     FROM s a JOIN s b ON a.id < b.id
