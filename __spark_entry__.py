@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 def _registry():
     # import side effect registers all queries
-    from parquet_common_spark.plans import analytics, tpch  # noqa: F401
+    from parquet_common_spark.plans import analytics, functions_coverage, tpch  # noqa: F401
     from parquet_common_spark.operators import pipeline_queries  # noqa: F401
     from parquet_common_spark.plans.common import REGISTRY
 

@@ -1,0 +1,269 @@
+"""Scalar-function and remaining-operator coverage: string / datetime /
+array functions, window-over-dim top-1, market-share ratios, having-over-
+scalar-subquery, approximate distinct — rounding out SURVEY.md §2.8's
+"analytic layer uses Spark's built-ins" surface with oracle checks."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_common_spark.plans.common import dsum, load, query
+
+
+@query(
+    "q2a_top_supplier_per_nation",
+    """
+    SELECT n_name, s_name, ROUND(s_acctbal, 2) AS s_acctbal
+    FROM (SELECT n_name, s_name, s_acctbal,
+                 ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY s_acctbal DESC, s_suppkey) AS rn
+          FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+    WHERE rn = 1
+    ORDER BY n_name
+    """,
+)
+def q2a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "supplier", "nation")
+    w = Window.partitionBy("n_name").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("n_name", "s_name", F.round("s_acctbal", 2).alias("s_acctbal"))
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "q8a_market_share",
+    """
+    SELECT o_year,
+           ROUND(CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END AS DECIMAL(27,4))) AS DOUBLE)
+                 / CAST(SUM(CAST(volume AS DECIMAL(27,4))) AS DOUBLE), 6) AS mkt_share
+    FROM (SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                 l_extendedprice * (1 - l_discount) AS volume,
+                 n2.n_name AS supp_nation
+          FROM lineitem JOIN orders   ON l_orderkey = o_orderkey
+                        JOIN customer ON o_custkey = c_custkey
+                        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                        JOIN region   ON n1.n_regionkey = r_regionkey
+                        JOIN supplier ON l_suppkey = s_suppkey
+                        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE r_name = 'ASIA')
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir)
+    n1 = t["nation"].select(F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region"))
+    n2 = t["nation"].select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("cn_key"))
+        .join(
+            F.broadcast(t["region"]).where(F.col("r_name") == "ASIA"),
+            F.col("cn_region") == F.col("r_regionkey"),
+        )
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("sn_key"))
+        .select(F.year("o_orderdate").alias("o_year"), vol.alias("volume"), "supp_nation")
+    )
+    nat = F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(0.0)
+    return (
+        base.groupBy("o_year")
+        .agg(
+            (
+                F.sum(nat.cast("decimal(27,4)")).cast("double")
+                / F.sum(F.col("volume").cast("decimal(27,4)")).cast("double")
+            ).alias("_share")
+        )
+        .select("o_year", F.round("_share", 6).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q11a_important_parts",
+    """
+    SELECT p_brand, CAST(SUM(CAST(p_retailprice AS DECIMAL(27,2))) AS DOUBLE) AS brand_value
+    FROM part
+    GROUP BY p_brand
+    HAVING SUM(CAST(p_retailprice AS DECIMAL(27,2)))
+           > (SELECT SUM(CAST(p_retailprice AS DECIMAL(27,2))) * 0.03 FROM part)
+    ORDER BY brand_value DESC, p_brand
+    """,
+)
+def q11a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "part")
+    total = t["part"].agg(F.sum(F.col("p_retailprice").cast("decimal(27,2)")).alias("tv"))
+    return (
+        t["part"]
+        .groupBy("p_brand")
+        .agg(F.sum(F.col("p_retailprice").cast("decimal(27,2)")).alias("_bv"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("_bv") > F.col("tv") * 0.03)
+        .select("p_brand", F.col("_bv").cast("double").alias("brand_value"))
+        .orderBy(F.desc("brand_value"), "p_brand")
+    )
+
+
+@query(
+    "q16a_part_supplier_stats",
+    """
+    SELECT p_brand, p_type, COUNT(DISTINCT l_suppkey) AS supplier_cnt, COUNT(*) AS line_cnt
+    FROM part JOIN lineitem ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_size BETWEEN 1 AND 25
+    GROUP BY p_brand, p_type
+    ORDER BY supplier_cnt DESC, p_brand, p_type
+    """,
+)
+def q16a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "part", "lineitem")
+    return (
+        F.broadcast(t["part"].where((F.col("p_brand") != "Brand#1") & F.col("p_size").between(1, 25)))
+        .join(t["lineitem"], F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", "p_type")
+        .agg(
+            F.countDistinct("l_suppkey").alias("supplier_cnt"),
+            F.count(F.lit(1)).alias("line_cnt"),
+        )
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type")
+    )
+
+
+@query(
+    "f1_string_functions",
+    """
+    SELECT n_name,
+           lower(n_name) AS lower_name,
+           substr(n_name, 1, 6) AS prefix6,
+           replace(n_name, 'NATION', 'N') AS short_name,
+           length(n_name) AS name_len,
+           concat(n_name, '#', CAST(n_nationkey AS VARCHAR)) AS tagged,
+           lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS padded,
+           reverse(n_name) AS reversed,
+           CAST(strpos(n_name, '_') AS INT) AS underscore_at
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+)
+def f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "nation")
+    return (
+        t["nation"]
+        .select(
+            "n_name",
+            F.lower("n_name").alias("lower_name"),
+            F.substring("n_name", 1, 6).alias("prefix6"),
+            F.replace(F.col("n_name"), F.lit("NATION"), F.lit("N")).alias("short_name"),
+            F.length("n_name").alias("name_len"),
+            F.concat(F.col("n_name"), F.lit("#"), F.col("n_nationkey").cast("string")).alias("tagged"),
+            F.lpad(F.col("n_nationkey").cast("string"), 4, "0").alias("padded"),
+            F.reverse("n_name").alias("reversed"),
+            F.instr(F.col("n_name"), "_").cast("int").alias("underscore_at"),
+            F.col("n_nationkey"),
+        )
+        .orderBy("n_nationkey")
+        .drop("n_nationkey")
+    )
+
+
+@query(
+    "f2_datetime_functions",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(month(o_orderdate) AS INT) AS mth,
+           COUNT(*) AS n,
+           CAST(MIN(day(o_orderdate)) AS INT) AS min_day,
+           MIN(CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE)) AS first_plus_30d,
+           CAST(MIN(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate)) AS BIGINT) AS min_days_since_epoch_start
+    FROM orders
+    GROUP BY 1, 2, 3
+    ORDER BY yr, qtr, mth
+    """,
+)
+def f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "orders")
+    return (
+        t["orders"]
+        .groupBy(
+            F.year("o_orderdate").alias("yr"),
+            F.quarter("o_orderdate").alias("qtr"),
+            F.month("o_orderdate").alias("mth"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.dayofmonth("o_orderdate")).cast("int").alias("min_day"),
+            F.min(F.date_add(F.col("o_orderdate").cast("date"), 30)).alias("first_plus_30d"),
+            F.min(F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")))
+            .cast("long")
+            .alias("min_days_since_epoch_start"),
+        )
+        .orderBy("yr", "qtr", "mth")
+    )
+
+
+@query(
+    "f3_array_functions",
+    """
+    SELECT n.n_name,
+           list_sort(list(DISTINCT c.c_mktsegment)) AS segments,
+           CAST(len(list_sort(list(DISTINCT c.c_mktsegment))) AS INT) AS n_segments,
+           CAST(list_contains(list(DISTINCT c.c_mktsegment), 'BUILDING') AS BOOLEAN) AS has_building
+    FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def f3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "nation", "customer")
+    return (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.array_sort(F.collect_set("c_mktsegment")).alias("segments"))
+        .select(
+            "n_name",
+            "segments",
+            F.size("segments").alias("n_segments"),
+            F.array_contains("segments", "BUILDING").alias("has_building"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@query("a1_approx_distinct", None)  # estimator values are engine-specific ->
+def a1(spark: SparkSession, sf_dir: str) -> DataFrame:  # rows-only + test bound
+    t = load(spark, sf_dir, "events")
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "m7_label_values_filtered",
+    """
+    SELECT DISTINCT CAST(user_id % 10 AS VARCHAR) AS value
+    FROM events WHERE event_type = 'click'
+    ORDER BY value
+    """,
+)
+def m7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_common_spark import Matcher, ParquetQueryable
+    from parquet_common_spark.plans.analytics import _events_shard
+
+    q = ParquetQueryable([_events_shard(spark, sf_dir)])
+    vals = q.label_values("user_bucket", matchers=[Matcher("event_type", "=", "click")])
+    return spark.createDataFrame([(v,) for v in vals], "value string").orderBy("value")
