@@ -54,6 +54,99 @@ def wide_from_label_map(df: DataFrame, labels_col: str = "labels") -> DataFrame:
     return df.select(*cols, *other)
 
 
+def convert_sharded(
+    df: DataFrame,
+    out_dir: str,
+    num_shards: int,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    labels_col: str | None = "labels",
+    sort_labels: tuple[str, ...] = S.DEFAULT_SORT_LABELS,
+    col_duration_ms: int = S.DEFAULT_COL_DURATION_MS,
+    row_group_size: int = S.DEFAULT_ROW_GROUP_SIZE,
+) -> list[str]:
+    """Split the series set into `num_shards` contiguous sorted ranges and
+    write one shard directory per range (reference: shardSeries,
+    convert/convert.go:633-731 — its global-sort + equal-split IS
+    ``repartitionByRange``, which range-splits via reservoir sampling
+    without any single-node sort).
+
+    Shard assignment is computed once on the series table
+    (series_hash -> shard_id) and joined onto samples so a series' labels
+    and samples always land in the same shard — the positional-alignment
+    contract of the reference's labels/chunks file pair (SURVEY.md §1.1),
+    expressed as an explicit key.
+
+    Returns the shard directory paths (each openable by ShardDataset.read).
+    """
+    if labels_col is not None and labels_col in df.columns:
+        df = wide_from_label_map(df, labels_col)
+    label_cols = S.label_columns(df.columns)
+    row = df.agg(F.min(ts_col).alias("mn"), F.max(ts_col).alias("mx")).collect()[0]
+    mint_ms, maxt_ms = int(row["mn"]), int(row["mx"])
+
+    hashed = df.withColumn(S.SERIES_HASH_COLUMN, S.series_hash_column(label_cols))
+    sort_cols = [S.label_to_column(l) for l in sort_labels if S.label_to_column(l) in label_cols]
+    remaining = [c for c in sorted(label_cols) if c not in sort_cols]
+    order = sort_cols + remaining
+
+    series = hashed.select(*label_cols, S.SERIES_HASH_COLUMN).distinct()
+    assigned = (
+        series.repartitionByRange(num_shards, *[F.col(c) for c in order])
+        .sortWithinPartitions(*order)
+        .withColumn("_shard", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        shard_map = assigned.select(S.SERIES_HASH_COLUMN, "_shard")
+        samples = hashed.select(
+            F.col(S.SERIES_HASH_COLUMN),
+            S.data_col_idx(F.col(ts_col).cast("long"), mint_ms, col_duration_ms).alias(
+                S.TIME_BUCKET_COLUMN
+            ),
+            F.col(ts_col).cast("long").alias(S.TS_COLUMN),
+            F.col(value_col).cast("double").alias(S.VALUE_COLUMN),
+        ).join(shard_map, S.SERIES_HASH_COLUMN)
+
+        shard_ids = sorted(
+            r["_shard"] for r in assigned.select("_shard").distinct().collect()
+        )
+        dirs = []
+        for sid in shard_ids:
+            sdir = os.path.join(out_dir, f"shard={sid}")
+            os.makedirs(sdir, exist_ok=True)
+            (
+                assigned.where(F.col("_shard") == sid)
+                .drop("_shard")
+                .sortWithinPartitions(*order)
+                .write.mode("overwrite")
+                .option("maxRecordsPerFile", row_group_size)
+                .option(
+                    "parquet.bloom.filter.enabled#" + S.label_to_column(S.METRIC_NAME_LABEL),
+                    "true",
+                )
+                .parquet(os.path.join(sdir, "series.parquet"))
+            )
+            (
+                samples.where(F.col("_shard") == sid)
+                .drop("_shard")
+                .write.mode("overwrite")
+                .partitionBy(S.TIME_BUCKET_COLUMN)
+                .option("maxRecordsPerFile", row_group_size)
+                .parquet(os.path.join(sdir, "samples.parquet"))
+            )
+            S.ShardMeta(
+                mint_ms=mint_ms,
+                maxt_ms=maxt_ms,
+                col_duration_ms=col_duration_ms,
+                sort_labels=tuple(sort_labels),
+            ).write(sdir)
+            dirs.append(sdir)
+        return dirs
+    finally:
+        assigned.unpersist()
+
+
 def to_shard(
     df: DataFrame,
     ts_col: str = "ts",

@@ -462,3 +462,61 @@ def m6(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = ParquetQueryable([_events_shard(spark, sf_dir)])
     sel = q.select(lo, hi, [Matcher("event_type", "=", "purchase")])
     return sel.agg(F.count(F.lit(1)).alias("n"), dsum(F.col("s_value"), 2).alias("total"))
+
+
+@query(
+    "m8_daily_series_delta",
+    """
+    WITH base AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+             epoch_us(ts) AS ts_us, value
+      FROM events),
+    ranked AS (
+      SELECT event_type, day, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, day ORDER BY ts_us, value) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, day ORDER BY ts_us DESC, value DESC) AS rn_d
+      FROM base)
+    SELECT event_type, day,
+           COUNT(*) AS n_samples,
+           ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 6) AS first_value,
+           ROUND(MAX(CASE WHEN rn_d = 1 THEN value END), 6) AS last_value,
+           ROUND(MAX(CASE WHEN rn_d = 1 THEN value END)
+                 - MAX(CASE WHEN rn_a = 1 THEN value END), 6) AS delta
+    FROM ranked
+    GROUP BY event_type, day
+    ORDER BY event_type, day
+    """,
+)
+def m8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL-style per-series temporal computation THROUGH the engine:
+    matcher select -> Window.partitionBy(series).orderBy(ts) -> first/last
+    per day (SURVEY.md §2.5 — the reference delegates this to PromQL; our
+    analytic layer expresses it natively)."""
+    from parquet_common_spark import Matcher, ParquetQueryable
+
+    q = ParquetQueryable([_events_shard(spark, sf_dir)])
+    sel = q.select(0, 2**62, [Matcher("__name__", "=", "events")])
+    base = sel.select(
+        F.col("l_event_type").alias("event_type"),
+        F.floor(F.col("s_ts") / 86_400_000_000).cast("long").alias("day"),
+        F.col("s_ts").alias("ts_us"),
+        F.col("s_value").alias("value"),
+    )
+    wa = Window.partitionBy("event_type", "day").orderBy(F.asc("ts_us"), F.asc("value"))
+    wd = Window.partitionBy("event_type", "day").orderBy(F.desc("ts_us"), F.desc("value"))
+    ranked = base.withColumn("rn_a", F.row_number().over(wa)).withColumn(
+        "rn_d", F.row_number().over(wd)
+    )
+    first_v = F.max(F.when(F.col("rn_a") == 1, F.col("value")))
+    last_v = F.max(F.when(F.col("rn_d") == 1, F.col("value")))
+    return (
+        ranked.groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.round(first_v, 6).alias("first_value"),
+            F.round(last_v, 6).alias("last_value"),
+            F.round(last_v - first_v, 6).alias("delta"),
+        )
+        .orderBy("event_type", "day")
+    )
