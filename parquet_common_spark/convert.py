@@ -194,6 +194,7 @@ def convert(
     mint_ms: int | None = None,
     maxt_ms: int | None = None,
     num_shards: int | None = None,
+    max_series: int | None = None,
 ) -> S.ShardMeta:
     """Write one shard directory: ``series.parquet`` + ``samples.parquet`` + meta.
 
@@ -218,6 +219,12 @@ def convert(
                                           # (reference comparator: convert/convert.go:745-755)
 
     series = hashed.select(*label_cols, S.SERIES_HASH_COLUMN).distinct()
+    if max_series is not None:
+        # shard row cap (reference: limitReader, convert/writer.go:262-285)
+        series = series.limit(max_series)
+        hashed = hashed.join(
+            F.broadcast(series.select(S.SERIES_HASH_COLUMN)), S.SERIES_HASH_COLUMN, "left_semi"
+        )
     nparts = num_shards or max(1, series.sparkSession.sparkContext.defaultParallelism // 2)
     series_sorted = series.repartitionByRange(nparts, *[F.col(c) for c in series_order]) \
         .sortWithinPartitions(*series_order)

@@ -84,6 +84,7 @@ class ParquetQueryable:
         sorted_output: bool = False,
         quota: Quota | None = None,
         drop_empty_series: bool = True,
+        series_filter=None,
     ) -> DataFrame:
         """Matcher select (reference: Querier.Select,
         queryable/parquet_queryable.go:283-346).
@@ -94,13 +95,16 @@ class ParquetQueryable:
         search/materialize.go:404-494).  ``drop_empty_series`` mirrors
         FilterEmptyChunkSeriesSet (search/iterators.go:100-184): series with
         no samples in range are dropped (inner join does this naturally).
+        ``series_filter`` is the MaterializedLabelsFilterCallback hook
+        (reference: search/materialize.go:74-87): a fn(DataFrame)->Column
+        applied after label materialization, before chunk fetch.
         """
         parts: list[DataFrame] = []
         for shard in self.shards:
             parts.append(
                 self._select_shard(
                     shard, mint_ms, maxt_ms, matchers, projection, exclude,
-                    skip_chunks, quota, drop_empty_series,
+                    skip_chunks, quota, drop_empty_series, series_filter,
                 )
             )
         out = parts[0]
@@ -129,9 +133,12 @@ class ParquetQueryable:
         skip_chunks: bool,
         quota: Quota | None,
         drop_empty_series: bool,
+        series_filter=None,
     ) -> DataFrame:
         pred = matchers_to_predicate(matchers, shard.series.columns)
         series = shard.series.where(pred)
+        if series_filter is not None:
+            series = series.where(series_filter(series))
         keep = sorted(S.label_columns(series.columns))
         if projection is not None:
             req = {S.label_to_column(n) for n in projection}
