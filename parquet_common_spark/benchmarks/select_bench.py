@@ -136,17 +136,17 @@ def run(spark: SparkSession, out_dir: str = BENCH_DIR) -> dict:
     _force(q.select(0, 120, WORKLOADS[0][1]))
     for name, matchers in WORKLOADS:
         sel = q.select(0, 120, matchers)
-        t0 = time.perf_counter()
-        n = _force(sel)
-        results[name] = {"sec": round(time.perf_counter() - t0, 3), "series": n}
+        best = None
+        for _ in range(2):  # min of 2 — local-mode GC/scheduling noise
+            t0 = time.perf_counter()
+            _force(sel)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        results[name] = {"sec": round(best, 3), "series": sel.count()}
     return results
 
 
-def _force(df: DataFrame) -> int:
-    """Materialize every column (noop sink) and return the row count."""
-    df = df.cache()
-    try:
-        df.write.format("noop").mode("overwrite").save()
-        return df.count()
-    finally:
-        df.unpersist()
+def _force(df: DataFrame) -> None:
+    """Materialize every column through the noop sink (a count() would let
+    Catalyst prune the label columns and understate the work)."""
+    df.write.format("noop").mode("overwrite").save()

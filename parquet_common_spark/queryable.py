@@ -63,10 +63,27 @@ class ParquetQueryable:
     query time range.
     """
 
-    def __init__(self, shards: list[ShardDataset]):
+    def __init__(self, shards: list[ShardDataset], result_cache: bool = False):
+        """``result_cache=True`` memoizes the filtered series set per
+        (shard, matcher-set) across Select calls — the reference's
+        predicate-result cache (O9, search/constraint_cache.go:16-71),
+        realized as persisted DataFrames (MEMORY_AND_DISK) instead of
+        row-range lists."""
         if not shards:
             raise ValueError("at least one shard required")
         self.shards = shards
+        self._result_cache: dict | None = {} if result_cache else None
+
+    def clear_cache(self) -> None:
+        if self._result_cache:
+            for df in self._result_cache.values():
+                df.unpersist()
+            self._result_cache.clear()
+
+    @staticmethod
+    def _matcher_key(matchers) -> tuple:
+        ms = [m if isinstance(m, Matcher) else Matcher(*m) for m in matchers]
+        return tuple(sorted((m.name, m.op, m.value) for m in ms))
 
     @classmethod
     def from_paths(cls, spark: SparkSession, shard_dirs: list[str]) -> "ParquetQueryable":
@@ -135,8 +152,16 @@ class ParquetQueryable:
         drop_empty_series: bool,
         series_filter=None,
     ) -> DataFrame:
-        pred = matchers_to_predicate(matchers, shard.series.columns)
-        series = shard.series.where(pred)
+        if self._result_cache is not None and series_filter is None:
+            key = (id(shard), self._matcher_key(matchers))
+            series = self._result_cache.get(key)
+            if series is None:
+                pred = matchers_to_predicate(matchers, shard.series.columns)
+                series = shard.series.where(pred).persist()
+                self._result_cache[key] = series
+        else:
+            pred = matchers_to_predicate(matchers, shard.series.columns)
+            series = shard.series.where(pred)
         if series_filter is not None:
             series = series.where(series_filter(series))
         keep = sorted(S.label_columns(series.columns))

@@ -152,3 +152,19 @@ def test_series_hash_stability(spark):
     sh = C.to_shard(df)
     assert sh.series.count() == 1
     assert sh.samples.count() == 2
+
+
+def test_result_cache(spark, shard):
+    out, _ = shard
+    q = ParquetQueryable.from_paths(spark, [out])
+    q._result_cache = {}  # enable
+    m = [Matcher("env", "=", "dev")]
+    a = q.select(0, 10**12, m, skip_chunks=True).count()
+    plan = (
+        q.select(0, 10**12, m, skip_chunks=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "InMemoryTableScan" in plan  # second call reads the cached result
+    assert q.select(0, 10**12, m, skip_chunks=True).count() == a
+    q.clear_cache()
+    assert not q._result_cache

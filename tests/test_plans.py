@@ -1,0 +1,93 @@
+"""Physical-plan quality gates: the scale properties SURVEY §4 claims
+(pushdown, partition pruning, broadcast) asserted on real plans — the
+.explain discipline as tests, so regressions in plan shape fail CI."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_common_spark import Matcher, ParquetQueryable, convert as C
+
+
+@pytest.fixture(scope="module")
+def shard_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("plans") / "s0")
+    rows = [({"__name__": f"m{i%20}", "inst": str(i)}, s * 1000, 1.0) for i in range(200) for s in range(10)]
+    df = spark.createDataFrame(rows, "labels map<string,string>, ts long, value double")
+    C.convert(df, out, col_duration_ms=2000)
+    return out
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_equality_pushdown(spark, shard_dir):
+    q = ParquetQueryable.from_paths(spark, [shard_dir])
+    sel = q.select(0, 10**12, [Matcher("__name__", "=", "m7")], skip_chunks=True)
+    p = plan_of(sel)
+    assert "PushedFilters: [IsNotNull(l___name__), EqualTo(l___name__,m7)" in p
+
+
+def test_prefix_rewrite_pushdown(spark, shard_dir):
+    q = ParquetQueryable.from_paths(spark, [shard_dir])
+    sel = q.select(0, 10**12, [Matcher("inst", "=~", "1.*")], skip_chunks=True)
+    p = plan_of(sel)
+    assert "StringStartsWith(l_inst,1)" in p
+
+
+def test_in_rewrite_pushdown(spark, shard_dir):
+    q = ParquetQueryable.from_paths(spark, [shard_dir])
+    sel = q.select(0, 10**12, [Matcher("__name__", "=~", "m1|m2|m3")], skip_chunks=True)
+    p = plan_of(sel)
+    assert "In(l___name__, [m1,m2,m3])" in p
+
+
+def test_time_bucket_partition_pruning(spark, shard_dir):
+    q = ParquetQueryable.from_paths(spark, [shard_dir])
+    sel = q.select(0, 3500, [Matcher("__name__", "=", "m7")])
+    p = plan_of(sel)
+    import re
+
+    pf = re.findall(r"PartitionFilters: \[[^]]*s_time_bucket[^]]*\]", p)
+    assert pf and "<= 1" in pf[0]  # buckets 0-1 of 5 survive the [0,3500] range
+    # ts range also reaches the parquet scan
+    assert "LessThanOrEqual(s_ts,3500)" in p
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    from parquet_common_spark.plans.common import REGISTRY
+    import __spark_entry__ as E
+
+    E.queries()
+    p = plan_of(REGISTRY["q5_local_supplier_volume"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_partial_aggregation(spark, sf_dir):
+    from parquet_common_spark.plans.common import REGISTRY
+    import __spark_entry__ as E
+
+    E.queries()
+    p = plan_of(REGISTRY["q1_pricing_summary"].fn(spark, sf_dir))
+    # map-side combine before the exchange
+    assert "partial_sum" in p or "partial_count" in p
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    from parquet_common_spark.plans.common import REGISTRY
+    import __spark_entry__ as E
+
+    E.queries()
+    p = plan_of(REGISTRY["e5_top_users_by_value"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in p  # heap top-k, not global sort
+
+
+def test_minhash_no_cartesian(spark, sf_dir):
+    from parquet_common_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan_of(minhash_lsh_pairs(docs, "doc_id", "text"))
+    assert "CartesianProduct" not in p  # banded equi-join, never all-pairs
