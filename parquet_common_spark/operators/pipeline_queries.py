@@ -334,3 +334,84 @@ def mm1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")["documents"]
     return decode_media(attach_fake_media(docs)).orderBy("doc_id")
+
+
+# ------------------------------------- d6: duplicate clusters (iterative)
+
+_D6_SQL = f"""
+    WITH RECURSIVE {_SHINGLE_CTES},
+    sigs AS (SELECT id, sh, [{_sig_sql}] AS sig FROM docs),
+    bands AS (SELECT id, unnest([{_band_sql}]) AS band FROM sigs),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM bands a JOIN bands b ON a.band = b.band AND a.id < b.id),
+    pairs AS (SELECT id_a, id_b
+              FROM cand JOIN docs da ON da.id = cand.id_a JOIN docs db ON db.id = cand.id_b
+              WHERE CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+                    / CAST(len(list_distinct(da.sh || db.sh)) AS DOUBLE) >= {_SH_TAU}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT src AS id, dst AS peer FROM edges
+      UNION
+      SELECT r.id, e.dst FROM reach r JOIN edges e ON r.peer = e.src
+    ),
+    labels AS (
+      SELECT id, least(id, MIN(peer)) AS component FROM reach GROUP BY id)
+    SELECT MIN(id) AS keep_id, COUNT(*) AS n_members
+    FROM labels GROUP BY component ORDER BY keep_id
+"""
+
+
+@query("d6_duplicate_clusters", _D6_SQL)
+def d6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH pairs -> connected components -> one survivor per
+    duplicate cluster (iterative min-label propagation; oracle reaches the
+    same fixpoint via WITH RECURSIVE)."""
+    from parquet_common_spark.operators.components import dedup_clusters
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", tau=_SH_TAU)
+    return dedup_clusters(pairs).orderBy("keep_id")
+
+
+# ----------------------------------- c1: end-to-end curation pipeline
+
+_C1_SQL = f"""
+    WITH {_SHINGLE_CTES},
+    sigs AS (SELECT id, sh, [{_sig_sql}] AS sig FROM docs),
+    bands AS (SELECT id, unnest([{_band_sql}]) AS band FROM sigs),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM bands a JOIN bands b ON a.band = b.band AND a.id < b.id),
+    pairs AS (SELECT id_a, id_b
+              FROM cand JOIN docs da ON da.id = cand.id_a JOIN docs db ON db.id = cand.id_b
+              WHERE CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+                    / CAST(len(list_distinct(da.sh || db.sh)) AS DOUBLE) >= {_SH_TAU}),
+    dropped AS (SELECT DISTINCT id_b AS id FROM pairs)
+    SELECT d.doc_id, {_QUALITY_SQL} AS quality
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT id FROM dropped)
+      AND {_langcase} = 'en'
+      AND {_QUALITY_SQL} >= 0.5
+      AND len(string_split_regex(trim(text), '\\s+')) >= 10
+    ORDER BY d.doc_id
+"""
+
+
+@query("c1_curation_pipeline", _C1_SQL)
+def c1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition of the pipeline operators as ONE declarative plan:
+    near-dup removal (keep the lower doc_id of each LSH pair) + language
+    filter + quality floor + minimum length — the canonical pretraining
+    curation query shape."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    pairs = D.minhash_lsh_pairs(docs, "doc_id", "text", tau=_SH_TAU)
+    dropped = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return (
+        docs.join(dropped, "doc_id", "left_anti")
+        .where(T.lang_id(F.col("text")) == "en")
+        .withColumn("quality", T.quality_score(F.col("text")))
+        .where(F.col("quality") >= 0.5)
+        .where(T.token_count(F.col("text")) >= 10)
+        .select("doc_id", "quality")
+        .orderBy("doc_id")
+    )
