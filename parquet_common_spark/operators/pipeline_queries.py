@@ -415,3 +415,11 @@ def c1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "quality")
         .orderBy("doc_id")
     )
+
+
+@query("sim3_ivf_topk", None)  # cell assignment depends on float sign/order ->
+def sim3(spark: SparkSession, sf_dir: str) -> DataFrame:  # rows-only + recall test
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    return SIM.ivf_topk(emb, emb.where(F.col("vec_id") < 5), k=5, n_centroids=8, nprobe=4).orderBy(
+        "query_id", "rank"
+    )

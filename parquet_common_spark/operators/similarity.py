@@ -128,3 +128,73 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cos", 5).alias("cos"), F.col("rank").cast("int"))
     )
+
+
+# ----------------------------------------------------------- IVF (scale path)
+
+
+def ivf_assign(df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str, nprobe: int = 1) -> DataFrame:
+    """Assign each vector to its `nprobe` nearest centroids (by cosine).
+    Centroids are broadcast (they're small by construction); assignment is
+    a map-side cross join + per-row top-nprobe — no shuffle of the corpus."""
+    c = F.broadcast(
+        centroids.select(F.col("centroid_id"), F.col("cvec"))
+    )
+    scored = (
+        df.select(F.col(id_col).alias("_vid"), F.col(vec_col).cast("array<double>").alias("_v"))
+        .crossJoin(c)
+        .withColumn("_sim", cosine(F.col("_v"), F.col("cvec")))
+    )
+    w = Window.partitionBy("_vid").orderBy(F.desc("_sim"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= nprobe)
+        .select("_vid", "_v", "centroid_id")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-flat approximate top-k: partition the corpus into centroid
+    cells (corpus assigned to its 1 nearest centroid), probe the query's
+    `nprobe` nearest cells, exact cosine re-rank inside the probed cells.
+
+    Centroids here are deterministic samples (every (N/n_centroids)-th
+    vector by id) — one k-means sweep would sharpen them, but the
+    *plan shape* is the point: cell assignment is map-only, the search is
+    an equi-join on centroid_id, cost scales with cells probed.
+    """
+    n = corpus.count()
+    step = max(n // n_centroids, 1)
+    centroids = (
+        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("cvec"))
+        .where(F.col(id_col) % step == 0)
+        .limit(n_centroids)
+        .select(F.dense_rank().over(Window.orderBy(id_col)).alias("centroid_id"), "cvec")
+    )
+    cells = ivf_assign(corpus, centroids, id_col, vec_col, nprobe=1).select(
+        F.col("_vid").alias("neighbor_id"), F.col("_v").alias("_cv"), "centroid_id"
+    )
+    probes = ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe).select(
+        F.col("_vid").alias("query_id"), F.col("_v").alias("_qv"), "centroid_id"
+    )
+    cand = (
+        probes.join(cells, "centroid_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "_qv", "neighbor_id", "_cv")
+        .distinct()
+        .withColumn("cos", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 5).alias("cos"), F.col("rank").cast("int"))
+    )

@@ -131,3 +131,18 @@ def test_multimodal_plumbing(spark, docs):
     texts = {r["doc_id"]: r["text"] for r in docs.collect()}
     for i, r in by_id.items():
         assert r["n_bytes"] == len(texts[i].encode())
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = SIM.brute_force_topk(emb, queries, k=3).collect()
+    approx = SIM.ivf_topk(emb, queries, k=3, n_centroids=8, nprobe=4).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # probing half the cells of random data: expect roughly >= nprobe/cells
+    assert recall >= 0.3, f"IVF recall collapsed: {recall}"
+    assert all(r["rank"] <= 3 for r in approx)
