@@ -267,3 +267,90 @@ def m7(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = ParquetQueryable([_events_shard(spark, sf_dir)])
     vals = q.label_values("user_bucket", matchers=[Matcher("event_type", "=", "click")])
     return spark.createDataFrame([(v,) for v in vals], "value string").orderBy("value")
+
+
+@query(
+    "q20a_active_part_suppliers",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_suppkey
+      HAVING SUM(l_quantity) > (
+        SELECT 0.5 * AVG(sq) FROM (
+          SELECT SUM(l_quantity) AS sq FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+          GROUP BY l_suppkey)))
+    ORDER BY s_suppkey
+    """,
+)
+def q20a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q20-shaped: suppliers whose shipped volume in 1996 exceeds half the
+    mean per-supplier volume (no partsupp table in the driver schema)."""
+    t = load(spark, sf_dir, "supplier", "lineitem")
+    vol = (
+        t["lineitem"]
+        .where((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+    )
+    thresh = vol.agg((0.5 * F.avg("sq")).alias("t"))
+    active = vol.crossJoin(F.broadcast(thresh)).where(F.col("sq") > F.col("t"))
+    return (
+        t["supplier"]
+        .join(active.select("l_suppkey"), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q21a_late_sole_suppliers",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+                  JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    """,
+)
+def q21a(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q21-shaped: suppliers who were the ONLY late shipper on a
+    multi-supplier finalized order (l_shipdate > orderdate+90d stands in
+    for the missing receipt/commit dates)."""
+    t = load(spark, sf_dir, "supplier", "lineitem", "orders")
+    li = t["lineitem"].select("l_orderkey", "l_suppkey", "l_shipdate")
+    l1 = (
+        li.join(
+            t["orders"].where(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .withColumn("late", F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
+    )
+    per_order = l1.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    sole_late = (
+        l1.where(F.col("late"))
+        .join(
+            per_order.where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)).select("l_orderkey"),
+            "l_orderkey",
+            "left_semi",
+        )
+    )
+    return (
+        sole_late.join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )

@@ -103,3 +103,32 @@ def test_rate_per_series_stateful(spark, tmp_path):
     assert last["series_hash"] == 7
     assert last["total_samples"] == 60
     assert abs(last["rate_per_sec"] - 1.0) < 1e-9
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact-dedup: duplicate event_ids arriving within the
+    watermark are dropped (the streaming face of the dedup operators)."""
+    src = str(tmp_path / "in")
+    # heavy dups; time base > 0 — a ts equal to the stream's initial
+    # watermark (epoch 0) is treated as late and silently dropped
+    base = 1_704_067_200_000
+    rows = [(i % 5, base + i % 5 * 1000, float(i)) for i in range(50)]
+    spark.createDataFrame(rows, "event_id long, ts_ms long, value double") \
+        .coalesce(1).write.parquet(src)
+    stream = (
+        spark.readStream.schema("event_id long, ts_ms long, value double")
+        .parquet(src)
+        .withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+    )
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(["event_id"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from dedup_stream").collect()
+    assert len(got) == 5
+    assert sorted(r["event_id"] for r in got) == [0, 1, 2, 3, 4]
