@@ -168,6 +168,12 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("_id"),
         shingle_hashes(F.col(text_col)).alias("_sh"),
     ).withColumn("_sig", minhash_signature_from_hashes(F.col("_sh")))
+    # the bands branch and the verify branch both consume this frame;
+    # without a persist each re-runs the token/shingle hash pipeline
+    # (the dominant cost).  MEMORY_AND_DISK + Spark's LRU keeps this safe
+    # at scale; callers doing repeated dedup sweeps can unpersist via
+    # sparkSession.catalog.clearCache().
+    sigs = sigs.persist()
     # bands carry ONLY (id, band_key): the shingle arrays would otherwise be
     # duplicated x BANDS through the explode and dragged through the join +
     # distinct (array comparisons in the shuffle) — measured 3x slowdown.
