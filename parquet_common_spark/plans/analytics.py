@@ -203,7 +203,7 @@ def s1(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_events,
            COUNT(DISTINCT user_id) AS n_users,
            CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS total_value,
-           ROUND(AVG(value), 6) AS avg_value
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE) / COUNT(*), 6) AS avg_value
     FROM events
     GROUP BY event_type
     ORDER BY event_type
@@ -219,7 +219,7 @@ def e1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.countDistinct("user_id").alias("n_users"),
             dsum(F.col("value"), 2).alias("total_value"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(dsum(F.col("value"), 2) / F.count(F.lit(1)), 6).alias("avg_value"),
         )
         .orderBy("event_type")
     )

@@ -37,8 +37,8 @@ _REV = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
            CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,4))) AS DOUBLE) AS sum_disc_price,
            CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(27,6))) AS DOUBLE) AS sum_charge,
            ROUND(AVG(l_quantity), 6)                                        AS avg_qty,
-           ROUND(AVG(l_extendedprice), 6)                                   AS avg_price,
-           ROUND(AVG(l_discount), 6)                                        AS avg_disc,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(27,2))) AS DOUBLE) / COUNT(*), 6)      AS avg_disc,
            COUNT(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2000-12-01'
@@ -59,8 +59,10 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("sum_disc_price"),
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 6).alias("sum_charge"),
             F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            # avg over 2dp doubles is summation-order dependent: use the
+            # exact decimal sum / count (avg_qty is integer-valued -> safe)
+            F.round(dsum(F.col("l_extendedprice"), 2, ) / F.count(F.lit(1)), 6).alias("avg_price"),
+            F.round(dsum(F.col("l_discount"), 2) / F.count(F.lit(1)), 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
