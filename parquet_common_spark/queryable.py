@@ -181,12 +181,16 @@ class ParquetQueryable:
             return series.drop(S.SERIES_HASH_COLUMN).distinct()
 
         lo, hi = shard.meta.bucket_range(mint_ms, maxt_ms)
+        value_cols = [
+            c for c in shard.samples.columns
+            if c not in (S.SERIES_HASH_COLUMN, S.TIME_BUCKET_COLUMN, S.TS_COLUMN)
+        ]  # s_value for float samples; h_* struct columns for histograms
         samples = shard.samples.where(
             (F.col(S.TIME_BUCKET_COLUMN) >= lo)   # partition pruning
             & (F.col(S.TIME_BUCKET_COLUMN) <= hi)
             & (F.col(S.TS_COLUMN) >= mint_ms)     # exact chunk time filter
             & (F.col(S.TS_COLUMN) <= maxt_ms)     # (reference: encoder.go:311-321)
-        ).select(S.SERIES_HASH_COLUMN, S.TS_COLUMN, S.VALUE_COLUMN)
+        ).select(S.SERIES_HASH_COLUMN, S.TS_COLUMN, *value_cols)
         how = "inner" if drop_empty_series else "left"
         joined = series.join(samples, on=S.SERIES_HASH_COLUMN, how=how)
         return joined.drop(S.SERIES_HASH_COLUMN)
