@@ -354,3 +354,56 @@ def q21a(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
     )
+
+
+@query(
+    "p1_pivot_event_counts",
+    """
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT)    AS click,
+           CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT)    AS error,
+           CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+           CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT)   AS signup,
+           CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT)     AS view
+    FROM events GROUP BY 1 ORDER BY day
+    """,
+)
+def p1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_common_spark.plans.common import load as _load
+
+    t = _load(spark, sf_dir, "events")
+    piv = (
+        t["events"]
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .orderBy("day")
+    )
+    # pivot leaves NULL for empty cells; the oracle's FILTER counts give 0
+    return piv.select(
+        "day", *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ["click", "error", "purchase", "signup", "view"]]
+    )
+
+
+@query(
+    "x1_token_frequencies",
+    r"""
+    SELECT token, COUNT(*) AS freq
+    FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 20
+    """,
+)
+def x1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode/unnest (lateral) coverage: corpus token frequencies."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    from parquet_common_spark.operators.text import tokens
+
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(20)
+    )
