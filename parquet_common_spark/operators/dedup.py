@@ -152,8 +152,63 @@ def minhash_signature(col):
     return minhash_signature_from_hashes(shingle_hashes(col))
 
 
+def _signatures_arrow(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Arrow/numpy signature stage: same algorithm, same values as the
+    Column path, vectorized per batch.  Higher-order Column expressions
+    are interpreted per element; for this hash-heavy stage the Arrow
+    transfer + numpy broadcasting wins (measured at sf0.1 — see
+    minhash_lsh_pairs).  Map-only, no shuffle."""
+    import re as _re
+
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("_id", LongType()),
+            StructField("_sh", ArrayType(LongType())),
+            StructField("_sig", ArrayType(LongType())),
+        ]
+    )
+    A, B, P, K = MINHASH_A, MINHASH_B, HASH_P, TOKEN_COMBINE
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        Anp = np.asarray(A, dtype=np.int64)[:, None]
+        Bnp = np.asarray(B, dtype=np.int64)[:, None]
+        ws = _re.compile(r"\s+")
+
+        def tok_hash(t: str) -> int:
+            h = 0
+            for ch in t:
+                h = (h * 131 + ord(ch)) % P
+            return h
+
+        for pdf in it:
+            ids, shs, sigs = [], [], []
+            for i, text in zip(pdf[pdf.columns[0]], pdf[pdf.columns[1]]):
+                norm = ws.sub(" ", (text or "").lower()).strip()
+                th = np.array([tok_hash(t) for t in norm.split(" ")], dtype=np.int64)
+                if len(th) >= 3:
+                    sh = ((th[:-2] * K + th[1:-1]) % P * K + th[2:]) % P
+                else:
+                    acc = 0
+                    for h in th:
+                        acc = (acc * K + int(h)) % P
+                    sh = np.array([acc], dtype=np.int64)
+                sh = np.unique(sh)
+                sig = ((Anp * sh[None, :] + Bnp) % P).min(axis=1)
+                ids.append(int(i))
+                shs.append(sh.tolist())
+                sigs.append(sig.tolist())
+            yield pd.DataFrame({"_id": ids, "_sh": shs, "_sig": sigs})
+
+    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(batches, schema=out_schema)
+
+
 def minhash_lsh_pairs(
-    df: DataFrame, id_col: str, text_col: str, tau: float = 0.25
+    df: DataFrame, id_col: str, text_col: str, tau: float = 0.25, engine: str = "arrow"
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact-Jaccard verify.
 
@@ -162,12 +217,21 @@ def minhash_lsh_pairs(
     verify join only touches candidate pairs.  No all-pairs stage at any
     scale; skew-prone giant buckets are AQE's skew-join problem, and a cap
     can be added per band key.
+
+    ``engine``: "arrow" (default — numpy-vectorized signature stage) or
+    "column" (pure JVM higher-order expressions).  Both produce identical
+    values; the interpreted-HOF column path is the conceptual reference,
+    the Arrow path is ~2x faster end-to-end at sf0.1 because this stage is
+    hash-arithmetic-bound, not I/O-bound.
     """
     r = MINHASH_K // MINHASH_BANDS
-    sigs = df.select(
-        F.col(id_col).alias("_id"),
-        shingle_hashes(F.col(text_col)).alias("_sh"),
-    ).withColumn("_sig", minhash_signature_from_hashes(F.col("_sh")))
+    if engine == "arrow":
+        sigs = _signatures_arrow(df, id_col, text_col)
+    else:
+        sigs = df.select(
+            F.col(id_col).alias("_id"),
+            shingle_hashes(F.col(text_col)).alias("_sh"),
+        ).withColumn("_sig", minhash_signature_from_hashes(F.col("_sh")))
     # the bands branch and the verify branch both consume this frame;
     # without a persist each re-runs the token/shingle hash pipeline
     # (the dominant cost).  MEMORY_AND_DISK + Spark's LRU keeps this safe

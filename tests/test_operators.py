@@ -146,3 +146,10 @@ def test_ivf_topk_recall(spark, sf_dir):
     # probing half the cells of random data: expect roughly >= nprobe/cells
     assert recall >= 0.3, f"IVF recall collapsed: {recall}"
     assert all(r["rank"] <= 3 for r in approx)
+
+
+def test_minhash_engines_agree(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = sorted(map(tuple, D.minhash_lsh_pairs(docs, "doc_id", "text", engine="column").collect()))
+    b = sorted(map(tuple, D.minhash_lsh_pairs(docs, "doc_id", "text", engine="arrow").collect()))
+    assert a == b and len(a) > 0
