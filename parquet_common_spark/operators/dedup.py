@@ -310,17 +310,47 @@ def simhash(col):
     return simhash_from_hashes(shingle_hashes(col))
 
 
-def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 4) -> DataFrame:
+def _simhash_arrow(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """numpy-vectorized simhash signatures (same values as the Column
+    path; same rationale as _signatures_arrow)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType([StructField("_id", LongType()), StructField("_sim", LongType())])
+    sh_stage = _signatures_arrow(df, id_col, text_col).select("_id", "_sh")
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        bits = np.arange(SIMHASH_BITS, dtype=np.int64)
+        for pdf in it:
+            sims = []
+            for sh in pdf["_sh"]:
+                a = np.asarray(sh, dtype=np.int64)
+                cnt = ((a[:, None] >> bits[None, :]) & 1).sum(axis=0)
+                sim = int(((2 * cnt > len(a)).astype(np.int64) << bits).sum())
+                sims.append(sim)
+            yield pd.DataFrame({"_id": pdf["_id"], "_sim": sims})
+
+    return sh_stage.mapInPandas(batches, schema=out_schema)
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 4, engine: str = "arrow"
+) -> DataFrame:
     """Pairs within `max_hamming` bits of SimHash distance.
 
     Test-scale all-pairs; the scale path bands the signature into
     (max_hamming+1) segments — any pair within the radius must agree
     exactly on ≥1 segment (pigeonhole), giving an equi-join key.
     """
-    s = (
-        df.select(F.col(id_col).alias("_id"), shingle_hashes(F.col(text_col)).alias("_th"))
-        .select("_id", simhash_from_hashes(F.col("_th")).alias("_sim"))
-    )
+    if engine == "arrow":
+        s = _simhash_arrow(df, id_col, text_col)
+    else:
+        s = (
+            df.select(F.col(id_col).alias("_id"), shingle_hashes(F.col(text_col)).alias("_th"))
+            .select("_id", simhash_from_hashes(F.col("_th")).alias("_sim"))
+        )
     a = s.select(F.col("_id").alias("id_a"), F.col("_sim").alias("sim_a"))
     b = s.select(F.col("_id").alias("id_b"), F.col("_sim").alias("sim_b"))
     return (
