@@ -48,6 +48,34 @@ MatchOp = str  # '=', '!=', '=~', '!~'
 
 _REGEX_META = set(".+*?()[]{}|\\^$")
 
+# Java-regex-only constructs that RE2 (the PromQL dialect) rejects.  We
+# evaluate with Java regex / Python re, so silently accepting these would
+# change semantics vs the reference, which errors on them.
+_NON_RE2 = (
+    ("(?=", "lookahead"),
+    ("(?!", "negative lookahead"),
+    ("(?<=", "lookbehind"),
+    ("(?<!", "negative lookbehind"),
+    ("(?>", "atomic group"),
+)
+_BACKREF = re.compile(r"(?<!\\)\\[1-9]")
+
+
+class InvalidRegexError(ValueError):
+    """Pattern outside the RE2 dialect PromQL matchers use."""
+
+
+def validate_re2(pattern: str) -> str:
+    """Guard the RE2 dialect: reject Java-only constructs, translate RE2
+    named groups ``(?P<name>`` to Java's ``(?<name>``.  Returns the
+    (possibly translated) pattern."""
+    for needle, what in _NON_RE2:
+        if needle in pattern:
+            raise InvalidRegexError(f"{what} {needle!r} is not valid RE2: {pattern!r}")
+    if _BACKREF.search(pattern):
+        raise InvalidRegexError(f"backreferences are not valid RE2: {pattern!r}")
+    return pattern.replace("(?P<", "(?<")
+
 
 @dataclass(frozen=True)
 class Matcher:
@@ -128,7 +156,10 @@ def matcher_to_predicate(m: Matcher, columns: list[str] | set[str]) -> Column:
     if m.op == "!=":
         return _neq_predicate(col, m.value)
 
-    # regex ops — rewrite chain first (O1/O2)
+    # regex ops — dialect guard, then the rewrite chain (O1/O2).
+    # `pattern` keeps the RE2/Python spelling (used with Python `re` for
+    # the matches-empty probes); `java_pattern` is the rlike spelling.
+    java_pattern = validate_re2(m.value)
     pattern = m.value
     negate = m.op == "!~"
 
@@ -157,7 +188,7 @@ def matcher_to_predicate(m: Matcher, columns: list[str] | set[str]) -> Column:
             return F.when(col.isNull(), F.lit(True)).otherwise(~base)
         return base
 
-    anchored = f"^(?:{pattern})$"
+    anchored = f"^(?:{java_pattern})$"
     matches_empty = bool(re.fullmatch(pattern, ""))
     base = col.rlike(anchored)
     if negate:

@@ -123,3 +123,19 @@ def test_pushdown_shapes():
     assert "RLIKE" not in str(matcher_to_predicate(Matcher("job", "=~", "ab.*"), cols)).upper()
     assert "RLIKE" not in str(matcher_to_predicate(Matcher("job", "=~", "abc"), cols)).upper()
     assert "RLIKE" in str(matcher_to_predicate(Matcher("job", "=~", "a[0-9]+"), cols)).upper()
+
+
+def test_re2_dialect_guard(spark):
+    from parquet_common_spark.matchers import InvalidRegexError, validate_re2
+
+    df = spark.createDataFrame([("a1",), ("b2",)], "l_x string")
+    for bad in [r"(?=foo)bar", r"(?!a).*", r"(?<=x)y", r"(?>atomic)", r"(a)\1"]:
+        with pytest.raises(InvalidRegexError):
+            df.where(matcher_to_predicate(Matcher("x", "=~", bad), df.columns)).collect()
+    # escaped backslash-digit is a literal, not a backreference
+    assert validate_re2(r"a\\1b") == r"a\\1b"
+    # RE2 named group translates to the Java spelling
+    got = [r["l_x"] for r in df.where(
+        matcher_to_predicate(Matcher("x", "=~", r"(?P<letter>[ab])[0-9]"), df.columns)
+    ).collect()]
+    assert sorted(got) == ["a1", "b2"]
