@@ -334,7 +334,23 @@ def e5(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the same answer as plain SQL over the raw events table.
 
 
+_EVENTS_SHARD_CACHE: dict = {}
+
+
 def _events_shard(spark: SparkSession, sf_dir: str):
+    """Converted events shard, cached per (session, sf_dir) — eight
+    matcher-parity queries reuse it within one correctness run."""
+    key = (id(spark), sf_dir)
+    if key in _EVENTS_SHARD_CACHE:
+        return _EVENTS_SHARD_CACHE[key]
+    shard = _build_events_shard(spark, sf_dir)
+    shard.series = shard.series.persist()
+    shard.samples = shard.samples.persist()
+    _EVENTS_SHARD_CACHE[key] = shard
+    return shard
+
+
+def _build_events_shard(spark: SparkSession, sf_dir: str):
     from parquet_common_spark.convert import to_shard
 
     ev = load(spark, sf_dir, "events")["events"]
