@@ -1,0 +1,146 @@
+"""Native (exponential-bucket) histogram samples — the reference's
+``EncHistogram``/``EncFloatHistogram`` slot (schema/encoder.go:75).
+
+Prometheus native histograms use exponential buckets: with schema
+parameter ``s`` (resolution), base γ = 2^(2^-s), bucket ``k`` covers
+``(γ^(k-1), γ^k]``; buckets are sparse.  Our exploded sample shape:
+
+    nh_schema     int            -- resolution s (γ = 2^(2^-s))
+    nh_zero_count long           -- observations in the zero bucket
+    nh_count      long           -- total observations
+    nh_sum        double
+    nh_pos_idx    array<int>     -- sorted sparse bucket indexes (positive range)
+    nh_pos_counts array<long>    -- per-bucket counts (NOT cumulative)
+
+Simplifications vs the full Prometheus model (documented, test-pinned):
+negative-range buckets are not modeled (values < 0 unsupported) and
+quantile interpolation within a bucket is linear (upstream Prometheus
+interpolates exponentially since v2.50 for native histograms).  The
+span/delta wire encoding is a chunk-layer concern the exploded model
+replaces (see functions/chunks.py for the framing story).
+
+Building signatures is Arrow-batched (sparse bucketing is data-dependent
+branching); quantile evaluation is a pure Column expression.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+NATIVE_FIELDS = (
+    "nh_schema int, nh_zero_count long, nh_count long, nh_sum double,"
+    " nh_pos_idx array<int>, nh_pos_counts array<long>"
+)
+
+
+def bucket_index(value: float, schema: int) -> int:
+    """Bucket k with γ^(k-1) < value <= γ^k  (γ = 2^(2^-schema))."""
+    frac = 2.0 ** (2.0 ** -schema)
+    return math.ceil(math.log(value) / math.log(frac) - 1e-12)
+
+
+def build_histograms(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    schema: int = 3,
+    zero_threshold: float = 1e-9,
+) -> DataFrame:
+    """Aggregate raw non-negative observations into one native histogram
+    per group (Arrow-batched applyInPandas; one shuffle on the group key)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [f for f in df.select(*group_cols).schema.fields]
+        + [
+            StructField("nh_schema", IntegerType()),
+            StructField("nh_zero_count", LongType()),
+            StructField("nh_count", LongType()),
+            StructField("nh_sum", DoubleType()),
+            StructField("nh_pos_idx", ArrayType(IntegerType())),
+            StructField("nh_pos_counts", ArrayType(LongType())),
+        ]
+    )
+
+    def agg(keys, pdf):
+        import collections
+
+        import pandas as pd
+
+        counts: collections.Counter = collections.Counter()
+        zero = n = 0
+        total = 0.0
+        for v in pdf[value_col]:
+            v = float(v)
+            if v < 0:
+                raise NotImplementedError("negative-range native buckets not modeled")
+            n += 1
+            total += v
+            if v <= zero_threshold:
+                zero += 1
+            else:
+                counts[bucket_index(v, schema)] += 1
+        idxs = sorted(counts)
+        row = list(keys) + [
+            schema,
+            zero,
+            n,
+            total,
+            [int(i) for i in idxs],
+            [int(counts[i]) for i in idxs],
+        ]
+        return pd.DataFrame([row], columns=[f.name for f in out_schema.fields])
+
+    return df.groupBy(*group_cols).applyInPandas(agg, schema=out_schema)
+
+
+def native_histogram_quantile(
+    q: float | Column,
+    schema: Column,
+    zero_count: Column,
+    pos_idx: Column,
+    pos_counts: Column,
+) -> Column:
+    """Quantile from a sparse exponential histogram (pure Column expr).
+
+    Locates the target bucket via a cumulative fold over the sparse
+    counts, then interpolates linearly between the bucket's bounds
+    γ^(k-1)..γ^k.  Returns 0.0 inside the zero bucket, NULL when empty.
+    """
+    qc = F.lit(q) if isinstance(q, float) else q
+    gamma = F.pow(F.lit(2.0), F.pow(F.lit(2.0), -schema.cast("double")))
+    total = (zero_count + F.aggregate(pos_counts, F.lit(0).cast("long"), lambda a, x: a + x)).cast(
+        "double"
+    )
+    target = qc * total
+    rank = target - zero_count.cast("double")  # rank within positive buckets
+    # cumulative counts per sparse bucket (buckets are few: ≤ ~4/octave)
+    cum = F.aggregate(
+        pos_counts,
+        F.array().cast("array<long>"),
+        lambda acc, x: F.concat(acc, F.array(F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(0).cast("long")) + x)),
+    )
+    pos = F.size(F.filter(cum, lambda c: c.cast("double") < rank)) + 1
+    k = F.element_at(pos_idx, pos).cast("double")
+    upper = F.pow(gamma, k)
+    lower = F.pow(gamma, k - 1)
+    cum_prev = F.when(pos == 1, F.lit(0.0)).otherwise(
+        F.element_at(cum, pos - 1).cast("double")
+    )
+    in_bucket = F.element_at(pos_counts, pos).cast("double")
+    interp = lower + (upper - lower) * (rank - cum_prev) / in_bucket
+    return (
+        F.when(total <= 0, F.lit(None).cast("double"))
+        .when(target <= zero_count.cast("double"), F.lit(0.0))
+        .when(pos > F.size(pos_idx), F.pow(gamma, F.element_at(pos_idx, -1).cast("double")))
+        .otherwise(interp)
+    )
