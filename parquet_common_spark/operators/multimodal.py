@@ -98,3 +98,79 @@ def decode_media(df: DataFrame, batch_size: int = 1024) -> DataFrame:
             )
 
     return df.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_payload", BinaryType()),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, every_k: int = 10) -> DataFrame:
+    """Frame sampling for video rows: one output row per sampled frame —
+    the row-exploding mapInPandas shape (variable fan-out per input row).
+    Frame extraction itself is the documented STUB (deterministic payload
+    slices); the plumbing — binary in, multiple binary rows out, Arrow
+    batches both ways — is the real scale path."""
+
+    def explode_frames(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_payload": []}
+            for doc_id, mt, payload in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
+                if mt != "video":
+                    continue
+                raw = bytes(payload)
+                n_frames = len(raw) % 300 + 1  # matches _decode_stub
+                for idx in range(0, n_frames, every_k):
+                    # STUB frame: a deterministic slice standing in for a
+                    # decoded frame buffer
+                    lo = idx % max(len(raw), 1)
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(idx)
+                    out["frame_payload"].append(raw[lo : lo + 16])
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(explode_frames, schema=FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def resize_media(df: DataFrame, max_side: int = 256) -> DataFrame:
+    """Resize stub for image rows: computes the target geometry for a
+    max-side constraint (real arithmetic) and passes the payload through
+    (STUB — PIL unavailable; swapping in a real resampler touches only
+    the inner function)."""
+
+    def resize(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "media_type": [], "width": [], "height": [], "payload": []}
+            for doc_id, mt, payload in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
+                raw = bytes(payload)
+                w, h, _ = _decode_stub(mt, raw) if mt in ("image", "video") else (0, 0, 0)
+                if w and max(w, h) > max_side:
+                    scale = max_side / max(w, h)
+                    w, h = max(int(w * scale), 1), max(int(h * scale), 1)
+                out["doc_id"].append(int(doc_id))
+                out["media_type"].append(mt)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["payload"].append(raw)
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(resize, schema=RESIZED_SCHEMA)

@@ -153,3 +153,28 @@ def test_minhash_engines_agree(spark, sf_dir):
     a = sorted(map(tuple, D.minhash_lsh_pairs(docs, "doc_id", "text", engine="column").collect()))
     b = sorted(map(tuple, D.minhash_lsh_pairs(docs, "doc_id", "text", engine="arrow").collect()))
     assert a == b and len(a) > 0
+
+
+def test_frame_sampling_and_resize(spark, docs):
+    from parquet_common_spark.operators.multimodal import resize_media, sample_frames
+
+    media = attach_fake_media(docs)
+    frames = sample_frames(media, every_k=7).collect()
+    videos = {r["doc_id"]: r for r in decode_media(media).collect() if r["media_type"] == "video"}
+    assert videos, "fixture must contain video rows"
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(videos)
+    for doc_id, rs in by_doc.items():
+        expect = len(range(0, videos[doc_id]["n_frames"], 7))
+        assert len(rs) == expect
+        assert all(isinstance(bytes(r["frame_payload"]), bytes) for r in rs)
+
+    resized = {r["doc_id"]: r for r in resize_media(media, max_side=32).collect()}
+    for doc_id, r in resized.items():
+        if r["media_type"] in ("image", "video"):
+            assert max(r["width"], r["height"]) <= 32
+            assert r["width"] >= 1 and r["height"] >= 1
+        else:
+            assert r["width"] == 0
