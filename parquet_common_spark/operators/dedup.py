@@ -375,11 +375,22 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Character-n-gram Jaccard near-dup pairs, brute-forced WITHIN a
     blocking key (equi-join on the block column — never all-pairs)."""
-    s = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(block_col).alias("_blk"),
-        normalize_text(F.col(text_col)).alias("_norm"),
-    ).select("_id", "_blk", char_shingles_from_norm(F.col("_norm"), n).alias("_sh"))
+    s = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(block_col).alias("_blk"),
+            normalize_text(F.col(text_col)).alias("_norm"),
+        )
+        .select("_id", "_blk", char_shingles_from_norm(F.col("_norm"), n).alias("_ss"))
+        # hash shingles to longs: the pairwise array_intersect/union over
+        # ~300-element arrays dominates the blocked join, and long
+        # comparisons beat string comparisons ~4x there
+        .select(
+            "_id",
+            "_blk",
+            F.array_distinct(F.transform(F.col("_ss"), lambda sh: char_poly_hash(sh))).alias("_sh"),
+        )
+    )
     a = s.select(F.col("_id").alias("id_a"), F.col("_blk").alias("_blk"), F.col("_sh").alias("sh_a"))
     b = s.select(F.col("_id").alias("id_b"), F.col("_blk").alias("_blk"), F.col("_sh").alias("sh_b"))
     return (

@@ -134,11 +134,12 @@ def d3(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NG_TAU = 0.4
 _D4_SQL = f"""
     WITH t0 AS (SELECT doc_id AS id, lang, {_NORM.format(c='text')} AS s FROM documents),
-    t1 AS (SELECT id, lang,
+    t0b AS (SELECT id, lang,
              list_distinct(CASE WHEN length(s) >= 5
                   THEN list_transform(generate_series(1, length(s) - 4), i -> substr(s, i, 5))
-                  ELSE [s] END) AS sh
-           FROM t0)
+                  ELSE [s] END) AS ss
+           FROM t0),
+    t1 AS (SELECT id, lang, list_distinct(list_transform(ss, sg -> {_phash('sg')})) AS sh FROM t0b)
     SELECT a.id AS id_a, b.id AS id_b,
            ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                  / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 6) AS jaccard
