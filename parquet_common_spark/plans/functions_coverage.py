@@ -407,3 +407,26 @@ def x1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), "token")
         .limit(20)
     )
+
+
+@query(
+    "sql1_revenue_by_segment",
+    """
+    SELECT c_mktsegment,
+           COUNT(DISTINCT o_orderkey) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def sql1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql surface: same engine, SQL text in, Catalyst out —
+    the oracle string IS the Spark query (ANSI SQL runs on both)."""
+    t = load(spark, sf_dir, "customer", "orders")
+    t["customer"].createOrReplaceTempView("customer")
+    t["orders"].createOrReplaceTempView("orders")
+    from parquet_common_spark.plans.common import REGISTRY
+
+    return spark.sql(REGISTRY["sql1_revenue_by_segment"].oracle)
