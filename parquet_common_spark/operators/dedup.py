@@ -8,14 +8,16 @@ Five families, all designed shuffle-light for 100 TB:
                   groupBy band key (the ONLY shuffle, keyed on short band
                   strings) -> candidate pairs -> exact-jaccard verify.
                   Candidate volume, not corpus volume, drives the join.
-  - SimHash:      per-doc 30-bit signature (map-only); candidates by
-                  all-pairs here (test scale) — at 100 TB band the signature
-                  bytes (4 rotations x 15-bit halves) and join per band.
-  - n-gram Jaccard: brute-force verify *within a blocking key* (language) —
-                  the classic blocked-dedup shape; block sizes bound the
-                  quadratic term.
-  - embedding near-dup: cosine over the embedding column; same blocking
-                  caveat (see similarity.py for the LSH-bucketed scale path).
+  - SimHash:      per-doc 30-bit signature (map-only); candidates from a
+                  pigeonhole segment equi-join (max_hamming+1 segments,
+                  recall exactly 1.0 by construction), hamming verify.
+  - n-gram Jaccard: brute-force verify *within a blocking key*
+                  (lang, length-band ±1) — the classic blocked-dedup shape;
+                  both key components bound the quadratic term (language
+                  alone is unbounded at corpus scale).
+  - embedding near-dup: exact cosine threshold join, distributed as
+                  B(B+1)/2 block-pair numpy/BLAS tasks (LSH cannot honor an
+                  exact threshold contract — see the function docstring).
 
 Everything is built from higher-order Column expressions using the
 cross-engine polynomial hash (operators/text.py), so every operator has a
@@ -335,15 +337,35 @@ def _simhash_arrow(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return sh_stage.mapInPandas(batches, schema=out_schema)
 
 
+def _simhash_segments(max_hamming: int) -> list[tuple[int, int]]:
+    """(offset, width) of the max_hamming+1 pigeonhole segments covering
+    SIMHASH_BITS.  A pair within `max_hamming` flipped bits must agree
+    EXACTLY on at least one segment (one flipped bit per segment can
+    spoil only max_hamming of them)."""
+    n_seg = max_hamming + 1
+    base, extra = divmod(SIMHASH_BITS, n_seg)
+    segs, off = [], 0
+    for k in range(n_seg):
+        w = base + (1 if k < extra else 0)
+        segs.append((off, w))
+        off += w
+    return segs
+
+
 def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 4, engine: str = "arrow"
 ) -> DataFrame:
-    """Pairs within `max_hamming` bits of SimHash distance.
+    """Pairs within `max_hamming` bits of SimHash distance — EXACT result,
+    banded plan.
 
-    Test-scale all-pairs; the scale path bands the signature into
-    (max_hamming+1) segments — any pair within the radius must agree
-    exactly on ≥1 segment (pigeonhole), giving an equi-join key.
-    """
+    The signature is split into (max_hamming+1) bit segments; by
+    pigeonhole, any pair within the radius agrees exactly on ≥1 segment,
+    so candidates come from a segment-key equi-join (the only shuffle
+    carries (id, seg_key) longs) and the hamming check verifies them.
+    Recall is structurally 1.0 — unlike probabilistic LSH, banding here
+    loses nothing, so the all-pairs DuckDB oracle still matches
+    bit-for-bit.  No cross join at any scale (pinned by
+    tests/test_plans.py)."""
     if engine == "arrow":
         s = _simhash_arrow(df, id_col, text_col)
     else:
@@ -351,11 +373,31 @@ def simhash_pairs(
             df.select(F.col(id_col).alias("_id"), shingle_hashes(F.col(text_col)).alias("_th"))
             .select("_id", simhash_from_hashes(F.col("_th")).alias("_sim"))
         )
-    a = s.select(F.col("_id").alias("id_a"), F.col("_sim").alias("sim_a"))
-    b = s.select(F.col("_id").alias("id_b"), F.col("_sim").alias("sim_b"))
+    s = s.persist()  # consumed by the bands branch and twice by the verify join
+    segs = _simhash_segments(max_hamming)
+    # seg key = segment_idx * 2^SIMHASH_BITS + segment bits (disjoint per segment)
+    bands = s.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    F.lit(k << SIMHASH_BITS).cast("long")
+                    + F.shiftright(F.col("_sim"), off).bitwiseAND(F.lit((1 << w) - 1))
+                    for k, (off, w) in enumerate(segs)
+                ]
+            )
+        ).alias("_seg"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), "_seg")
+        .where(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
     return (
-        a.crossJoin(b)
-        .where(F.col("id_a") < F.col("id_b"))
+        cand.join(s.select(F.col("_id").alias("id_a"), F.col("_sim").alias("sim_a")), "id_a")
+        .join(s.select(F.col("_id").alias("id_b"), F.col("_sim").alias("sim_b")), "id_b")
         .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
@@ -365,6 +407,9 @@ def simhash_pairs(
 # ------------------------------------------------------- blocked n-gram
 
 
+NGRAM_LEN_BAND = 128  # width of the length-band component of the block key
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -372,30 +417,51 @@ def ngram_jaccard_pairs(
     block_col: str,
     n: int = 5,
     tau: float = 0.4,
+    len_band: int = NGRAM_LEN_BAND,
 ) -> DataFrame:
     """Character-n-gram Jaccard near-dup pairs, brute-forced WITHIN a
-    blocking key (equi-join on the block column — never all-pairs)."""
+    composite blocking key — never all-pairs.
+
+    Block key = (block_col, length-band): a category key alone (language)
+    is unbounded at corpus scale — one language is most of a 100 TB
+    corpus — so the quadratic term needs a second, value-derived
+    component.  Docs land in length bands floor(len/W) and the band
+    above; a pair is a candidate iff its bands differ by ≤1 (each
+    qualifying pair matched exactly once via the key==greatest(band)
+    filter, so no distinct is needed and shingle arrays ride the join
+    once).  Jaccard >= tau forces |A|/|B| ∈ [tau, 1/tau], i.e. near-dup
+    texts have similar lengths, so W ≈ typical_len·(1/tau−1) keeps real
+    pairs in adjacent bands; the candidate contract (band distance ≤ 1)
+    is mirrored verbatim in the DuckDB oracle."""
     s = (
         df.select(
             F.col(id_col).alias("_id"),
             F.col(block_col).alias("_blk"),
             normalize_text(F.col(text_col)).alias("_norm"),
         )
-        .select("_id", "_blk", char_shingles_from_norm(F.col("_norm"), n).alias("_ss"))
+        .withColumn("_b", F.floor(F.length("_norm") / len_band))
+        .select("_id", "_blk", "_b", char_shingles_from_norm(F.col("_norm"), n).alias("_ss"))
         # hash shingles to longs: the pairwise array_intersect/union over
         # ~300-element arrays dominates the blocked join, and long
         # comparisons beat string comparisons ~4x there
         .select(
             "_id",
             "_blk",
+            "_b",
             F.array_distinct(F.transform(F.col("_ss"), lambda sh: char_poly_hash(sh))).alias("_sh"),
         )
+        .persist()  # both sides of the self-join consume the shingle pipeline
     )
-    a = s.select(F.col("_id").alias("id_a"), F.col("_blk").alias("_blk"), F.col("_sh").alias("sh_a"))
-    b = s.select(F.col("_id").alias("id_b"), F.col("_blk").alias("_blk"), F.col("_sh").alias("sh_b"))
+    bands = s.select("_id", "_blk", "_b", "_sh", F.explode(F.array(F.col("_b"), F.col("_b") + 1)).alias("_k"))
+    a = bands.select(
+        F.col("_id").alias("id_a"), "_blk", "_k", F.col("_b").alias("b_a"), F.col("_sh").alias("sh_a")
+    )
+    b = bands.select(
+        F.col("_id").alias("id_b"), "_blk", "_k", F.col("_b").alias("b_b"), F.col("_sh").alias("sh_b")
+    )
     return (
-        a.join(b, "_blk")
-        .where(F.col("id_a") < F.col("id_b"))
+        a.join(b, ["_blk", "_k"])
+        .where((F.col("id_a") < F.col("id_b")) & (F.col("_k") == F.greatest("b_a", "b_b")))
         .withColumn("jac", jaccard(F.col("sh_a"), F.col("sh_b")))
         .where(F.col("jac") >= tau)
         .select("id_a", "id_b", F.round("jac", 6).alias("jaccard"))
@@ -405,18 +471,113 @@ def ngram_jaccard_pairs(
 # -------------------------------------------------- embedding near-dup
 
 
-def embedding_neardup_pairs(df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.4) -> DataFrame:
-    """Pairs of vectors with cosine >= threshold (exact; see
-    similarity.lsh_topk for the banded scale path)."""
-    from parquet_common_spark.operators.similarity import cosine
+def embedding_neardup_pairs(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.4, n_blocks: int = 8
+) -> DataFrame:
+    """Pairs of vectors with cosine >= threshold — EXACT result, block-pair
+    distributed plan (no cross join; pinned by tests/test_plans.py).
 
-    v = df.select(F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("_v"))
-    a = v.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"))
-    b = v.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"))
+    Why not hyperplane LSH for candidates: LSH honors a *threshold*
+    contract only probabilistically — at tau=0.4 (angle ~66°) per-bit
+    agreement is ~0.63, so even 8 tables x 6 bits recall only ~40% of the
+    true pairs on dense embeddings (measured on the driver tables: ~990
+    background pairs at cos>=0.3), and the exact oracle would diverge.
+    An exact threshold join over dense vectors is inherently O(n²) work;
+    the scalable shape distributes it EVENLY as B(B+1)/2 block-pair tasks
+    (each row is shuffled to B groups — replication sqrt(2·#tasks), the
+    standard blocked all-pairs layout) and makes each task one vectorized
+    numpy/BLAS matmul instead of per-row interpreted HOF cosine.  Matmul
+    prunes with a 1e-9 margin; survivors are re-verified with the same
+    sequential-fold double arithmetic as the JVM/DuckDB path, so the
+    emitted values and the >= comparison stay bitwise identical to the
+    all-pairs oracle.  B grows with corpus size so one block pair fits an
+    executor's memory (2·n/B vectors)."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    spark = df.sparkSession
+    v = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        F.pmod(F.col(id_col), F.lit(n_blocks)).alias("_blk"),
+    )
+    # group membership: group (i,j) i<=j gets block i as side L, block j as R
+    mem = []
+    gid = 0
+    for i in range(n_blocks):
+        for j in range(i, n_blocks):
+            if i == j:
+                mem.append((gid, i, "B"))
+            else:
+                mem.append((gid, i, "L"))
+                mem.append((gid, j, "R"))
+            gid += 1
+    mem_df = spark.createDataFrame(mem, "gid int, blk int, side string")
+    tagged = v.join(F.broadcast(mem_df), v["_blk"] == mem_df["blk"]).select(
+        "gid", "side", "_id", "_v"
+    )
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cos", DoubleType()),
+        ]
+    )
+    tau = threshold
+
+    def block_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        def fold_cos(a, b):
+            # sequential left-to-right fold — identical fp rounding to the
+            # JVM aggregate(zip_with(...)) path and DuckDB list_dot_product
+            dot = 0.0
+            na = 0.0
+            nb = 0.0
+            for x, y in zip(a, b):
+                dot += x * y
+                na += x * x
+                nb += y * y
+            import math
+
+            return dot / (math.sqrt(na) * math.sqrt(nb))
+
+        diagonal = (pdf["side"] == "B").any()
+        if diagonal:
+            l_ids = pdf["_id"].to_numpy()
+            l_mat = np.stack(pdf["_v"].to_numpy())
+            r_ids, r_mat = l_ids, l_mat
+        else:
+            lp = pdf[pdf["side"] == "L"]
+            rp = pdf[pdf["side"] == "R"]
+            if len(lp) == 0 or len(rp) == 0:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                    {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+                )
+            l_ids = lp["_id"].to_numpy()
+            l_mat = np.stack(lp["_v"].to_numpy())
+            r_ids = rp["_id"].to_numpy()
+            r_mat = np.stack(rp["_v"].to_numpy())
+        ln = l_mat / np.linalg.norm(l_mat, axis=1, keepdims=True)
+        rn = r_mat / np.linalg.norm(r_mat, axis=1, keepdims=True)
+        g = ln @ rn.T
+        ii, jj = np.nonzero(g >= tau - 1e-9)
+        ids_a, ids_b, coss = [], [], []
+        for i, j in zip(ii, jj):
+            a_id, b_id = int(l_ids[i]), int(r_ids[j])
+            if a_id >= b_id:
+                if diagonal:
+                    continue  # mirrored index pair; (min,max) emitted once
+                a_id, b_id = b_id, a_id  # fold_cos is exactly symmetric
+            c = fold_cos(l_mat[i], r_mat[j])
+            if c >= tau:
+                ids_a.append(a_id)
+                ids_b.append(b_id)
+                coss.append(c)
+        return pd.DataFrame({"id_a": ids_a, "id_b": ids_b, "cos": coss})
+
     return (
-        a.crossJoin(b)
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
-        .where(F.col("cos") >= threshold)
+        tagged.groupBy("gid")
+        .applyInPandas(block_pairs, schema=out_schema)
         .select("id_a", "id_b", F.round("cos", 5).alias("cos"))
     )

@@ -213,7 +213,7 @@ def f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f3_array_functions",
     """
     SELECT n.n_name,
-           list_sort(list(DISTINCT c.c_mktsegment)) AS segments,
+           array_to_string(list_sort(list(DISTINCT c.c_mktsegment)), ',') AS segments,
            CAST(len(list_sort(list(DISTINCT c.c_mktsegment))) AS INT) AS n_segments,
            CAST(list_contains(list(DISTINCT c.c_mktsegment), 'BUILDING') AS BOOLEAN) AS has_building
     FROM nation n JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -222,17 +222,21 @@ def f2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def f3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array built-ins (collect_set/array_sort/size/array_contains).  The
+    sorted array is emitted as a ','-joined STRING: the driver's pandas
+    canonicalizer cannot hash raw list cells (r01 TypeError), and the
+    joined form is hash-equivalent for a sorted string array."""
     t = load(spark, sf_dir, "nation", "customer")
     return (
         t["customer"]
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
-        .agg(F.array_sort(F.collect_set("c_mktsegment")).alias("segments"))
+        .agg(F.array_sort(F.collect_set("c_mktsegment")).alias("_segs"))
         .select(
             "n_name",
-            "segments",
-            F.size("segments").alias("n_segments"),
-            F.array_contains("segments", "BUILDING").alias("has_building"),
+            F.array_join("_segs", ",").alias("segments"),
+            F.size("_segs").alias("n_segments"),
+            F.array_contains("_segs", "BUILDING").alias("has_building"),
         )
         .orderBy("n_name")
     )
