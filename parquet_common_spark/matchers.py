@@ -26,8 +26,9 @@ A matcher whose column is absent from the shard schema degenerates to a
 constant: True if the matcher matches "", else False (reference:
 search/constraint.go:368-376, 448-456, 678-686).
 
-Regex dialect: PromQL matchers are RE2 and fully anchored
-(``^(?:re)$``).  We evaluate with Java regex on the Spark side and Python
+Regex dialect: PromQL matchers are RE2 and fully anchored in dotall mode
+(``^(?s:re)$`` — Prometheus FastRegexMatcher), so ``.`` matches newlines.
+We evaluate with Java regex on the Spark side and Python
 ``re`` on the driver side (for the matches-empty probe).  Constructs where
 RE2 and Java diverge materially (backreferences don't exist in RE2;
 ``(?i)`` etc. are common to both) are accepted as-is; see
@@ -95,7 +96,7 @@ class Matcher:
             return self.value == ""
         if self.op == "!=":
             return self.value != ""
-        m = bool(re.fullmatch(self.value, ""))
+        m = bool(re.fullmatch(self.value, "", re.DOTALL))
         return m if self.op == "=~" else not m
 
 
@@ -188,8 +189,12 @@ def matcher_to_predicate(m: Matcher, columns: list[str] | set[str]) -> Column:
             return F.when(col.isNull(), F.lit(True)).otherwise(~base)
         return base
 
-    anchored = f"^(?:{java_pattern})$"
-    matches_empty = bool(re.fullmatch(pattern, ""))
+    # Prometheus anchors as ^(?s:re)$ (FastRegexMatcher) — dotall, so `.`
+    # crosses newlines.  Java's `$` (unlike RE2's) also matches *before* a
+    # final line terminator, so we anchor with \A..\z for exact-full-string
+    # semantics on newline-bearing values.
+    anchored = f"(?s)\\A(?:{java_pattern})\\z"
+    matches_empty = bool(re.fullmatch(pattern, "", re.DOTALL))
     base = col.rlike(anchored)
     if negate:
         return F.when(col.isNull(), F.lit(not matches_empty)).otherwise(~base)

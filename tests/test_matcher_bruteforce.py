@@ -32,6 +32,8 @@ def gen_series(seed: int = 42, n_metrics: int = 30, per_metric: int = 4) -> list
             r = rnd.randrange(10)
             for k in range(r, r + 3):  # 3 of 12 sparse labels per series
                 labels[f"random_name_{k}"] = f"random_value_{k}"
+            if m % 3 == 0:  # newline-bearing values exercise (?s) anchoring
+                labels["note"] = f"line1\nline2_{u}" if u % 2 == 0 else f"line1 line2_{u}"
             series.append(labels)
     return series
 
@@ -42,7 +44,9 @@ def oracle_match(labels: dict, m: Matcher) -> bool:
         return v == m.value
     if m.op == "!=":
         return v != m.value
-    hit = re.fullmatch(m.value, v) is not None
+    # ^(?s:re)$ anchoring: dotall, exact full string (reference:
+    # Prometheus FastRegexMatcher semantics)
+    hit = re.fullmatch(m.value, v, re.DOTALL) is not None
     return hit if m.op == "=~" else not hit
 
 
@@ -92,6 +96,12 @@ CORPUS = [
     [Matcher("label_name_1", "=", "label_value_1"), Matcher("label_name_2", "!~", "nope.*")],
     [Matcher("unique", "=~", "unique_[0-9]+"), Matcher("__name__", "!~", "metric_2.")],
     [Matcher("__name__", "=", "metric_1"), Matcher("__name__", "!=", "metric_1")],
+    # (?s) anchoring over newline-bearing values
+    [Matcher("note", "=~", "line1.line2_[0-9]")],
+    [Matcher("note", "=~", "line1\nline2_0")],
+    [Matcher("note", "!~", "line1.line2_.*")],
+    [Matcher("note", "=~", "line1.*")],
+    [Matcher("note", "=~", ".*line2_2")],
 ]
 
 

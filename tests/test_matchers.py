@@ -40,6 +40,34 @@ TRUTH_TABLE = [
     (Matcher("route", "!~", ".*"), []),
 ]
 
+# newline-bearing values: Prometheus anchors regexes as ^(?s:re)$
+# (FastRegexMatcher), so `.` crosses newlines and `$` means end-of-string,
+# NOT before-final-newline.
+NL_ROWS = [
+    ("nl-1", "foo\nbar"),
+    ("nl-2", "foobar"),
+    ("nl-3", "foo\n"),
+    ("nl-4", "foo"),
+]
+
+NL_TABLE = [
+    (Matcher("route", "=~", "foo.*bar"), ["nl-1", "nl-2"]),
+    (Matcher("route", "=~", "foo.bar"), ["nl-1"]),
+    (Matcher("route", "=~", "foo"), ["nl-4"]),          # literal: "foo\n" must NOT match
+    (Matcher("route", "=~", "fo[o]"), ["nl-4"]),        # rlike path: \z anchor, not $
+    (Matcher("route", "=~", "foo.?"), ["nl-3", "nl-4"]),
+    (Matcher("route", "!~", "foo.*bar"), ["nl-3", "nl-4"]),
+    (Matcher("route", "=~", "foo.*"), ["nl-1", "nl-2", "nl-3", "nl-4"]),  # prefix rewrite
+]
+
+
+@pytest.mark.parametrize(
+    "m,expected", NL_TABLE, ids=[f"{m.op}{m.value!r}" for m, _ in NL_TABLE]
+)
+def test_newline_values(spark, m, expected):
+    df = spark.createDataFrame(NL_ROWS, "l_pod string, l_route string")
+    assert pods(df, m) == expected
+
 
 @pytest.mark.parametrize("m,expected", TRUTH_TABLE, ids=[f"{m.name}{m.op}{m.value!r}" for m, _ in TRUTH_TABLE])
 def test_truth_table(series_df, m, expected):
