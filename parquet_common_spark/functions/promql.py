@@ -9,11 +9,20 @@ Window.partitionBy(series).orderBy(ts):
     its predecessor, add the predecessor back (cumulative compensation).
     This is the core of PromQL's rate()/increase() counter handling.
   - increase_over_windows / rate_over_windows: reset-adjusted
-    last-minus-first per fixed time window.  NOTE: PromQL additionally
-    extrapolates to the window boundaries (rate() estimates the increase
-    over the full window, not just the sampled span); we compute the exact
-    in-sample increase — documented difference, deterministic and
-    oracle-checkable.
+    last-minus-first per fixed time window — the exact in-sample
+    increase, deterministic and oracle-checkable.
+  - extrapolated_increase_over_windows / extrapolated_rate_over_windows:
+    the FULL upstream PromQL ``extrapolatedRate`` semantics (Prometheus
+    promql/functions.go): boundary extrapolation when the first/last
+    sample sits within 1.1x the average sample spacing of the window
+    edge, half-average-interval extrapolation otherwise, and the
+    counter zero-point clamp that stops a counter from being
+    extrapolated below zero.  The reference delegates these to the
+    upstream PromQL engine over its storage
+    (/root/reference/queryable/parquet_queryable_test.go:45-66 runs the
+    whole promqltest corpus through it); our engine computes them
+    natively, validated against a Python port of the same algorithm in
+    tests/test_promql_functions.py.
   - agg_over_time: avg/min/max/sum/count over fixed windows.
 
 All pure Column/Window expressions — one shuffle on (series, window).
@@ -81,6 +90,109 @@ def rate_over_windows(
     return inc.withColumn(
         "rate",
         F.when(elapsed_s > 0, F.col("increase") / elapsed_s).otherwise(F.lit(None).cast("double")),
+    )
+
+
+def extrapolated_increase_over_windows(
+    df: DataFrame,
+    series_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    window_us: int,
+    is_counter: bool = True,
+    is_rate: bool = False,
+) -> DataFrame:
+    """Upstream-PromQL ``extrapolatedRate`` over fixed tumbling windows.
+
+    Window w covers [w*window_us, (w+1)*window_us) — evaluated like
+    PromQL's ``increase(x[window])`` / ``rate(x[window])`` at the window
+    end.  Semantics (Prometheus promql/functions.go, extrapolatedRate):
+
+      result   = last - first + sum(resets within the window)   (counter)
+      toStart  = first_ts - window_start;  toEnd = window_end - last_ts
+      avgDur   = sampledInterval / (n - 1); threshold = avgDur * 1.1
+      toStart  = avgDur/2 if toStart >= threshold else toStart
+      toStart  = min(toStart, sampledInterval * first/result)    (counter,
+                 result > 0, first >= 0 — never extrapolate below zero)
+      toEnd    = avgDur/2 if toEnd >= threshold else toEnd
+      increase = result * (sampledInterval + toStart + toEnd) / sampledInterval
+      rate     = increase / window_seconds                       (is_rate)
+
+    Windows with < 2 samples (or zero sampled interval) yield NULL, as
+    PromQL drops them.  Reset detection uses within-window sample pairs
+    only, exactly like the upstream loop.  One shuffle on (series, win);
+    everything else is Column arithmetic on per-window aggregates."""
+    win = (F.col(ts_col) / F.lit(window_us)).cast("long").alias("_win")
+    w_ord = Window.partitionBy(*series_cols, "_win").orderBy(F.asc(ts_col), F.asc(value_col))
+    w_asc = w_ord
+    w_desc = Window.partitionBy(*series_cols, "_win").orderBy(
+        F.desc(ts_col), F.desc(value_col)
+    )
+    prev = F.lag(value_col).over(w_ord)
+    ranked = (
+        df.withColumn("_win", win)
+        .withColumn("_rn_a", F.row_number().over(w_asc))
+        .withColumn("_rn_d", F.row_number().over(w_desc))
+        .withColumn(
+            "_reset",
+            F.when(prev > F.col(value_col), prev).otherwise(F.lit(0.0)),
+        )
+    )
+    first_v = F.max(F.when(F.col("_rn_a") == 1, F.col(value_col)))
+    last_v = F.max(F.when(F.col("_rn_d") == 1, F.col(value_col)))
+    agg = ranked.groupBy(*series_cols, "_win").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        first_v.alias("_first_v"),
+        last_v.alias("_last_v"),
+        F.min(ts_col).alias("first_ts"),
+        F.max(ts_col).alias("last_ts"),
+        # decimal-exact accumulation: the reset sum is the one
+        # order-sensitive float reduction here; summing 9dp decimals makes
+        # the result independent of partitioning / aggregation order
+        F.sum(F.col("_reset").cast("decimal(27,9)")).cast("double").alias("_resets"),
+    )
+    result = F.col("_last_v") - F.col("_first_v") + (
+        F.col("_resets") if is_counter else F.lit(0.0)
+    )
+    to_start = (F.col("first_ts") - F.col("_win") * F.lit(window_us)).cast("double") / 1e6
+    to_end = ((F.col("_win") + 1) * F.lit(window_us) - F.col("last_ts")).cast("double") / 1e6
+    sampled = (F.col("last_ts") - F.col("first_ts")).cast("double") / 1e6
+    avg_dur = sampled / (F.col("n_samples") - 1).cast("double")
+    threshold = avg_dur * 1.1
+    to_start = F.when(to_start >= threshold, avg_dur / 2).otherwise(to_start)
+    if is_counter:
+        # NULL unless the clamp applies (guards the division: x/0 is
+        # engine-dependent); NULL < to_start is NULL -> otherwise branch
+        zero_clamp = F.when(
+            (result > 0) & (F.col("_first_v") >= 0),
+            sampled * F.col("_first_v") / result,
+        )
+        to_start = F.when(zero_clamp < to_start, zero_clamp).otherwise(to_start)
+    to_end = F.when(to_end >= threshold, avg_dur / 2).otherwise(to_end)
+    increase = result * (sampled + to_start + to_end) / sampled
+    if is_rate:
+        increase = increase / F.lit(window_us / 1e6)
+    out_name = "rate" if is_rate else "increase"
+    return agg.withColumn(
+        out_name,
+        F.when((F.col("n_samples") >= 2) & (sampled > 0), increase).otherwise(
+            F.lit(None).cast("double")
+        ),
+    ).drop("_first_v", "_last_v", "_resets")
+
+
+def extrapolated_rate_over_windows(
+    df: DataFrame,
+    series_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    window_us: int,
+    is_counter: bool = True,
+) -> DataFrame:
+    """PromQL ``rate()``: :func:`extrapolated_increase_over_windows`
+    divided by the window length in seconds."""
+    return extrapolated_increase_over_windows(
+        df, series_cols, ts_col, value_col, window_us, is_counter=is_counter, is_rate=True
     )
 
 

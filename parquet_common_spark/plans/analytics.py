@@ -536,3 +536,79 @@ def m8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+@query(
+    "m9_extrapolated_rate",
+    """
+    WITH base AS (
+      SELECT event_type, epoch_us(ts) AS ts_us, value,
+             CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+      FROM events),
+    lagged AS (
+      SELECT *,
+             LAG(value) OVER (PARTITION BY event_type, day ORDER BY ts_us, value) AS prev,
+             ROW_NUMBER() OVER (PARTITION BY event_type, day ORDER BY ts_us, value) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, day ORDER BY ts_us DESC, value DESC) AS rn_d
+      FROM base),
+    agg AS (
+      SELECT event_type, day, COUNT(*) AS n_samples,
+             MAX(CASE WHEN rn_a = 1 THEN value END) AS first_v,
+             MAX(CASE WHEN rn_d = 1 THEN value END) AS last_v,
+             MIN(ts_us) AS first_ts, MAX(ts_us) AS last_ts,
+             CAST(SUM(CAST(CASE WHEN prev > value THEN prev ELSE 0 END AS DECIMAL(27,9))) AS DOUBLE) AS resets
+      FROM lagged GROUP BY event_type, day),
+    calc AS (
+      SELECT *, last_v - first_v + resets AS result,
+             (first_ts - day * 86400000000) / 1e6 AS to_start0,
+             ((day + 1) * 86400000000 - last_ts) / 1e6 AS to_end0,
+             (last_ts - first_ts) / 1e6 AS sampled,
+             ((last_ts - first_ts) / 1e6) / (n_samples - 1) AS avg_dur
+      FROM agg),
+    calc2 AS (
+      SELECT *,
+             CASE WHEN to_start0 >= avg_dur * 1.1 THEN avg_dur / 2 ELSE to_start0 END AS to_start1,
+             CASE WHEN to_end0 >= avg_dur * 1.1 THEN avg_dur / 2 ELSE to_end0 END AS to_end
+      FROM calc),
+    calc3 AS (
+      SELECT *,
+             CASE WHEN result > 0 AND first_v >= 0
+                       AND sampled * first_v / result < to_start1
+                  THEN sampled * first_v / result ELSE to_start1 END AS to_start
+      FROM calc2)
+    SELECT event_type, day, n_samples,
+           ROUND(CASE WHEN n_samples >= 2 AND sampled > 0
+                 THEN result * (sampled + to_start + to_end) / sampled END, 6) AS increase,
+           ROUND(CASE WHEN n_samples >= 2 AND sampled > 0
+                 THEN result * (sampled + to_start + to_end) / sampled / 86400.0 END, 9) AS rate
+    FROM calc3
+    ORDER BY event_type, day
+    """,
+)
+def m9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL rate()/increase() with FULL upstream extrapolation semantics
+    through the engine: matcher select -> per-(series, day) boundary
+    extrapolation + counter zero-point clamp (Prometheus
+    promql/functions.go extrapolatedRate; the reference serves this via
+    the upstream engine, /root/reference/queryable/parquet_queryable_test.go:45).
+    The oracle replays the identical algorithm in SQL."""
+    from parquet_common_spark import Matcher, ParquetQueryable
+    from parquet_common_spark.functions.promql import extrapolated_increase_over_windows
+
+    q = ParquetQueryable([_events_shard(spark, sf_dir)])
+    sel = q.select(0, 2**62, [Matcher("__name__", "=", "events")])
+    base = sel.select(
+        F.col("l_event_type").alias("event_type"),
+        F.col("s_ts").alias("ts_us"),
+        F.col("s_value").alias("value"),
+    )
+    inc = extrapolated_increase_over_windows(
+        base, ["event_type"], "ts_us", "value", 86_400_000_000, is_counter=True
+    )
+    return inc.select(
+        "event_type",
+        F.col("_win").alias("day"),
+        "n_samples",
+        F.round(F.col("increase"), 6).alias("increase"),
+        F.round(F.col("increase") / F.lit(86400.0), 9).alias("rate"),
+    ).orderBy("event_type", "day")

@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 from parquet_common_spark.functions.promql import (
     agg_over_time,
     counter_adjusted,
+    extrapolated_increase_over_windows,
+    extrapolated_rate_over_windows,
     increase_over_windows,
     rate_over_windows,
 )
@@ -99,3 +101,115 @@ def test_agg_over_time(counters):
     assert all(r["count_over_time"] == 10 for r in out)
     for r in out:
         assert r["min_over_time"] <= r["avg_over_time"] <= r["max_over_time"]
+
+
+# ---------------------------------------------------------------------------
+# Extrapolated rate/increase: full upstream PromQL semantics, checked
+# against a direct Python port of Prometheus's extrapolatedRate
+# (promql/functions.go) over a promqltest-style corpus.  The reference
+# runs the whole upstream promqltest suite through its storage
+# (/root/reference/queryable/parquet_queryable_test.go:45-66); this is
+# our equivalent oracle for the temporal layer.
+# ---------------------------------------------------------------------------
+
+
+def py_extrapolated(samples, range_start_s, range_end_s, is_counter, is_rate):
+    """Python port of Prometheus extrapolatedRate.  samples: [(t_s, v)]."""
+    if len(samples) < 2:
+        return None
+    result = samples[-1][1] - samples[0][1]
+    if is_counter:
+        last = 0.0
+        for _, v in samples:
+            if v < last:
+                result += last
+            last = v
+    dur_start = samples[0][0] - range_start_s
+    dur_end = range_end_s - samples[-1][0]
+    sampled = samples[-1][0] - samples[0][0]
+    if sampled <= 0:
+        return None
+    avg_dur = sampled / (len(samples) - 1)
+    threshold = avg_dur * 1.1
+    if dur_start >= threshold:
+        dur_start = avg_dur / 2
+    if is_counter and result > 0 and samples[0][1] >= 0:
+        dur_zero = sampled * (samples[0][1] / result)
+        if dur_zero < dur_start:
+            dur_start = dur_zero
+    if dur_end >= threshold:
+        dur_end = avg_dur / 2
+    factor = (sampled + dur_start + dur_end) / sampled
+    if is_rate:
+        factor /= range_end_s - range_start_s
+    return result * factor
+
+
+# promqltest-style corpus: (name, [(ts_us, value)]) — one window each,
+# window = [0s, 60s).  Shapes: dense regular counter, samples far from
+# the boundary, counter reset mid-window, near-zero start (zero-point
+# clamp), gauge going down, tiny window population.
+CORPUS = [
+    ("dense_counter", [(i * 5_000_000, 10.0 * i) for i in range(12)]),
+    ("offset_start", [((20 + i * 4) * 1_000_000, 3.0 * i) for i in range(9)]),
+    ("reset_mid", [(i * 6_000_000, float(v)) for i, v in enumerate([0, 12, 24, 5, 17, 29, 41, 50, 62, 70])]),
+    ("zero_clamp", [(i * 10_000_000, 0.5 + 400.0 * i) for i in range(6)]),
+    ("sparse_pair", [(14_000_000, 7.0), (51_000_000, 21.0)]),
+    ("single", [(30_000_000, 5.0)]),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    rows = [(name, ts, v) for name, samples in CORPUS for ts, v in samples]
+    return spark.createDataFrame(rows, "series string, ts long, v double")
+
+
+@pytest.mark.parametrize("is_counter", [True, False])
+def test_extrapolated_increase_matches_python_port(corpus_df, is_counter):
+    got = {
+        r["series"]: r["increase"]
+        for r in extrapolated_increase_over_windows(
+            corpus_df, ["series"], "ts", "v", 60_000_000, is_counter=is_counter
+        ).collect()
+    }
+    for name, samples in CORPUS:
+        want = py_extrapolated(
+            [(t / 1e6, v) for t, v in samples], 0.0, 60.0, is_counter, False
+        )
+        if want is None:
+            assert got[name] is None, name
+        else:
+            assert got[name] == pytest.approx(want, rel=1e-12), name
+
+
+def test_extrapolated_rate_matches_python_port(corpus_df):
+    got = {
+        r["series"]: r["rate"]
+        for r in extrapolated_rate_over_windows(
+            corpus_df, ["series"], "ts", "v", 60_000_000
+        ).collect()
+    }
+    for name, samples in CORPUS:
+        want = py_extrapolated([(t / 1e6, v) for t, v in samples], 0.0, 60.0, True, True)
+        if want is None:
+            assert got[name] is None, name
+        else:
+            assert got[name] == pytest.approx(want, rel=1e-12), name
+
+
+def test_dense_regular_counter_rate_is_exact_slope(corpus_df):
+    """The classic promqltest property: a perfectly regular counter whose
+    samples start at the window edge extrapolates to exactly slope *
+    window — rate == per-second slope."""
+    out = {
+        r["series"]: r["rate"]
+        for r in extrapolated_rate_over_windows(
+            corpus_df, ["series"], "ts", "v", 60_000_000
+        ).collect()
+    }
+    # dense_counter: +10 every 5s from t=0 to t=55; slope 2/s; samples
+    # cover [0,55], toStart=0 (<threshold 5.5*1.1... threshold=5.5*... ):
+    # avg_dur=5, threshold 5.5, toStart=0 stays, toEnd=5 >= 5.5? no,
+    # 5 < 5.5 so extrapolates to the full window: (55+0+5)/55 * 110 / 60 = 2.0
+    assert out["dense_counter"] == pytest.approx(2.0, rel=1e-12)
