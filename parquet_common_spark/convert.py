@@ -64,6 +64,9 @@ def convert_sharded(
     sort_labels: tuple[str, ...] = S.DEFAULT_SORT_LABELS,
     col_duration_ms: int = S.DEFAULT_COL_DURATION_MS,
     row_group_size: int = S.DEFAULT_ROW_GROUP_SIZE,
+    compression: str = "zstd",
+    series_compression: str | None = None,
+    samples_compression: str | None = None,
 ) -> list[str]:
     """Split the series set into `num_shards` contiguous sorted ranges and
     write one shard directory per range (reference: shardSeries,
@@ -108,33 +111,54 @@ def convert_sharded(
             F.col(value_col).cast("double").alias(S.VALUE_COLUMN),
         ).join(shard_map, S.SERIES_HASH_COLUMN)
 
-        shard_ids = sorted(
-            r["_shard"] for r in assigned.select("_shard").distinct().collect()
+        # ONE pass per table: write partitioned by _shard (the reference's
+        # per-shard writer fan-out, convert/convert.go:390-419, as a single
+        # distributed write), then promote each _shard=N partition dir to
+        # the shard=N/<table>.parquet layout with driver-side renames —
+        # metadata ops, no data movement.  The old per-shard loop
+        # re-filtered series+samples once per shard: O(shards x data).
+        series_stage = os.path.join(out_dir, "_series_stage")
+        samples_stage = os.path.join(out_dir, "_samples_stage")
+        (
+            assigned.sortWithinPartitions(*order)
+            .write.mode("overwrite")
+            .option("compression", series_compression or compression)
+            .partitionBy("_shard")
+            .option("maxRecordsPerFile", row_group_size)
+            .option(
+                "parquet.bloom.filter.enabled#" + S.label_to_column(S.METRIC_NAME_LABEL),
+                "true",
+            )
+            .parquet(series_stage)
+        )
+        (
+            samples.repartition(F.col("_shard"), F.col(S.TIME_BUCKET_COLUMN))
+            .write.mode("overwrite")
+            .option("compression", samples_compression or compression)
+            .partitionBy("_shard", S.TIME_BUCKET_COLUMN)
+            .option("maxRecordsPerFile", row_group_size)
+            .parquet(samples_stage)
         )
         dirs = []
+        shard_ids = sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(series_stage)
+            if d.startswith("_shard=")
+        )
+        import shutil
+
         for sid in shard_ids:
             sdir = os.path.join(out_dir, f"shard={sid}")
             os.makedirs(sdir, exist_ok=True)
-            (
-                assigned.where(F.col("_shard") == sid)
-                .drop("_shard")
-                .sortWithinPartitions(*order)
-                .write.mode("overwrite")
-                .option("maxRecordsPerFile", row_group_size)
-                .option(
-                    "parquet.bloom.filter.enabled#" + S.label_to_column(S.METRIC_NAME_LABEL),
-                    "true",
-                )
-                .parquet(os.path.join(sdir, "series.parquet"))
+            os.rename(
+                os.path.join(series_stage, f"_shard={sid}"),
+                os.path.join(sdir, "series.parquet"),
             )
-            (
-                samples.where(F.col("_shard") == sid)
-                .drop("_shard")
-                .write.mode("overwrite")
-                .partitionBy(S.TIME_BUCKET_COLUMN)
-                .option("maxRecordsPerFile", row_group_size)
-                .parquet(os.path.join(sdir, "samples.parquet"))
-            )
+            sample_part = os.path.join(samples_stage, f"_shard={sid}")
+            if os.path.isdir(sample_part):
+                os.rename(sample_part, os.path.join(sdir, "samples.parquet"))
+            else:  # series with zero in-range samples: empty table dir
+                os.makedirs(os.path.join(sdir, "samples.parquet"), exist_ok=True)
             S.ShardMeta(
                 mint_ms=mint_ms,
                 maxt_ms=maxt_ms,
@@ -142,6 +166,8 @@ def convert_sharded(
                 sort_labels=tuple(sort_labels),
             ).write(sdir)
             dirs.append(sdir)
+        shutil.rmtree(series_stage, ignore_errors=True)
+        shutil.rmtree(samples_stage, ignore_errors=True)
         return dirs
     finally:
         assigned.unpersist()
@@ -150,11 +176,12 @@ def convert_sharded(
 def to_shard(
     df: DataFrame,
     ts_col: str = "ts",
-    value_col: str = "value",
+    value_col: str | None = "value",
     labels_col: str | None = "labels",
     col_duration_ms: int = S.DEFAULT_COL_DURATION_MS,
     mint_ms: int | None = None,
     maxt_ms: int | None = None,
+    extra_value_cols: list[str] | None = None,
 ):
     """In-memory conversion: long-form samples -> a ShardDataset (no I/O).
 
@@ -172,11 +199,14 @@ def to_shard(
         maxt_ms = int(row["mx"]) if maxt_ms is None else maxt_ms
     hashed = df.withColumn(S.SERIES_HASH_COLUMN, S.series_hash_column(label_cols))
     series = hashed.select(*label_cols, S.SERIES_HASH_COLUMN).distinct()
+    value_exprs = (
+        [F.col(value_col).cast("double").alias(S.VALUE_COLUMN)] if value_col is not None else []
+    ) + [F.col(c) for c in (extra_value_cols or [])]
     samples = hashed.select(
         F.col(S.SERIES_HASH_COLUMN),
         S.data_col_idx(F.col(ts_col).cast("long"), mint_ms, col_duration_ms).alias(S.TIME_BUCKET_COLUMN),
         F.col(ts_col).cast("long").alias(S.TS_COLUMN),
-        F.col(value_col).cast("double").alias(S.VALUE_COLUMN),
+        *value_exprs,
     )
     meta = S.ShardMeta(mint_ms=mint_ms, maxt_ms=maxt_ms, col_duration_ms=col_duration_ms)
     return ShardDataset(series=series, samples=samples, meta=meta)
@@ -186,7 +216,7 @@ def convert(
     df: DataFrame,
     out_dir: str,
     ts_col: str = "ts",
-    value_col: str = "value",
+    value_col: str | None = "value",
     labels_col: str | None = "labels",
     sort_labels: tuple[str, ...] = S.DEFAULT_SORT_LABELS,
     col_duration_ms: int = S.DEFAULT_COL_DURATION_MS,
@@ -195,11 +225,29 @@ def convert(
     maxt_ms: int | None = None,
     num_shards: int | None = None,
     max_series: int | None = None,
+    extra_value_cols: list[str] | None = None,
+    compression: str = "zstd",
+    series_compression: str | None = None,
+    samples_compression: str | None = None,
 ) -> S.ShardMeta:
     """Write one shard directory: ``series.parquet`` + ``samples.parquet`` + meta.
 
     ``df``: either long form with a map column ``labels_col``, or already-wide
     with ``l_*`` columns (pass ``labels_col=None``).
+
+    Compression defaults to zstd with a per-role override
+    (``series_compression`` / ``samples_compression``), mirroring the
+    reference's per-file-role codec config (schema/schema.go:38-55,
+    convert/convert.go:289-326 — zstd default, snappy optional).
+
+    ``extra_value_cols`` carries additional per-sample columns into the
+    samples table verbatim — the histogram slot: the reference stores
+    float, integer-histogram and float-histogram chunk encodings
+    side by side (schema/encoder.go:74-79); here a histogram sample is
+    struct/array columns (``h_*`` classic or ``nh_*`` native, see
+    functions/histograms.py) next to — or instead of (``value_col=None``)
+    — the float ``s_value``.  The read side serves whatever sample
+    columns exist (queryable.py value_cols discovery).
     """
     if labels_col is not None and labels_col in df.columns:
         df = wide_from_label_map(df, labels_col)
@@ -229,16 +277,20 @@ def convert(
     series_sorted = series.repartitionByRange(nparts, *[F.col(c) for c in series_order]) \
         .sortWithinPartitions(*series_order)
 
+    value_exprs = (
+        [F.col(value_col).cast("double").alias(S.VALUE_COLUMN)] if value_col is not None else []
+    ) + [F.col(c) for c in (extra_value_cols or [])]
     samples = hashed.select(
         F.col(S.SERIES_HASH_COLUMN),
         S.data_col_idx(F.col(ts_col).cast("long"), mint_ms, col_duration_ms).alias(S.TIME_BUCKET_COLUMN),
         F.col(ts_col).cast("long").alias(S.TS_COLUMN),
-        F.col(value_col).cast("double").alias(S.VALUE_COLUMN),
+        *value_exprs,
     )
 
     os.makedirs(out_dir, exist_ok=True)
     (
         series_sorted.write.mode("overwrite")
+        .option("compression", series_compression or compression)
         .option("maxRecordsPerFile", row_group_size)
         .option("parquet.bloom.filter.enabled#" + S.label_to_column(S.METRIC_NAME_LABEL), "true")
         .option("parquet.bloom.filter.enabled#" + S.SERIES_HASH_COLUMN, "true")
@@ -248,6 +300,7 @@ def convert(
         samples.repartition(nparts, F.col(S.SERIES_HASH_COLUMN))
         .sortWithinPartitions(S.SERIES_HASH_COLUMN, S.TS_COLUMN)
         .write.mode("overwrite")
+        .option("compression", samples_compression or compression)
         .partitionBy(S.TIME_BUCKET_COLUMN)
         .option("maxRecordsPerFile", row_group_size)
         .option("parquet.bloom.filter.enabled#" + S.SERIES_HASH_COLUMN, "true")

@@ -31,7 +31,14 @@ import struct
 ENC_RAW = 1  # occupies the EncXOR slot; interior codec is ours (see module doc)
 
 
+_M64 = (1 << 64) - 1
+
+
 def _uvarint(n: int) -> bytes:
+    # Negative ints wrap to their uint64 two's complement, matching the
+    # reference's uint64(ts) casts (schema/encoder.go) — without the mask
+    # a negative input shifts right forever and hangs the executor task.
+    n &= _M64
     out = bytearray()
     while True:
         b = n & 0x7F
@@ -41,6 +48,11 @@ def _uvarint(n: int) -> bytes:
         else:
             out.append(b)
             return bytes(out)
+
+
+def _to_i64(n: int) -> int:
+    """Reinterpret a decoded uint64 as int64 (pre-1970 timestamps)."""
+    return n - (1 << 64) if n >= (1 << 63) else n
 
 
 def _read_uvarint(buf: bytes, pos: int) -> tuple[int, int]:
@@ -73,8 +85,8 @@ def decode_chunk(buf: bytes) -> list[tuple[int, float]]:
     cur = 0
     for _ in range(n):
         d, pos = _read_uvarint(buf, pos)
-        cur += d
-        ts.append(cur)
+        cur = (cur + d) & _M64  # mod-2^64 delta chain, sign-restored below
+        ts.append(_to_i64(cur))
     vals = struct.unpack_from(f"<{n}d", buf, pos)
     return list(zip(ts, vals))
 
@@ -104,6 +116,7 @@ def unpack_chunks(buf: bytes, mint: int | None = None, maxt: int | None = None) 
         enc, pos = _read_uvarint(buf, pos)
         cmin, pos = _read_uvarint(buf, pos)
         cmax, pos = _read_uvarint(buf, pos)
+        cmin, cmax = _to_i64(cmin), _to_i64(cmax)
         ln, pos = _read_uvarint(buf, pos)
         body = buf[pos : pos + ln]
         pos += ln

@@ -28,10 +28,16 @@ class ResourceExhausted(Exception):
 
 @dataclass
 class Quota:
-    """Per-Select budgets; None == unlimited (reference: search/limits.go:44-74)."""
+    """Per-Select budgets; None == unlimited (reference: search/limits.go:44-74).
+
+    Byte consumption ACCUMULATES across checks within one query — the
+    reference creates fresh Quota objects per Select
+    (queryable/parquet_queryable.go:348-378) and decrements them as each
+    table/row-group is touched; create one Quota per query here too."""
 
     max_rows: int | None = None
     max_bytes: int | None = None
+    _consumed_bytes: int = 0
 
     def check_rows(self, df: DataFrame, what: str = "series") -> None:
         if self.max_rows is None:
@@ -42,7 +48,18 @@ class Quota:
                 f"resource exhausted (query processed too many {what}: quota {self.max_rows})"
             )
 
-    def check_bytes(self, df: DataFrame) -> None:
+    def check_bytes(
+        self, df: DataFrame, partition_ranges: dict[str, tuple[int, int]] | None = None
+    ) -> None:
+        """Budget the bytes the pruned scan would read.
+
+        ``df.inputFiles()`` lists from the ANALYZED plan — the full file
+        listing, before partition pruning.  ``partition_ranges`` applies
+        the pruning the optimizer will perform: files under a
+        ``col=value`` partition directory with value outside [lo, hi] are
+        excluded, so a well-pruned query is metered on what it actually
+        scans (the reference meters during materialization,
+        search/materialize.go:939-965 — post-pruning by construction)."""
         if self.max_bytes is None:
             return
         try:
@@ -54,11 +71,33 @@ class Quota:
         total = 0
         for f in files:
             p = f.removeprefix("file:")
+            if partition_ranges and not _within_partition_ranges(p, partition_ranges):
+                continue
             try:
                 total += os.path.getsize(p)
             except OSError:
                 continue
-        if total > self.max_bytes:
+        self._consumed_bytes += total
+        if self._consumed_bytes > self.max_bytes:
             raise ResourceExhausted(
-                f"resource exhausted (query would scan ~{total} bytes: quota {self.max_bytes})"
+                f"resource exhausted (query would scan ~{self._consumed_bytes} bytes: "
+                f"quota {self.max_bytes})"
             )
+
+
+def _within_partition_ranges(path: str, ranges: dict[str, tuple[int, int]]) -> bool:
+    """True unless a ``col=value`` path segment falls outside its range."""
+    for seg in path.split("/"):
+        if "=" not in seg:
+            continue
+        col, _, raw = seg.partition("=")
+        rng = ranges.get(col)
+        if rng is None:
+            continue
+        try:
+            v = int(raw)
+        except ValueError:
+            continue
+        if not (rng[0] <= v <= rng[1]):
+            return False
+    return True

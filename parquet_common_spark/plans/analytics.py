@@ -612,3 +612,122 @@ def m9(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("increase"), 6).alias("increase"),
         F.round(F.col("increase") / F.lit(86400.0), 9).alias("rate"),
     ).orderBy("event_type", "day")
+
+
+_HIST_BOUNDS = [10.0, 25.0, 50.0, 100.0, 250.0]  # finite le-bounds; +Inf appended
+_HIST_SHARD_CACHE: dict = {}
+
+
+def _hist_shard(spark: SparkSession, sf_dir: str):
+    """Histogram-sample shard written through convert() to parquet and read
+    back — the reference's EncHistogram story (schema/encoder.go:74-79)
+    exercised end-to-end: histogram struct columns ride the samples table
+    next to the float slot, survive the disk round trip, and are served by
+    the same matcher select."""
+    import tempfile
+
+    from parquet_common_spark.convert import convert
+    from parquet_common_spark.queryable import ShardDataset
+
+    key = (id(spark), sf_dir)
+    if key in _HIST_SHARD_CACHE:
+        return _HIST_SHARD_CACHE[key]
+    ev = load(spark, sf_dir, "events")["events"]
+    day = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000)).cast("long")
+    cums = [
+        F.sum((F.col("value") <= F.lit(b)).cast("long")).alias(f"_c{i}")
+        for i, b in enumerate(_HIST_BOUNDS)
+    ]
+    g = (
+        ev.groupBy(F.col("event_type"), day.alias("day"))
+        .agg(F.count(F.lit(1)).alias("h_count"), dsum(F.col("value"), 2).alias("h_sum"), *cums)
+    )
+    rows = g.select(
+        F.create_map(
+            F.lit("__name__"), F.lit("events_hist"), F.lit("event_type"), F.col("event_type")
+        ).alias("labels"),
+        (F.col("day") * F.lit(86_400_000_000)).alias("ts"),
+        "h_count",
+        "h_sum",
+        F.array(*[F.lit(b) for b in _HIST_BOUNDS], F.lit(float("inf"))).alias("h_bounds"),
+        F.array(*[F.col(f"_c{i}") for i in range(len(_HIST_BOUNDS))], F.col("h_count")).alias(
+            "h_counts"
+        ),
+    )
+    out_dir = tempfile.mkdtemp(prefix="hist_shard_")
+    convert(
+        rows,
+        out_dir,
+        value_col=None,
+        extra_value_cols=["h_count", "h_sum", "h_bounds", "h_counts"],
+        col_duration_ms=24 * 3600 * 1_000_000,
+    )
+    shard = ShardDataset.read(spark, out_dir)
+    shard.series = shard.series.persist()
+    shard.samples = shard.samples.persist()
+    _HIST_SHARD_CACHE[key] = shard
+    return shard
+
+
+@query(
+    "m10_histogram_quantile",
+    """
+    WITH agg AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+             COUNT(*) AS h_count,
+             CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS h_sum,
+             CAST(SUM(CASE WHEN value <= 10.0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+             CAST(SUM(CASE WHEN value <= 25.0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+             CAST(SUM(CASE WHEN value <= 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+             CAST(SUM(CASE WHEN value <= 250.0 THEN 1 ELSE 0 END) AS BIGINT) AS c4
+      FROM events GROUP BY 1, 2),
+    arr AS (
+      SELECT event_type, day, h_count, h_sum,
+             [c0, c1, c2, c3, c4, h_count] AS counts,
+             [10.0, 25.0, 50.0, 100.0, 250.0, 'infinity'::DOUBLE] AS bounds
+      FROM agg),
+    ph AS (
+      SELECT a.*, t.q,
+             q * CAST(h_count AS DOUBLE) AS target,
+             CAST(len(list_filter(counts, c -> CAST(c AS DOUBLE) < q * CAST(h_count AS DOUBLE))) AS BIGINT) + 1 AS idx
+      FROM arr a CROSS JOIN (VALUES (0.5), (0.95)) t(q)),
+    phi AS (
+      SELECT event_type, day, h_count, h_sum, q,
+             CASE WHEN h_count <= 0 THEN NULL
+                  WHEN idx >= 6 THEN bounds[5]
+                  WHEN CAST(counts[idx] AS DOUBLE) = (CASE WHEN idx = 1 THEN 0.0 ELSE CAST(counts[idx - 1] AS DOUBLE) END) THEN bounds[idx]
+                  ELSE (CASE WHEN idx = 1 THEN 0.0 ELSE bounds[idx - 1] END)
+                       + (bounds[idx] - (CASE WHEN idx = 1 THEN 0.0 ELSE bounds[idx - 1] END))
+                         * (target - (CASE WHEN idx = 1 THEN 0.0 ELSE CAST(counts[idx - 1] AS DOUBLE) END))
+                         / (CAST(counts[idx] AS DOUBLE) - (CASE WHEN idx = 1 THEN 0.0 ELSE CAST(counts[idx - 1] AS DOUBLE) END))
+             END AS phi
+      FROM ph)
+    SELECT event_type, day, h_count, h_sum,
+           ROUND(MAX(CASE WHEN q = 0.5 THEN phi END), 6) AS phi_0_5,
+           ROUND(MAX(CASE WHEN q = 0.95 THEN phi END), 6) AS phi_0_95
+    FROM phi GROUP BY event_type, day, h_count, h_sum
+    ORDER BY event_type, day
+    """,
+)
+def m10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic-histogram samples through convert -> parquet -> select ->
+    histogram_quantile (reference: EncHistogram/EncFloatHistogram chunk
+    encodings, schema/encoder.go:74-79; PromQL histogram_quantile runs
+    upstream there, natively here)."""
+    from parquet_common_spark import Matcher, ParquetQueryable
+    from parquet_common_spark.functions.histograms import histogram_quantile
+
+    q = ParquetQueryable([_hist_shard(spark, sf_dir)])
+    sel = q.select(0, 2**62, [Matcher("__name__", "=", "events_hist")])
+    return sel.select(
+        F.col("l_event_type").alias("event_type"),
+        F.floor(F.col("s_ts") / F.lit(86_400_000_000)).cast("long").alias("day"),
+        "h_count",
+        "h_sum",
+        F.round(histogram_quantile(0.5, F.col("h_bounds"), F.col("h_counts")), 6).alias("phi_0_5"),
+        F.round(histogram_quantile(0.95, F.col("h_bounds"), F.col("h_counts")), 6).alias(
+            "phi_0_95"
+        ),
+    ).orderBy("event_type", "day")

@@ -181,6 +181,10 @@ class ParquetQueryable:
             return series.drop(S.SERIES_HASH_COLUMN).distinct()
 
         lo, hi = shard.meta.bucket_range(mint_ms, maxt_ms)
+        if quota is not None:
+            # meter the PRUNED sample scan: only time_bucket partitions
+            # inside the query range count against the byte budget
+            quota.check_bytes(shard.samples, {S.TIME_BUCKET_COLUMN: (lo, hi)})
         value_cols = [
             c for c in shard.samples.columns
             if c not in (S.SERIES_HASH_COLUMN, S.TIME_BUCKET_COLUMN, S.TS_COLUMN)

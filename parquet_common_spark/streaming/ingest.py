@@ -143,12 +143,19 @@ def _rate_fn(key, pdfs: Iterable, state: GroupState):
     first_ts = int(rows["ts"].iloc[0])
     new_ts = int(rows["ts"].iloc[-1])
     new_value = float(rows["value"].iloc[-1])
-    if last_ts is not None and new_ts > last_ts:
-        rate = (new_value - last_value) / ((new_ts - last_ts) / 1000.0)
-    elif n > 1 and new_ts > first_ts:
-        rate = (new_value - float(rows["value"].iloc[0])) / ((new_ts - first_ts) / 1000.0)
+    # Counter-reset handling, matching the batch path
+    # (promql.counter_adjusted): a drop between consecutive samples —
+    # INCLUDING the state carried from the previous micro-batch — adds the
+    # pre-drop value back, so a process restart between batches yields the
+    # true positive increase instead of a negative rate.
+    vals = rows["value"].astype(float).tolist()
+    if last_value is not None:
+        vals = [last_value] + vals
+        span_s = (new_ts - last_ts) / 1000.0 if new_ts > last_ts else 0.0
     else:
-        rate = 0.0
+        span_s = (new_ts - first_ts) / 1000.0 if n > 1 else 0.0
+    increase = vals[-1] - vals[0] + sum(p for p, c in zip(vals, vals[1:]) if c < p)
+    rate = increase / span_s if span_s > 0 else 0.0
     state.update((new_ts, new_value, total))
     yield pd.DataFrame(
         {

@@ -16,10 +16,29 @@ def test_uvarint_roundtrip():
         assert got == n and pos == len(buf)
 
 
+def test_uvarint_negative_terminates_and_wraps():
+    # pre-1970 timestamp: must NOT hang; wraps via uint64 like the Go
+    # encoder (schema/encoder.go) and sign-restores on decode
+    buf = CK._uvarint(-5)
+    got, _ = CK._read_uvarint(buf, 0)
+    assert got == (1 << 64) - 5
+    assert CK._to_i64(got) == -5
+
+
 def test_pack_unpack_roundtrip():
     samples = [(i * 1000, float(i) * 1.5) for i in range(300)]
     buf = CK.pack_chunks(samples, samples_per_chunk=120)
     assert CK.unpack_chunks(buf) == samples
+
+
+def test_pack_unpack_pre_1970_timestamps():
+    # negative ts (pre-epoch): framing mint/maxt and the first delta are
+    # negative — full round-trip incl. chunk-level time pruning
+    samples = [(-500_000 + i * 1000, float(i)) for i in range(250)]
+    buf = CK.pack_chunks(samples, samples_per_chunk=100)
+    assert CK.unpack_chunks(buf) == samples
+    got = CK.unpack_chunks(buf, mint=-400_000, maxt=-300_000)
+    assert got == [(t, v) for t, v in samples if -400_000 <= t <= -300_000]
 
 
 def test_chunk_cutting():

@@ -143,6 +143,59 @@ def test_multi_shard_union_and_dedup(spark, tmp_path):
     assert q.label_names() == ["__name__", "a", "b"]
 
 
+def test_zstd_roundtrip(spark, tmp_path):
+    """Default codec is zstd (reference: schema/schema.go:38-55), with a
+    per-role override — files verify via footer metadata and read back."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "z")
+    C.convert(make_long_df(spark, n_series=4), out, samples_compression="snappy")
+    codecs = {}
+    for role in ("series", "samples"):
+        f = sorted(glob.glob(f"{out}/{role}.parquet/**/*.parquet", recursive=True))[0]
+        codecs[role] = pq.ParquetFile(f).metadata.row_group(0).column(0).compression
+    assert codecs["series"] == "ZSTD"
+    assert codecs["samples"] == "SNAPPY"  # per-role override
+    q = ParquetQueryable.from_paths(spark, [out])
+    assert q.select(0, 10**12, [Matcher("__name__", "=", "foo")]).count() == 4 * 8
+
+
+def test_byte_quota_meters_pruned_scan(spark, tmp_path):
+    """The byte quota counts only time_bucket partitions inside the query
+    range: a narrow query under budget passes while the full range (same
+    budget) is rejected."""
+    import os as _os
+
+    out = str(tmp_path / "q")
+    # 8 samples x 30min with 1h buckets -> 4 time_bucket partitions
+    C.convert(make_long_df(spark, n_series=8), out, col_duration_ms=3600 * 1000)
+
+    def du(path):
+        total = 0
+        for root, _, names in _os.walk(path):
+            total += sum(_os.path.getsize(_os.path.join(root, n)) for n in names if n.endswith(".parquet"))
+        return total
+
+    series_b = du(f"{out}/series.parquet")
+    bucket0_b = du(f"{out}/samples.parquet/{S.TIME_BUCKET_COLUMN}=0")
+    all_b = du(f"{out}/samples.parquet")
+    assert bucket0_b < all_b
+    q = ParquetQueryable.from_paths(spark, [out])
+    # narrow range: series + only bucket 0 metered -> exactly within budget
+    q.select(
+        0, 3599_999, [Matcher("__name__", "=", "foo")],
+        quota=Quota(max_bytes=series_b + bucket0_b),
+    ).collect()
+    # full range: series + all buckets metered -> exceeds the same budget
+    with pytest.raises(ResourceExhausted):
+        q.select(
+            0, 10**12, [Matcher("__name__", "=", "foo")],
+            quota=Quota(max_bytes=series_b + bucket0_b),
+        )
+
+
 def test_series_hash_stability(spark):
     # same label set in different input orders -> same hash (dedup contract)
     df = spark.createDataFrame(

@@ -105,6 +105,59 @@ def test_rate_per_series_stateful(spark, tmp_path):
     assert abs(last["rate_per_sec"] - 1.0) < 1e-9
 
 
+def test_rate_counter_reset_within_batch(spark, tmp_path):
+    """A counter reset inside one micro-batch must yield the positive
+    reset-compensated increase (batch-path parity), not last-first."""
+    src = str(tmp_path / "in")
+    rows = [(3, s * 1000, float(s if s < 10 else s - 10)) for s in range(20)]
+    spark.createDataFrame(rows, "series_hash long, ts long, value double") \
+        .coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema("series_hash long, ts long, value double").parquet(src)
+    q = (
+        rate_per_series(stream)
+        .writeStream.format("memory")
+        .queryName("rates_reset")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    last = spark.sql("select * from rates_reset").collect()[-1]
+    # increase = (9 - 0) + 9 (reset pre-value) = 18 over 19s
+    assert last["rate_per_sec"] == pytest.approx(18.0 / 19.0)
+
+
+def test_rate_counter_reset_across_batches(spark, tmp_path):
+    """A reset BETWEEN micro-batches (process restart) must not produce a
+    zero/negative rate — the state's last value participates in reset
+    compensation."""
+    src = str(tmp_path / "in")
+    b1 = [(5, s * 1000, float(s)) for s in range(10)]            # 0..9
+    b2 = [(5, (10 + s) * 1000, float(s)) for s in range(10)]     # resets to 0..9
+    spark.createDataFrame(b1, "series_hash long, ts long, value double") \
+        .coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(b2, "series_hash long, ts long, value double") \
+        .coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("series_hash long, ts long, value double")
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+        .parquet(src)
+    )
+    q = (
+        rate_per_series(stream)
+        .writeStream.format("memory")
+        .queryName("rates_xbatch")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from rates_xbatch order by total_samples").collect()
+    assert rows[-1]["total_samples"] == 20
+    # batch 2: vals [9(state), 0..9]: increase = 9-9+9 = 9 over 10s
+    assert rows[-1]["rate_per_sec"] == pytest.approx(0.9)
+
+
 def test_streaming_dedup_within_watermark(spark, tmp_path):
     """Streaming exact-dedup: duplicate event_ids arriving within the
     watermark are dropped (the streaming face of the dedup operators)."""
