@@ -12,9 +12,12 @@ Five families, all designed shuffle-light for 100 TB:
                   pigeonhole segment equi-join (max_hamming+1 segments,
                   recall exactly 1.0 by construction), hamming verify.
   - n-gram Jaccard: brute-force verify *within a blocking key*
-                  (lang, length-band ±1) — the classic blocked-dedup shape;
-                  both key components bound the quadratic term (language
-                  alone is unbounded at corpus scale).
+                  (block_col, shingle-count log-band ±1) — jaccard >= tau
+                  forces the distinct-shingle-set size ratio into
+                  [tau, 1/tau], so log_{1/tau} bands differ by <= 1 for
+                  EVERY qualifying pair: recall exactly 1.0, block size
+                  bounded by the corpus's size distribution per ratio
+                  band (not by an arbitrary absolute width).
   - embedding near-dup: exact cosine threshold join, distributed as
                   B(B+1)/2 block-pair numpy/BLAS tasks (LSH cannot honor an
                   exact threshold contract — see the function docstring).
@@ -210,15 +213,32 @@ def _signatures_arrow(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def minhash_lsh_pairs(
-    df: DataFrame, id_col: str, text_col: str, tau: float = 0.25, engine: str = "arrow"
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    tau: float = 0.25,
+    engine: str = "arrow",
+    band_cap: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact-Jaccard verify.
 
     Plan shape (the 100 TB story): signature + bands are a map-only stage;
     the band groupBy shuffles (doc_id, band_key) pairs — tiny rows; the
     verify join only touches candidate pairs.  No all-pairs stage at any
-    scale; skew-prone giant buckets are AQE's skew-join problem, and a cap
-    can be added per band key.
+    scale (pinned by tests/test_plans.py).
+
+    ``band_cap`` bounds a DEGENERATE band: a bucket where millions of
+    boilerplate documents share a band key otherwise goes quadratic.
+    With a cap, bucket members are ranked by id and a pair is a candidate
+    only when the ranks are within ``band_cap`` — candidate volume drops
+    from O(m²) to O(m·cap) per bucket.  Chaining consecutive ranks keeps
+    every bucket CONNECTED, so downstream duplicate CLUSTERS
+    (connected_components) are unchanged for buckets of mutual
+    duplicates; pair-level recall inside an oversized bucket is
+    explicitly traded (distant-rank pairs are only found if another band
+    catches them) — tested with a degenerate corpus in
+    tests/test_operators.py.  None (the default) preserves the exact
+    oracle contract.
 
     ``engine``: "arrow" (default — numpy-vectorized signature stage) or
     "column" (pure JVM higher-order expressions).  Both produce identical
@@ -258,13 +278,29 @@ def minhash_lsh_pairs(
             )
         ).alias("_band"),
     )
-    cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), "_band")
-        .where(F.col("a._id") < F.col("b._id"))
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .distinct()
-    )
+    if band_cap is not None:
+        from pyspark.sql import Window
+
+        rk = F.row_number().over(Window.partitionBy("_band").orderBy("_id"))
+        bands = bands.withColumn("_rk", rk)
+        cand = (
+            bands.alias("a")
+            .join(bands.alias("b"), "_band")
+            .where(
+                (F.col("a._id") < F.col("b._id"))
+                & (F.col("b._rk") - F.col("a._rk") <= band_cap)
+            )
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .distinct()
+        )
+    else:
+        cand = (
+            bands.alias("a")
+            .join(bands.alias("b"), "_band")
+            .where(F.col("a._id") < F.col("b._id"))
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+            .distinct()
+        )
     hashes = sigs.select("_id", "_sh")
     return (
         cand.join(hashes.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a")
@@ -407,9 +443,6 @@ def simhash_pairs(
 # ------------------------------------------------------- blocked n-gram
 
 
-NGRAM_LEN_BAND = 128  # width of the length-band component of the block key
-
-
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -417,39 +450,51 @@ def ngram_jaccard_pairs(
     block_col: str,
     n: int = 5,
     tau: float = 0.4,
-    len_band: int = NGRAM_LEN_BAND,
 ) -> DataFrame:
     """Character-n-gram Jaccard near-dup pairs, brute-forced WITHIN a
-    composite blocking key — never all-pairs.
+    composite blocking key — never all-pairs, recall exactly 1.0.
 
-    Block key = (block_col, length-band): a category key alone (language)
-    is unbounded at corpus scale — one language is most of a 100 TB
-    corpus — so the quadratic term needs a second, value-derived
-    component.  Docs land in length bands floor(len/W) and the band
-    above; a pair is a candidate iff its bands differ by ≤1 (each
-    qualifying pair matched exactly once via the key==greatest(band)
-    filter, so no distinct is needed and shingle arrays ride the join
-    once).  Jaccard >= tau forces |A|/|B| ∈ [tau, 1/tau], i.e. near-dup
-    texts have similar lengths, so W ≈ typical_len·(1/tau−1) keeps real
-    pairs in adjacent bands; the candidate contract (band distance ≤ 1)
-    is mirrored verbatim in the DuckDB oracle."""
+    Block key = (block_col, ratio band): the second component is
+    floor(log_{1/tau} |shingle set|).  jaccard(A,B) >= tau implies
+    tau <= |A|/|B| <= 1/tau for the DISTINCT shingle sets (|A∩B| <= |A|
+    and >= tau·|A∪B| >= tau·|B|), so the two log-bands differ by at most
+    1 — every qualifying pair survives banding BY CONSTRUCTION, unlike a
+    fixed-width length band whose recall degrades for long documents.
+    Each doc lands in bands (b, b+1); a pair is matched exactly once via
+    the key==greatest(band) filter, so no distinct is needed and shingle
+    arrays ride the join once.  Because recall is structural, the DuckDB
+    oracle is the UNBLOCKED all-pairs jaccard join — the banding must
+    reproduce it bit-for-bit.
+
+    Block sizes follow the corpus's size distribution per ratio band
+    (bands are geometric: each covers a (1/tau)x size range).  A
+    degenerate band (billions of same-sized docs in one language at
+    100 TB) is still quadratic in the worst case — route such corpora
+    through minhash_lsh_pairs (probabilistic, band_cap-bounded) and use
+    this operator as the exact verifier."""
+    import math
+
+    assert 0.0 < tau < 1.0, "tau must be in (0, 1)"
+    band_den = math.log(1.0 / tau)
     s = (
         df.select(
             F.col(id_col).alias("_id"),
             F.col(block_col).alias("_blk"),
             normalize_text(F.col(text_col)).alias("_norm"),
         )
-        .withColumn("_b", F.floor(F.length("_norm") / len_band))
-        .select("_id", "_blk", "_b", char_shingles_from_norm(F.col("_norm"), n).alias("_ss"))
+        .select("_id", "_blk", char_shingles_from_norm(F.col("_norm"), n).alias("_ss"))
         # hash shingles to longs: the pairwise array_intersect/union over
         # ~300-element arrays dominates the blocked join, and long
         # comparisons beat string comparisons ~4x there
         .select(
             "_id",
             "_blk",
-            "_b",
             F.array_distinct(F.transform(F.col("_ss"), lambda sh: char_poly_hash(sh))).alias("_sh"),
         )
+        # ratio band on the DISTINCT shingle count (see docstring); sizes
+        # are integers and 1/tau powers are non-integer, so the floor is
+        # engine-stable
+        .withColumn("_b", F.floor(F.log(F.size("_sh").cast("double")) / F.lit(band_den)))
         .persist()  # both sides of the self-join consume the shingle pipeline
     )
     bands = s.select("_id", "_blk", "_b", "_sh", F.explode(F.array(F.col("_b"), F.col("_b") + 1)).alias("_k"))
@@ -471,19 +516,45 @@ def ngram_jaccard_pairs(
 # -------------------------------------------------- embedding near-dup
 
 
-def embedding_neardup_pairs(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.4, n_blocks: int = 8
-) -> DataFrame:
-    """Pairs of vectors with cosine >= threshold — EXACT result, block-pair
-    distributed plan (no cross join; pinned by tests/test_plans.py).
+def _fold_cos(a, b):
+    """Sequential left-to-right cosine fold — identical fp rounding to the
+    JVM aggregate(zip_with(...)) path and DuckDB list_dot_product."""
+    import math
 
-    Why not hyperplane LSH for candidates: LSH honors a *threshold*
-    contract only probabilistically — at tau=0.4 (angle ~66°) per-bit
-    agreement is ~0.63, so even 8 tables x 6 bits recall only ~40% of the
-    true pairs on dense embeddings (measured on the driver tables: ~990
-    background pairs at cos>=0.3), and the exact oracle would diverge.
-    An exact threshold join over dense vectors is inherently O(n²) work;
-    the scalable shape distributes it EVENLY as B(B+1)/2 block-pair tasks
+    dot = 0.0
+    na = 0.0
+    nb = 0.0
+    for x, y in zip(a, b):
+        dot += x * y
+        na += x * x
+        nb += y * y
+    denom = math.sqrt(na) * math.sqrt(nb)
+    return dot / denom if denom > 0 else float("nan")
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.4,
+    n_blocks: int = 8,
+    mode: str = "exact",
+) -> DataFrame:
+    """Pairs of vectors with cosine >= threshold.
+
+    ``mode="exact"`` (default, the oracle contract): block-pair
+    distributed plan, no cross join (pinned by tests/test_plans.py).
+    ``mode="ann"``: hyperplane-LSH candidates + exact cosine verify — the
+    documented 100 TB path, which trades recall (reported by
+    tests/test_operators.py) for near-linear candidate volume.
+
+    Why exact can't ride LSH: LSH honors a *threshold* contract only
+    probabilistically — at tau=0.4 (angle ~66°) per-bit agreement is
+    ~0.63, so even 8 tables x 6 bits recall only ~40% of the true pairs
+    on dense embeddings (measured on the driver tables: ~990 background
+    pairs at cos>=0.3), and the exact oracle would diverge.  An exact
+    threshold join over dense vectors is inherently O(n²) work; the
+    scalable shape distributes it EVENLY as B(B+1)/2 block-pair tasks
     (each row is shuffled to B groups — replication sqrt(2·#tasks), the
     standard blocked all-pairs layout) and makes each task one vectorized
     numpy/BLAS matmul instead of per-row interpreted HOF cosine.  Matmul
@@ -491,14 +562,24 @@ def embedding_neardup_pairs(
     sequential-fold double arithmetic as the JVM/DuckDB path, so the
     emitted values and the >= comparison stay bitwise identical to the
     all-pairs oracle.  B grows with corpus size so one block pair fits an
-    executor's memory (2·n/B vectors)."""
+    executor's memory (2·n/B vectors).  At 100 TB the exact contract
+    itself is the bottleneck — switch to mode="ann" and accept a recall
+    target instead.
+
+    Ids: block assignment hashes the id (any orderable type balances),
+    but the output schema emits ids as longs — non-numeric ids need a
+    surrogate key.  Zero-norm vectors match nothing (cos undefined ->
+    NaN -> every >= comparison false), exactly like the SQL oracle where
+    0/0 yields NULL."""
+    if mode == "ann":
+        return _embedding_neardup_ann(df, id_col, vec_col, threshold)
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
     spark = df.sparkSession
     v = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
-        F.pmod(F.col(id_col), F.lit(n_blocks)).alias("_blk"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("_blk"),
     )
     # group membership: group (i,j) i<=j gets block i as side L, block j as R
     mem = []
@@ -528,20 +609,7 @@ def embedding_neardup_pairs(
         import numpy as np
         import pandas as pd
 
-        def fold_cos(a, b):
-            # sequential left-to-right fold — identical fp rounding to the
-            # JVM aggregate(zip_with(...)) path and DuckDB list_dot_product
-            dot = 0.0
-            na = 0.0
-            nb = 0.0
-            for x, y in zip(a, b):
-                dot += x * y
-                na += x * x
-                nb += y * y
-            import math
-
-            return dot / (math.sqrt(na) * math.sqrt(nb))
-
+        fold_cos = _fold_cos
         diagonal = (pdf["side"] == "B").any()
         if diagonal:
             l_ids = pdf["_id"].to_numpy()
@@ -579,5 +647,58 @@ def embedding_neardup_pairs(
     return (
         tagged.groupBy("gid")
         .applyInPandas(block_pairs, schema=out_schema)
+        .select("id_a", "id_b", F.round("cos", 5).alias("cos"))
+    )
+
+
+def _embedding_neardup_ann(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float, dim: int = 64
+) -> DataFrame:
+    """ANN mode: multi-table hyperplane-LSH candidate generation (shared
+    with similarity.lsh_topk — map-only Arrow signatures, one equi-join on
+    bucket keys) + exact sequential-fold cosine verify.  Candidate volume
+    scales with bucket collisions, not n²; recall < 1.0 by design and is
+    measured against the exact mode in tests/test_operators.py."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from parquet_common_spark.operators.similarity import lsh_buckets_arrow
+
+    b = lsh_buckets_arrow(df, id_col, vec_col, dim=dim).persist()
+    cand = (
+        b.alias("a")
+        .join(b.alias("b"), "_bkt")
+        .where(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("a._v").alias("v_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("b._v").alias("v_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cos", DoubleType()),
+        ]
+    )
+    tau = threshold
+
+    def verify(it):
+        import pandas as pd
+
+        for pdf in it:
+            ids_a, ids_b, coss = [], [], []
+            for a, va, bb, vb in zip(pdf["id_a"], pdf["v_a"], pdf["id_b"], pdf["v_b"]):
+                c = _fold_cos(va, vb)
+                if c >= tau:
+                    ids_a.append(int(a))
+                    ids_b.append(int(bb))
+                    coss.append(c)
+            yield pd.DataFrame({"id_a": ids_a, "id_b": ids_b, "cos": coss})
+
+    return (
+        cand.mapInPandas(verify, schema=out_schema)
         .select("id_a", "id_b", F.round("cos", 5).alias("cos"))
     )

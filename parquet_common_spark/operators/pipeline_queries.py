@@ -98,15 +98,24 @@ _D2_SQL = f"""
 
 
 _PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+_PAIRS_CACHE_MAX = 4  # (appId, sf_dir) entries; LRU-evicted + unpersisted
 
 
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """d2/d6/c1 all consume the same LSH pair set; compute it once per
     (session, sf_dir) and persist — the cross-query analogue of the
     reference's pluggable predicate-result cache
-    (/root/reference/search/constraint_cache.go:16-33)."""
+    (/root/reference/search/constraint_cache.go:16-33).  Bounded: the
+    oldest entry is unpersisted and dropped beyond _PAIRS_CACHE_MAX, so a
+    long-lived session sweeping many sf_dirs can't pin unbounded executor
+    memory.  Staleness caveat: regenerating an sf_dir's parquet within
+    one application requires clearing the entry (same contract as the
+    reference's cache, which keys on immutable shard identity)."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _PAIRS_CACHE:
+        while len(_PAIRS_CACHE) >= _PAIRS_CACHE_MAX:
+            _, old = _PAIRS_CACHE.popitem()
+            old.unpersist()
         docs = load(spark, sf_dir, "documents")["documents"]
         _PAIRS_CACHE[key] = D.minhash_lsh_pairs(docs, "doc_id", "text", tau=_SH_TAU).persist()
     return _PAIRS_CACHE[key]
@@ -146,19 +155,22 @@ def d3(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------------------------------------------- d4: blocked n-gram
 
 _NG_TAU = 0.4
-_NG_W = 128  # = dedup.NGRAM_LEN_BAND; candidate contract: length bands differ <= 1
+# The oracle is the UNBLOCKED all-pairs jaccard join within a language:
+# the Spark side's shingle-count log-banding has recall exactly 1.0 by
+# construction (jaccard >= tau bounds the set-size ratio), so the banded
+# plan must reproduce the unbanded answer bit-for-bit.
 _D4_SQL = f"""
     WITH t0 AS (SELECT doc_id AS id, lang, {_NORM.format(c='text')} AS s FROM documents),
-    t0b AS (SELECT id, lang, CAST(floor(length(s) / {_NG_W}) AS BIGINT) AS lb,
+    t0b AS (SELECT id, lang,
              list_distinct(CASE WHEN length(s) >= 5
                   THEN list_transform(generate_series(1, length(s) - 4), i -> substr(s, i, 5))
                   ELSE [s] END) AS ss
            FROM t0),
-    t1 AS (SELECT id, lang, lb, list_distinct(list_transform(ss, sg -> {_phash('sg')})) AS sh FROM t0b)
+    t1 AS (SELECT id, lang, list_distinct(list_transform(ss, sg -> {_phash('sg')})) AS sh FROM t0b)
     SELECT a.id AS id_a, b.id AS id_b,
            ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                  / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 6) AS jaccard
-    FROM t1 a JOIN t1 b ON a.lang = b.lang AND a.id < b.id AND abs(a.lb - b.lb) <= 1
+    FROM t1 a JOIN t1 b ON a.lang = b.lang AND a.id < b.id
     WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
           / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) >= {_NG_TAU}
     ORDER BY id_a, id_b
@@ -168,9 +180,9 @@ _D4_SQL = f"""
 @query("d4_ngram_jaccard_dedup", _D4_SQL)
 def d4(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")["documents"]
-    return D.ngram_jaccard_pairs(
-        docs, "doc_id", "text", "lang", n=5, tau=_NG_TAU, len_band=_NG_W
-    ).orderBy("id_a", "id_b")
+    return D.ngram_jaccard_pairs(docs, "doc_id", "text", "lang", n=5, tau=_NG_TAU).orderBy(
+        "id_a", "id_b"
+    )
 
 
 # ------------------------------------------------- d5: embedding near-dup

@@ -511,10 +511,15 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir, "customer", "orders")
-    avg_bal = t["customer"].where(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal")).collect()[0][0]
+    # scalar subquery as a broadcast single-row crossJoin (the q20a
+    # pattern): one job, no collect()-then-replan driver round trip
+    avg_bal = (
+        t["customer"].where(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("_avg_bal"))
+    )
     return (
         t["customer"]
-        .where(F.col("c_acctbal") > avg_bal)
+        .crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("_avg_bal"))
         .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"), "left_anti")
         .groupBy((F.col("c_nationkey") % 10).cast("int").alias("cntrycode"))
         .agg(F.count(F.lit(1)).alias("numcust"), dsum(F.col("c_acctbal"), 2).alias("totacctbal"))

@@ -72,6 +72,42 @@ def test_embedding_neardup(spark):
     assert pairs == {(0, 1)}
 
 
+def test_embedding_neardup_ann_recall(spark, sf_dir):
+    """mode="ann": LSH candidates + exact verify.  Precision is 1.0 by
+    construction (same fold-cos, same threshold); recall is the traded
+    quantity — measured against exact mode, with a sanity floor."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"]) for r in D.embedding_neardup_pairs(emb, "vec_id", "embedding", 0.4).collect()
+    }
+    ann = {
+        (r["id_a"], r["id_b"])
+        for r in D.embedding_neardup_pairs(emb, "vec_id", "embedding", 0.4, mode="ann").collect()
+    }
+    assert ann <= exact, "ANN mode emitted a pair the exact join rejects"
+    recall = len(ann & exact) / len(exact)
+    assert recall >= 0.2, f"ANN recall collapsed: {recall}"
+
+
+def test_minhash_band_cap_degenerate_bucket(spark):
+    """500 identical docs put every id in ONE band bucket per band.
+    band_cap bounds the candidate volume to O(n*cap) while chaining keeps
+    the bucket connected, so duplicate CLUSTERS are unchanged."""
+    n = 120
+    rows = [(i, "the same boilerplate sentence repeated in every single document") for i in range(n)]
+    rows += [(n, "something else entirely different here about engines")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = D.minhash_lsh_pairs(df, "doc_id", "text", tau=0.25, band_cap=3)
+    pairs = capped.collect()
+    # candidate/pair volume is linear in n, not quadratic
+    assert len(pairs) <= n * 3
+    # cluster structure is preserved: all n identical docs in ONE component
+    from parquet_common_spark.operators.components import dedup_clusters
+
+    clusters = {r["keep_id"]: r["n_members"] for r in dedup_clusters(capped).collect()}
+    assert clusters == {0: n}
+
+
 def test_lsh_topk_recall(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 10)

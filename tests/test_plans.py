@@ -91,3 +91,30 @@ def test_minhash_no_cartesian(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     p = plan_of(minhash_lsh_pairs(docs, "doc_id", "text"))
     assert "CartesianProduct" not in p  # banded equi-join, never all-pairs
+
+
+def test_simhash_no_cartesian(spark, sf_dir):
+    from parquet_common_spark.operators.dedup import simhash_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan_of(simhash_pairs(docs, "doc_id", "text"))
+    assert "CartesianProduct" not in p  # pigeonhole segment equi-join
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_embedding_neardup_no_cartesian(spark, sf_dir):
+    from parquet_common_spark.operators.dedup import embedding_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    p = plan_of(embedding_neardup_pairs(emb, "vec_id", "embedding"))
+    assert "CartesianProduct" not in p  # B(B+1)/2 block-pair groups
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_ngram_jaccard_no_cartesian(spark, sf_dir):
+    from parquet_common_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan_of(ngram_jaccard_pairs(docs, "doc_id", "text", "lang"))
+    assert "CartesianProduct" not in p  # (block, ratio-band) equi-join
+    assert "BroadcastNestedLoopJoin" not in p
