@@ -12,12 +12,22 @@ filtering at encoder.go:274-325), with chunks re-cut every
 ``samples_per_chunk`` samples (encoder.go:105-113; default 120 =
 tsdb.DefaultSamplesPerChunk, convert/convert.go:54).
 
-Inside a chunk we store (delta-varint ts, raw float64 bits) pairs — the
-reference delegates its XOR/Gorilla compression to
-``prometheus/tsdb/chunkenc`` (an external library from this repo's point
-of view), so byte-level parity of chunk *interiors* is explicitly out of
-scope; the FRAMING and cut/filter semantics are faithful.  Encoding id 1
-mirrors ``EncXOR``'s slot (schema/encoder.go:75).
+Inside a chunk we implement the Gorilla XOR encoding itself — the same
+wire layout as ``prometheus/tsdb/chunkenc``'s XOR chunk (the library the
+reference delegates to, schema/encoder.go:75 ``EncXOR``), which is the
+public format from Facebook's Gorilla paper (Pelkonen et al., VLDB'15):
+
+    2-byte big-endian sample count
+    sample 0:   zigzag-varint ts, raw 64-bit float value
+    sample 1:   uvarint ts delta, XOR-compressed value
+    sample 2+:  delta-of-delta ts in prefix-coded bit windows
+                ('0' | '10'+14b | '110'+17b | '1110'+20b | '1111'+64b),
+                XOR-compressed value (control bits: same-window reuse vs
+                new 5-bit leading + 6-bit significant-length window)
+
+Bits are packed MSB-first.  A 6-bit significant-length of 0 means 64
+(the format's documented overflow convention).  Encoding id 1 is
+``EncXOR``.
 
 Both directions are Arrow-batched pandas UDFs (grouped map) — binary
 packing is the one job Column expressions can't express; everything stays
@@ -28,7 +38,7 @@ from __future__ import annotations
 
 import struct
 
-ENC_RAW = 1  # occupies the EncXOR slot; interior codec is ours (see module doc)
+ENC_XOR = 1  # EncXOR (schema/encoder.go:75)
 
 
 _M64 = (1 << 64) - 1
@@ -66,29 +76,213 @@ def _read_uvarint(buf: bytes, pos: int) -> tuple[int, int]:
         shift += 7
 
 
+class _BitWriter:
+    """MSB-first bit stream (the bstream layout of Gorilla-style chunks)."""
+
+    __slots__ = ("buf", "free")
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.free = 0  # unused low bits in the last byte
+
+    def write_bit(self, bit: int) -> None:
+        if self.free == 0:
+            self.buf.append(0)
+            self.free = 8
+        if bit:
+            self.buf[-1] |= 1 << (self.free - 1)
+        self.free -= 1
+
+    def write_bits(self, value: int, nbits: int) -> None:
+        value &= (1 << nbits) - 1
+        while nbits > 0:
+            if self.free == 0:
+                self.buf.append(0)
+                self.free = 8
+            take = min(self.free, nbits)
+            chunk = (value >> (nbits - take)) & ((1 << take) - 1)
+            self.buf[-1] |= chunk << (self.free - take)
+            self.free -= take
+            nbits -= take
+
+
+class _BitReader:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes) -> None:
+        self.buf = buf
+        self.pos = 0  # bit position
+
+    def read_bit(self) -> int:
+        b = (self.buf[self.pos >> 3] >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return b
+
+    def read_bits(self, nbits: int) -> int:
+        out = 0
+        while nbits > 0:
+            byte_i, bit_i = self.pos >> 3, self.pos & 7
+            take = min(8 - bit_i, nbits)
+            chunk = (self.buf[byte_i] >> (8 - bit_i - take)) & ((1 << take) - 1)
+            out = (out << take) | chunk
+            self.pos += take
+            nbits -= take
+        return out
+
+
+def _zigzag(n: int) -> int:
+    """Go binary.PutVarint's signed mapping (first-sample timestamp)."""
+    u = (n << 1) & _M64
+    return (~u) & _M64 if n < 0 else u
+
+
+def _unzigzag(u: int) -> int:
+    return -((u + 1) >> 1) if u & 1 else u >> 1
+
+
+def _clz64(x: int) -> int:
+    return 64 - x.bit_length() if x else 64
+
+
+def _ctz64(x: int) -> int:
+    return (x & -x).bit_length() - 1 if x else 64
+
+
+# delta-of-delta prefix windows: (control bits, control width, payload bits)
+_DOD_WINDOWS = ((0b10, 2, 14), (0b110, 3, 17), (0b1110, 4, 20))
+
+
 def encode_chunk(samples: list[tuple[int, float]]) -> bytes:
-    """One chunk body: uvarint sample count, uvarint ts deltas (first ts
-    absolute), raw little-endian float64 values."""
-    out = bytearray(_uvarint(len(samples)))
-    prev = 0
-    for ts, _ in samples:
-        out += _uvarint(ts - prev)
-        prev = ts
-    for _, v in samples:
-        out += struct.pack("<d", v)
-    return bytes(out)
+    """One XOR chunk body (Gorilla layout, see module doc)."""
+    w = _BitWriter()
+    w.write_bits(len(samples), 16)  # 2-byte big-endian count header
+    prev_ts = prev_delta = 0
+    prev_bits = 0
+    leading, trailing = 0xFF, 0  # 0xFF = no window established yet
+    for i, (ts, v) in enumerate(samples):
+        vbits = struct.unpack("<Q", struct.pack("<d", v))[0]
+        if i == 0:
+            zz = _zigzag(ts)
+            while True:  # varint over the zigzag value
+                b = zz & 0x7F
+                zz >>= 7
+                w.write_bits((b | 0x80) if zz else b, 8)
+                if not zz:
+                    break
+            w.write_bits(vbits, 64)
+        elif i == 1:
+            delta = ts - prev_ts
+            d = delta & _M64
+            while True:
+                b = d & 0x7F
+                d >>= 7
+                w.write_bits((b | 0x80) if d else b, 8)
+                if not d:
+                    break
+            prev_delta = delta
+            leading, trailing = _write_vdelta(w, vbits, prev_bits, leading, trailing)
+        else:
+            delta = ts - prev_ts
+            dod = delta - prev_delta
+            if dod == 0:
+                w.write_bit(0)
+            else:
+                for ctrl, cw, nbits in _DOD_WINDOWS:
+                    if -((1 << (nbits - 1)) - 1) <= dod <= (1 << (nbits - 1)):
+                        w.write_bits(ctrl, cw)
+                        w.write_bits(dod, nbits)
+                        break
+                else:
+                    w.write_bits(0b1111, 4)
+                    w.write_bits(dod, 64)
+            prev_delta = delta
+            leading, trailing = _write_vdelta(w, vbits, prev_bits, leading, trailing)
+        prev_ts, prev_bits = ts, vbits
+    return bytes(w.buf)
+
+
+def _write_vdelta(
+    w: _BitWriter, vbits: int, prev_bits: int, leading: int, trailing: int
+) -> tuple[int, int]:
+    xor = vbits ^ prev_bits
+    if xor == 0:
+        w.write_bit(0)
+        return leading, trailing
+    w.write_bit(1)
+    lz, tz = min(_clz64(xor), 31), _ctz64(xor)
+    if leading != 0xFF and lz >= leading and tz >= trailing:
+        w.write_bit(0)  # reuse the established window
+        w.write_bits(xor >> trailing, 64 - leading - trailing)
+        return leading, trailing
+    w.write_bit(1)  # new window
+    w.write_bits(lz, 5)
+    sigbits = 64 - lz - tz
+    w.write_bits(sigbits, 6)  # 64 wraps to 0 — reader restores it
+    w.write_bits(xor >> tz, sigbits)
+    return lz, tz
 
 
 def decode_chunk(buf: bytes) -> list[tuple[int, float]]:
-    n, pos = _read_uvarint(buf, 0)
-    ts = []
-    cur = 0
-    for _ in range(n):
-        d, pos = _read_uvarint(buf, pos)
-        cur = (cur + d) & _M64  # mod-2^64 delta chain, sign-restored below
-        ts.append(_to_i64(cur))
-    vals = struct.unpack_from(f"<{n}d", buf, pos)
-    return list(zip(ts, vals))
+    r = _BitReader(buf)
+    n = r.read_bits(16)
+    out: list[tuple[int, float]] = []
+    ts = delta = 0
+    vbits = 0
+    leading = trailing = 0
+    for i in range(n):
+        if i == 0:
+            zz = shift = 0
+            while True:
+                b = r.read_bits(8)
+                zz |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    break
+                shift += 7
+            ts = _unzigzag(zz)
+            vbits = r.read_bits(64)
+        elif i == 1:
+            d = shift = 0
+            while True:
+                b = r.read_bits(8)
+                d |= (b & 0x7F) << shift
+                if not b & 0x80:
+                    break
+                shift += 7
+            delta = _to_i64(d)
+            ts += delta
+            vbits, leading, trailing = _read_vdelta(r, vbits, leading, trailing)
+        else:
+            nbits = 0
+            if r.read_bit():
+                for _, _, width in _DOD_WINDOWS:
+                    nbits = width
+                    if not r.read_bit():
+                        break
+                else:
+                    nbits = 64
+            if nbits:
+                dod = r.read_bits(nbits)
+                if nbits != 64 and dod > (1 << (nbits - 1)):
+                    dod -= 1 << nbits  # sign-extend the bit window
+                elif nbits == 64:
+                    dod = _to_i64(dod)
+                delta += dod
+            ts += delta
+            vbits, leading, trailing = _read_vdelta(r, vbits, leading, trailing)
+        out.append((ts, struct.unpack("<d", struct.pack("<Q", vbits))[0]))
+    return out
+
+
+def _read_vdelta(r: _BitReader, prev_bits: int, leading: int, trailing: int) -> tuple[int, int, int]:
+    if not r.read_bit():
+        return prev_bits, leading, trailing
+    if r.read_bit():
+        leading = r.read_bits(5)
+        sigbits = r.read_bits(6) or 64  # 0 means 64 (format convention)
+        trailing = 64 - leading - sigbits
+    sigbits = 64 - leading - trailing
+    xor = r.read_bits(sigbits) << trailing
+    return prev_bits ^ xor, leading, trailing
 
 
 def pack_chunks(samples: list[tuple[int, float]], samples_per_chunk: int = 120) -> bytes:
@@ -99,7 +293,7 @@ def pack_chunks(samples: list[tuple[int, float]], samples_per_chunk: int = 120) 
     for i in range(0, len(samples), samples_per_chunk):
         part = samples[i : i + samples_per_chunk]
         body = encode_chunk(part)
-        out += _uvarint(ENC_RAW)
+        out += _uvarint(ENC_XOR)
         out += _uvarint(part[0][0])
         out += _uvarint(part[-1][0])
         out += _uvarint(len(body))
@@ -120,7 +314,7 @@ def unpack_chunks(buf: bytes, mint: int | None = None, maxt: int | None = None) 
         ln, pos = _read_uvarint(buf, pos)
         body = buf[pos : pos + ln]
         pos += ln
-        if enc != ENC_RAW:
+        if enc != ENC_XOR:
             raise NotImplementedError(f"unknown chunk encoding {enc}")
         if (maxt is not None and cmin > maxt) or (mint is not None and cmax < mint):
             continue  # prune whole chunk

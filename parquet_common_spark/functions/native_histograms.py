@@ -11,13 +11,22 @@ parameter ``s`` (resolution), base γ = 2^(2^-s), bucket ``k`` covers
     nh_sum        double
     nh_pos_idx    array<int>     -- sorted sparse bucket indexes (positive range)
     nh_pos_counts array<long>    -- per-bucket counts (NOT cumulative)
+    nh_neg_idx    array<int>     -- sorted sparse bucket indexes (negative range)
+    nh_neg_counts array<long>    -- per-bucket counts for the negative range
+
+Negative-range buckets mirror the positive range: index k counts
+observations with |v| in (γ^(k-1), γ^k] and v < 0, exactly Prometheus's
+symmetric negative spans.  Value order for quantiles is therefore
+negative buckets descending k (most negative first), then the zero
+bucket, then positive buckets ascending k.
 
 Simplifications vs the full Prometheus model (documented, test-pinned):
-negative-range buckets are not modeled (values < 0 unsupported) and
 quantile interpolation within a bucket is linear (upstream Prometheus
-interpolates exponentially since v2.50 for native histograms).  The
-span/delta wire encoding is a chunk-layer concern the exploded model
-replaces (see functions/chunks.py for the framing story).
+interpolates exponentially since v2.50 for native histograms), and the
+zero bucket resolves to 0.0 rather than interpolating across
+[-zero_threshold, zero_threshold].  The span/delta wire encoding is a
+chunk-layer concern the exploded model replaces (see
+functions/chunks.py for the framing story).
 
 Building signatures is Arrow-batched (sparse bucketing is data-dependent
 branching); quantile evaluation is a pure Column expression.
@@ -31,7 +40,8 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 NATIVE_FIELDS = (
     "nh_schema int, nh_zero_count long, nh_count long, nh_sum double,"
-    " nh_pos_idx array<int>, nh_pos_counts array<long>"
+    " nh_pos_idx array<int>, nh_pos_counts array<long>,"
+    " nh_neg_idx array<int>, nh_neg_counts array<long>"
 )
 
 
@@ -68,6 +78,8 @@ def build_histograms(
             StructField("nh_sum", DoubleType()),
             StructField("nh_pos_idx", ArrayType(IntegerType())),
             StructField("nh_pos_counts", ArrayType(LongType())),
+            StructField("nh_neg_idx", ArrayType(IntegerType())),
+            StructField("nh_neg_counts", ArrayType(LongType())),
         ]
     )
 
@@ -76,31 +88,47 @@ def build_histograms(
 
         import pandas as pd
 
-        counts: collections.Counter = collections.Counter()
+        pos: collections.Counter = collections.Counter()
+        neg: collections.Counter = collections.Counter()
         zero = n = 0
         total = 0.0
         for v in pdf[value_col]:
             v = float(v)
-            if v < 0:
-                raise NotImplementedError("negative-range native buckets not modeled")
             n += 1
             total += v
-            if v <= zero_threshold:
+            if abs(v) <= zero_threshold:
                 zero += 1
+            elif v > 0:
+                pos[bucket_index(v, schema)] += 1
             else:
-                counts[bucket_index(v, schema)] += 1
-        idxs = sorted(counts)
+                neg[bucket_index(-v, schema)] += 1
+        pi, ni = sorted(pos), sorted(neg)
         row = list(keys) + [
             schema,
             zero,
             n,
             total,
-            [int(i) for i in idxs],
-            [int(counts[i]) for i in idxs],
+            [int(i) for i in pi],
+            [int(pos[i]) for i in pi],
+            [int(i) for i in ni],
+            [int(neg[i]) for i in ni],
         ]
         return pd.DataFrame([row], columns=[f.name for f in out_schema.fields])
 
     return df.groupBy(*group_cols).applyInPandas(agg, schema=out_schema)
+
+
+def _cumulative(counts: Column) -> Column:
+    """Running-sum array over sparse per-bucket counts (buckets are few:
+    ≤ ~4/octave, so the quadratic concat fold stays tiny)."""
+    return F.aggregate(
+        counts,
+        F.array().cast("array<long>"),
+        lambda acc, x: F.concat(
+            acc,
+            F.array(F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(0).cast("long")) + x),
+        ),
+    )
 
 
 def native_histogram_quantile(
@@ -109,26 +137,46 @@ def native_histogram_quantile(
     zero_count: Column,
     pos_idx: Column,
     pos_counts: Column,
+    neg_idx: Column | None = None,
+    neg_counts: Column | None = None,
 ) -> Column:
     """Quantile from a sparse exponential histogram (pure Column expr).
 
-    Locates the target bucket via a cumulative fold over the sparse
-    counts, then interpolates linearly between the bucket's bounds
-    γ^(k-1)..γ^k.  Returns 0.0 inside the zero bucket, NULL when empty.
+    Walks the value order negative-range buckets (descending index, i.e.
+    most negative first) → zero bucket → positive-range buckets, locates
+    the target bucket via a cumulative fold over the sparse counts, then
+    interpolates linearly between the bucket's bounds.  Returns 0.0
+    inside the zero bucket, NULL when empty.  ``neg_idx``/``neg_counts``
+    may be omitted for positive-only histograms.
     """
     qc = F.lit(q) if isinstance(q, float) else q
+    if neg_idx is None:
+        neg_idx = F.array().cast("array<int>")
+    if neg_counts is None:
+        neg_counts = F.array().cast("array<long>")
     gamma = F.pow(F.lit(2.0), F.pow(F.lit(2.0), -schema.cast("double")))
-    total = (zero_count + F.aggregate(pos_counts, F.lit(0).cast("long"), lambda a, x: a + x)).cast(
-        "double"
-    )
+    neg_total = F.aggregate(neg_counts, F.lit(0).cast("long"), lambda a, x: a + x).cast("double")
+    pos_total = F.aggregate(pos_counts, F.lit(0).cast("long"), lambda a, x: a + x).cast("double")
+    total = neg_total + zero_count.cast("double") + pos_total
     target = qc * total
-    rank = target - zero_count.cast("double")  # rank within positive buckets
-    # cumulative counts per sparse bucket (buckets are few: ≤ ~4/octave)
-    cum = F.aggregate(
-        pos_counts,
-        F.array().cast("array<long>"),
-        lambda acc, x: F.concat(acc, F.array(F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(0).cast("long")) + x)),
+
+    # negative range: reverse to descending index so values ascend
+    # -γ^k .. -γ^(k-1); rank within the range is `target` itself
+    rn_idx = F.reverse(neg_idx)
+    rn_cum = _cumulative(F.reverse(neg_counts))
+    npos = F.size(F.filter(rn_cum, lambda c: c.cast("double") < target)) + 1
+    nk = F.element_at(rn_idx, npos).cast("double")
+    n_lower = -F.pow(gamma, nk)
+    n_upper = -F.pow(gamma, nk - 1)
+    n_cum_prev = F.when(npos == 1, F.lit(0.0)).otherwise(
+        F.element_at(rn_cum, npos - 1).cast("double")
     )
+    n_in = F.element_at(F.reverse(neg_counts), npos).cast("double")
+    n_interp = n_lower + (n_upper - n_lower) * (target - n_cum_prev) / n_in
+
+    # positive range: rank after the negative + zero mass
+    rank = target - neg_total - zero_count.cast("double")
+    cum = _cumulative(pos_counts)
     pos = F.size(F.filter(cum, lambda c: c.cast("double") < rank)) + 1
     k = F.element_at(pos_idx, pos).cast("double")
     upper = F.pow(gamma, k)
@@ -140,7 +188,8 @@ def native_histogram_quantile(
     interp = lower + (upper - lower) * (rank - cum_prev) / in_bucket
     return (
         F.when(total <= 0, F.lit(None).cast("double"))
-        .when(target <= zero_count.cast("double"), F.lit(0.0))
+        .when(target <= neg_total, n_interp)
+        .when(target <= neg_total + zero_count.cast("double"), F.lit(0.0))
         .when(pos > F.size(pos_idx), F.pow(gamma, F.element_at(pos_idx, -1).cast("double")))
         .otherwise(interp)
     )

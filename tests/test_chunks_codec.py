@@ -65,6 +65,81 @@ def test_time_pruning():
     assert CK.unpack_chunks(buf, mint=10**9) == []
 
 
+def test_xor_chunk_header_and_first_sample():
+    # Gorilla layout: 2-byte BE count, zigzag-varint first ts, raw 64-bit
+    # first value (prometheus/tsdb/chunkenc XOR chunk wire format)
+    import struct
+
+    buf = CK.encode_chunk([(3, 1.5)])
+    assert buf[0:2] == (1).to_bytes(2, "big")
+    assert buf[2] == 6  # zigzag(3) = 6, single varint byte
+    assert buf[3:11] == struct.pack(">Q", struct.unpack("<Q", struct.pack("<d", 1.5))[0])
+
+
+def test_xor_compresses_regular_series():
+    # constant scrape interval + repeated values: dod=0 (1 bit/ts) and
+    # xor=0 (1 bit/value) — far below the 16 B/sample raw form
+    samples = [(1000 + 15_000 * i, 42.0) for i in range(120)]
+    buf = CK.encode_chunk(samples)
+    assert len(buf) < 120 * 2  # ~0.25 B/sample + header/first-sample cost
+
+
+def test_xor_special_values_roundtrip():
+    import math
+    import struct
+
+    vals = [0.0, -0.0, float("nan"), float("inf"), float("-inf"), 1e-300, -1e300]
+    samples = [(i * 1000, v) for i, v in enumerate(vals)]
+    got = CK.decode_chunk(CK.encode_chunk(samples))
+    assert [t for t, _ in got] == [t for t, _ in samples]
+    for (_, a), (_, b) in zip(samples, got):
+        assert struct.pack("<d", a) == struct.pack("<d", b)  # bit-exact, NaN incl.
+
+
+def test_xor_full_width_window():
+    # xor with 0 leading and 0 trailing zero bits: the 6-bit significant
+    # length wraps 64 -> 0 and the decoder must restore it
+    import struct
+
+    a = struct.unpack("<d", struct.pack("<Q", 0x8000_0000_0000_0001))[0]
+    b = struct.unpack("<d", struct.pack("<Q", 0x0000_0000_0000_0000))[0]
+    samples = [(0, a), (1000, b), (2000, a)]
+    got = CK.decode_chunk(CK.encode_chunk(samples))
+    assert struct.pack("<d", got[1][1]) == struct.pack("<d", b)
+    assert struct.pack("<d", got[2][1]) == struct.pack("<d", a)
+
+
+def test_xor_dod_windows():
+    # deltas exercising each prefix window: 0, ±14-bit, ±17-bit, ±20-bit,
+    # and the 64-bit escape
+    deltas = [15_000, 15_000, 15_000 + 8192, 15_000 - 8191, 2_000_000, 100,
+              268_435_556, 100, 10**15, 100]
+    ts, samples = 0, []
+    for i, d in enumerate([0] + deltas):
+        ts += d
+        samples.append((ts, float(i)))
+    assert CK.decode_chunk(CK.encode_chunk(samples)) == samples
+
+
+def test_xor_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ts_deltas = st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=60)
+    values = st.floats(allow_nan=False, width=64)
+
+    @settings(max_examples=50, deadline=None)
+    @given(start=st.integers(min_value=-(2**40), max_value=2**40), deltas=ts_deltas, data=st.data())
+    def run(start, deltas, data):
+        ts, samples = start, []
+        for d in deltas:
+            samples.append((ts, data.draw(values)))
+            ts += d + 1
+        assert CK.decode_chunk(CK.encode_chunk(samples)) == samples
+
+    run()
+
+
 def test_dataframe_pack_roundtrip(spark):
     rows = [(h, (t // 100), t, float(h * 1000 + t)) for h in (1, 2) for t in range(0, 500, 7)]
     df = spark.createDataFrame(

@@ -23,15 +23,23 @@ def test_bucket_index_bounds():
             assert gamma ** (k - 1) < v * (1 + 1e-9) and v <= gamma**k * (1 + 1e-9)
 
 
-def py_quantile(q, schema, zero, idxs, counts):
+def py_quantile(q, schema, zero, idxs, counts, nidxs=(), ncounts=()):
     gamma = 2.0 ** (2.0 ** -schema)
-    total = zero + sum(counts)
+    neg_total = sum(ncounts)
+    total = neg_total + zero + sum(counts)
     if total <= 0:
         return None
     target = q * total
-    if target <= zero:
+    if target <= neg_total:
+        cum = 0.0
+        for k, c in sorted(zip(nidxs, ncounts), reverse=True):
+            if cum + c >= target:
+                lo, hi = -(gamma**k), -(gamma ** (k - 1))
+                return lo + (hi - lo) * (target - cum) / c
+            cum += c
+    if target <= neg_total + zero:
         return 0.0
-    rank = target - zero
+    rank = target - neg_total - zero
     cum = 0.0
     for k, c in zip(idxs, counts):
         if cum + c >= rank:
@@ -108,7 +116,49 @@ def test_quantile_brackets_true_quantile(hists):
     assert emp / gamma <= got <= emp * gamma * gamma
 
 
-def test_negative_values_rejected(spark):
-    df = spark.createDataFrame([("a", -1.0)], "k string, v double")
-    with pytest.raises(Exception):
-        build_histograms(df, ["k"], "v").collect()
+@pytest.mark.parametrize("q", [0.05, 0.25, 0.5, 0.75, 0.95])
+def test_negative_range_quantiles(spark, q):
+    # mixed-sign observations: negative buckets mirror positive ones and
+    # the quantile walk runs most-negative → zero → positive
+    import random
+
+    rnd = random.Random(11)
+    vals = (
+        [-rnd.lognormvariate(0.5, 1) for _ in range(300)]
+        + [0.0] * 40
+        + [rnd.lognormvariate(0, 1) for _ in range(260)]
+    )
+    df = spark.createDataFrame([("m", v) for v in vals], "k string, v double")
+    h = build_histograms(df, ["k"], "v", schema=2)
+    r = h.collect()[0]
+    assert r["nh_count"] == 600 and r["nh_zero_count"] == 40
+    assert sum(r["nh_neg_counts"]) == 300 and sum(r["nh_pos_counts"]) == 260
+    assert list(r["nh_neg_idx"]) == sorted(r["nh_neg_idx"])
+    got = h.select(
+        native_histogram_quantile(
+            q,
+            F.col("nh_schema"),
+            F.col("nh_zero_count"),
+            F.col("nh_pos_idx"),
+            F.col("nh_pos_counts"),
+            F.col("nh_neg_idx"),
+            F.col("nh_neg_counts"),
+        ).alias("phi")
+    ).collect()[0]["phi"]
+    want = py_quantile(
+        q,
+        2,
+        r["nh_zero_count"],
+        list(r["nh_pos_idx"]),
+        list(r["nh_pos_counts"]),
+        list(r["nh_neg_idx"]),
+        list(r["nh_neg_counts"]),
+    )
+    assert got == pytest.approx(want, rel=1e-12)
+    # bucketed quantile brackets the empirical one within bucket resolution
+    gamma = 2.0 ** (2.0 ** -2)
+    emp = sorted(vals)[max(0, int(q * 600) - 1)]
+    if emp < 0:
+        assert emp * gamma * gamma <= got <= emp / gamma
+    elif emp == 0.0:
+        assert got == 0.0
