@@ -655,13 +655,20 @@ def _hist_shard(spark: SparkSession, sf_dir: str):
         ),
     )
     out_dir = tempfile.mkdtemp(prefix="hist_shard_")
+    # persist: convert() runs several actions (ts-range agg, series write,
+    # samples write) — without this the whole upstream agg re-runs per
+    # action.  30-day buckets: 150 daily rows -> a handful of partition
+    # dirs, not 150 tiny files (pruning granularity is exercised by the
+    # m6 shard, not here).
+    rows = rows.persist()
     convert(
         rows,
         out_dir,
         value_col=None,
         extra_value_cols=["h_count", "h_sum", "h_bounds", "h_counts"],
-        col_duration_ms=24 * 3600 * 1_000_000,
+        col_duration_ms=30 * 24 * 3600 * 1_000_000,
     )
+    rows.unpersist()
     shard = ShardDataset.read(spark, out_dir)
     shard.series = shard.series.persist()
     shard.samples = shard.samples.persist()
@@ -730,4 +737,171 @@ def m10(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(histogram_quantile(0.95, F.col("h_bounds"), F.col("h_counts")), 6).alias(
             "phi_0_95"
         ),
+    ).orderBy("event_type", "day")
+
+
+_NH_SHARD_CACHE: dict = {}
+_NH_COLS = [
+    "nh_schema",
+    "nh_zero_count",
+    "nh_count",
+    "nh_sum",
+    "nh_pos_idx",
+    "nh_pos_counts",
+    "nh_neg_idx",
+    "nh_neg_counts",
+]
+
+
+def _native_hist_shard(spark: SparkSession, sf_dir: str):
+    """Native-histogram shard through convert(): one exponential-bucket
+    histogram per (event_type, day) over the SIGNED observation
+    value-50.0 (exercises the negative range), stored as sparse nh_*
+    array columns in the samples table (the EncHistogram slot,
+    schema/encoder.go:74-79) and read back from parquet."""
+    import tempfile
+
+    from parquet_common_spark.convert import convert
+    from parquet_common_spark.functions.native_histograms import build_histograms
+    from parquet_common_spark.queryable import ShardDataset
+
+    key = (id(spark), sf_dir)
+    if key in _NH_SHARD_CACHE:
+        return _NH_SHARD_CACHE[key]
+    ev = load(spark, sf_dir, "events")["events"]
+    day = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000)).cast("long")
+    base = ev.select(
+        "event_type", day.alias("day"), (F.col("value") - F.lit(50.0)).alias("obs")
+    )
+    h = build_histograms(base, ["event_type", "day"], "obs", schema=2)
+    rows = h.select(
+        F.create_map(
+            F.lit("__name__"), F.lit("events_nhist"), F.lit("event_type"), F.col("event_type")
+        ).alias("labels"),
+        (F.col("day") * F.lit(86_400_000_000)).alias("ts"),
+        *_NH_COLS,
+    )
+    out_dir = tempfile.mkdtemp(prefix="nhist_shard_")
+    # persist before convert's multiple actions (same rationale as
+    # _hist_shard) — the applyInPandas histogram build is the expensive
+    # upstream here
+    rows = rows.persist()
+    convert(
+        rows,
+        out_dir,
+        value_col=None,
+        extra_value_cols=_NH_COLS,
+        col_duration_ms=30 * 24 * 3600 * 1_000_000,
+    )
+    rows.unpersist()
+    shard = ShardDataset.read(spark, out_dir)
+    shard.series = shard.series.persist()
+    shard.samples = shard.samples.persist()
+    _NH_SHARD_CACHE[key] = shard
+    return shard
+
+
+# DuckDB oracle: recompute the sparse exponential bucketing (k =
+# ceil(ln|v|/ln γ − 1e-12), γ = 2^0.25 at schema 2) and walk buckets in
+# value order (negative desc-k → zero → positive asc-k) with the same
+# linear interpolation and the same first-cum≥target bucket choice as
+# native_histogram_quantile.  q ∈ {0.25, 0.5} are exact binary rationals
+# × an integer total, so bucket selection is rounding-proof; 0.9 rounds
+# once identically in both engines.
+_M11_SQL = """
+    WITH base AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+             value - 50.0 AS v
+      FROM events),
+    bucketed AS (
+      SELECT event_type, day,
+             CASE WHEN abs(v) <= 1e-9 THEN 0 WHEN v > 0 THEN 1 ELSE -1 END AS rng,
+             CASE WHEN abs(v) <= 1e-9 THEN 0
+                  ELSE CAST(ceil(ln(abs(v)) / ln(POWER(2.0, 0.25)) - 1e-12) AS INT) END AS k
+      FROM base),
+    counts AS (
+      SELECT event_type, day, rng, k, COUNT(*) AS c
+      FROM bucketed GROUP BY event_type, day, rng, k),
+    walk AS (
+      SELECT event_type, day, rng, k, c,
+             SUM(c) OVER w AS cum,
+             SUM(c) OVER w - c AS prev_cum,
+             SUM(c) OVER (PARTITION BY event_type, day) AS total
+      FROM counts
+      WINDOW w AS (PARTITION BY event_type, day
+                   ORDER BY rng, CASE WHEN rng = -1 THEN -k ELSE k END
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    hits AS (
+      SELECT w.event_type, w.day, t.q,
+             CASE WHEN w.rng = 0 THEN 0.0
+                  WHEN w.rng = 1 THEN
+                    POWER(POWER(2.0, 0.25), w.k - 1)
+                    + (POWER(POWER(2.0, 0.25), w.k) - POWER(POWER(2.0, 0.25), w.k - 1))
+                      * (t.q * CAST(w.total AS DOUBLE) - CAST(w.prev_cum AS DOUBLE))
+                      / CAST(w.c AS DOUBLE)
+                  ELSE
+                    (-POWER(POWER(2.0, 0.25), w.k))
+                    + ((-POWER(POWER(2.0, 0.25), w.k - 1)) - (-POWER(POWER(2.0, 0.25), w.k)))
+                      * (t.q * CAST(w.total AS DOUBLE) - CAST(w.prev_cum AS DOUBLE))
+                      / CAST(w.c AS DOUBLE)
+             END AS phi
+      FROM walk w CROSS JOIN (VALUES (0.25), (0.5), (0.9)) t(q)
+      WHERE CAST(w.prev_cum AS DOUBLE) < t.q * CAST(w.total AS DOUBLE)
+        AND CAST(w.cum AS DOUBLE) >= t.q * CAST(w.total AS DOUBLE)),
+    stats AS (
+      SELECT event_type, day,
+             CAST(SUM(c) AS BIGINT) AS nh_count,
+             CAST(SUM(CASE WHEN rng = 0 THEN c ELSE 0 END) AS BIGINT) AS nh_zero_count,
+             CAST(COUNT(CASE WHEN rng = -1 THEN 1 END) AS INT) AS n_neg_buckets,
+             CAST(COUNT(CASE WHEN rng = 1 THEN 1 END) AS INT) AS n_pos_buckets
+      FROM counts GROUP BY event_type, day)
+    SELECT s.event_type, s.day, s.nh_count, s.nh_zero_count,
+           s.n_neg_buckets, s.n_pos_buckets,
+           ROUND(MAX(CASE WHEN h.q = 0.25 THEN h.phi END), 6) AS phi_25,
+           ROUND(MAX(CASE WHEN h.q = 0.5  THEN h.phi END), 6) AS phi_50,
+           ROUND(MAX(CASE WHEN h.q = 0.9  THEN h.phi END), 6) AS phi_90
+    FROM stats s JOIN hits h ON s.event_type = h.event_type AND s.day = h.day
+    GROUP BY s.event_type, s.day, s.nh_count, s.nh_zero_count,
+             s.n_neg_buckets, s.n_pos_buckets
+    ORDER BY s.event_type, s.day
+"""
+
+
+@query("m11_native_histogram_quantile", _M11_SQL)
+def m11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native (exponential) histogram samples through convert -> parquet
+    -> matcher select -> native_histogram_quantile, negative range
+    included (reference: EncHistogram/EncFloatHistogram encodings,
+    schema/encoder.go:74-79)."""
+    from parquet_common_spark import Matcher, ParquetQueryable
+    from parquet_common_spark.functions.native_histograms import native_histogram_quantile
+
+    q = ParquetQueryable([_native_hist_shard(spark, sf_dir)])
+    sel = q.select(0, 2**62, [Matcher("__name__", "=", "events_nhist")])
+
+    def phi(qq: float):
+        return F.round(
+            native_histogram_quantile(
+                qq,
+                F.col("nh_schema"),
+                F.col("nh_zero_count"),
+                F.col("nh_pos_idx"),
+                F.col("nh_pos_counts"),
+                F.col("nh_neg_idx"),
+                F.col("nh_neg_counts"),
+            ),
+            6,
+        )
+
+    return sel.select(
+        F.col("l_event_type").alias("event_type"),
+        F.floor(F.col("s_ts") / F.lit(86_400_000_000)).cast("long").alias("day"),
+        F.col("nh_count"),
+        F.col("nh_zero_count"),
+        F.size("nh_neg_idx").alias("n_neg_buckets"),
+        F.size("nh_pos_idx").alias("n_pos_buckets"),
+        phi(0.25).alias("phi_25"),
+        phi(0.5).alias("phi_50"),
+        phi(0.9).alias("phi_90"),
     ).orderBy("event_type", "day")
