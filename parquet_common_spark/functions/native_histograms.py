@@ -139,16 +139,26 @@ def native_histogram_quantile(
     pos_counts: Column,
     neg_idx: Column | None = None,
     neg_counts: Column | None = None,
+    interpolation: str = "linear",
 ) -> Column:
     """Quantile from a sparse exponential histogram (pure Column expr).
 
     Walks the value order negative-range buckets (descending index, i.e.
     most negative first) → zero bucket → positive-range buckets, locates
     the target bucket via a cumulative fold over the sparse counts, then
-    interpolates linearly between the bucket's bounds.  Returns 0.0
-    inside the zero bucket, NULL when empty.  ``neg_idx``/``neg_counts``
-    may be omitted for positive-only histograms.
+    interpolates between the bucket's bounds.  Returns 0.0 inside the
+    zero bucket, NULL when empty.  ``neg_idx``/``neg_counts`` may be
+    omitted for positive-only histograms.
+
+    ``interpolation="linear"`` interpolates within the bucket on the
+    value axis (and is what the SQL oracle mirrors);
+    ``interpolation="exponential"`` matches upstream Prometheus ≥ 2.50
+    (promql/quantile.go): the fraction is applied on the LOG axis, i.e.
+    value = lower · γ^f, which is exact for log-uniform mass within an
+    exponential bucket.
     """
+    if interpolation not in ("linear", "exponential"):
+        raise ValueError(f"unknown interpolation {interpolation!r}")
     qc = F.lit(q) if isinstance(q, float) else q
     if neg_idx is None:
         neg_idx = F.array().cast("array<int>")
@@ -172,7 +182,13 @@ def native_histogram_quantile(
         F.element_at(rn_cum, npos - 1).cast("double")
     )
     n_in = F.element_at(F.reverse(neg_counts), npos).cast("double")
-    n_interp = n_lower + (n_upper - n_lower) * (target - n_cum_prev) / n_in
+    n_frac = (target - n_cum_prev) / n_in
+    if interpolation == "linear":
+        n_interp = n_lower + (n_upper - n_lower) * n_frac
+    else:
+        # log-axis walk from the more-negative bound toward zero:
+        # |v| = γ^k · γ^(-f)
+        n_interp = n_lower * F.pow(gamma, -n_frac)
 
     # positive range: rank after the negative + zero mass
     rank = target - neg_total - zero_count.cast("double")
@@ -185,7 +201,11 @@ def native_histogram_quantile(
         F.element_at(cum, pos - 1).cast("double")
     )
     in_bucket = F.element_at(pos_counts, pos).cast("double")
-    interp = lower + (upper - lower) * (rank - cum_prev) / in_bucket
+    frac = (rank - cum_prev) / in_bucket
+    if interpolation == "linear":
+        interp = lower + (upper - lower) * frac
+    else:
+        interp = lower * F.pow(gamma, frac)
     return (
         F.when(total <= 0, F.lit(None).cast("double"))
         .when(target <= neg_total, n_interp)

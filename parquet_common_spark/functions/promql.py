@@ -23,7 +23,12 @@ Window.partitionBy(series).orderBy(ts):
     whole promqltest corpus through it); our engine computes them
     natively, validated against a Python port of the same algorithm in
     tests/test_promql_functions.py.
-  - agg_over_time: avg/min/max/sum/count over fixed windows.
+  - agg_over_time: avg/min/max/sum/count/last/present/stddev/stdvar/
+    quantile over fixed windows.
+  - resets_changes_over_windows, instant_over_windows (idelta/irate),
+    deriv_over_windows (deriv/predict_linear): the remaining PromQL
+    function family (promql/functions.go), with regression and moment
+    sums DECIMAL-exact so results are aggregation-order independent.
 
 All pure Column/Window expressions — one shuffle on (series, window).
 """
@@ -202,9 +207,31 @@ def agg_over_time(
     ts_col: str,
     value_col: str,
     window_us: int,
+    quantiles: tuple[float, ...] = (),
+    value_scale: int = 6,
 ) -> DataFrame:
-    """avg/min/max/sum/count_over_time for fixed windows."""
+    """avg/min/max/sum/count/last/present/stddev/stdvar[/quantile]_over_time
+    for fixed windows (Prometheus promql/functions.go *_over_time family).
+
+    stddev/stdvar are population moments computed from DECIMAL-exact
+    sums (``value_scale`` true decimal places assumed), so the result is
+    independent of aggregation order — the cross-engine determinism
+    story of plans/common.dsum.  ``quantiles`` adds
+    ``quantile_<q>_over_time`` columns via exact linear-interpolation
+    percentile (the same definition Prometheus uses)."""
     win = (F.col(ts_col) / F.lit(window_us)).cast("long").alias("_win")
+    dec = f"decimal(30,{value_scale})"
+    sv = F.sum(F.col(value_col).cast(dec))
+    sv2 = F.sum(F.col(value_col).cast(dec) * F.col(value_col).cast(dec))
+    n = F.count(F.lit(1))
+    nd = n.cast("double")
+    var = (nd * sv2.cast("double") - sv.cast("double") * sv.cast("double")) / (nd * nd)
+    qcols = [
+        F.percentile(F.col(value_col), F.lit(q)).alias(
+            f"quantile_{str(q).replace('.', '_')}_over_time"
+        )
+        for q in quantiles
+    ]
     return (
         df.withColumn("_win", win)
         .groupBy(*series_cols, "_win")
@@ -214,5 +241,133 @@ def agg_over_time(
             F.max(value_col).alias("max_over_time"),
             F.sum(value_col).alias("sum_over_time"),
             F.count(F.lit(1)).alias("count_over_time"),
+            F.max(F.struct(F.col(ts_col), F.col(value_col)))[value_col].alias("last_over_time"),
+            F.lit(1.0).alias("present_over_time"),
+            var.alias("stdvar_over_time"),
+            F.sqrt(var).alias("stddev_over_time"),
+            *qcols,
         )
     )
+
+
+def resets_changes_over_windows(
+    df: DataFrame,
+    series_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    window_us: int,
+) -> DataFrame:
+    """PromQL ``resets()`` (adjacent drops) and ``changes()`` (adjacent
+    value changes) per fixed window — within-window sample pairs only,
+    like the upstream loops (promql/functions.go funcResets/funcChanges).
+    NaN handling matches upstream incidentally: both engines compare
+    NaN = NaN as true, so NaN→NaN counts as no change."""
+    win = (F.col(ts_col) / F.lit(window_us)).cast("long").alias("_win")
+    w = Window.partitionBy(*series_cols, "_win").orderBy(F.asc(ts_col), F.asc(value_col))
+    prev = F.lag(value_col).over(w)
+    flagged = (
+        df.withColumn("_win", win)
+        .withColumn("_reset", (prev > F.col(value_col)).cast("long"))
+        .withColumn(
+            "_change", (prev.isNotNull() & (prev != F.col(value_col))).cast("long")
+        )
+    )
+    return flagged.groupBy(*series_cols, "_win").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.coalesce(F.sum("_reset"), F.lit(0)).alias("resets"),
+        F.coalesce(F.sum("_change"), F.lit(0)).alias("changes"),
+    )
+
+
+def instant_over_windows(
+    df: DataFrame,
+    series_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    window_us: int,
+    is_counter: bool = True,
+) -> DataFrame:
+    """PromQL ``idelta()`` / ``irate()``: the last two samples of each
+    window (promql/functions.go instantValue).  idelta = last − previous;
+    irate divides by their time difference, and a counter reset between
+    the two (last < previous) makes the numerator the last value itself.
+    Windows with < 2 samples or zero time difference yield NULL."""
+    win = (F.col(ts_col) / F.lit(window_us)).cast("long").alias("_win")
+    w_desc = Window.partitionBy(*series_cols, "_win").orderBy(
+        F.desc(ts_col), F.desc(value_col)
+    )
+    ranked = df.withColumn("_win", win).withColumn("_rn_d", F.row_number().over(w_desc))
+    last_v = F.max(F.when(F.col("_rn_d") == 1, F.col(value_col)))
+    prev_v = F.max(F.when(F.col("_rn_d") == 2, F.col(value_col)))
+    last_ts = F.max(F.when(F.col("_rn_d") == 1, F.col(ts_col)))
+    prev_ts = F.max(F.when(F.col("_rn_d") == 2, F.col(ts_col)))
+    agg = ranked.groupBy(*series_cols, "_win").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        last_v.alias("_last_v"),
+        prev_v.alias("_prev_v"),
+        last_ts.alias("_last_ts"),
+        prev_ts.alias("_prev_ts"),
+    )
+    idelta = F.col("_last_v") - F.col("_prev_v")
+    num = (
+        F.when(F.col("_last_v") < F.col("_prev_v"), F.col("_last_v")).otherwise(idelta)
+        if is_counter
+        else idelta
+    )
+    dt_s = (F.col("_last_ts") - F.col("_prev_ts")).cast("double") / 1e6
+    ok = (F.col("n_samples") >= 2) & (F.col("_last_ts") > F.col("_prev_ts"))
+    return (
+        agg.withColumn("idelta", F.when(F.col("n_samples") >= 2, idelta))
+        .withColumn("irate", F.when(ok, num / dt_s))
+        .drop("_last_v", "_prev_v", "_last_ts", "_prev_ts")
+    )
+
+
+def deriv_over_windows(
+    df: DataFrame,
+    series_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    window_us: int,
+    predict_offset_s: float | None = None,
+    value_scale: int = 6,
+) -> DataFrame:
+    """PromQL ``deriv()`` (least-squares slope per second) and optionally
+    ``predict_linear(x[w], predict_offset_s)`` evaluated at the window
+    end (promql/functions.go linearRegression).
+
+    Algebraically identical to upstream's covariance formulation:
+    slope = (n·Σtv − Σt·Σv) / (n·Σt² − (Σt)²) with t relative to the
+    window start.  The four sums are DECIMAL/integer-exact (values
+    assumed ≤ ``value_scale`` true decimal places), and the final slope
+    is a fixed double expression over them — deterministic across
+    engines and aggregation orders.  Windows with < 2 samples or all
+    samples at one timestamp yield NULL (as PromQL drops them)."""
+    dec = f"decimal(30,{value_scale})"
+    win = (F.col(ts_col) / F.lit(window_us)).cast("long")
+    t_rel = F.col(ts_col) - F.col("_win") * F.lit(window_us)  # µs into the window
+    staged = df.withColumn("_win", win).withColumn("_t", t_rel)
+    agg = staged.groupBy(*series_cols, "_win").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum("_t").alias("_st"),
+        F.sum(F.col(value_col).cast(dec)).alias("_sv"),
+        F.sum(F.col(value_col).cast(dec) * F.col("_t")).alias("_stv"),
+        F.sum(F.col("_t").cast("decimal(19,0)") * F.col("_t")).alias("_st2"),
+        F.min("_t").alias("_tmin"),
+        F.max("_t").alias("_tmax"),
+    )
+    nd = F.col("n_samples").cast("double")
+    st, sv = F.col("_st").cast("double"), F.col("_sv").cast("double")
+    stv, st2 = F.col("_stv").cast("double"), F.col("_st2").cast("double")
+    num = nd * stv - st * sv
+    den = nd * st2 - st * st
+    ok = (F.col("n_samples") >= 2) & (F.col("_tmax") > F.col("_tmin"))
+    slope_us = num / den  # value per µs
+    out = agg.withColumn("deriv", F.when(ok, slope_us * F.lit(1e6)))
+    if predict_offset_s is not None:
+        intercept = (sv - slope_us * st) / nd  # value at window start
+        t_target = F.lit(float(window_us)) + F.lit(predict_offset_s * 1e6)
+        out = out.withColumn(
+            "predict_linear", F.when(ok, intercept + slope_us * t_target)
+        )
+    return out.drop("_st", "_sv", "_stv", "_st2", "_tmin", "_tmax")

@@ -364,6 +364,90 @@ def mm1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(attach_fake_media(docs)).orderBy("doc_id")
 
 
+@query(
+    "mm2_frame_sampling",
+    """
+    WITH v AS (
+      SELECT doc_id, octet_length(encode(text)) AS n
+      FROM documents WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0),
+    calc AS (
+      SELECT doc_id, n, CAST(n % 300 + 1 AS INT) AS n_frames,
+             generate_series(0, CAST(n % 300 AS INT), 10) AS idxs
+      FROM v)
+    SELECT doc_id, n_frames,
+           CAST(len(idxs) AS BIGINT) AS n_sampled,
+           CAST(list_sum(idxs) AS BIGINT) AS sum_frame_idx,
+           CAST(list_sum(list_transform(idxs, i -> LEAST(16, n - (i % n)))) AS BIGINT)
+             AS frame_bytes
+    FROM calc ORDER BY doc_id
+    """,
+)
+def mm2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling through the variable-fan-out mapInPandas path
+    (one output row per sampled frame), aggregated back per doc; the
+    oracle replays the deterministic stub-frame arithmetic (every-10th
+    frame index, 16-byte payload slices clipped at the payload end)."""
+    from parquet_common_spark.operators.multimodal import (
+        attach_fake_media,
+        decode_media,
+        sample_frames,
+    )
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    media = attach_fake_media(docs)
+    frames = sample_frames(media, every_k=10)
+    agg = frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("frame_idx").cast("long").alias("sum_frame_idx"),
+        F.sum(F.length("frame_payload")).cast("long").alias("frame_bytes"),
+    )
+    dec = decode_media(media).where(F.col("media_type") == "video").select("doc_id", "n_frames")
+    return dec.join(agg, "doc_id").select(
+        "doc_id", "n_frames", "n_sampled", "sum_frame_idx", "frame_bytes"
+    ).orderBy("doc_id")
+
+
+@query(
+    "mm3_resize_geometry",
+    """
+    WITH img AS (
+      SELECT doc_id, octet_length(encode(text)) AS n
+      FROM documents WHERE doc_id % 3 = 0),
+    geo AS (
+      SELECT doc_id, CAST(n AS BIGINT) AS n_bytes,
+             n % 640 + 1 AS w0, n % 480 + 1 AS h0
+      FROM img)
+    SELECT doc_id, n_bytes,
+           CAST(CASE WHEN GREATEST(w0, h0) > 256
+                THEN GREATEST(CAST(trunc(w0 * (256.0 / GREATEST(w0, h0))) AS INT), 1)
+                ELSE w0 END AS INT) AS width,
+           CAST(CASE WHEN GREATEST(w0, h0) > 256
+                THEN GREATEST(CAST(trunc(h0 * (256.0 / GREATEST(w0, h0))) AS INT), 1)
+                ELSE h0 END AS INT) AS height
+    FROM geo ORDER BY doc_id
+    """,
+)
+def mm3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize-to-max-side geometry through the mapInPandas resize
+    path; the oracle mirrors the stub decode + scale arithmetic (scale =
+    256/max_side computed first, then per-axis truncation — the exact
+    operation order of resize_media)."""
+    from parquet_common_spark.operators.multimodal import attach_fake_media, resize_media
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    media = attach_fake_media(docs)
+    out = resize_media(media, max_side=256).where(F.col("media_type") == "image")
+    return (
+        out.select(
+            "doc_id",
+            F.length("payload").cast("long").alias("n_bytes"),
+            "width",
+            "height",
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ------------------------------------- d6: duplicate clusters (iterative)
 
 _D6_SQL = f"""

@@ -905,3 +905,120 @@ def m11(spark: SparkSession, sf_dir: str) -> DataFrame:
         phi(0.5).alias("phi_50"),
         phi(0.9).alias("phi_90"),
     ).orderBy("event_type", "day")
+
+
+# DuckDB oracle for the PromQL function family: resets/changes via LAG,
+# idelta/irate from the last two samples, deriv/predict_linear from
+# DECIMAL-exact regression sums (the double expression over those sums is
+# written with the exact same operation shapes as deriv_over_windows, so
+# both engines produce bit-identical doubles), stddev from exact moments,
+# quantile via linear interpolation (both engines' definition).
+_M12_SQL = """
+    WITH base AS (
+      SELECT event_type, epoch_us(ts) AS ts_us, value,
+             CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+      FROM events),
+    lagged AS (
+      SELECT *,
+             LAG(value) OVER (PARTITION BY event_type, day ORDER BY ts_us, value) AS prev,
+             ROW_NUMBER() OVER (PARTITION BY event_type, day ORDER BY ts_us DESC, value DESC) AS rn_d,
+             ts_us - day * 86400000000 AS t_rel
+      FROM base),
+    agg AS (
+      SELECT event_type, day,
+             CAST(COUNT(*) AS BIGINT) AS n_samples,
+             CAST(COALESCE(SUM(CASE WHEN prev > value THEN 1 ELSE 0 END), 0) AS BIGINT) AS resets,
+             CAST(COALESCE(SUM(CASE WHEN prev IS NOT NULL AND prev <> value THEN 1 ELSE 0 END), 0) AS BIGINT) AS changes,
+             MAX(CASE WHEN rn_d = 1 THEN value END) AS last_v,
+             MAX(CASE WHEN rn_d = 2 THEN value END) AS prev_v,
+             MAX(CASE WHEN rn_d = 1 THEN ts_us END) AS last_ts,
+             MAX(CASE WHEN rn_d = 2 THEN ts_us END) AS prev_ts,
+             SUM(t_rel) AS st,
+             SUM(CAST(value AS DECIMAL(12,2))) AS sv,
+             SUM(CAST(value AS DECIMAL(12,2)) * CAST(t_rel AS DECIMAL(13,0))) AS stv,
+             SUM(CAST(t_rel AS HUGEINT) * t_rel) AS st2,
+             SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS sv2,
+             MIN(t_rel) AS tmin, MAX(t_rel) AS tmax,
+             quantile_cont(value, 0.9) AS q90
+      FROM lagged GROUP BY event_type, day),
+    calc AS (
+      SELECT *,
+             (CAST(n_samples AS DOUBLE) * CAST(stv AS DOUBLE)
+              - CAST(st AS DOUBLE) * CAST(sv AS DOUBLE))
+             / (CAST(n_samples AS DOUBLE) * CAST(st2 AS DOUBLE)
+                - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)) AS slope_us,
+             (CAST(n_samples AS DOUBLE) * CAST(sv2 AS DOUBLE)
+              - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+             / (CAST(n_samples AS DOUBLE) * CAST(n_samples AS DOUBLE)) AS varp,
+             n_samples >= 2 AND tmax > tmin AS reg_ok
+      FROM agg)
+    SELECT event_type, day, n_samples, resets, changes,
+           ROUND(CASE WHEN n_samples >= 2 THEN last_v - prev_v END, 6) AS idelta,
+           ROUND(CASE WHEN n_samples >= 2 AND last_ts > prev_ts THEN
+                   (CASE WHEN last_v < prev_v THEN last_v ELSE last_v - prev_v END)
+                   / (CAST(last_ts - prev_ts AS DOUBLE) / 1e6) END, 9) AS irate,
+           ROUND(CASE WHEN reg_ok THEN slope_us * 1e6 END, 9) AS deriv,
+           ROUND(CASE WHEN reg_ok THEN
+                   (CAST(sv AS DOUBLE) - slope_us * CAST(st AS DOUBLE))
+                   / CAST(n_samples AS DOUBLE)
+                   + slope_us * 86700000000.0 END, 6) AS predict_5m,
+           ROUND(sqrt(varp), 6) AS stddev,
+           ROUND(q90, 6) AS q90
+    FROM calc
+    ORDER BY event_type, day
+"""
+
+
+@query("m12_promql_functions", _M12_SQL)
+def m12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PromQL function family through the engine: matcher select ->
+    resets/changes, idelta/irate, deriv/predict_linear (least-squares
+    over DECIMAL-exact sums), stddev_over_time, quantile_over_time
+    (Prometheus promql/functions.go; the reference serves these via the
+    upstream engine over its storage, queryable/parquet_queryable_test.go:45)."""
+    from parquet_common_spark import Matcher, ParquetQueryable
+    from parquet_common_spark.functions.promql import (
+        agg_over_time,
+        deriv_over_windows,
+        instant_over_windows,
+        resets_changes_over_windows,
+    )
+
+    q = ParquetQueryable([_events_shard(spark, sf_dir)])
+    sel = q.select(0, 2**62, [Matcher("__name__", "=", "events")])
+    base = sel.select(
+        F.col("l_event_type").alias("event_type"),
+        F.col("s_ts").alias("ts_us"),
+        F.col("s_value").alias("value"),
+    ).persist()
+    day_us = 86_400_000_000
+    keys = ["event_type"]
+    rc = resets_changes_over_windows(base, keys, "ts_us", "value", day_us)
+    inst = instant_over_windows(base, keys, "ts_us", "value", day_us, is_counter=True)
+    der = deriv_over_windows(
+        base, keys, "ts_us", "value", day_us, predict_offset_s=300.0, value_scale=2
+    )
+    ag = agg_over_time(base, keys, "ts_us", "value", day_us, quantiles=(0.9,), value_scale=2)
+    on = ["event_type", "_win"]
+    out = (
+        rc.join(inst.select(*on, "idelta", "irate"), on)
+        .join(der.select(*on, "deriv", "predict_linear"), on)
+        .join(
+            ag.select(*on, "stddev_over_time", "quantile_0_9_over_time"), on
+        )
+        .select(
+            "event_type",
+            F.col("_win").alias("day"),
+            "n_samples",
+            "resets",
+            "changes",
+            F.round("idelta", 6).alias("idelta"),
+            F.round("irate", 9).alias("irate"),
+            F.round("deriv", 9).alias("deriv"),
+            F.round("predict_linear", 6).alias("predict_5m"),
+            F.round("stddev_over_time", 6).alias("stddev"),
+            F.round("quantile_0_9_over_time", 6).alias("q90"),
+        )
+        .orderBy("event_type", "day")
+    )
+    return out

@@ -162,3 +162,38 @@ def test_negative_range_quantiles(spark, q):
         assert emp * gamma * gamma <= got <= emp / gamma
     elif emp == 0.0:
         assert got == 0.0
+
+
+@pytest.mark.parametrize("q", [0.1, 0.5, 0.9])
+def test_exponential_interpolation(hists, q):
+    # upstream >=2.50 semantics: fraction applied on the log axis —
+    # value = lower * gamma^f; brackets the same bucket as linear
+    rows, h = hists
+    r = {x["svc"]: x for x in h.collect()}["api"]
+    got = h.where(F.col("svc") == "api").select(
+        native_histogram_quantile(
+            q,
+            F.col("nh_schema"),
+            F.col("nh_zero_count"),
+            F.col("nh_pos_idx"),
+            F.col("nh_pos_counts"),
+            interpolation="exponential",
+        ).alias("phi")
+    ).collect()[0]["phi"]
+    gamma = 2.0 ** (2.0 ** -2)
+    zero, idxs, counts = r["nh_zero_count"], list(r["nh_pos_idx"]), list(r["nh_pos_counts"])
+    total = zero + sum(counts)
+    target = q * total
+    if target <= zero:
+        assert got == 0.0
+        return
+    rank, cum = target - zero, 0.0
+    for k, c in zip(idxs, counts):
+        if cum + c >= rank:
+            lo = gamma ** (k - 1)
+            want = lo * gamma ** ((rank - cum) / c)
+            assert got == pytest.approx(want, rel=1e-12)
+            # exponential interp stays within the bucket bounds
+            assert lo <= got <= gamma ** k * (1 + 1e-12)
+            return
+        cum += c

@@ -213,3 +213,126 @@ def test_dense_regular_counter_rate_is_exact_slope(corpus_df):
     # avg_dur=5, threshold 5.5, toStart=0 stays, toEnd=5 >= 5.5? no,
     # 5 < 5.5 so extrapolates to the full window: (55+0+5)/55 * 110 / 60 = 2.0
     assert out["dense_counter"] == pytest.approx(2.0, rel=1e-12)
+
+
+# ------------------------- resets / changes / instant / deriv family
+
+
+@pytest.fixture(scope="module")
+def gauge_df(spark):
+    import random
+
+    rnd = random.Random(5)
+    rows = []
+    for s in ("a", "b"):
+        ts, v = 0, 0.0
+        for _ in range(200):
+            ts += rnd.randint(1, 3) * 1_000_000
+            v = round(v + rnd.uniform(-2, 5), 2)
+            if rnd.random() < 0.05:
+                v = round(rnd.uniform(0, 1), 2)  # reset
+            rows.append((s, ts, v))
+    return rows, spark.createDataFrame(rows, "s string, ts long, v double")
+
+
+def _groups(rows, w):
+    from collections import defaultdict
+
+    g = defaultdict(list)
+    for s, ts, v in rows:
+        g[(s, ts // w)].append((ts, v))
+    for k in g:
+        g[k].sort()
+    return g
+
+
+W_US = 60_000_000
+
+
+def test_resets_changes(gauge_df):
+    from parquet_common_spark.functions.promql import resets_changes_over_windows
+
+    rows, df = gauge_df
+    got = {
+        (r["s"], r["_win"]): r
+        for r in resets_changes_over_windows(df, ["s"], "ts", "v", W_US).collect()
+    }
+    for k, g in _groups(rows, W_US).items():
+        vs = [v for _, v in g]
+        assert got[k]["resets"] == sum(1 for a, b in zip(vs, vs[1:]) if b < a)
+        assert got[k]["changes"] == sum(1 for a, b in zip(vs, vs[1:]) if b != a)
+
+
+def test_idelta_irate(gauge_df):
+    from parquet_common_spark.functions.promql import instant_over_windows
+
+    rows, df = gauge_df
+    got = {
+        (r["s"], r["_win"]): r
+        for r in instant_over_windows(df, ["s"], "ts", "v", W_US).collect()
+    }
+    for k, g in _groups(rows, W_US).items():
+        if len(g) < 2:
+            assert got[k]["idelta"] is None and got[k]["irate"] is None
+            continue
+        (pt, pv), (lt, lv) = g[-2], g[-1]
+        assert got[k]["idelta"] == pytest.approx(lv - pv, abs=1e-12)
+        if lt > pt:
+            want = (lv if lv < pv else lv - pv) / ((lt - pt) / 1e6)
+            assert got[k]["irate"] == pytest.approx(want, rel=1e-12)
+
+
+def test_deriv_predict_linear(gauge_df):
+    from parquet_common_spark.functions.promql import deriv_over_windows
+
+    rows, df = gauge_df
+    got = {
+        (r["s"], r["_win"]): r
+        for r in deriv_over_windows(
+            df, ["s"], "ts", "v", W_US, predict_offset_s=300.0, value_scale=2
+        ).collect()
+    }
+    for k, g in _groups(rows, W_US).items():
+        n = len(g)
+        t0 = k[1] * W_US
+        tr = [t - t0 for t, _ in g]
+        vs = [v for _, v in g]
+        st, sv = sum(tr), sum(vs)
+        stv = sum(t * v for t, v in zip(tr, vs))
+        st2 = sum(t * t for t in tr)
+        den = n * st2 - st * st
+        if n < 2 or den == 0:
+            assert got[k]["deriv"] is None
+            continue
+        slope = (n * stv - st * sv) / den
+        assert got[k]["deriv"] == pytest.approx(slope * 1e6, rel=1e-9)
+        intercept = (sv - slope * st) / n
+        want = intercept + slope * (W_US + 300e6)
+        assert got[k]["predict_linear"] == pytest.approx(want, rel=1e-9)
+
+
+def test_extended_agg_over_time(gauge_df):
+    import math
+
+    rows, df = gauge_df
+    got = {
+        (r["s"], r["_win"]): r
+        for r in agg_over_time(
+            df, ["s"], "ts", "v", W_US, quantiles=(0.9,), value_scale=2
+        ).collect()
+    }
+    for k, g in _groups(rows, W_US).items():
+        vs = [v for _, v in g]
+        mean = sum(vs) / len(vs)
+        var = sum((x - mean) ** 2 for x in vs) / len(vs)
+        assert got[k]["stdvar_over_time"] == pytest.approx(var, abs=1e-9)
+        assert got[k]["stddev_over_time"] == pytest.approx(math.sqrt(var), abs=1e-9)
+        assert got[k]["last_over_time"] == g[-1][1]
+        assert got[k]["present_over_time"] == 1.0
+        svs = sorted(vs)
+        h = 0.9 * (len(svs) - 1)
+        lo = svs[math.floor(h)]
+        hi = svs[min(math.floor(h) + 1, len(svs) - 1)]
+        assert got[k]["quantile_0_9_over_time"] == pytest.approx(
+            lo + (h - math.floor(h)) * (hi - lo), abs=1e-9
+        )
