@@ -250,6 +250,90 @@ def agg_over_time(
     )
 
 
+def promql_suite_over_windows(
+    df: DataFrame,
+    series_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    window_us: int,
+    predict_offset_s: float = 300.0,
+    quantiles: tuple[float, ...] = (0.9,),
+    value_scale: int = 6,
+) -> DataFrame:
+    """The whole PromQL function family in ONE pass: resets/changes,
+    idelta/irate, deriv/predict_linear, stddev/stdvar/last/quantile.
+
+    Fused plan: one exchange on (series, window), two sorts under it
+    (lag ascending, row_number descending — same partitioning, so no
+    second shuffle), one partial-aggregated groupBy.  Use this when more
+    than one family member is needed — the à-la-carte functions below
+    each cost their own shuffle."""
+    dec = f"decimal(30,{value_scale})"
+    win = (F.col(ts_col) / F.lit(window_us)).cast("long")
+    staged = df.withColumn("_win", win).withColumn(
+        "_t", F.col(ts_col) - F.col("_win") * F.lit(window_us)
+    )
+    w_asc = Window.partitionBy(*series_cols, "_win").orderBy(F.asc(ts_col), F.asc(value_col))
+    w_desc = Window.partitionBy(*series_cols, "_win").orderBy(F.desc(ts_col), F.desc(value_col))
+    prev = F.lag(value_col).over(w_asc)
+    staged = (
+        staged.withColumn("_prev", prev)
+        .withColumn("_rn_d", F.row_number().over(w_desc))
+    )
+    v = F.col(value_col)
+    qaggs = [
+        F.percentile(v, F.lit(q)).alias(f"quantile_{str(q).replace('.', '_')}_over_time")
+        for q in quantiles
+    ]
+    agg = staged.groupBy(*series_cols, "_win").agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.coalesce(F.sum((F.col("_prev") > v).cast("long")), F.lit(0)).alias("resets"),
+        F.coalesce(
+            F.sum((F.col("_prev").isNotNull() & (F.col("_prev") != v)).cast("long")), F.lit(0)
+        ).alias("changes"),
+        F.max(F.when(F.col("_rn_d") == 1, v)).alias("_last_v"),
+        F.max(F.when(F.col("_rn_d") == 2, v)).alias("_prev_v"),
+        F.max(F.when(F.col("_rn_d") == 1, F.col(ts_col))).alias("_last_ts"),
+        F.max(F.when(F.col("_rn_d") == 2, F.col(ts_col))).alias("_prev_ts"),
+        F.sum("_t").alias("_st"),
+        F.sum(v.cast(dec)).alias("_sv"),
+        F.sum(v.cast(dec) * F.col("_t")).alias("_stv"),
+        F.sum(F.col("_t").cast("decimal(19,0)") * F.col("_t")).alias("_st2"),
+        F.sum(v.cast(dec) * v.cast(dec)).alias("_sv2"),
+        F.min("_t").alias("_tmin"),
+        F.max("_t").alias("_tmax"),
+        F.max(F.struct(F.col(ts_col), v))[value_col].alias("last_over_time"),
+        *qaggs,
+    )
+    nd = F.col("n_samples").cast("double")
+    st, sv = F.col("_st").cast("double"), F.col("_sv").cast("double")
+    stv, st2 = F.col("_stv").cast("double"), F.col("_st2").cast("double")
+    sv2 = F.col("_sv2").cast("double")
+    idelta = F.col("_last_v") - F.col("_prev_v")
+    inum = F.when(F.col("_last_v") < F.col("_prev_v"), F.col("_last_v")).otherwise(idelta)
+    dt_s = (F.col("_last_ts") - F.col("_prev_ts")).cast("double") / 1e6
+    iok = (F.col("n_samples") >= 2) & (F.col("_last_ts") > F.col("_prev_ts"))
+    num = nd * stv - st * sv
+    den = nd * st2 - st * st
+    slope_us = num / den
+    reg_ok = (F.col("n_samples") >= 2) & (F.col("_tmax") > F.col("_tmin"))
+    var = (nd * sv2 - sv * sv) / (nd * nd)
+    intercept = (sv - slope_us * st) / nd
+    t_target = F.lit(float(window_us) + predict_offset_s * 1e6)
+    return (
+        agg.withColumn("idelta", F.when(F.col("n_samples") >= 2, idelta))
+        .withColumn("irate", F.when(iok, inum / dt_s))
+        .withColumn("deriv", F.when(reg_ok, slope_us * F.lit(1e6)))
+        .withColumn("predict_linear", F.when(reg_ok, intercept + slope_us * t_target))
+        .withColumn("stdvar_over_time", var)
+        .withColumn("stddev_over_time", F.sqrt(var))
+        .drop(
+            "_last_v", "_prev_v", "_last_ts", "_prev_ts",
+            "_st", "_sv", "_stv", "_st2", "_sv2", "_tmin", "_tmax",
+        )
+    )
+
+
 def resets_changes_over_windows(
     df: DataFrame,
     series_cols: list[str],

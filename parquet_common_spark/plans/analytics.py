@@ -977,12 +977,7 @@ def m12(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Prometheus promql/functions.go; the reference serves these via the
     upstream engine over its storage, queryable/parquet_queryable_test.go:45)."""
     from parquet_common_spark import Matcher, ParquetQueryable
-    from parquet_common_spark.functions.promql import (
-        agg_over_time,
-        deriv_over_windows,
-        instant_over_windows,
-        resets_changes_over_windows,
-    )
+    from parquet_common_spark.functions.promql import promql_suite_over_windows
 
     q = ParquetQueryable([_events_shard(spark, sf_dir)])
     sel = q.select(0, 2**62, [Matcher("__name__", "=", "events")])
@@ -990,35 +985,27 @@ def m12(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_event_type").alias("event_type"),
         F.col("s_ts").alias("ts_us"),
         F.col("s_value").alias("value"),
-    ).persist()
-    day_us = 86_400_000_000
-    keys = ["event_type"]
-    rc = resets_changes_over_windows(base, keys, "ts_us", "value", day_us)
-    inst = instant_over_windows(base, keys, "ts_us", "value", day_us, is_counter=True)
-    der = deriv_over_windows(
-        base, keys, "ts_us", "value", day_us, predict_offset_s=300.0, value_scale=2
     )
-    ag = agg_over_time(base, keys, "ts_us", "value", day_us, quantiles=(0.9,), value_scale=2)
-    on = ["event_type", "_win"]
-    out = (
-        rc.join(inst.select(*on, "idelta", "irate"), on)
-        .join(der.select(*on, "deriv", "predict_linear"), on)
-        .join(
-            ag.select(*on, "stddev_over_time", "quantile_0_9_over_time"), on
-        )
-        .select(
-            "event_type",
-            F.col("_win").alias("day"),
-            "n_samples",
-            "resets",
-            "changes",
-            F.round("idelta", 6).alias("idelta"),
-            F.round("irate", 9).alias("irate"),
-            F.round("deriv", 9).alias("deriv"),
-            F.round("predict_linear", 6).alias("predict_5m"),
-            F.round("stddev_over_time", 6).alias("stddev"),
-            F.round("quantile_0_9_over_time", 6).alias("q90"),
-        )
-        .orderBy("event_type", "day")
+    suite = promql_suite_over_windows(
+        base,
+        ["event_type"],
+        "ts_us",
+        "value",
+        86_400_000_000,
+        predict_offset_s=300.0,
+        quantiles=(0.9,),
+        value_scale=2,
     )
-    return out
+    return suite.select(
+        "event_type",
+        F.col("_win").alias("day"),
+        "n_samples",
+        "resets",
+        "changes",
+        F.round("idelta", 6).alias("idelta"),
+        F.round("irate", 9).alias("irate"),
+        F.round("deriv", 9).alias("deriv"),
+        F.round("predict_linear", 6).alias("predict_5m"),
+        F.round("stddev_over_time", 6).alias("stddev"),
+        F.round("quantile_0_9_over_time", 6).alias("q90"),
+    ).orderBy("event_type", "day")

@@ -118,3 +118,22 @@ def test_ngram_jaccard_no_cartesian(spark, sf_dir):
     p = plan_of(ngram_jaccard_pairs(docs, "doc_id", "text", "lang"))
     assert "CartesianProduct" not in p  # (block, ratio-band) equi-join
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_promql_suite_single_exchange(spark):
+    # the fused family must be one shuffle: 1 exchange, 0 joins (the
+    # à-la-carte functions each cost their own — that's their contract)
+    import re
+
+    from pyspark.sql import functions as F
+
+    from parquet_common_spark.functions.promql import promql_suite_over_windows
+
+    df = spark.range(1000).select(
+        (F.col("id") % 7).cast("string").alias("s"),
+        (F.col("id") * 1_000_000).alias("ts"),
+        (F.rand(1) * 100).alias("v"),
+    )
+    p = plan_of(promql_suite_over_windows(df, ["s"], "ts", "v", 60_000_000))
+    assert len(re.findall(r"Exchange", p)) == 1
+    assert "Join" not in p

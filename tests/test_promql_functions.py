@@ -336,3 +336,50 @@ def test_extended_agg_over_time(gauge_df):
         assert got[k]["quantile_0_9_over_time"] == pytest.approx(
             lo + (h - math.floor(h)) * (hi - lo), abs=1e-9
         )
+
+
+def test_suite_matches_a_la_carte(gauge_df):
+    from parquet_common_spark.functions.promql import (
+        agg_over_time,
+        deriv_over_windows,
+        instant_over_windows,
+        promql_suite_over_windows,
+        resets_changes_over_windows,
+    )
+
+    rows, df = gauge_df
+    suite = {
+        (r["s"], r["_win"]): r
+        for r in promql_suite_over_windows(
+            df, ["s"], "ts", "v", W_US, predict_offset_s=300.0,
+            quantiles=(0.9,), value_scale=2,
+        ).collect()
+    }
+    rc = {
+        (r["s"], r["_win"]): r
+        for r in resets_changes_over_windows(df, ["s"], "ts", "v", W_US).collect()
+    }
+    inst = {
+        (r["s"], r["_win"]): r
+        for r in instant_over_windows(df, ["s"], "ts", "v", W_US).collect()
+    }
+    der = {
+        (r["s"], r["_win"]): r
+        for r in deriv_over_windows(
+            df, ["s"], "ts", "v", W_US, predict_offset_s=300.0, value_scale=2
+        ).collect()
+    }
+    ag = {
+        (r["s"], r["_win"]): r
+        for r in agg_over_time(
+            df, ["s"], "ts", "v", W_US, quantiles=(0.9,), value_scale=2
+        ).collect()
+    }
+    for k, r in suite.items():
+        assert r["resets"] == rc[k]["resets"] and r["changes"] == rc[k]["changes"]
+        assert r["idelta"] == inst[k]["idelta"] and r["irate"] == inst[k]["irate"]
+        assert r["deriv"] == der[k]["deriv"]
+        assert r["predict_linear"] == der[k]["predict_linear"]
+        assert r["stdvar_over_time"] == pytest.approx(ag[k]["stdvar_over_time"], abs=1e-12)
+        assert r["last_over_time"] == ag[k]["last_over_time"]
+        assert r["quantile_0_9_over_time"] == ag[k]["quantile_0_9_over_time"]
