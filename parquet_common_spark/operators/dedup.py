@@ -115,8 +115,11 @@ def shingle_hashes(col, n: int = 3):
 
 
 def jaccard(a, b):
-    """Exact Jaccard of two distinct arrays."""
-    return F.size(F.array_intersect(a, b)).cast("double") / F.size(F.array_union(a, b)).cast("double")
+    """Exact Jaccard of two distinct arrays.  |A∪B| = |A|+|B|−|A∩B|
+    (inputs are distinct), so one hash-set build per pair instead of two
+    — same integer counts, bit-identical result, ~2x cheaper verify."""
+    inter = F.size(F.array_intersect(a, b))
+    return inter.cast("double") / (F.size(a) + F.size(b) - inter).cast("double")
 
 
 # ------------------------------------------------------------------ exact
