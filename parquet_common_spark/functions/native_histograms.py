@@ -57,9 +57,67 @@ def build_histograms(
     value_col: str,
     schema: int = 3,
     zero_threshold: float = 1e-9,
+    engine: str = "native",
 ) -> DataFrame:
-    """Aggregate raw non-negative observations into one native histogram
-    per group (Arrow-batched applyInPandas; one shuffle on the group key)."""
+    """Aggregate raw observations into one native histogram per group.
+
+    ``engine="native"`` (default): two JVM aggregations — groupBy(group,
+    range, bucket).count() with map-side partial aggregation, then
+    sort_array(collect_list(struct(k, c))) per group.  No Python in the
+    path; this is the 100 TB shape (the first shuffle is keyed on
+    (group, bucket), so no single reducer sees a whole group's raw rows).
+    ``engine="pandas"``: the original Arrow applyInPandas fold, kept as
+    the cross-engine parity reference (tests/test_native_histograms.py).
+    nh_sum summation order differs between engines by float rounding only.
+    """
+    if engine == "native":
+        ln_gamma = math.log(2.0 ** (2.0 ** -schema))
+        v = F.col(value_col).cast("double")
+        rng = (
+            F.when(F.abs(v) <= zero_threshold, F.lit(0))
+            .when(v > 0, F.lit(1))
+            .otherwise(F.lit(-1))
+        )
+        # same expression as bucket_index(): ceil(ln|v|/ln γ − 1e-12)
+        k = (
+            F.when(F.abs(v) <= zero_threshold, F.lit(0))
+            .otherwise(F.ceil(F.log(F.abs(v)) / F.lit(ln_gamma) - F.lit(1e-12)))
+            .cast("int")
+        )
+        bucketed = df.select(
+            *group_cols, rng.alias("_rng"), k.alias("_k"), v.alias("_v")
+        )
+        counts = bucketed.groupBy(*group_cols, "_rng", "_k").agg(
+            F.count(F.lit(1)).alias("_c"), F.sum("_v").alias("_s")
+        )
+
+        def pairs(which: int):
+            return F.sort_array(
+                F.collect_list(
+                    F.when(F.col("_rng") == which, F.struct(F.col("_k"), F.col("_c")))
+                )
+            )
+
+        agged = counts.groupBy(*group_cols).agg(
+            F.sum(F.when(F.col("_rng") == 0, F.col("_c")).otherwise(F.lit(0))).alias(
+                "nh_zero_count"
+            ),
+            F.sum("_c").alias("nh_count"),
+            F.sum("_s").cast("double").alias("nh_sum"),
+            pairs(1).alias("_pos"),
+            pairs(-1).alias("_neg"),
+        )
+        return agged.select(
+            *group_cols,
+            F.lit(schema).cast("int").alias("nh_schema"),
+            "nh_zero_count",
+            "nh_count",
+            "nh_sum",
+            F.transform(F.col("_pos"), lambda p: p._k).alias("nh_pos_idx"),
+            F.transform(F.col("_pos"), lambda p: p._c).alias("nh_pos_counts"),
+            F.transform(F.col("_neg"), lambda p: p._k).alias("nh_neg_idx"),
+            F.transform(F.col("_neg"), lambda p: p._c).alias("nh_neg_counts"),
+        )
     from pyspark.sql.types import (
         ArrayType,
         DoubleType,

@@ -32,6 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from parquet_common_spark.operators.text import (
+    HASH_MULT,
     HASH_P,
     char_poly_hash,
     normalize_text,
@@ -446,6 +447,63 @@ def simhash_pairs(
 # ------------------------------------------------------- blocked n-gram
 
 
+def _char_shingles_arrow(
+    df: DataFrame, id_col: str, text_col: str, block_col: str, n: int
+) -> DataFrame:
+    """Arrow/numpy char-shingle stage for ngram_jaccard_pairs: same values
+    as the Column path (normalize -> n-char windows -> char_poly_hash ->
+    distinct), vectorized per batch.  The Column path hashes every shingle
+    with an interpreted higher-order aggregate (length(text) re-walks per
+    doc); here the window hash is n numpy passes over the codepoint array.
+    Map-only, no shuffle."""
+    import re as _re
+
+    from pyspark.sql.types import ArrayType, LongType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("_id", LongType()),
+            StructField("_blk", StringType()),
+            StructField("_sh", ArrayType(LongType())),
+        ]
+    )
+    P, M = HASH_P, HASH_MULT
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        ws = _re.compile(r"\s+")
+        for pdf in it:
+            ids, blks, shs = [], [], []
+            for i, blk, text in zip(
+                pdf[pdf.columns[0]], pdf[pdf.columns[1]], pdf[pdf.columns[2]]
+            ):
+                norm = ws.sub(" ", (text or "").lower()).strip()
+                codes = np.frombuffer(norm.encode("utf-32-le"), dtype=np.uint32).astype(
+                    np.int64
+                )
+                m = len(codes) - n + 1
+                if m >= 1:
+                    h = np.zeros(m, dtype=np.int64)
+                    for j in range(n):
+                        h = (h * M + codes[j : j + m]) % P
+                    sh = np.unique(h)
+                else:
+                    acc = 0
+                    for c in codes:
+                        acc = (acc * M + int(c)) % P
+                    sh = np.array([acc], dtype=np.int64)
+                ids.append(int(i))
+                blks.append(blk)
+                shs.append(sh.tolist())
+            yield pd.DataFrame({"_id": ids, "_blk": blks, "_sh": shs})
+
+    return df.select(F.col(id_col), F.col(block_col), F.col(text_col)).mapInPandas(
+        batches, schema=out_schema
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -453,6 +511,7 @@ def ngram_jaccard_pairs(
     block_col: str,
     n: int = 5,
     tau: float = 0.4,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Character-n-gram Jaccard near-dup pairs, brute-forced WITHIN a
     composite blocking key — never all-pairs, recall exactly 1.0.
@@ -479,25 +538,32 @@ def ngram_jaccard_pairs(
 
     assert 0.0 < tau < 1.0, "tau must be in (0, 1)"
     band_den = math.log(1.0 / tau)
+    if engine == "arrow":
+        s = _char_shingles_arrow(df, id_col, text_col, block_col, n)
+    else:
+        s = (
+            df.select(
+                F.col(id_col).alias("_id"),
+                F.col(block_col).alias("_blk"),
+                normalize_text(F.col(text_col)).alias("_norm"),
+            )
+            .select("_id", "_blk", char_shingles_from_norm(F.col("_norm"), n).alias("_ss"))
+            # hash shingles to longs: the pairwise array_intersect/union over
+            # ~300-element arrays dominates the blocked join, and long
+            # comparisons beat string comparisons ~4x there
+            .select(
+                "_id",
+                "_blk",
+                F.array_distinct(
+                    F.transform(F.col("_ss"), lambda sh: char_poly_hash(sh))
+                ).alias("_sh"),
+            )
+        )
     s = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.col(block_col).alias("_blk"),
-            normalize_text(F.col(text_col)).alias("_norm"),
-        )
-        .select("_id", "_blk", char_shingles_from_norm(F.col("_norm"), n).alias("_ss"))
-        # hash shingles to longs: the pairwise array_intersect/union over
-        # ~300-element arrays dominates the blocked join, and long
-        # comparisons beat string comparisons ~4x there
-        .select(
-            "_id",
-            "_blk",
-            F.array_distinct(F.transform(F.col("_ss"), lambda sh: char_poly_hash(sh))).alias("_sh"),
-        )
         # ratio band on the DISTINCT shingle count (see docstring); sizes
         # are integers and 1/tau powers are non-integer, so the floor is
         # engine-stable
-        .withColumn("_b", F.floor(F.log(F.size("_sh").cast("double")) / F.lit(band_den)))
+        s.withColumn("_b", F.floor(F.log(F.size("_sh").cast("double")) / F.lit(band_den)))
         .persist()  # both sides of the self-join consume the shingle pipeline
     )
     bands = s.select("_id", "_blk", "_b", "_sh", F.explode(F.array(F.col("_b"), F.col("_b") + 1)).alias("_k"))

@@ -197,3 +197,23 @@ def test_exponential_interpolation(hists, q):
             assert lo <= got <= gamma ** k * (1 + 1e-12)
             return
         cum += c
+
+
+def test_build_engines_agree(spark):
+    import random
+
+    rnd = random.Random(11)
+    rows = [("g%d" % (i % 3), rnd.uniform(-100, 100)) for i in range(600)]
+    rows += [("g0", 0.0)] * 5
+    df = spark.createDataFrame(rows, "g string, v double")
+    cols = [
+        "nh_schema", "nh_zero_count", "nh_count",
+        "nh_pos_idx", "nh_pos_counts", "nh_neg_idx", "nh_neg_counts",
+    ]
+    a = {r["g"]: r for r in build_histograms(df, ["g"], "v", schema=2, engine="native").collect()}
+    b = {r["g"]: r for r in build_histograms(df, ["g"], "v", schema=2, engine="pandas").collect()}
+    assert a.keys() == b.keys()
+    for g in a:
+        for c in cols:
+            assert a[g][c] == b[g][c], (g, c)
+        assert a[g]["nh_sum"] == pytest.approx(b[g]["nh_sum"], rel=1e-9)

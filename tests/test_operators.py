@@ -191,6 +191,23 @@ def test_minhash_engines_agree(spark, sf_dir):
     assert a == b and len(a) > 0
 
 
+def test_ngram_jaccard_engines_agree(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = sorted(
+        map(
+            tuple,
+            D.ngram_jaccard_pairs(docs, "doc_id", "text", "lang", engine="column").collect(),
+        )
+    )
+    b = sorted(
+        map(
+            tuple,
+            D.ngram_jaccard_pairs(docs, "doc_id", "text", "lang", engine="arrow").collect(),
+        )
+    )
+    assert a == b and len(a) > 0
+
+
 def test_frame_sampling_and_resize(spark, docs):
     from parquet_common_spark.operators.multimodal import resize_media, sample_frames
 
