@@ -22,9 +22,12 @@ Five families, all designed shuffle-light for 100 TB:
                   B(B+1)/2 block-pair numpy/BLAS tasks (LSH cannot honor an
                   exact threshold contract — see the function docstring).
 
-Everything is built from higher-order Column expressions using the
-cross-engine polynomial hash (operators/text.py), so every operator has a
-DuckDB-checkable oracle.
+Every operator computes the cross-engine polynomial hash
+(operators/text.py), so every operator has a DuckDB-checkable oracle.
+The hash-heavy signature stages (minhash, simhash, char shingles) default
+to numpy-vectorized Arrow `mapInPandas` engines; each keeps a
+higher-order-Column twin (`engine="column"`) whose value equality is
+pinned by tests/test_operators.py.
 """
 
 from __future__ import annotations
