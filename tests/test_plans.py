@@ -137,3 +137,20 @@ def test_promql_suite_single_exchange(spark):
     p = plan_of(promql_suite_over_windows(df, ["s"], "ts", "v", 60_000_000))
     assert len(re.findall(r"Exchange", p)) == 1
     assert "Join" not in p
+
+
+def test_native_histogram_build_is_jvm_native(spark):
+    # the default build path must contain no Python stage (the Arrow fold
+    # is the parity reference, not the scale path) and keep partial
+    # aggregation for the bucket-count stage
+    from pyspark.sql import functions as F
+
+    from parquet_common_spark.functions.native_histograms import build_histograms
+
+    df = spark.range(1000).select(
+        (F.col("id") % 5).cast("string").alias("g"),
+        (F.rand(3) * 200 - 100).alias("v"),
+    )
+    p = plan_of(build_histograms(df, ["g"], "v", schema=2))
+    assert "FlatMapGroupsInPandas" not in p and "ArrowEvalPython" not in p
+    assert "partial_count" in p or "HashAggregate" in p
