@@ -1009,3 +1009,64 @@ def m12(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("stddev_over_time", 6).alias("stddev"),
         F.round("quantile_0_9_over_time", 6).alias("q90"),
     ).orderBy("event_type", "day")
+
+
+# ------------------------------------------------- m13: chunk codec roundtrip
+
+# The packed-chunk fidelity form through the gate: events -> exploded
+# samples -> framed Gorilla-XOR cells (samples_to_packed) -> unpack ->
+# per-series aggregate.  The codec is lossless, so the oracle is plain SQL
+# over the RAW events — any framing/bit-packing defect breaks the hash.
+# Series key = the cross-engine polynomial hash of event_type (the same
+# construction t4 oracles in DuckDB).
+_M13_SQL = None  # assigned below once _phash is importable
+
+
+def _m13_sql() -> str:
+    from parquet_common_spark.operators.pipeline_queries import _phash
+
+    return f"""
+    SELECT {_phash("event_type")} AS s_series_hash,
+           COUNT(*) AS n_samples,
+           CAST(COUNT(DISTINCT CAST(floor(epoch_us(ts) / 86400000000) AS INT)) AS BIGINT)
+             AS n_buckets,
+           CAST(SUM(CAST(value AS DECIMAL(27,2))) AS DOUBLE) AS sum_value,
+           MIN(epoch_us(ts)) AS min_ts,
+           MAX(epoch_us(ts)) AS max_ts
+    FROM events
+    GROUP BY 1
+    ORDER BY s_series_hash
+    """
+
+
+@query("m13_chunk_roundtrip", _m13_sql())
+def m13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gorilla-XOR packed-cell fidelity form end-to-end (reference:
+    schema/encoder.go:200-222 framing over EncXOR chunk bytes,
+    encoder.go:105-113 re-cut): pack -> unpack must be the identity, so
+    the oracle aggregates the raw rows the codec never saw."""
+    from parquet_common_spark import schema as S
+    from parquet_common_spark.functions.chunks import packed_to_samples, samples_to_packed
+    from parquet_common_spark.operators.text import char_poly_hash
+
+    ev = load(spark, sf_dir, "events")["events"]
+    samples = ev.select(
+        char_poly_hash(F.col("event_type")).alias(S.SERIES_HASH_COLUMN),
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000))
+        .cast("int")
+        .alias(S.TIME_BUCKET_COLUMN),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias(S.TS_COLUMN),
+        F.col("value").cast("double").alias(S.VALUE_COLUMN),
+    )
+    rt = packed_to_samples(samples_to_packed(samples))
+    return (
+        rt.groupBy(S.SERIES_HASH_COLUMN)
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.count_distinct(F.col(S.TIME_BUCKET_COLUMN)).alias("n_buckets"),
+            dsum(F.col(S.VALUE_COLUMN), 2).alias("sum_value"),
+            F.min(S.TS_COLUMN).alias("min_ts"),
+            F.max(S.TS_COLUMN).alias("max_ts"),
+        )
+        .orderBy(S.SERIES_HASH_COLUMN)
+    )
