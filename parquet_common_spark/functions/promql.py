@@ -220,7 +220,7 @@ def agg_over_time(
     ``quantile_<q>_over_time`` columns via exact linear-interpolation
     percentile (the same definition Prometheus uses)."""
     win = (F.col(ts_col) / F.lit(window_us)).cast("long").alias("_win")
-    dec = f"decimal(30,{value_scale})"
+    dec = f"decimal(18,{value_scale})"  # compact long-backed Decimal (see plans/common.dsum); values must satisfy |v| < 10^(18-value_scale)
     sv = F.sum(F.col(value_col).cast(dec))
     sv2 = F.sum(F.col(value_col).cast(dec) * F.col(value_col).cast(dec))
     n = F.count(F.lit(1))
@@ -268,7 +268,7 @@ def promql_suite_over_windows(
     second shuffle), one partial-aggregated groupBy.  Use this when more
     than one family member is needed — the à-la-carte functions below
     each cost their own shuffle."""
-    dec = f"decimal(30,{value_scale})"
+    dec = f"decimal(18,{value_scale})"  # compact long-backed Decimal (see plans/common.dsum); values must satisfy |v| < 10^(18-value_scale)
     win = (F.col(ts_col) / F.lit(window_us)).cast("long")
     staged = df.withColumn("_win", win).withColumn(
         "_t", F.col(ts_col) - F.col("_win") * F.lit(window_us)
@@ -427,7 +427,7 @@ def deriv_over_windows(
     is a fixed double expression over them — deterministic across
     engines and aggregation orders.  Windows with < 2 samples or all
     samples at one timestamp yield NULL (as PromQL drops them)."""
-    dec = f"decimal(30,{value_scale})"
+    dec = f"decimal(18,{value_scale})"  # compact long-backed Decimal (see plans/common.dsum); values must satisfy |v| < 10^(18-value_scale)
     win = (F.col(ts_col) / F.lit(window_us)).cast("long")
     t_rel = F.col(ts_col) - F.col("_win") * F.lit(window_us)  # µs into the window
     staged = df.withColumn("_win", win).withColumn("_t", t_rel)
