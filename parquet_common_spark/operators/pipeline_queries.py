@@ -101,6 +101,16 @@ _PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 _PAIRS_CACHE_MAX = 4  # (appId, sf_dir) entries; LRU-evicted + unpersisted
 
 
+def clear_pairs_cache() -> None:
+    """Unpersist and drop every cached pair set.  bench.py calls this
+    after its warm-up so a timed d2 run always includes the pair
+    computation (a warm-up that happens to populate the cache would
+    otherwise make the reported time a cache read)."""
+    while _PAIRS_CACHE:
+        _, old = _PAIRS_CACHE.popitem()
+        old.unpersist()
+
+
 def _minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """d2/d6/c1 all consume the same LSH pair set; compute it once per
     (session, sf_dir) and persist — the cross-query analogue of the
