@@ -335,6 +335,20 @@ def e5(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EVENTS_SHARD_CACHE: dict = {}
+_SHARD_CACHE_MAX = 4  # (session, sf_dir) entries per cache
+
+
+def _shard_cache_put(cache: dict, key, shard):
+    """Bounded per-(session, sf_dir) shard cache: beyond _SHARD_CACHE_MAX
+    the oldest entry is unpersisted and dropped — same contract as
+    pipeline_queries._PAIRS_CACHE, so a long-lived session sweeping many
+    sf_dirs can't pin unbounded executor memory."""
+    while len(cache) >= _SHARD_CACHE_MAX:
+        _, old = cache.popitem()
+        old.series.unpersist()
+        old.samples.unpersist()
+    cache[key] = shard
+    return shard
 
 
 def _events_shard(spark: SparkSession, sf_dir: str):
@@ -346,8 +360,7 @@ def _events_shard(spark: SparkSession, sf_dir: str):
     shard = _build_events_shard(spark, sf_dir)
     shard.series = shard.series.persist()
     shard.samples = shard.samples.persist()
-    _EVENTS_SHARD_CACHE[key] = shard
-    return shard
+    return _shard_cache_put(_EVENTS_SHARD_CACHE, key, shard)
 
 
 def _build_events_shard(spark: SparkSession, sf_dir: str):
@@ -672,8 +685,7 @@ def _hist_shard(spark: SparkSession, sf_dir: str):
     shard = ShardDataset.read(spark, out_dir)
     shard.series = shard.series.persist()
     shard.samples = shard.samples.persist()
-    _HIST_SHARD_CACHE[key] = shard
-    return shard
+    return _shard_cache_put(_HIST_SHARD_CACHE, key, shard)
 
 
 @query(
@@ -797,8 +809,7 @@ def _native_hist_shard(spark: SparkSession, sf_dir: str):
     shard = ShardDataset.read(spark, out_dir)
     shard.series = shard.series.persist()
     shard.samples = shard.samples.persist()
-    _NH_SHARD_CACHE[key] = shard
-    return shard
+    return _shard_cache_put(_NH_SHARD_CACHE, key, shard)
 
 
 # DuckDB oracle: recompute the sparse exponential bucketing (k =
