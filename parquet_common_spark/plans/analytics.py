@@ -1081,3 +1081,69 @@ def m13(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(S.SERIES_HASH_COLUMN)
     )
+
+
+# --------------------------------------------- st1: streaming through the gate
+
+# Bounded Structured Streaming with a hash-checked oracle (reference:
+# README "Planned: Streaming query capabilities" — our §2.9 goes further
+# than the reference ships): the events table is consumed as a file-source
+# STREAM, aggregated with an event-time tumbling window + watermark, and
+# drained into a complete-mode memory sink by an availableNow trigger.
+# The streamed answer must equal plain batch SQL over the same rows.
+_ST1_SQL = """
+    SELECT event_type,
+           CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2 ORDER BY event_type, day
+"""
+
+
+@query("st1_streaming_daily_counts", _ST1_SQL)
+def st1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time windowed streaming aggregate, gate-checked against the
+    batch oracle.  availableNow processes the whole bounded input, and the
+    complete-mode sink emits every window regardless of watermark cutoff,
+    so the result is deterministic."""
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        # the file source streams a DIRECTORY; glob-filter to the events
+        # table (each driver table is a single parquet file in sf_dir)
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        # watermarks require TIMESTAMP (not NTZ); session TZ is pinned UTC,
+        # so the LTZ interpretation is the identity
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window(F.col("ts"), "1 day").alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), 2).alias("sum_value"))
+    )
+    sink = f"st1_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(sink)
+        .select(
+            "event_type",
+            F.floor(F.unix_micros(F.col("w.start").cast("timestamp")) / F.lit(86_400_000_000))
+            .cast("long")
+            .alias("day"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("event_type", "day")
+    )
