@@ -36,15 +36,84 @@ def cosine(a, b):
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _brute_force_topk_arrow(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str, k: int
+) -> DataFrame:
+    """numpy engine for brute_force_topk: bit-identical cosines to the
+    JVM fold — ``np.cumsum(axis=1)[:, -1]`` accumulates strictly left to
+    right, the same IEEE rounding sequence as ``aggregate(zip_with(...))``
+    starting from 0.0 (0.0+x == x exactly).  Queries are collected to the
+    driver (same smallness contract as the JVM path's broadcast); each
+    corpus batch emits its local top-k, a global window keeps the exact
+    top-k of those."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    q_rows = queries.select(
+        F.col(id_col).cast("long"), F.col(vec_col).cast("array<double>")
+    ).collect()
+    qids = [r[0] for r in q_rows]
+    qvecs = [list(r[1]) for r in q_rows]
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("cos", DoubleType()),
+        ]
+    )
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        Q = np.asarray(qvecs, dtype=np.float64)
+        qn = np.sqrt(np.cumsum(Q * Q, axis=1)[:, -1]) if len(qvecs) else np.empty(0)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids = pdf.iloc[:, 0].to_numpy()
+            C = np.stack(pdf.iloc[:, 1].to_numpy()).astype(np.float64)
+            cn = np.sqrt(np.cumsum(C * C, axis=1)[:, -1])
+            rq, rn, rc = [], [], []
+            for qi, qid in enumerate(qids):
+                dots = np.cumsum(C * Q[qi][None, :], axis=1)[:, -1]
+                cos = dots / (qn[qi] * cn)
+                mask = ids != qid
+                mids, mcos = ids[mask], cos[mask]
+                top = np.lexsort((mids, -mcos))[:k]
+                rq.extend([qid] * len(top))
+                rn.extend(mids[top].tolist())
+                rc.extend(mcos[top].tolist())
+            yield pd.DataFrame({"query_id": rq, "neighbor_id": rn, "cos": rc})
+
+    scored = corpus.select(
+        F.col(id_col).cast("long"), F.col(vec_col).cast("array<double>")
+    ).mapInPandas(batches, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("cos", 5).alias("cos"), F.col("rank").cast("int")
+        )
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    engine: str = "arrow",
 ) -> DataFrame:
     """Exact cosine top-k: for each query row, the k nearest corpus rows
-    (self excluded), deterministic tie-break on neighbor id."""
+    (self excluded), deterministic tie-break on neighbor id.
+
+    ``engine="arrow"`` (default) vectorizes the scan with numpy at the
+    fold's exact rounding (see _brute_force_topk_arrow); ``"column"`` is
+    the JVM higher-order-function twin (parity-tested)."""
+    if engine == "arrow":
+        return _brute_force_topk_arrow(corpus, queries, id_col, vec_col, k)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("_cv")
     )

@@ -231,3 +231,13 @@ def test_frame_sampling_and_resize(spark, docs):
             assert r["width"] >= 1 and r["height"] >= 1
         else:
             assert r["width"] == 0
+
+
+def test_brute_force_topk_engines_agree(spark, sf_dir):
+    import parquet_common_spark.operators.similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where("vec_id < 5")
+    a = sorted(map(tuple, SIM.brute_force_topk(emb, queries, engine="column").collect()))
+    b = sorted(map(tuple, SIM.brute_force_topk(emb, queries, engine="arrow").collect()))
+    assert a == b and len(a) > 0
