@@ -1127,14 +1127,21 @@ def st1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), 2).alias("sum_value"))
     )
     sink = f"st1_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    # scope down the stateful-agg partition count at check scale (one
+    # state store per shuffle partition — see st2); restored right after
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (
         spark.table(sink)
         .select(
@@ -1146,4 +1153,138 @@ def st1(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
         .orderBy("event_type", "day")
+    )
+
+
+# ----------------------------------------- w5: native session windows (batch)
+
+# F.session_window is the native gap-based sessionizer (the same operator
+# Structured Streaming uses for stateful sessions); the oracle rebuilds
+# sessions relationally with LAG + running SUM.  Semantics pinned: a
+# session EXTENDS while gap <= 1h and closes on gap > 1h — session_window's
+# window is [first_ts, last_ts + gap), so session bounds are derived from
+# min/max event time, which both engines can compute.
+_W5_SQL = """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w > INTERVAL 1 HOUR
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked)
+    SELECT user_id,
+           CAST(sid AS BIGINT) AS sid,
+           COUNT(*) AS n_events,
+           MIN(epoch_us(ts)) AS session_start_us,
+           MAX(epoch_us(ts)) AS session_end_us
+    FROM sess GROUP BY user_id, sid
+    ORDER BY user_id, sid
+"""
+
+
+@query("w5_session_windows", _W5_SQL)
+def w5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "events")
+    ev = t["events"].select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    sessions = (
+        ev.groupBy("user_id", F.session_window(F.col("ts"), "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(F.unix_micros(F.col("ts"))).alias("session_start_us"),
+            F.max(F.unix_micros(F.col("ts"))).alias("session_end_us"),
+        )
+    )
+    sw = Window.partitionBy("user_id").orderBy("session_start_us")
+    return (
+        sessions.withColumn("sid", F.row_number().over(sw).cast("long"))
+        .select("user_id", "sid", "n_events", "session_start_us", "session_end_us")
+        .orderBy("user_id", "sid")
+    )
+
+
+# ------------------------------------- st2: stream-stream join through the gate
+
+# Two file-source streams over the same bounded events table (clicks and
+# purchases), inner-joined on user with an event-time range — the marquee
+# stateful Structured Streaming operator.  Both sides are watermarked and
+# the join carries the time constraint, so state is droppable exactly as
+# it would be on an unbounded stream; availableNow drains everything, and
+# an inner join emits each qualifying pair exactly once regardless of
+# watermark timing, so the joined SET is deterministic.  The memory sink
+# materializes the pairs; the per-user aggregate runs batch-side on it.
+_ST2_SQL = """
+    SELECT c.user_id,
+           COUNT(*) AS n_pairs,
+           MIN(epoch_us(p.ts) - epoch_us(c.ts)) AS min_lag_us
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    GROUP BY c.user_id
+    ORDER BY c.user_id
+"""
+
+
+@query("st2_stream_stream_join", _ST2_SQL)
+def st2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+
+    def side(event_type: str, prefix: str):
+        return (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .where(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{prefix}_user"),
+                F.timestamp_micros(F.expr("ts div 1000")).alias(f"{prefix}_ts"),
+            )
+            .withWatermark(f"{prefix}_ts", "1 day")
+        )
+
+    clicks, purchases = side("click", "c"), side("purchase", "p")
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("c_ts"))
+        & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    sink = f"st2_{uuid.uuid4().hex[:8]}"
+    # a stream-stream join keeps one state store PER side PER shuffle
+    # partition; at check scale 32 partitions are pure commit overhead.
+    # The partition count is fixed at query start, so scope it down here
+    # and restore (at cluster scale leave the session default).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.table(sink)
+        .groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min(F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("min_lag_us"),
+        )
+        .orderBy("user_id")
     )
