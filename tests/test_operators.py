@@ -241,3 +241,25 @@ def test_brute_force_topk_engines_agree(spark, sf_dir):
     a = sorted(map(tuple, SIM.brute_force_topk(emb, queries, engine="column").collect()))
     b = sorted(map(tuple, SIM.brute_force_topk(emb, queries, engine="arrow").collect()))
     assert a == b and len(a) > 0
+
+
+def test_ngram_jaccard_engines_agree_unicode(spark):
+    # non-ASCII text: Spark ascii() yields the codepoint (== Python ord),
+    # so the arrow and Column hash paths must still agree bit-for-bit
+    rows = [
+        (0, "héllo wörld héllo wörld naïve café über alles"),
+        (1, "héllo wörld héllo wörld naïve café über allés"),
+        (2, "中文文本去重测试 中文文本去重测试 片段相似度"),
+        (3, "中文文本去重测试 中文文本去重测试 片段相似性"),
+        (4, "совершенно другой текст ни о чём похожем вовсе"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string").withColumn(
+        "blk", F.lit("x")
+    )
+    a = sorted(
+        map(tuple, D.ngram_jaccard_pairs(df, "doc_id", "text", "blk", engine="column").collect())
+    )
+    b = sorted(
+        map(tuple, D.ngram_jaccard_pairs(df, "doc_id", "text", "blk", engine="arrow").collect())
+    )
+    assert a == b and len(a) > 0
