@@ -9,8 +9,12 @@ Two paths, per SURVEY.md §7 phase 4:
     scales with bucket occupancy, not corpus size.  Recall is tested
     against the brute-force baseline (tests/test_similarity.py).
 
-Dot products use JVM higher-order functions (zip_with + aggregate) — no
-Python serialization in the hot path.
+Dot products: the brute-force scan defaults to a numpy Arrow engine whose
+cumsum accumulation reproduces the JVM fold's IEEE rounding bit-for-bit
+(see _brute_force_topk_arrow); the zip_with + aggregate Column
+formulation remains as the parity-tested reference and powers the LSH/IVF
+candidate scoring (candidate volume there is small, so interpreted HOF
+cost is immaterial).
 """
 
 from __future__ import annotations
