@@ -32,14 +32,30 @@ def main() -> int:
     E.queries()  # populate registry
 
     headline = [name for name, q in REGISTRY.items() if q.headline]
+    errors: dict[str, str] = {}
+
+    # FAULT ISOLATION: one broken query must never erase the whole round's
+    # perf record (round 3 lost its entire bench to a warm-up crash).
+    # Every warm-up and measured step is individually guarded, and the JSON
+    # line is ALWAYS emitted — failed queries are reported as such.
+    def guarded(name, fn):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — report, don't abort
+            errors[name] = f"{type(e).__name__}: {e}"[:500]
+            return None
+
     # warm the JVM + parquet footers with a cheap NON-headline query, then
     # drop any cross-query caches it populated: every timed run below must
     # include its own full computation (no warm-up-primed cache reads)
-    REGISTRY["e2_daily_activity"].fn(spark, sf_dir).collect()
+    guarded("_warmup_e2", lambda: REGISTRY["e2_daily_activity"].fn(spark, sf_dir).collect())
     # spin up the Python/Arrow worker pool on a 32-row no-op so the first
     # timed Arrow-stage query doesn't pay daemon startup (infrastructure
     # warm-up only — no query results are primed)
-    spark.range(32).repartition(32).mapInPandas(lambda it: it, "id long").count()
+    guarded(
+        "_warmup_arrow",
+        lambda: spark.range(32).repartition(32).mapInPandas(lambda it: it, "id long").count(),
+    )
     from parquet_common_spark.operators.pipeline_queries import clear_pairs_cache
 
     clear_pairs_cache()
@@ -48,17 +64,22 @@ def main() -> int:
     rows: dict[str, int] = {}
     for name in headline:
         t0 = time.perf_counter()
-        out = REGISTRY[name].fn(spark, sf_dir).collect()
+        out = guarded(name, lambda n=name: REGISTRY[n].fn(spark, sf_dir).collect())
+        if out is None:
+            continue
         times[name] = round(time.perf_counter() - t0, 3)
         rows[name] = len(out)
 
     # reference-shaped BenchmarkSelect: 11 matcher workloads over the
     # 1.5M-series F2 dataset (mirrors BASELINE.md's primary benchmark)
-    from parquet_common_spark.benchmarks import select_bench
+    def run_select_bench():
+        from parquet_common_spark.benchmarks import select_bench
 
-    for name, r in select_bench.run(spark).items():
-        times[f"select_{name}"] = r["sec"]
-        rows[f"select_{name}"] = r["series"]
+        for name, r in select_bench.run(spark).items():
+            times[f"select_{name}"] = r["sec"]
+            rows[f"select_{name}"] = r["series"]
+
+    guarded("_select_bench", run_select_bench)
 
     result = {
         "metric": "headline_total_sec",
@@ -68,9 +89,27 @@ def main() -> int:
         "rows": rows,
         "sf": sf,
     }
+    if errors:
+        result["errors"] = errors
     print(json.dumps(result))
     return 0
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    try:
+        raise SystemExit(main())
+    except SystemExit:
+        raise
+    except Exception as e:  # noqa: BLE001 — always emit the JSON line
+        print(
+            json.dumps(
+                {
+                    "metric": "headline_total_sec",
+                    "value": None,
+                    "unit": "sec",
+                    "queries": {},
+                    "error": f"{type(e).__name__}: {e}"[:500],
+                }
+            )
+        )
+        raise SystemExit(0)

@@ -1108,18 +1108,24 @@ def st1(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the result is deterministic."""
     import uuid
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    from parquet_common_spark.plans.common import (
+        ensure_session_env,
+        event_ts_ltz_col,
+        read_events_raw,
+    )
+
+    ensure_session_env(spark)
+    raw = read_events_raw(spark, sf_dir)
+    ts_dt = dict(raw.dtypes)["ts"]
     stream = (
         # the file source streams a DIRECTORY; glob-filter to the events
         # table (each driver table is a single parquet file in sf_dir)
-        spark.readStream.schema(schema)
+        spark.readStream.schema(raw.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
         # watermarks require TIMESTAMP (not NTZ); session TZ is pinned UTC,
         # so the LTZ interpretation is the identity
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("ts", event_ts_ltz_col(ts_dt))
     )
     agg = (
         stream.withWatermark("ts", "1 day")
@@ -1236,19 +1242,25 @@ _ST2_SQL = """
 def st2(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    from parquet_common_spark.plans.common import (
+        ensure_session_env,
+        event_ts_ltz_col,
+        read_events_raw,
+    )
+
+    ensure_session_env(spark)
+    raw = read_events_raw(spark, sf_dir)
+    ts_dt = dict(raw.dtypes)["ts"]
 
     def side(event_type: str, prefix: str):
         return (
-            spark.readStream.schema(schema)
+            spark.readStream.schema(raw.schema)
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
             .where(F.col("event_type") == event_type)
             .select(
                 F.col("user_id").alias(f"{prefix}_user"),
-                F.timestamp_micros(F.expr("ts div 1000")).alias(f"{prefix}_ts"),
+                event_ts_ltz_col(ts_dt).alias(f"{prefix}_ts"),
             )
             .withWatermark(f"{prefix}_ts", "1 day")
         )

@@ -30,27 +30,79 @@ TABLES = (
 )
 
 
+def ensure_session_env(spark: SparkSession) -> None:
+    """Idempotently pin the session confs the oracle comparison depends on.
+
+    UTC session timezone makes every NTZ<->LTZ cast the identity, so
+    epoch-based expressions agree bitwise with DuckDB's ``epoch_us``.
+    Called from ``load()`` (and the streaming queries) because gate/bench
+    runs execute under the DRIVER's session, not ours; the check-first
+    guard keeps this a no-op after the first call.
+    """
+    if spark.conf.get("spark.sql.session.timeZone", "") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def event_ts_ntz(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to TIMESTAMP_NTZ(µs) whatever the physical type.
+
+    The driver regenerates testdata between rounds and has shipped
+    ``events.ts`` both as TIMESTAMP(NANOS) (Spark's vectorized reader
+    rejects it; with ``nanosAsLong`` it surfaces as BIGINT nanos) and as
+    plain ``timestamp[us]`` (surfaces as TIMESTAMP_NTZ directly).  Branch
+    on the READ dtype rather than assuming either layout:
+      - bigint        -> truncate ns->µs (DuckDB does the same on read)
+      - timestamp_ntz -> already right
+      - timestamp     -> NTZ cast (identity under the pinned UTC session TZ)
+    """
+    from pyspark.sql import functions as F
+
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    if dt == "timestamp_ntz":
+        return df
+    return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+
+def event_ts_ltz_col(dtype: str, col: str = "ts"):
+    """Event-time Column (TIMESTAMP, the type watermarks require) from a
+    raw events ``ts`` of the given read dtype.  Under the pinned UTC
+    session TZ the NTZ->LTZ cast is the identity."""
+    from pyspark.sql import functions as F
+
+    if dtype == "bigint":
+        return F.timestamp_micros(F.expr(f"{col} div 1000"))
+    return F.col(col).cast("timestamp")
+
+
+def read_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Read events.parquet, falling back to nanos-as-long for legacy data."""
+    try:
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        df.schema  # force analysis so a NANOS rejection surfaces here
+        return df
+    except Exception:
+        # physical TIMESTAMP(NANOS): the only read path Spark offers is the
+        # legacy long surface — set the conf and re-read
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
 def load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Read the requested driver tables (TESTDATA.md layout).
 
-    ``events.ts`` is physically TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects; we read it as a long (nanosAsLong) and truncate
-    ns -> µs — exactly what DuckDB does on read, so both engines see
-    identical µs timestamps.  Session timezone is pinned to UTC so
-    LTZ->NTZ conversion is the identity.
+    ``events.ts`` is normalized to TIMESTAMP_NTZ(µs) via ``event_ts_ntz``
+    so every downstream plan sees one canonical event-time type regardless
+    of how the driver generated the file.
     """
+    ensure_session_env(spark)
     out: dict[str, DataFrame] = {}
     for n in names or TABLES:
         if n == "events":
-            from pyspark.sql import functions as F
-
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            spark.conf.set("spark.sql.session.timeZone", "UTC")
-            df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-            )
-            out[n] = df
+            out[n] = event_ts_ntz(read_events_raw(spark, sf_dir))
         else:
             out[n] = spark.read.parquet(f"{sf_dir}/{n}.parquet")
     return out

@@ -25,8 +25,6 @@ from pyspark.sql import functions as F
 
 from parquet_common_spark.plans.common import dsum, load, query
 
-_REV = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
-
 
 @query(
     "q1_pricing_summary",
