@@ -340,8 +340,56 @@ def sim1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim2_lsh_topk", None)  # bucket bits depend on float sign boundaries ->
-def sim2(spark: SparkSession, sf_dir: str) -> DataFrame:  # rows-only check
+def _planes_literal(dim: int = 64) -> str:
+    """The LSH hyperplanes as a DuckDB DOUBLE[][] literal.  Generated from
+    the SAME ``_plane_component`` arithmetic the Spark side uses, and
+    Python float repr round-trips exactly, so both engines hold
+    bit-identical plane vectors."""
+    n = SIM.N_TABLES * SIM.N_BITS
+    return (
+        "["
+        + ", ".join(
+            "[" + ", ".join(repr(SIM._plane_component(p, d)) for d in range(dim)) + "]"
+            for p in range(n)
+        )
+        + "]"
+    )
+
+
+def _sim2_sql() -> str:
+    # Bucket bits replayed in SQL: bit b of table t is
+    # sign(list_dot_product(e, plane[t*N_BITS+b])).  The Spark side folds
+    # the dot left-to-right (cumsum Arrow engine == aggregate/zip_with
+    # fold == DuckDB's list_dot_product), so the SIGNS agree bit-for-bit
+    # and the candidate sets are identical — same verification pattern as
+    # d5 (candidates -> exact cosine -> rank).
+    bits = "\n           ".join(
+        f"+ (CASE WHEN list_dot_product(e, P[t*{SIM.N_BITS}+{b + 1}]) > 0"
+        f" THEN {1 << b} ELSE 0 END)"
+        for b in range(SIM.N_BITS)
+    )
+    return f"""
+    WITH pl AS (SELECT {_planes_literal()}::DOUBLE[][] AS P),
+    v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    bk AS (
+      SELECT id, e,
+             CAST(t * {1 << SIM.N_BITS} AS BIGINT)
+           {bits} AS bkt
+      FROM v, pl, generate_series(0, {SIM.N_TABLES - 1}) AS g(t)),
+    qb AS (SELECT * FROM bk WHERE id < 5),
+    cand AS (SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id, q.e AS qe, c.e AS ce
+             FROM qb q JOIN bk c ON q.bkt = c.bkt AND q.id <> c.id),
+    scored AS (SELECT query_id, neighbor_id, {_COSSQL.format(a="qe", b="ce")} AS cos FROM cand),
+    ranked AS (SELECT query_id, neighbor_id, cos,
+                      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+               FROM scored)
+    SELECT query_id, neighbor_id, ROUND(cos, 5) AS cos, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= 5 ORDER BY query_id, rank
+    """
+
+
+@query("sim2_lsh_topk", _sim2_sql())
+def sim2(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")["embeddings"]
     return SIM.lsh_topk(emb, emb.where(F.col("vec_id") < 5), k=5).orderBy("query_id", "rank")
 
@@ -538,8 +586,42 @@ def c1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("sim3_ivf_topk", None)  # cell assignment depends on float sign/order ->
-def sim3(spark: SparkSession, sf_dir: str) -> DataFrame:  # rows-only + recall test
+def _sim3_sql(n_centroids: int = 8, nprobe: int = 4) -> str:
+    # Replays ivf_topk exactly: portable-mix centroid sample, nearest-cell
+    # assignment (nprobe=1 corpus, nprobe=N queries) with the same
+    # (cos DESC, centroid_id) tie-break, candidates via centroid equi-join,
+    # exact cosine re-rank.  Every float compare uses the same
+    # left-to-right dot fold on both engines.
+    cos_vc = _COSSQL.format(a="e", b="cvec")
+    return f"""
+    WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    samp AS (SELECT id, e FROM v
+             ORDER BY (id * 2654435761 + 40503) % 999999937, id LIMIT {n_centroids}),
+    cent AS (SELECT ROW_NUMBER() OVER (ORDER BY id) AS centroid_id, e AS cvec FROM samp),
+    ca AS (SELECT v.id, v.e, centroid_id,
+                  ROW_NUMBER() OVER (PARTITION BY v.id
+                                     ORDER BY {cos_vc} DESC, centroid_id) AS rk
+           FROM v, cent),
+    cells AS (SELECT id AS neighbor_id, e AS ce, centroid_id FROM ca WHERE rk = 1),
+    qa AS (SELECT q.id, q.e, centroid_id,
+                  ROW_NUMBER() OVER (PARTITION BY q.id
+                                     ORDER BY {cos_vc} DESC, centroid_id) AS rk
+           FROM (SELECT * FROM v WHERE id < 5) q, cent),
+    probes AS (SELECT id AS query_id, e AS qe, centroid_id FROM qa WHERE rk <= {nprobe}),
+    cand AS (SELECT DISTINCT query_id, neighbor_id, qe, ce
+             FROM probes JOIN cells USING (centroid_id)
+             WHERE query_id <> neighbor_id),
+    scored AS (SELECT query_id, neighbor_id, {_COSSQL.format(a="qe", b="ce")} AS cos FROM cand),
+    ranked AS (SELECT query_id, neighbor_id, cos,
+                      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rn
+               FROM scored)
+    SELECT query_id, neighbor_id, ROUND(cos, 5) AS cos, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= 5 ORDER BY query_id, rank
+    """
+
+
+@query("sim3_ivf_topk", _sim3_sql())
+def sim3(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")["embeddings"]
     return SIM.ivf_topk(emb, emb.where(F.col("vec_id") < 5), k=5, n_centroids=8, nprobe=4).orderBy(
         "query_id", "rank"

@@ -197,12 +197,26 @@ def lsh_buckets_arrow(df: DataFrame, id_col: str, vec_col: str, dim: int = 64) -
 
         P = np.asarray(planes, dtype=np.float64)  # (n_planes, dim)
         shifts = np.arange(N_BITS, dtype=np.int64)
+
+        def fold_signs(V):
+            # Left-to-right accumulation (cumsum) instead of BLAS matmul:
+            # reproduces the aggregate(zip_with(...)) fold's IEEE rounding
+            # bit-for-bit, so the bucket SIGN agrees exactly with the
+            # DuckDB oracle's list_dot_product.  Chunked to bound the
+            # (rows, n_planes, dim) intermediate at ~25 MB.
+            out = np.empty((V.shape[0], P.shape[0]), dtype=bool)
+            step = 2048
+            for i in range(0, V.shape[0], step):
+                prod = V[i : i + step, None, :] * P[None, :, :]
+                out[i : i + step] = np.cumsum(prod, axis=2)[:, :, -1] > 0
+            return out
+
         for pdf in it:
             if len(pdf) == 0:
                 continue
             ids = pdf[pdf.columns[0]].to_numpy()
             V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[pdf.columns[1]]])
-            bits = (V @ P.T > 0).astype(np.int64)  # (n, n_planes)
+            bits = fold_signs(V).astype(np.int64)  # (n, n_planes)
             out_ids, out_vs, out_bkts = [], [], []
             vs = V.tolist()
             for t in range(N_TABLES):
@@ -288,15 +302,20 @@ def ivf_topk(
     `nprobe` nearest cells, exact cosine re-rank inside the probed cells.
 
     Centroids here are deterministic pseudo-random samples (the
-    n_centroids smallest xxhash64(id) rows — a TakeOrdered, no count/sort
-    of the corpus and no extra driver action) — one k-means sweep would
-    sharpen them, but the *plan shape* is the point: cell assignment is
-    map-only, the search is an equi-join on centroid_id, cost scales with
-    cells probed.
+    n_centroids smallest rows by a Knuth-multiplicative id mix — a
+    TakeOrdered, no count/sort of the corpus and no extra driver action)
+    — one k-means sweep would sharpen them, but the *plan shape* is the
+    point: cell assignment is map-only, the search is an equi-join on
+    centroid_id, cost scales with cells probed.  The mix is plain BIGINT
+    arithmetic (``(id*2654435761 + 40503) % 999999937``) so any engine —
+    including the DuckDB oracle — reproduces the exact sample; ids must
+    stay below ~3.4e9 to avoid 64-bit overflow (the driver's vec_ids are
+    dense small ints; for larger id spaces swap in a 128-bit mix).
     """
+    mix = (F.col(id_col).cast("long") * F.lit(2654435761) + F.lit(40503)) % F.lit(999999937)
     centroids = (
         corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("cvec"))
-        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+        .orderBy(mix, F.col(id_col))
         .limit(n_centroids)
         .select(F.dense_rank().over(Window.orderBy(id_col)).alias("centroid_id"), "cvec")
     )
