@@ -37,8 +37,11 @@ columnar until the per-series pack/unpack.
 from __future__ import annotations
 
 import struct
+from typing import NamedTuple
 
 ENC_XOR = 1  # EncXOR (schema/encoder.go:75)
+ENC_HISTOGRAM = 2  # EncHistogram (chunkenc id 2)
+ENC_FLOAT_HISTOGRAM = 3  # EncFloatHistogram (chunkenc id 3)
 
 
 _M64 = (1 << 64) - 1
@@ -314,6 +317,10 @@ def unpack_chunks(buf: bytes, mint: int | None = None, maxt: int | None = None) 
         ln, pos = _read_uvarint(buf, pos)
         body = buf[pos : pos + ln]
         pos += ln
+        if enc in (ENC_HISTOGRAM, ENC_FLOAT_HISTOGRAM):
+            raise TypeError(
+                "histogram cell passed to unpack_chunks — use unpack_histogram_chunks"
+            )
         if enc != ENC_XOR:
             raise NotImplementedError(f"unknown chunk encoding {enc}")
         if (maxt is not None and cmin > maxt) or (mint is not None and cmax < mint):
@@ -323,6 +330,298 @@ def unpack_chunks(buf: bytes, mint: int | None = None, maxt: int | None = None) 
         out = [s for s in out if s[0] >= mint]
     if maxt is not None:
         out = [s for s in out if s[0] <= maxt]
+    return out
+
+
+# ----------------------------------------------- native histogram chunks
+
+# The reference's EncHistogram/EncFloatHistogram slots
+# (schema/encoder.go:75-84 cutNewChunk, framing at encoder.go:200-222 —
+# identical framing to XOR cells, ids 2/3).  The reference delegates the
+# intra-chunk bytes to prometheus/tsdb/chunkenc; we implement our own
+# documented bit layout over the SAME sample model (ts, schema,
+# zero-threshold/count, count, sum, sparse span-run buckets for the
+# positive and negative ranges).  Fidelity contract: pack -> unpack is
+# the identity on the full native-histogram sample model; framing,
+# encoding ids, chunk re-cut, and chunk-level time pruning match the
+# reference's behavior.  Byte-compat with chunkenc's internal histogram
+# stream is explicitly out of scope (it is a Go-library detail, not part
+# of the reference's parquet contract — any chunkenc version may rewrite
+# it).
+#
+# Per-chunk layout (MSB-first bitstream, like the XOR chunk):
+#     2-byte big-endian sample count
+#     raw 64-bit zero_threshold (constant within a chunk, as in chunkenc
+#         — a threshold change must cut a new chunk)
+#     per sample:
+#         ts       : zigzag varint (sample 0 absolute, sample 1 delta,
+#                    sample 2+ delta-of-delta)
+#         schema   : zigzag varint
+#         count,
+#         zero_count: int chunks — zigzag varint delta vs prev sample
+#                     (sample 0 absolute); float chunks — XOR-compressed
+#                     vs prev sample (own leading/trailing window state)
+#         sum      : sample 0 raw 64 bits, then XOR-compressed
+#         pos/neg buckets, each range:
+#             uvarint span count; per span: zigzag varint offset (first
+#                 absolute bucket index, then gap from previous run end),
+#                 uvarint run length  — Prometheus's Span run-length model
+#             per bucket value: int chunks — zigzag varint delta vs the
+#                 previous bucket IN THE SAME sample (first absolute);
+#                 float chunks — raw 64 bits (simple, lossless; the int
+#                 path is the hot one)
+
+
+class HistogramSample(NamedTuple):
+    ts: int
+    schema: int
+    zero_threshold: float
+    zero_count: float  # int for ENC_HISTOGRAM
+    count: float  # int for ENC_HISTOGRAM
+    sum: float
+    pos_idx: tuple  # sorted sparse bucket indexes, positive range
+    pos_counts: tuple
+    neg_idx: tuple
+    neg_counts: tuple
+
+
+def _idx_to_spans(idx) -> list[tuple[int, int]]:
+    """Sorted sparse indexes -> (offset, length) runs.  First offset is
+    the absolute starting index; later offsets are gaps from the previous
+    run's end (Prometheus Span semantics)."""
+    spans: list[tuple[int, int]] = []
+    prev_end = None
+    run_start = run_len = 0
+    for k in idx:
+        if prev_end is not None and k == prev_end:
+            run_len += 1
+        else:
+            if prev_end is not None:
+                spans.append((run_start, run_len))
+            run_start = k if not spans else k - prev_end
+            run_len = 1
+        prev_end = k + 1
+    if prev_end is not None:
+        spans.append((run_start, run_len))
+    return spans
+
+
+def _spans_to_idx(spans) -> list[int]:
+    out: list[int] = []
+    pos = 0
+    for i, (off, ln) in enumerate(spans):
+        pos = off if i == 0 else pos + off
+        out.extend(range(pos, pos + ln))
+        pos += ln
+    return out
+
+
+def _w_uvarint(w: _BitWriter, n: int) -> None:
+    n &= _M64
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        w.write_bits((b | 0x80) if n else b, 8)
+        if not n:
+            return
+
+
+def _w_svarint(w: _BitWriter, n: int) -> None:
+    _w_uvarint(w, _zigzag(n))
+
+
+def _r_uvarint(r: _BitReader) -> int:
+    n = shift = 0
+    while True:
+        b = r.read_bits(8)
+        n |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return n
+        shift += 7
+
+
+def _r_svarint(r: _BitReader) -> int:
+    return _unzigzag(_r_uvarint(r))
+
+
+def _f2bits(v: float) -> int:
+    return struct.unpack("<Q", struct.pack("<d", float(v)))[0]
+
+
+def _bits2f(b: int) -> float:
+    return struct.unpack("<d", struct.pack("<Q", b))[0]
+
+
+def encode_histogram_chunk(samples: list[HistogramSample], float_counts: bool) -> bytes:
+    """One histogram chunk body (layout in the section comment above)."""
+    w = _BitWriter()
+    w.write_bits(len(samples), 16)
+    if samples:
+        zt = samples[0].zero_threshold
+        if any(s.zero_threshold != zt for s in samples):
+            raise ValueError("zero_threshold must be constant within a chunk")
+        w.write_bits(_f2bits(zt), 64)
+    prev_ts = prev_delta = 0
+    prev_count = prev_zero = 0
+    # per-field XOR window state (float chunks): (prev_bits, leading, trailing)
+    st = {"sum": [0, 0xFF, 0], "count": [0, 0xFF, 0], "zero": [0, 0xFF, 0]}
+
+    def xor_field(name: str, value: float, first: bool) -> None:
+        bits = _f2bits(value)
+        if first:
+            w.write_bits(bits, 64)
+            st[name][0] = bits
+            return
+        pb, lead, trail = st[name]
+        lead, trail = _write_vdelta(w, bits, pb, lead, trail)
+        st[name] = [bits, lead, trail]
+
+    for i, s in enumerate(samples):
+        if i == 0:
+            _w_svarint(w, s.ts)
+        elif i == 1:
+            prev_delta = s.ts - prev_ts
+            _w_svarint(w, prev_delta)
+        else:
+            delta = s.ts - prev_ts
+            _w_svarint(w, delta - prev_delta)
+            prev_delta = delta
+        prev_ts = s.ts
+        _w_svarint(w, s.schema)
+        if float_counts:
+            xor_field("count", s.count, i == 0)
+            xor_field("zero", s.zero_count, i == 0)
+        else:
+            _w_svarint(w, int(s.count) - prev_count)
+            _w_svarint(w, int(s.zero_count) - prev_zero)
+            prev_count, prev_zero = int(s.count), int(s.zero_count)
+        xor_field("sum", s.sum, i == 0)
+        for idx, counts in ((s.pos_idx, s.pos_counts), (s.neg_idx, s.neg_counts)):
+            spans = _idx_to_spans(idx)
+            _w_uvarint(w, len(spans))
+            for off, ln in spans:
+                _w_svarint(w, off)
+                _w_uvarint(w, ln)
+            prev_b = 0
+            for j, c in enumerate(counts):
+                if float_counts:
+                    w.write_bits(_f2bits(c), 64)
+                else:
+                    _w_svarint(w, int(c) - (prev_b if j else 0))
+                    prev_b = int(c)
+    return bytes(w.buf)
+
+
+def decode_histogram_chunk(buf: bytes, float_counts: bool) -> list[HistogramSample]:
+    r = _BitReader(buf)
+    n = r.read_bits(16)
+    if n == 0:
+        return []
+    zt = _bits2f(r.read_bits(64))
+    out: list[HistogramSample] = []
+    ts = delta = 0
+    count = zero = 0
+    st = {"sum": [0, 0, 0], "count": [0, 0, 0], "zero": [0, 0, 0]}
+
+    def xor_field(name: str, first: bool) -> float:
+        if first:
+            bits = r.read_bits(64)
+            st[name][0] = bits
+            return _bits2f(bits)
+        pb, lead, trail = st[name]
+        bits, lead, trail = _read_vdelta(r, pb, lead, trail)
+        st[name] = [bits, lead, trail]
+        return _bits2f(bits)
+
+    for i in range(n):
+        if i == 0:
+            ts = _r_svarint(r)
+        elif i == 1:
+            delta = _r_svarint(r)
+            ts += delta
+        else:
+            delta += _r_svarint(r)
+            ts += delta
+        schema = _r_svarint(r)
+        if float_counts:
+            count = xor_field("count", i == 0)
+            zero = xor_field("zero", i == 0)
+        else:
+            count += _r_svarint(r)
+            zero += _r_svarint(r)
+        ssum = xor_field("sum", i == 0)
+        ranges = []
+        for _ in range(2):
+            n_spans = _r_uvarint(r)
+            spans = []
+            for _ in range(n_spans):
+                off = _r_svarint(r)
+                ln = _r_uvarint(r)
+                spans.append((off, ln))
+            idx = _spans_to_idx(spans)
+            counts = []
+            prev_b = 0
+            for j in range(len(idx)):
+                if float_counts:
+                    counts.append(_bits2f(r.read_bits(64)))
+                else:
+                    prev_b = _r_svarint(r) + (prev_b if j else 0)
+                    counts.append(prev_b)
+            ranges.append((tuple(idx), tuple(counts)))
+        out.append(
+            HistogramSample(
+                ts, schema, zt, zero, count, ssum,
+                ranges[0][0], ranges[0][1], ranges[1][0], ranges[1][1],
+            )
+        )
+    return out
+
+
+def pack_histogram_chunks(
+    samples: list[HistogramSample],
+    samples_per_chunk: int = 120,
+    float_counts: bool = False,
+) -> bytes:
+    """Sorted histogram samples -> framed cell (same framing as
+    pack_chunks; encoding id 2 or 3)."""
+    samples = sorted(samples, key=lambda s: s.ts)
+    enc = ENC_FLOAT_HISTOGRAM if float_counts else ENC_HISTOGRAM
+    out = bytearray()
+    for i in range(0, len(samples), samples_per_chunk):
+        part = samples[i : i + samples_per_chunk]
+        body = encode_histogram_chunk(part, float_counts)
+        out += _uvarint(enc)
+        out += _uvarint(part[0].ts)
+        out += _uvarint(part[-1].ts)
+        out += _uvarint(len(body))
+        out += body
+    return bytes(out)
+
+
+def unpack_histogram_chunks(
+    buf: bytes, mint: int | None = None, maxt: int | None = None
+) -> list[HistogramSample]:
+    """Framed histogram cell -> samples, with the reference's chunk-level
+    time pruning (encoder.go:311-321) then sample-level trim."""
+    out: list[HistogramSample] = []
+    pos = 0
+    while pos < len(buf):
+        enc, pos = _read_uvarint(buf, pos)
+        cmin, pos = _read_uvarint(buf, pos)
+        cmax, pos = _read_uvarint(buf, pos)
+        cmin, cmax = _to_i64(cmin), _to_i64(cmax)
+        ln, pos = _read_uvarint(buf, pos)
+        body = buf[pos : pos + ln]
+        pos += ln
+        if enc not in (ENC_HISTOGRAM, ENC_FLOAT_HISTOGRAM):
+            raise NotImplementedError(f"unknown histogram chunk encoding {enc}")
+        if (maxt is not None and cmin > maxt) or (mint is not None and cmax < mint):
+            continue
+        out.extend(decode_histogram_chunk(body, enc == ENC_FLOAT_HISTOGRAM))
+    if mint is not None:
+        out = [s for s in out if s.ts >= mint]
+    if maxt is not None:
+        out = [s for s in out if s.ts <= maxt]
     return out
 
 
@@ -401,5 +700,107 @@ def packed_to_samples(packed_df, mint: int | None = None, maxt: int | None = Non
                 rows,
                 columns=[S.SERIES_HASH_COLUMN, S.TIME_BUCKET_COLUMN, S.TS_COLUMN, S.VALUE_COLUMN],
             )
+
+    return packed_df.mapInPandas(unpack, schema=out_schema)
+
+
+_NH_SAMPLE_FIELDS = (
+    "nh_schema", "nh_zero_count", "nh_count", "nh_sum",
+    "nh_pos_idx", "nh_pos_counts", "nh_neg_idx", "nh_neg_counts",
+)
+
+
+def histograms_to_packed(
+    nh_df,
+    samples_per_chunk: int = 120,
+    zero_threshold: float = 1e-9,
+):
+    """Exploded native-histogram samples (series_hash, time_bucket, ts,
+    nh_* per functions/native_histograms.NATIVE_FIELDS) -> one row per
+    (series_hash, time_bucket) with a framed EncHistogram cell — the
+    chunks-file row shape of the reference's histogram slot."""
+    from pyspark.sql.types import BinaryType, IntegerType, LongType, StructField, StructType
+
+    from parquet_common_spark import schema as S
+
+    out_schema = StructType(
+        [
+            StructField(S.SERIES_HASH_COLUMN, LongType()),
+            StructField(S.TIME_BUCKET_COLUMN, IntegerType()),
+            StructField("chunks", BinaryType()),
+        ]
+    )
+
+    def pack(pdf):
+        import pandas as pd
+
+        rows = []
+        for (h, b), g in pdf.groupby([S.SERIES_HASH_COLUMN, S.TIME_BUCKET_COLUMN]):
+            samples = [
+                HistogramSample(
+                    int(r[S.TS_COLUMN]), int(r["nh_schema"]), zero_threshold,
+                    int(r["nh_zero_count"]), int(r["nh_count"]), float(r["nh_sum"]),
+                    tuple(int(k) for k in r["nh_pos_idx"]),
+                    tuple(int(c) for c in r["nh_pos_counts"]),
+                    tuple(int(k) for k in r["nh_neg_idx"]),
+                    tuple(int(c) for c in r["nh_neg_counts"]),
+                )
+                for _, r in g.iterrows()
+            ]
+            rows.append((int(h), int(b), pack_histogram_chunks(samples, samples_per_chunk)))
+        return pd.DataFrame(rows, columns=[S.SERIES_HASH_COLUMN, S.TIME_BUCKET_COLUMN, "chunks"])
+
+    return nh_df.groupBy(S.SERIES_HASH_COLUMN, S.TIME_BUCKET_COLUMN).applyInPandas(
+        pack, schema=out_schema
+    )
+
+
+def packed_to_histograms(packed_df, mint: int | None = None, maxt: int | None = None):
+    """Inverse of histograms_to_packed, with chunk-level time pruning."""
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from parquet_common_spark import schema as S
+
+    out_schema = StructType(
+        [
+            StructField(S.SERIES_HASH_COLUMN, LongType()),
+            StructField(S.TIME_BUCKET_COLUMN, IntegerType()),
+            StructField(S.TS_COLUMN, LongType()),
+            StructField("nh_schema", IntegerType()),
+            StructField("nh_zero_count", LongType()),
+            StructField("nh_count", LongType()),
+            StructField("nh_sum", DoubleType()),
+            StructField("nh_pos_idx", ArrayType(IntegerType())),
+            StructField("nh_pos_counts", ArrayType(LongType())),
+            StructField("nh_neg_idx", ArrayType(IntegerType())),
+            StructField("nh_neg_counts", ArrayType(LongType())),
+        ]
+    )
+    cols = [S.SERIES_HASH_COLUMN, S.TIME_BUCKET_COLUMN, S.TS_COLUMN, *_NH_SAMPLE_FIELDS]
+
+    def unpack(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for h, b, buf in zip(
+                pdf[S.SERIES_HASH_COLUMN], pdf[S.TIME_BUCKET_COLUMN], pdf["chunks"]
+            ):
+                for s in unpack_histogram_chunks(bytes(buf), mint, maxt):
+                    rows.append(
+                        (
+                            int(h), int(b), s.ts, s.schema, int(s.zero_count),
+                            int(s.count), s.sum, list(s.pos_idx), list(s.pos_counts),
+                            list(s.neg_idx), list(s.neg_counts),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
 
     return packed_df.mapInPandas(unpack, schema=out_schema)

@@ -30,6 +30,14 @@ class ResourceExhausted(Exception):
 class Quota:
     """Per-Select budgets; None == unlimited (reference: search/limits.go:44-74).
 
+    The reference wires THREE independent quotas per query
+    (queryable/parquet_queryable.go:74-94): matched rows, CHUNK bytes
+    (chunks-file page reads) and DATA bytes (labels-file page reads).
+    Mirrored here: the labels/series scan draws on ``max_data_bytes``,
+    the samples scan on ``max_chunk_bytes``; ``max_bytes`` remains as a
+    combined budget drawn by BOTH scan kinds (back-compat, and the right
+    knob when callers only care about total I/O).
+
     Byte consumption ACCUMULATES across checks within one query — the
     reference creates fresh Quota objects per Select
     (queryable/parquet_queryable.go:348-378) and decrements them as each
@@ -37,7 +45,11 @@ class Quota:
 
     max_rows: int | None = None
     max_bytes: int | None = None
+    max_chunk_bytes: int | None = None
+    max_data_bytes: int | None = None
     _consumed_bytes: int = 0
+    _consumed_chunk_bytes: int = 0
+    _consumed_data_bytes: int = 0
 
     def check_rows(self, df: DataFrame, what: str = "series") -> None:
         if self.max_rows is None:
@@ -49,9 +61,17 @@ class Quota:
             )
 
     def check_bytes(
-        self, df: DataFrame, partition_ranges: dict[str, tuple[int, int]] | None = None
+        self,
+        df: DataFrame,
+        partition_ranges: dict[str, tuple[int, int]] | None = None,
+        kind: str = "data",
     ) -> None:
         """Budget the bytes the pruned scan would read.
+
+        ``kind`` is ``"data"`` (labels/series file) or ``"chunk"``
+        (samples/chunks file) — the reference's dataBytesQuota vs
+        chunkBytesQuota split.  Both kinds also draw on the combined
+        ``max_bytes`` budget.
 
         ``df.inputFiles()`` lists from the ANALYZED plan — the full file
         listing, before partition pruning.  ``partition_ranges`` applies
@@ -60,7 +80,8 @@ class Quota:
         excluded, so a well-pruned query is metered on what it actually
         scans (the reference meters during materialization,
         search/materialize.go:939-965 — post-pruning by construction)."""
-        if self.max_bytes is None:
+        per_kind_max = self.max_chunk_bytes if kind == "chunk" else self.max_data_bytes
+        if self.max_bytes is None and per_kind_max is None:
             return
         try:
             files = df.inputFiles()
@@ -77,8 +98,19 @@ class Quota:
                 total += os.path.getsize(p)
             except OSError:
                 continue
+        if kind == "chunk":
+            self._consumed_chunk_bytes += total
+            used = self._consumed_chunk_bytes
+        else:
+            self._consumed_data_bytes += total
+            used = self._consumed_data_bytes
+        if per_kind_max is not None and used > per_kind_max:
+            raise ResourceExhausted(
+                f"resource exhausted (query would scan ~{used} {kind} bytes: "
+                f"quota {per_kind_max})"
+            )
         self._consumed_bytes += total
-        if self._consumed_bytes > self.max_bytes:
+        if self.max_bytes is not None and self._consumed_bytes > self.max_bytes:
             raise ResourceExhausted(
                 f"resource exhausted (query would scan ~{self._consumed_bytes} bytes: "
                 f"quota {self.max_bytes})"

@@ -1083,6 +1083,101 @@ def m13(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------- m14: histogram chunk codec roundtrip
+
+# EncHistogram fidelity form through the gate (reference
+# schema/encoder.go:75-84 cutNewChunk ids 2/3, framing 200-222): per
+# (event_type, day) native histograms (same bucketing as m11) -> framed
+# EncHistogram cells (3 cells per series via a 50-day time bucket, chunks
+# re-cut at 32 samples) -> unpack -> integer-exact aggregates.  The codec
+# is lossless, so the oracle recomputes everything from the RAW events;
+# every compared value is integer arithmetic (bucket structure, counts,
+# k-weighted checksums), immune to float summation order.
+
+
+def _m14_sql() -> str:
+    from parquet_common_spark.operators.pipeline_queries import _phash
+
+    # γ = 2^(2^-2) at schema 2; same bucket rule as build_histograms
+    return f"""
+    WITH base AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+             value - 50.0 AS v
+      FROM events),
+    bucketed AS (
+      SELECT event_type, day,
+             CASE WHEN abs(v) <= 1e-9 THEN 0 WHEN v > 0 THEN 1 ELSE -1 END AS rng,
+             CASE WHEN abs(v) <= 1e-9 THEN 0
+                  ELSE CAST(ceil(ln(abs(v)) / ln(POWER(2.0, 0.25)) - 1e-12) AS INT) END AS k
+      FROM base),
+    counts AS (
+      SELECT event_type, day, rng, k, COUNT(*) AS c
+      FROM bucketed GROUP BY event_type, day, rng, k)
+    SELECT {_phash("event_type")} AS s_series_hash,
+           CAST(COUNT(DISTINCT day) AS BIGINT) AS n_samples,
+           CAST(SUM(c) AS BIGINT) AS total_count,
+           CAST(SUM(CASE WHEN rng = 0 THEN c ELSE 0 END) AS BIGINT) AS total_zero,
+           CAST(SUM(CASE WHEN rng = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_buckets,
+           CAST(SUM(CASE WHEN rng = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg_buckets,
+           CAST(SUM(CASE WHEN rng = 1 THEN k * c ELSE 0 END) AS BIGINT) AS kweight_pos,
+           CAST(SUM(CASE WHEN rng = -1 THEN k * c ELSE 0 END) AS BIGINT) AS kweight_neg,
+           MIN(day) * 86400000000 AS min_ts,
+           MAX(day) * 86400000000 AS max_ts
+    FROM counts
+    GROUP BY 1
+    ORDER BY s_series_hash
+    """
+
+
+@query("m14_histogram_chunk_roundtrip", _m14_sql())
+def m14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_common_spark import schema as S
+    from parquet_common_spark.functions.chunks import (
+        histograms_to_packed,
+        packed_to_histograms,
+    )
+    from parquet_common_spark.functions.native_histograms import build_histograms
+    from parquet_common_spark.operators.text import char_poly_hash
+
+    ev = load(spark, sf_dir, "events")["events"]
+    day = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000)).cast(
+        "long"
+    )
+    base = ev.select(
+        "event_type", day.alias("day"), (F.col("value") - F.lit(50.0)).alias("obs")
+    )
+    h = build_histograms(base, ["event_type", "day"], "obs", schema=2)
+    nh = h.select(
+        char_poly_hash(F.col("event_type")).alias(S.SERIES_HASH_COLUMN),
+        (F.col("day") / F.lit(50)).cast("int").alias(S.TIME_BUCKET_COLUMN),
+        (F.col("day") * F.lit(86_400_000_000)).alias(S.TS_COLUMN),
+        "nh_schema", "nh_zero_count", "nh_count", "nh_sum",
+        "nh_pos_idx", "nh_pos_counts", "nh_neg_idx", "nh_neg_counts",
+    )
+    rt = packed_to_histograms(histograms_to_packed(nh, samples_per_chunk=32))
+    kweight = lambda kc, cc: F.aggregate(  # noqa: E731
+        F.zip_with(kc, cc, lambda k, c: k.cast("long") * c),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return (
+        rt.groupBy(S.SERIES_HASH_COLUMN)
+        .agg(
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum("nh_count").alias("total_count"),
+            F.sum("nh_zero_count").alias("total_zero"),
+            F.sum(F.size("nh_pos_idx").cast("long")).alias("n_pos_buckets"),
+            F.sum(F.size("nh_neg_idx").cast("long")).alias("n_neg_buckets"),
+            F.sum(kweight(F.col("nh_pos_idx"), F.col("nh_pos_counts"))).alias("kweight_pos"),
+            F.sum(kweight(F.col("nh_neg_idx"), F.col("nh_neg_counts"))).alias("kweight_neg"),
+            F.min(S.TS_COLUMN).alias("min_ts"),
+            F.max(S.TS_COLUMN).alias("max_ts"),
+        )
+        .orderBy(S.SERIES_HASH_COLUMN)
+    )
+
+
 # --------------------------------------------- st1: streaming through the gate
 
 # Bounded Structured Streaming with a hash-checked oracle (reference:

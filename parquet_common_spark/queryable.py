@@ -173,7 +173,7 @@ class ParquetQueryable:
             keep = [c for c in keep if c not in drop]
         series = series.select(*keep, S.SERIES_HASH_COLUMN)
         if quota is not None:
-            quota.check_bytes(series)
+            quota.check_bytes(series, kind="data")
         if skip_chunks or shard.samples is None:
             # "series" fast path (reference: parquet_queryable.go:322) —
             # labels only, zero sample I/O. Distinct because projection may
@@ -184,7 +184,7 @@ class ParquetQueryable:
         if quota is not None:
             # meter the PRUNED sample scan: only time_bucket partitions
             # inside the query range count against the byte budget
-            quota.check_bytes(shard.samples, {S.TIME_BUCKET_COLUMN: (lo, hi)})
+            quota.check_bytes(shard.samples, {S.TIME_BUCKET_COLUMN: (lo, hi)}, kind="chunk")
         value_cols = [
             c for c in shard.samples.columns
             if c not in (S.SERIES_HASH_COLUMN, S.TIME_BUCKET_COLUMN, S.TS_COLUMN)

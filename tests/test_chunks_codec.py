@@ -187,3 +187,130 @@ def test_convert_max_series(spark, tmp_path):
     sh = ParquetQueryable.from_paths(spark, [out]).shards[0]
     assert sh.series.count() == 5
     assert sh.samples.count() == 5
+
+
+# ------------------------------------------ native histogram chunk codec
+# (EncHistogram / EncFloatHistogram, reference schema/encoder.go:75-84)
+
+
+def _mk_hist(ts, rng, float_counts=False):
+    import random
+
+    r = random.Random(rng)
+    pos = sorted(r.sample(range(-25, 50), r.randint(0, 10)))
+    neg = sorted(r.sample(range(-15, 30), r.randint(0, 6)))
+    cast = (lambda x: x + 0.25) if float_counts else int
+    return CK.HistogramSample(
+        ts, r.choice([0, 2, 3]), 1e-9,
+        cast(r.randint(0, 9)), cast(r.randint(1, 900)),
+        r.uniform(-1e6, 1e6),
+        tuple(pos), tuple(cast(r.randint(1, 99)) for _ in pos),
+        tuple(neg), tuple(cast(r.randint(1, 99)) for _ in neg),
+    )
+
+
+def test_spans_roundtrip_edge_cases():
+    for idx in ([], [5], [-3, -2, -1], [0, 1, 5, 6, 7, 100], [-5, 0, 1]):
+        assert CK._spans_to_idx(CK._idx_to_spans(idx)) == idx
+
+
+def test_histogram_pack_unpack_roundtrip():
+    for fc in (False, True):
+        samples = sorted(
+            (_mk_hist(t * 977 + (t % 3), t, fc) for t in range(300)), key=lambda s: s.ts
+        )
+        buf = CK.pack_histogram_chunks(samples, samples_per_chunk=32, float_counts=fc)
+        assert CK.unpack_histogram_chunks(buf) == samples
+
+
+def test_histogram_encoding_ids_match_reference():
+    # chunkenc ids: XOR=1, Histogram=2, FloatHistogram=3
+    s = [_mk_hist(0, 1)]
+    buf = CK.pack_histogram_chunks(s)
+    enc, _ = CK._read_uvarint(buf, 0)
+    assert enc == CK.ENC_HISTOGRAM == 2
+    buf = CK.pack_histogram_chunks([_mk_hist(0, 1, True)], float_counts=True)
+    enc, _ = CK._read_uvarint(buf, 0)
+    assert enc == CK.ENC_FLOAT_HISTOGRAM == 3
+    assert CK.ENC_XOR == 1
+
+
+def test_histogram_time_pruning():
+    samples = [_mk_hist(t * 1000, t) for t in range(200)]
+    buf = CK.pack_histogram_chunks(samples, samples_per_chunk=50)
+    got = CK.unpack_histogram_chunks(buf, mint=40_000, maxt=120_000)
+    assert got == [s for s in samples if 40_000 <= s.ts <= 120_000]
+
+
+def test_histogram_zero_threshold_must_be_constant():
+    a = _mk_hist(0, 1)
+    b = _mk_hist(1000, 2)._replace(zero_threshold=0.5)
+    with pytest.raises(ValueError, match="zero_threshold"):
+        CK.encode_histogram_chunk([a, b], float_counts=False)
+
+
+def test_histogram_roundtrip_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    idxs = st.lists(st.integers(min_value=-100, max_value=100), max_size=12, unique=True)
+    counts = st.integers(min_value=0, max_value=10**9)
+    floats = st.floats(allow_nan=False, width=64)
+
+    @st.composite
+    def hist_samples(draw):
+        n = draw(st.integers(min_value=1, max_value=40))
+        ts = draw(st.integers(min_value=-(2**40), max_value=2**40))
+        out = []
+        for _ in range(n):
+            pos = tuple(sorted(draw(idxs)))
+            neg = tuple(sorted(draw(idxs)))
+            out.append(
+                CK.HistogramSample(
+                    ts, draw(st.integers(min_value=-4, max_value=8)), 1e-9,
+                    draw(counts), draw(counts), draw(floats),
+                    pos, tuple(draw(counts) for _ in pos),
+                    neg, tuple(draw(counts) for _ in neg),
+                )
+            )
+            ts += draw(st.integers(min_value=1, max_value=10**9))
+        return out
+
+    @settings(max_examples=40, deadline=None)
+    @given(samples=hist_samples())
+    def run(samples):
+        buf = CK.pack_histogram_chunks(samples, samples_per_chunk=16)
+        assert CK.unpack_histogram_chunks(buf) == samples
+
+    run()
+
+
+def test_histogram_dataframe_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    rows = [
+        (h, t // 100, t, 2, 1, 10 + t % 5, float(t) * 0.5,
+         [1, 2, 5], [3, 2, 1], [0], [4])
+        for h in (7, 8)
+        for t in range(0, 400, 10)
+    ]
+    schema = (
+        f"{S.SERIES_HASH_COLUMN} long, {S.TIME_BUCKET_COLUMN} int, {S.TS_COLUMN} long,"
+        " nh_schema int, nh_zero_count long, nh_count long, nh_sum double,"
+        " nh_pos_idx array<int>, nh_pos_counts array<long>,"
+        " nh_neg_idx array<int>, nh_neg_counts array<long>"
+    )
+    df = spark.createDataFrame(rows, schema)
+    packed = CK.histograms_to_packed(df, samples_per_chunk=16)
+    assert (
+        packed.count()
+        == df.select(S.SERIES_HASH_COLUMN, S.TIME_BUCKET_COLUMN).distinct().count()
+    )
+    back = CK.packed_to_histograms(packed)
+    got = sorted(
+        (r[0], r[1], r[2], r[3], r[4], r[5], r[6], list(r[7]), list(r[8]), list(r[9]), list(r[10]))
+        for r in back.collect()
+    )
+    assert got == sorted(rows)
+    pruned = CK.packed_to_histograms(packed, mint=100, maxt=250)
+    assert pruned.count() == len([r for r in rows if 100 <= r[2] <= 250])

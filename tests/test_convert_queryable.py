@@ -115,6 +115,29 @@ def test_quota(spark, shard):
         q.select(0, 10**12, [], quota=Quota(max_bytes=1))
 
 
+def test_quota_chunk_vs_data_bytes_split(spark, shard):
+    """The reference meters chunk bytes and data bytes independently
+    (search/limits.go:44-74, wired queryable/parquet_queryable.go:74-94):
+    a tiny chunk-bytes budget must reject a sample-reading query but
+    leave labels-only queries (which draw on data bytes) untouched, and
+    vice versa."""
+    out, _ = shard
+    q = ParquetQueryable.from_paths(spark, [out])
+    # chunk budget exhausted by the samples scan; labels-only path unaffected
+    with pytest.raises(ResourceExhausted, match="chunk bytes"):
+        q.select(0, 10**12, [], quota=Quota(max_chunk_bytes=1))
+    q.select(0, 10**12, [], quota=Quota(max_chunk_bytes=1), skip_chunks=True).collect()
+    # data budget exhausted by the series scan, even labels-only
+    with pytest.raises(ResourceExhausted, match="data bytes"):
+        q.select(0, 10**12, [], quota=Quota(max_data_bytes=1), skip_chunks=True)
+    # generous per-kind budgets pass where the combined budget still fails
+    with pytest.raises(ResourceExhausted):
+        q.select(
+            0, 10**12, [],
+            quota=Quota(max_bytes=1, max_chunk_bytes=10**12, max_data_bytes=10**12),
+        )
+
+
 def test_multi_shard_union_and_dedup(spark, tmp_path):
     # F6: two shards with different label-column sets + overlapping series
     d1 = str(tmp_path / "s1")
