@@ -62,13 +62,24 @@ def main() -> int:
 
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
+    # best-of-2 per query: the host VM shows multi-second scheduler noise
+    # (observed 2s vs 23s for the same plan back-to-back), so a single
+    # sample can misreport a stable plan by 10x.  Min-of-two is the
+    # standard damping; every trial drops cross-query caches first so each
+    # timed run includes its own full computation (no cache-primed reads).
     for name in headline:
-        t0 = time.perf_counter()
-        out = guarded(name, lambda n=name: REGISTRY[n].fn(spark, sf_dir).collect())
-        if out is None:
-            continue
-        times[name] = round(time.perf_counter() - t0, 3)
-        rows[name] = len(out)
+        best = None
+        for _ in range(2):
+            clear_pairs_cache()
+            t0 = time.perf_counter()
+            out = guarded(name, lambda n=name: REGISTRY[n].fn(spark, sf_dir).collect())
+            if out is None:
+                break
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            rows[name] = len(out)
+        if best is not None:
+            times[name] = round(best, 3)
 
     # reference-shaped BenchmarkSelect: 11 matcher workloads over the
     # 1.5M-series F2 dataset (mirrors BASELINE.md's primary benchmark)
