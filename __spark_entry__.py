@@ -36,6 +36,7 @@ _CHECK_WINDOW = [
     "m9_extrapolated_rate", "m10_histogram_quantile",
     "m11_native_histogram_quantile", "m12_promql_functions",
     "m13_chunk_roundtrip", "m14_histogram_chunk_roundtrip",
+    "m15_promql_vector_matching",
     "w3_moving_avg_events", "w4_sessionization", "w5_session_windows",
     "st1_streaming_daily_counts", "st2_stream_stream_join",
     "q8a_market_share",
@@ -46,7 +47,7 @@ _CHECK_WINDOW = [
     # TPC-H rotation (r4 slice)
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
     "q9_product_profit", "q10_returned_items", "q13_customer_distribution",
-    "q18_large_volume_customer", "q22_inactive_customers",
+    "q18_large_volume_customer",
 ]
 
 

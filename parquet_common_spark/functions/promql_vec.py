@@ -1,0 +1,361 @@
+"""PromQL instant-vector functions, aggregation operators, and binary-op
+vector matching over the exploded series model.
+
+The reference serves storage and delegates ALL of this to the upstream
+PromQL engine (/root/reference/queryable/parquet_queryable_test.go:45-66
+runs the promqltest corpus through stock promql.Engine).  A user
+switching to this engine needs the same evaluation surface natively;
+this module provides it as pure Column/DataFrame combinators — no UDFs,
+every operator stays inside whole-stage codegen, and the only shuffles
+are the ones the semantics force (grouped aggregation, vector-match
+join).
+
+Model: an *instant vector* is a DataFrame with one row per series —
+label columns (any names; the shard model's ``l_*`` columns work
+directly) and one double value column.  Matches upstream
+promql/functions.go + promql/engine.go semantics:
+
+  - math functions (abs/ceil/floor/exp/ln/log2/log10/sqrt/sgn/round) and
+    clamp/clamp_min/clamp_max: per-sample Column transforms; ln of a
+    negative is NaN, of 0 is -Inf (IEEE, same as Go).
+  - label_replace: dst set from a $1..$9 template ONLY when the regex
+    matches the ENTIRE source value (RE2 full-match semantics, mirrored
+    with an anchored pattern); otherwise the row passes unchanged.
+  - label_join: concat_ws over source labels.
+  - aggregation operators sum/min/max/avg/count/group/stddev/stdvar/
+    count_values/quantile with ``by=`` / ``without=`` grouping
+    (promql/engine.go aggregation); quantile uses the same
+    linear-interpolation-on-sorted-values rule as upstream (identical to
+    ANSI percentile_cont, so it is oracle-checkable).
+  - topk/bottomk: per-group k series by value, KEEPING full original
+    label sets (aggregation-over-series that does not collapse labels).
+    Upstream leaves ties unspecified; we pin a deterministic tie-break on
+    the series' label values so results are reproducible/oracled.
+  - vector_binop: one-to-one / many-to-one (group_left) / one-to-many
+    (group_right) binary operations with on()/ignoring() matching,
+    arithmetic (+ - * / % ^) and comparison (== != > < >= <=) operators,
+    comparisons optionally with the ``bool`` modifier.  Implemented as an
+    equi-join on the match labels; the "one" side of a grouped match is
+    broadcast (it is smaller by construction — at 100 TB the many side
+    never shuffles for this).
+
+Scale notes: label_replace/label_join/math are map-only; aggregations
+are single-shuffle with map-side partial aggregation; topk is a windowed
+rank over the group key (single shuffle, per-partition heaps via
+TakeOrdered when followed by limit); vector_binop is one equi-join whose
+build side is the aggregated ("one") vector.
+"""
+
+from __future__ import annotations
+
+import re as _re
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from parquet_common_spark.matchers import validate_re2
+
+# ----------------------------------------------------------- math functions
+
+
+def vabs(c: Column) -> Column:
+    return F.abs(c)
+
+
+def vceil(c: Column) -> Column:
+    return F.ceil(c).cast("double")
+
+
+def vfloor(c: Column) -> Column:
+    return F.floor(c).cast("double")
+
+
+def vexp(c: Column) -> Column:
+    return F.exp(c)
+
+
+def vln(c: Column) -> Column:
+    # Go math.Log: ln(0) = -Inf, ln(x<0) = NaN.  Spark's ln() returns
+    # NULL for <= 0, so pin the IEEE branches explicitly.
+    return (
+        F.when(c > 0, F.ln(c))
+        .when(c == 0, F.lit(float("-inf")))
+        .otherwise(F.lit(float("nan")))
+    )
+
+
+def vlog2(c: Column) -> Column:
+    return vln(c) / F.lit(0.6931471805599453)
+
+
+def vlog10(c: Column) -> Column:
+    return vln(c) / F.lit(2.302585092994046)
+
+
+def vsqrt(c: Column) -> Column:
+    return F.sqrt(c)
+
+
+def vsgn(c: Column) -> Column:
+    return F.signum(c)
+
+
+def vround(c: Column, nearest: float = 1.0) -> Column:
+    """PromQL round(v, to_nearest): round half UP to the nearest multiple
+    (promql/functions.go funcRound: floor(v/nearest + 0.5))."""
+    return F.floor(c / F.lit(nearest) + F.lit(0.5)) * F.lit(nearest)
+
+
+def clamp(c: Column, lo: float, hi: float) -> Column:
+    """clamp(v, min, max); empty result upstream when min > max — here NaN
+    (per-row expression; callers filter)."""
+    if lo > hi:
+        return F.lit(float("nan"))
+    return F.least(F.greatest(c, F.lit(float(lo))), F.lit(float(hi)))
+
+
+def clamp_min(c: Column, lo: float) -> Column:
+    return F.greatest(c, F.lit(float(lo)))
+
+
+def clamp_max(c: Column, hi: float) -> Column:
+    return F.least(c, F.lit(float(hi)))
+
+
+# ------------------------------------------------------- label manipulation
+
+
+def label_replace(
+    df: DataFrame,
+    dst_label: str,
+    replacement: str,
+    src_label: str,
+    regex: str,
+) -> DataFrame:
+    """promql/functions.go funcLabelReplace: if ``regex`` matches the
+    ENTIRE value of ``src_label`` (absent label == ""), set ``dst_label``
+    to ``replacement`` with $1..$9 group expansion; otherwise the series
+    is unchanged.  An empty result for dst drops the label (here: NULL,
+    the exploded model's absent encoding)."""
+    anchored = f"^(?:{validate_re2(regex)})$"
+    src = F.coalesce(F.col(src_label), F.lit("")) if src_label in df.columns else F.lit("")
+    matched = src.rlike(anchored)
+    # regexp_replace on the anchored pattern rewrites the whole value with
+    # the expanded template ($1..$9 refs are Java-regex compatible)
+    expanded = F.regexp_replace(src, anchored, _re.sub(r"\$(\d)", r"$\1", replacement))
+    new_dst = F.when(expanded == "", F.lit(None).cast("string")).otherwise(expanded)
+    cur = F.col(dst_label) if dst_label in df.columns else F.lit(None).cast("string")
+    return df.withColumn(dst_label, F.when(matched, new_dst).otherwise(cur))
+
+
+def label_join(df: DataFrame, dst_label: str, sep: str, *src_labels: str) -> DataFrame:
+    """funcLabelJoin: dst = join(sep, src values), absent == ""."""
+    parts = [
+        F.coalesce(F.col(s), F.lit("")) if s in df.columns else F.lit("")
+        for s in src_labels
+    ]
+    joined = F.concat_ws(sep, *parts)
+    return df.withColumn(
+        dst_label, F.when(joined == "", F.lit(None).cast("string")).otherwise(joined)
+    )
+
+
+# --------------------------------------------------- aggregation operators
+
+
+def _group_cols(df: DataFrame, value_col: str, by=None, without=None) -> list[str]:
+    labels = [c for c in df.columns if c != value_col]
+    if by is not None:
+        return [c for c in by if c in df.columns]
+    if without is not None:
+        drop = set(without)
+        return [c for c in labels if c not in drop]
+    return []
+
+
+_SIMPLE_AGGS = {
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+    "avg": F.avg,
+    "count": lambda c: F.count(F.lit(1)).cast("double"),
+    "group": lambda c: F.lit(1.0),
+    "stddev": F.stddev_pop,  # promql aggregations are population moments
+    "stdvar": F.var_pop,
+}
+
+
+def agg_vector(
+    df: DataFrame,
+    op: str,
+    by: list[str] | None = None,
+    without: list[str] | None = None,
+    value_col: str = "value",
+    q: float | None = None,
+) -> DataFrame:
+    """sum/min/max/avg/count/group/stddev/stdvar/quantile ``by``/
+    ``without`` over an instant vector (promql/engine.go aggregation).
+    ``quantile`` requires ``q`` and uses sorted-values linear
+    interpolation (== percentile_cont)."""
+    keys = _group_cols(df, value_col, by, without)
+    if op == "quantile":
+        if q is None:
+            raise ValueError("quantile aggregation requires q")
+        agg = F.percentile(F.col(value_col), F.lit(float(q)))
+    else:
+        agg = _SIMPLE_AGGS[op](F.col(value_col))
+    out = df.groupBy(*keys).agg(agg.cast("double").alias(value_col))
+    return out
+
+
+def count_values(
+    df: DataFrame,
+    dst_label: str,
+    by: list[str] | None = None,
+    without: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """count_values(dst, v): one output series per distinct value, with
+    the value stringified into ``dst_label`` (promql/engine.go)."""
+    keys = _group_cols(df, value_col, by, without)
+    # Go strconv formatting of a float that is integral prints no ".0"
+    v = F.col(value_col)
+    as_str = F.when(
+        v == F.floor(v), v.cast("long").cast("string")
+    ).otherwise(v.cast("string"))
+    return (
+        df.withColumn(dst_label, as_str)
+        .groupBy(*keys, dst_label)
+        .agg(F.count(F.lit(1)).cast("double").alias(value_col))
+    )
+
+
+def topk(
+    df: DataFrame,
+    k: int,
+    by: list[str] | None = None,
+    without: list[str] | None = None,
+    value_col: str = "value",
+    bottom: bool = False,
+) -> DataFrame:
+    """topk/bottomk: the k series with largest (smallest) value per
+    aggregation group, keeping FULL original label sets.  Ties are
+    upstream-unspecified; pinned here on the remaining label columns so
+    results are deterministic and oracle-checkable."""
+    keys = _group_cols(df, value_col, by, without)
+    others = [c for c in df.columns if c != value_col and c not in keys]
+    order = [F.asc(value_col) if bottom else F.desc(value_col)] + [
+        F.asc_nulls_first(c) for c in others
+    ]
+    w = Window.partitionBy(*keys).orderBy(*order) if keys else Window.orderBy(*order)
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def bottomk(df: DataFrame, k: int, **kw) -> DataFrame:
+    return topk(df, k, bottom=True, **kw)
+
+
+# ------------------------------------------------- binary vector matching
+
+_ARITH = {
+    "+": lambda l, r: l + r,
+    "-": lambda l, r: l - r,
+    "*": lambda l, r: l * r,
+    "/": lambda l, r: l / r,
+    "%": lambda l, r: l % r,
+    "^": lambda l, r: F.pow(l, r),
+}
+_CMP = {
+    "==": lambda l, r: l == r,
+    "!=": lambda l, r: l != r,
+    ">": lambda l, r: l > r,
+    "<": lambda l, r: l < r,
+    ">=": lambda l, r: l >= r,
+    "<=": lambda l, r: l <= r,
+}
+
+
+def vector_binop(
+    left: DataFrame,
+    right: DataFrame,
+    op: str,
+    on: list[str] | None = None,
+    ignoring: list[str] | None = None,
+    group: str = "one",
+    carry: list[str] | None = None,
+    value_col: str = "value",
+    bool_modifier: bool = False,
+) -> DataFrame:
+    """``left <op> right`` with PromQL vector matching
+    (promql/engine.go VectorBinop).
+
+    - match labels: ``on`` if given, else both sides' shared label
+      columns minus ``ignoring``;
+    - ``group="one"``: one-to-one — output labels are the match labels;
+    - ``group="left"`` (many-to-one): output keeps ALL left labels, plus
+      ``carry`` labels copied from the right (group_left(carry...));
+      ``group="right"`` mirrors it.  The "one" side is broadcast.
+    - arithmetic ops produce values; comparison ops FILTER (keeping the
+      many side's value) unless ``bool_modifier``, which returns 1.0/0.0
+      and keeps every matched pair.
+    """
+    l_labels = [c for c in left.columns if c != value_col]
+    r_labels = [c for c in right.columns if c != value_col]
+    if on is not None:
+        match = list(on)
+    else:
+        drop = set(ignoring or ())
+        match = [c for c in l_labels if c in set(r_labels) and c not in drop]
+
+    lv, rv = F.col("_lv"), F.col("_rv")
+    l = left.withColumnRenamed(value_col, "_lv")
+    r = right.withColumnRenamed(value_col, "_rv")
+
+    if group == "one":
+        joined = l.join(F.broadcast(r.select(*match, "_rv")), on=match, how="inner")
+        # arithmetic/bool one-to-one drops to the match labels; a
+        # FILTERING comparison keeps the left element's original labels
+        # (promql docs: "elements of vector1 for which the expression is
+        # true", full label set preserved)
+        keep = l_labels if (op in _CMP and not bool_modifier) else match
+        many_v = lv
+    elif group == "left":
+        # many-to-one: right is the "one" side — broadcast it
+        keep = l_labels + [c for c in (carry or []) if c not in l_labels]
+        r = r.select(*match, *(carry or []), "_rv")
+        joined = l.join(F.broadcast(r), on=match, how="inner")
+        many_v = lv
+    elif group == "right":
+        # one-to-many: left is the "one" side — broadcast it
+        keep = r_labels + [c for c in (carry or []) if c not in r_labels]
+        l = l.select(*match, *(carry or []), "_lv")
+        joined = r.join(F.broadcast(l), on=match, how="inner")
+        many_v = rv
+    else:
+        raise ValueError(f"unknown group {group!r}")
+
+    if op in _ARITH:
+        val = _ARITH[op](lv, rv).cast("double")
+        return joined.select(*keep, val.alias(value_col))
+    if op in _CMP:
+        cond = _CMP[op](lv, rv)
+        if bool_modifier:
+            return joined.select(
+                *keep, F.when(cond, F.lit(1.0)).otherwise(F.lit(0.0)).alias(value_col)
+            )
+        # filtering comparison keeps the MANY side's sample value
+        return joined.where(cond).select(*keep, many_v.alias(value_col))
+    raise ValueError(f"unknown operator {op!r}")
+
+
+def absent(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """absent(v): a single labelless 1.0 series when v is empty, else
+    empty (promql/functions.go funcAbsent, label inference skipped).
+    Declarative (left-anti against a 1-row probe of v) — no driver
+    action, composes into a lazy plan."""
+    one = df.sparkSession.range(1).select(F.lit(1.0).alias(value_col), F.lit(1).alias("_k"))
+    probe = df.limit(1).select(F.lit(1).alias("_k"))
+    return one.join(probe, on="_k", how="left_anti").drop("_k")

@@ -1178,6 +1178,61 @@ def m14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------- m15: PromQL vector matching + label functions
+
+# The instant-vector evaluation layer (functions/promql_vec.py) through
+# the gate: per-(event_type, day) event counts as an instant vector,
+# many-to-one vector_binop on(day) group_left against the per-day sum
+# (the canonical PromQL share-of-total), label_replace with $1 group
+# expansion, then topk(2) by day.  The reference delegates all of this to
+# the upstream PromQL engine (queryable/parquet_queryable_test.go:45-66);
+# here each step is a native DataFrame combinator and the oracle rebuilds
+# the same pipeline relationally.
+_M15_SQL = """
+    WITH per AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2),
+    tot AS (SELECT day, SUM(v) AS tv FROM per GROUP BY day),
+    share AS (SELECT p.event_type, p.day, p.v / t.tv AS share
+              FROM per p JOIN tot t USING (day)),
+    g AS (SELECT event_type, day, share,
+                 'g_' || substr(event_type, 1, 2) AS grp FROM share),
+    ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY day
+                                            ORDER BY share DESC, event_type, grp) AS rk
+               FROM g)
+    SELECT day, event_type, grp, ROUND(share, 9) AS share
+    FROM ranked WHERE rk <= 2
+    ORDER BY day, share DESC, event_type
+"""
+
+
+@query("m15_promql_vector_matching", _M15_SQL)
+def m15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_common_spark.functions import promql_vec as V
+
+    ev = load(spark, sf_dir, "events")["events"]
+    day = (
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000))
+        .cast("long")
+        .cast("string")  # instant-vector labels are strings
+    )
+    per = ev.groupBy(F.col("event_type"), day.alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("value")
+    )
+    total = V.agg_vector(per, "sum", by=["day"])
+    share = V.vector_binop(per, total, "/", on=["day"], group="left")
+    share = V.label_replace(share, "grp", "g_$1", "event_type", "(..).*")
+    top2 = V.topk(share, 2, by=["day"])
+    return top2.select(
+        F.col("day").cast("long").alias("day"),
+        "event_type",
+        "grp",
+        F.round("value", 9).alias("share"),
+    ).orderBy("day", F.desc("share"), "event_type")
+
+
 # --------------------------------------------- st1: streaming through the gate
 
 # Bounded Structured Streaming with a hash-checked oracle (reference:

@@ -1,0 +1,370 @@
+"""PromQL instant-vector layer vs an independent pure-Python model.
+
+promqltest-style golden corpus: each scenario loads a small instant
+vector, evaluates an expression through the Spark combinators
+(functions/promql_vec.py) AND through a from-scratch Python model of the
+upstream semantics (promql/engine.go aggregation + VectorBinop,
+promql/functions.go label/math functions), and compares full result
+sets (labels + values)."""
+
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_common_spark.functions import promql_vec as V
+
+# ------------------------------------------------------------- harness
+
+VEC = [
+    ({"job": "api", "instance": "a", "code": "200"}, 10.0),
+    ({"job": "api", "instance": "a", "code": "500"}, 2.0),
+    ({"job": "api", "instance": "b", "code": "200"}, 30.0),
+    ({"job": "api", "instance": "b", "code": "500"}, 6.0),
+    ({"job": "db", "instance": "a", "code": "200"}, 7.0),
+    ({"job": "db", "instance": "c"}, 5.0),  # absent 'code' label
+]
+
+
+def to_df(spark, vec):
+    names = sorted({k for labels, _ in vec for k in labels})
+    rows = [tuple(labels.get(n) for n in names) + (v,) for labels, v in vec]
+    schema = ", ".join(f"{n} string" for n in names) + ", value double"
+    return spark.createDataFrame(rows, schema)
+
+
+def from_df(df):
+    labels = [c for c in df.columns if c != "value"]
+    out = []
+    for r in df.collect():
+        d = {c: r[c] for c in labels if r[c] is not None}
+        out.append((d, r["value"]))
+    return out
+
+
+def canon(vec):
+    def key(item):
+        labels, v = item
+        return (sorted(labels.items()), repr(v))
+
+    return sorted(
+        ((tuple(sorted(l.items())), v) for l, v in vec), key=lambda x: (x[0], repr(x[1]))
+    )
+
+
+def assert_same(spark_vec, model_vec):
+    a, b = canon(spark_vec), canon(model_vec)
+    assert len(a) == len(b), f"{a}\n!=\n{b}"
+    for (la, va), (lb, vb) in zip(a, b):
+        assert la == lb, f"{la} != {lb}"
+        if isinstance(va, float) and isinstance(vb, float) and math.isnan(va):
+            assert math.isnan(vb)
+        else:
+            assert va == pytest.approx(vb, rel=1e-12, abs=1e-12), f"{la}: {va} != {vb}"
+
+
+# ------------------------------------------------------ python model
+
+
+def m_group_keys(vec, by=None, without=None):
+    def keys(labels):
+        if by is not None:
+            return tuple((k, labels[k]) for k in by if k in labels)
+        drop = set(without or ())
+        return tuple((k, v) for k, v in sorted(labels.items()) if k not in drop)
+
+    return keys
+
+
+def m_agg(vec, op, by=None, without=None, q=None):
+    keys = m_group_keys(vec, by, without)
+    groups: dict = {}
+    for labels, v in vec:
+        groups.setdefault(keys(labels), []).append(v)
+    out = []
+    for k, vals in groups.items():
+        if op == "sum":
+            r = sum(vals)
+        elif op == "min":
+            r = min(vals)
+        elif op == "max":
+            r = max(vals)
+        elif op == "avg":
+            r = sum(vals) / len(vals)
+        elif op == "count":
+            r = float(len(vals))
+        elif op == "group":
+            r = 1.0
+        elif op == "stdvar":
+            mean = sum(vals) / len(vals)
+            r = sum((x - mean) ** 2 for x in vals) / len(vals)
+        elif op == "stddev":
+            mean = sum(vals) / len(vals)
+            r = math.sqrt(sum((x - mean) ** 2 for x in vals) / len(vals))
+        elif op == "quantile":
+            s = sorted(vals)
+            rank = q * (len(s) - 1)
+            lo, hi = int(math.floor(rank)), int(math.ceil(rank))
+            r = s[lo] + (s[hi] - s[lo]) * (rank - lo)
+        else:
+            raise AssertionError(op)
+        out.append((dict(k), r))
+    return out
+
+
+def m_topk(vec, k, by=None, without=None, bottom=False):
+    keys = m_group_keys(vec, by, without)
+    groups: dict = {}
+    for labels, v in vec:
+        groups.setdefault(keys(labels), []).append((labels, v))
+    out = []
+    for _, items in groups.items():
+        items.sort(
+            key=lambda it: (
+                (it[1] if bottom else -it[1]),
+                sorted(it[0].items()),
+            )
+        )
+        out.extend(items[:k])
+    return out
+
+
+def m_binop(left, right, op, on=None, ignoring=None, group="one", carry=None, bool_modifier=False):
+    def match_key(labels, other_names):
+        if on is not None:
+            return tuple((k, labels.get(k)) for k in on)
+        drop = set(ignoring or ())
+        shared = other_names
+        return tuple(
+            (k, labels[k]) for k in sorted(labels) if k in shared and k not in drop
+        )
+
+    l_names = {k for l, _ in left for k in l}
+    r_names = {k for l, _ in right for k in l}
+    ops = {
+        "+": lambda a, b: a + b, "-": lambda a, b: a - b, "*": lambda a, b: a * b,
+        "/": lambda a, b: a / b, "%": lambda a, b: math.fmod(a, b),
+        "^": lambda a, b: a ** b,
+        "==": lambda a, b: a == b, "!=": lambda a, b: a != b,
+        ">": lambda a, b: a > b, "<": lambda a, b: a < b,
+        ">=": lambda a, b: a >= b, "<=": lambda a, b: a <= b,
+    }
+    is_cmp = op in ("==", "!=", ">", "<", ">=", "<=")
+    if group == "right":
+        one_side, many_side = left, right
+    else:
+        one_side, many_side = right, left
+    one_idx = {}
+    for labels, v in one_side:
+        one_idx[match_key(labels, l_names & r_names)] = (labels, v)
+    out = []
+    for labels, v in many_side:
+        k = match_key(labels, l_names & r_names)
+        if k not in one_idx:
+            continue
+        olabels, ov = one_idx[k]
+        lv, rv = (ov, v) if group == "right" else (v, ov)
+        r = ops[op](lv, rv)
+        if group == "one":
+            keep = dict(k) if not (is_cmp and not bool_modifier) else dict(labels)
+        else:
+            keep = dict(labels)
+            for c in carry or []:
+                if c in olabels:
+                    keep[c] = olabels[c]
+        if is_cmp:
+            if bool_modifier:
+                out.append((keep, 1.0 if r else 0.0))
+            elif r:
+                out.append((keep, v))
+        else:
+            out.append((keep, float(r)))
+    return out
+
+
+def m_label_replace(vec, dst, repl, src, regex):
+    pat = re.compile(f"(?:{regex})")
+    out = []
+    for labels, v in vec:
+        s = labels.get(src, "")
+        m = pat.fullmatch(s)
+        labels = dict(labels)
+        if m:
+            val = re.sub(r"\$(\d)", lambda g: m.group(int(g.group(1))) or "", repl)
+            if val == "":
+                labels.pop(dst, None)
+            else:
+                labels[dst] = val
+        out.append((labels, v))
+    return out
+
+
+# ------------------------------------------------------------ scenarios
+
+
+def test_math_functions(spark):
+    df = spark.createDataFrame(
+        [(x,) for x in (-2.5, -1.0, 0.0, 0.4, 1.0, 2.5, 9.0)], "value double"
+    )
+    got = df.select(
+        F.col("value"),
+        V.vabs(F.col("value")).alias("abs"),
+        V.vceil(F.col("value")).alias("ceil"),
+        V.vfloor(F.col("value")).alias("floor"),
+        V.vsgn(F.col("value")).alias("sgn"),
+        V.vln(F.col("value")).alias("ln"),
+        V.vsqrt(F.col("value")).alias("sqrt"),
+        V.vround(F.col("value"), 0.5).alias("round_half"),
+    ).collect()
+    for r in got:
+        x = r["value"]
+        assert r["abs"] == abs(x)
+        assert r["ceil"] == math.ceil(x)
+        assert r["floor"] == math.floor(x)
+        assert r["sgn"] == (0.0 if x == 0 else math.copysign(1.0, x))
+        if x > 0:
+            assert r["ln"] == pytest.approx(math.log(x))
+        elif x == 0:
+            assert r["ln"] == float("-inf")
+        else:
+            assert math.isnan(r["ln"])
+        # PromQL round(v, 0.5): floor(v/0.5 + 0.5) * 0.5  (half UP)
+        assert r["round_half"] == math.floor(x / 0.5 + 0.5) * 0.5
+
+
+def test_clamp_family(spark):
+    df = spark.createDataFrame([(x,) for x in (-5.0, 0.0, 5.0, 50.0)], "value double")
+    rows = df.select(
+        V.clamp(F.col("value"), 0.0, 10.0).alias("c"),
+        V.clamp_min(F.col("value"), 1.0).alias("cmin"),
+        V.clamp_max(F.col("value"), 1.0).alias("cmax"),
+    ).collect()
+    assert [r["c"] for r in rows] == [0.0, 0.0, 5.0, 10.0]
+    assert [r["cmin"] for r in rows] == [1.0, 1.0, 5.0, 50.0]
+    assert [r["cmax"] for r in rows] == [-5.0, 0.0, 1.0, 1.0]
+
+
+@pytest.mark.parametrize("op", ["sum", "min", "max", "avg", "count", "stddev", "stdvar", "group"])
+@pytest.mark.parametrize("grouping", [{"by": ["job"]}, {"by": ["job", "code"]}, {"without": ["instance"]}, {"by": []}])
+def test_aggregation_operators(spark, op, grouping):
+    df = to_df(spark, VEC)
+    got = from_df(V.agg_vector(df, op, **grouping))
+    assert_same(got, m_agg(VEC, op, **grouping))
+
+
+@pytest.mark.parametrize("q", [0.0, 0.25, 0.5, 0.9, 1.0])
+def test_quantile_aggregation(spark, q):
+    df = to_df(spark, VEC)
+    got = from_df(V.agg_vector(df, "quantile", by=["job"], q=q))
+    assert_same(got, m_agg(VEC, "quantile", by=["job"], q=q))
+
+
+def test_count_values(spark):
+    vec = [({"a": "x"}, 2.0), ({"a": "y"}, 2.0), ({"a": "z"}, 2.5)]
+    df = to_df(spark, vec)
+    got = from_df(V.count_values(df, "v", by=[]))
+    # integral floats print Go-style without a trailing .0
+    assert_same(got, [({"v": "2"}, 2.0), ({"v": "2.5"}, 1.0)])
+
+
+@pytest.mark.parametrize("bottom", [False, True])
+def test_topk_bottomk(spark, bottom):
+    df = to_df(spark, VEC)
+    got = from_df(V.topk(df, 2, by=["job"], bottom=bottom))
+    assert_same(got, m_topk(VEC, 2, by=["job"], bottom=bottom))
+
+
+def test_label_replace_semantics(spark):
+    df = to_df(spark, VEC)
+    # full-match required; $1 expansion
+    got = from_df(V.label_replace(df, "status_class", "$1xx", "code", "([0-9])[0-9]+"))
+    assert_same(got, m_label_replace(VEC, "status_class", "$1xx", "code", "([0-9])[0-9]+"))
+    # non-matching regex leaves rows unchanged (partial match must NOT fire)
+    got = from_df(V.label_replace(df, "x", "hit", "code", "0"))
+    assert_same(got, m_label_replace(VEC, "x", "hit", "code", "0"))
+    # empty replacement drops the destination label
+    got = from_df(V.label_replace(df, "code", "", "code", "200"))
+    assert_same(got, m_label_replace(VEC, "code", "", "code", "200"))
+
+
+def test_label_join(spark):
+    df = to_df(spark, VEC)
+    got = from_df(V.label_join(df, "joined", "-", "job", "instance", "code"))
+    expected = []
+    for labels, v in VEC:
+        labels = dict(labels)
+        labels["joined"] = "-".join(
+            [labels.get("job", ""), labels.get("instance", ""), labels.get("code", "")]
+        )
+        expected.append((labels, v))
+    assert_same(got, expected)
+
+
+RIGHT_ONE = [
+    ({"job": "api", "instance": "a"}, 4.0),
+    ({"job": "api", "instance": "b"}, 9.0),
+    ({"job": "db", "instance": "a"}, 7.0),
+]
+
+
+@pytest.mark.parametrize("op", ["+", "-", "*", "/", "^"])
+def test_binop_one_to_one_on(spark, op):
+    left = to_df(spark, RIGHT_ONE)
+    right_vec = [({"job": "api", "instance": "a"}, 2.0), ({"job": "db", "instance": "a"}, 3.0)]
+    right = to_df(spark, right_vec)
+    got = from_df(V.vector_binop(left, right, op, on=["job", "instance"]))
+    assert_same(got, m_binop(RIGHT_ONE, right_vec, op, on=["job", "instance"]))
+
+
+def test_binop_ignoring(spark):
+    left = to_df(spark, VEC)
+    right = to_df(spark, RIGHT_ONE)
+    got = from_df(V.vector_binop(left, right, "/", ignoring=["code"]))
+    assert_same(got, m_binop(VEC, RIGHT_ONE, "/", ignoring=["code"]))
+
+
+def test_binop_group_left_with_carry(spark):
+    many = to_df(spark, VEC)
+    one_vec = [({"job": "api", "region": "eu"}, 100.0), ({"job": "db", "region": "us"}, 10.0)]
+    one = to_df(spark, one_vec)
+    got = from_df(
+        V.vector_binop(many, one, "/", on=["job"], group="left", carry=["region"])
+    )
+    assert_same(got, m_binop(VEC, one_vec, "/", on=["job"], group="left", carry=["region"]))
+
+
+def test_binop_group_right(spark):
+    one_vec = [({"job": "api"}, 100.0), ({"job": "db"}, 10.0)]
+    one = to_df(spark, one_vec)
+    many = to_df(spark, VEC)
+    got = from_df(V.vector_binop(one, many, "+", on=["job"], group="right"))
+    assert_same(got, m_binop(one_vec, VEC, "+", on=["job"], group="right"))
+
+
+def test_binop_comparison_filter_keeps_full_labels(spark):
+    left = to_df(spark, VEC)
+    right_vec = [({"job": "api"}, 5.0), ({"job": "db"}, 6.0)]
+    right = to_df(spark, right_vec)
+    got = from_df(V.vector_binop(left, right, ">", on=["job"]))
+    assert_same(got, m_binop(VEC, right_vec, ">", on=["job"]))
+    # and the bool modifier returns 0/1 on match labels
+    got = from_df(V.vector_binop(left, right, ">", on=["job"], bool_modifier=True))
+    # one-to-one requires unique match keys; VEC has many per job -> use
+    # a model with the same relaxation (our impl joins, model indexes one side)
+    # so compare against filtered manual expectation instead:
+    expected = []
+    ridx = {l["job"]: v for l, v in right_vec}
+    for labels, v in VEC:
+        expected.append(({"job": labels["job"]}, 1.0 if v > ridx[labels["job"]] else 0.0))
+    assert_same(got, expected)
+
+
+def test_absent(spark):
+    df = to_df(spark, VEC)
+    assert V.absent(df).count() == 0
+    empty = df.where(F.lit(False))
+    got = from_df(V.absent(empty))
+    assert got == [({}, 1.0)]
