@@ -39,6 +39,7 @@ _CHECK_WINDOW = [
     "m15_promql_vector_matching",
     "w3_moving_avg_events", "w4_sessionization", "w5_session_windows",
     "st1_streaming_daily_counts", "st2_stream_stream_join",
+    "st3_streaming_dedup", "p2_deterministic_sample",
     "q8a_market_share",
     # never inside the checked prefix in r3
     "f3_array_functions", "a1_approx_distinct", "p1_pivot_event_counts",
@@ -46,8 +47,7 @@ _CHECK_WINDOW = [
     "q20a_active_part_suppliers", "q21a_late_sole_suppliers",
     # TPC-H rotation (r4 slice)
     "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier_volume",
-    "q9_product_profit", "q10_returned_items", "q13_customer_distribution",
-    "q18_large_volume_customer",
+    "q9_product_profit", "q18_large_volume_customer",
 ]
 
 

@@ -586,6 +586,61 @@ def c1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------ deterministic sampling
+
+_SAMPLE_FRACTION = 0.2
+_STRATUM_K = 20
+
+
+def _sampling_sqls() -> tuple[str, str]:
+    from parquet_common_spark.operators import sampling as SP
+
+    mix = f"(doc_id * {SP.MIX_MULT} + {SP.MIX_ADD}) % {SP.MIX_MOD}"
+    threshold = int(_SAMPLE_FRACTION * SP.MIX_MOD)
+    p2 = f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {mix} < {threshold}
+    ORDER BY doc_id
+    """
+    p3 = f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY {mix}, doc_id) AS rk
+      FROM documents)
+    SELECT doc_id, lang FROM ranked WHERE rk <= {_STRATUM_K}
+    ORDER BY lang, doc_id
+    """
+    return p2, p3
+
+
+_P2_SQL, _P3_SQL = _sampling_sqls()
+
+
+@query("p2_deterministic_sample", _P2_SQL)
+def p2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gated Bernoulli sample: partition-independent (unlike
+    df.sample), so the exact row set is reproducible anywhere — the
+    property that makes dataset curation auditable."""
+    from parquet_common_spark.operators import sampling as SP
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return SP.sample_fraction(docs, "doc_id", _SAMPLE_FRACTION).select(
+        "doc_id", "lang"
+    ).orderBy("doc_id")
+
+
+@query("p3_stratified_sample", _P3_SQL)
+def p3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum reservoir: exactly k docs per language,
+    chosen by the hash order (stable across partitionings/engines)."""
+    from parquet_common_spark.operators import sampling as SP
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return SP.stratified_fixed(docs, ["lang"], "doc_id", _STRATUM_K).select(
+        "doc_id", "lang"
+    ).orderBy("lang", "doc_id")
+
+
 def _sim3_sql(n_centroids: int = 8, nprobe: int = 4) -> str:
     # Replays ivf_topk exactly: portable-mix centroid sample, nearest-cell
     # assignment (nprobe=1 corpus, nprobe=N queries) with the same

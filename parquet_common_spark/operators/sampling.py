@@ -1,0 +1,66 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+`df.sample()` is seed-dependent on partitioning (Bernoulli per partition
+with a per-partition RNG), so the same seed gives DIFFERENT rows when the
+partition layout changes — useless for reproducible dataset curation at
+scale, where partitioning is an execution detail.  These operators sample
+on a HASH of the row key instead: the decision is a pure function of the
+data, so results are identical across partitionings, engines, cluster
+sizes, and reruns — and therefore oracle-checkable.
+
+Hash: the same Knuth-multiplicative BIGINT mix the IVF sampler uses
+(`(key*2654435761 + 40503) % 999999937` — plain int64 arithmetic, no
+overflow for keys < ~3.4e9, expressible in any engine).  For string keys,
+the cross-engine polynomial char hash (operators/text.py) feeds the mix.
+
+  - sample_fraction: keep rows whose mix lands below fraction*M — a
+    fixed-rate Bernoulli sample that is deterministic per key.  Map-only:
+    no shuffle, prunes at full scan speed, composes with pushdown.
+  - stratified_fixed: exactly k rows per stratum, chosen as the k
+    smallest mix values (a deterministic reservoir): one shuffle on the
+    stratum key, per-partition top-k heaps before the exchange
+    (rank-over-window; Catalyst plans partial TakeOrdered per partition
+    when followed by the filter).
+
+At 100 TB: sample_fraction is embarrassingly parallel; stratified_fixed
+shuffles only (stratum, mix, key) triples — project before sampling when
+the payload is wide, then semi-join back on the key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+MIX_MULT = 2_654_435_761
+MIX_ADD = 40_503
+MIX_MOD = 999_999_937
+
+
+def key_mix(key: Column) -> Column:
+    """Deterministic pseudo-uniform BIGINT in [0, MIX_MOD) from an
+    integer key column."""
+    return (key.cast("long") * F.lit(MIX_MULT) + F.lit(MIX_ADD)) % F.lit(MIX_MOD)
+
+
+def sample_fraction(
+    df: DataFrame, key_col: str, fraction: float
+) -> DataFrame:
+    """Keep rows with mix(key) < fraction * MIX_MOD.  Deterministic,
+    partition-independent, map-only."""
+    threshold = int(fraction * MIX_MOD)
+    return df.where(key_mix(F.col(key_col)) < F.lit(threshold))
+
+
+def stratified_fixed(
+    df: DataFrame, strata_cols: list[str], key_col: str, k: int
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum: the k smallest
+    mix(key) values, key ascending as the (measure-zero) tie-break."""
+    w = Window.partitionBy(*strata_cols).orderBy(
+        key_mix(F.col(key_col)), F.col(key_col)
+    )
+    return (
+        df.withColumn("_srk", F.row_number().over(w))
+        .where(F.col("_srk") <= k)
+        .drop("_srk")
+    )

@@ -1178,6 +1178,72 @@ def m14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- st3: streaming deduplication
+
+# dropDuplicatesWithinWatermark through the gate: the events stream is
+# synthetically DOUBLED (explode over two copies) and the stateful dedup
+# operator must collapse it back to exactly the batch row set — the
+# streaming-ingest shape of a training-data pipeline's exact dedup (state
+# keyed on event_id, dropped once the watermark passes, so state size is
+# bounded by the lateness window, not the stream length).  The oracle is
+# plain batch SQL over the ORIGINAL rows: any duplicate the operator
+# leaks (or legitimate row it drops) breaks the count AND the
+# decimal-exact value sum.
+_ST3_SQL = """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("st3_streaming_dedup", _ST3_SQL)
+def st3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from parquet_common_spark.plans.common import (
+        ensure_session_env,
+        event_ts_ltz_col,
+        read_events_raw,
+    )
+
+    ensure_session_env(spark)
+    raw = read_events_raw(spark, sf_dir)
+    ts_dt = dict(raw.dtypes)["ts"]
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", event_ts_ltz_col(ts_dt))
+        # plant exact duplicates: two copies of every row
+        .withColumn("_copy", F.explode(F.array(F.lit(1), F.lit(2))))
+        .drop("_copy")
+    )
+    deduped = stream.withWatermark("ts", "1 day").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    sink = f"st3_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")  # one state store per partition
+    try:
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), 2).alias("sum_value"))
+        .orderBy("event_type")
+    )
+
+
 # ----------------------------- m15: PromQL vector matching + label functions
 
 # The instant-vector evaluation layer (functions/promql_vec.py) through

@@ -263,3 +263,39 @@ def test_ngram_jaccard_engines_agree_unicode(spark):
         map(tuple, D.ngram_jaccard_pairs(df, "doc_id", "text", "blk", engine="arrow").collect())
     )
     assert a == b and len(a) > 0
+
+
+# ------------------------------------------------ deterministic sampling
+
+
+def test_sample_fraction_partition_independent(spark, sf_dir):
+    from parquet_common_spark.operators import sampling as SP
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = SP.sample_fraction(docs.repartition(3), "doc_id", 0.3)
+    b = SP.sample_fraction(docs.repartition(11), "doc_id", 0.3)
+    ids_a = sorted(r[0] for r in a.select("doc_id").collect())
+    ids_b = sorted(r[0] for r in b.select("doc_id").collect())
+    assert ids_a == ids_b and len(ids_a) > 0
+    # rate lands near the requested fraction (hash-uniformity sanity)
+    n = docs.count()
+    assert 0.15 * n <= len(ids_a) <= 0.45 * n
+
+
+def test_stratified_fixed_exact_k(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from parquet_common_spark.operators import sampling as SP
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    k = 7
+    out = SP.stratified_fixed(docs, ["lang"], "doc_id", k)
+    sizes = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    full = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, n in full.items():
+        assert sizes[lang] == min(k, n)
+    # deterministic under repartitioning
+    again = SP.stratified_fixed(docs.repartition(13), ["lang"], "doc_id", k)
+    assert sorted(map(tuple, out.select("doc_id").collect())) == sorted(
+        map(tuple, again.select("doc_id").collect())
+    )
