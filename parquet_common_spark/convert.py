@@ -212,6 +212,41 @@ def to_shard(
     return ShardDataset(series=series, samples=samples, meta=meta)
 
 
+def convert_merged(
+    dfs: list[DataFrame],
+    out_dir: str,
+    dedup_samples: bool = False,
+    ts_col: str = "ts",
+    labels_col: str | None = "labels",
+    **convert_kwargs,
+) -> S.ShardMeta:
+    """Convert SEVERAL input blocks into one shard, merging same-labels
+    series (reference: convert/merge.go NewMergeChunkSeriesSet — a k-way
+    heap merge of sorted per-block series sets with vertical merge of
+    equal label sets).
+
+    The Spark formulation needs no heap: ``unionByName`` concatenates the
+    blocks (schemas may differ — missing label columns fill with NULL ==
+    absent), the series table's ``distinct`` collapses equal label sets
+    to ONE row, and the write-time global sort restores series order.
+    Samples of merged series concatenate vertically (the reference's
+    concatenating merger); ``dedup_samples`` additionally drops exact
+    duplicate (series, ts) samples, the typical overlapping-block case.
+    """
+    merged = dfs[0]
+    for d in dfs[1:]:
+        merged = merged.unionByName(d, allowMissingColumns=True)
+    if labels_col is not None and labels_col in merged.columns:
+        merged = wide_from_label_map(merged, labels_col)
+        labels_col = None
+    if dedup_samples:
+        label_cols = S.label_columns(merged.columns)
+        merged = merged.dropDuplicates([*label_cols, ts_col])
+    return convert(
+        merged, out_dir, ts_col=ts_col, labels_col=labels_col, **convert_kwargs
+    )
+
+
 def convert(
     df: DataFrame,
     out_dir: str,

@@ -244,3 +244,40 @@ def test_result_cache(spark, shard):
     assert q.select(0, 10**12, m, skip_chunks=True).count() == a
     q.clear_cache()
     assert not q._result_cache
+
+
+def test_convert_merged_blocks(spark, tmp_path):
+    """Multi-block conversion with vertical series merge (reference:
+    convert/merge.go NewMergeChunkSeriesSet): equal label sets across
+    blocks collapse to ONE series row, their samples concatenate, and
+    dedup_samples drops exact (series, ts) duplicates from overlapping
+    blocks."""
+    out = str(tmp_path / "merged")
+    b1 = spark.createDataFrame(
+        [({"__name__": "m", "a": "1"}, 0, 1.0), ({"__name__": "m", "a": "2"}, 0, 2.0)],
+        "labels map<string,string>, ts long, value double",
+    )
+    # block 2 overlaps series {a=1} (one duplicate ts + one new ts) and
+    # brings a label column block 1 lacks
+    b2 = spark.createDataFrame(
+        [
+            ({"__name__": "m", "a": "1"}, 0, 1.0),
+            ({"__name__": "m", "a": "1"}, 1000, 5.0),
+            ({"__name__": "m", "b": "9"}, 0, 4.0),
+        ],
+        "labels map<string,string>, ts long, value double",
+    )
+    C.convert_merged([b1, b2], out, dedup_samples=True)
+    q = ParquetQueryable.from_paths(spark, [out])
+    # 3 distinct series, not 4: {a=1} merged across blocks
+    assert q.select(0, 10**12, [Matcher("__name__", "=", "m")], skip_chunks=True).count() == 3
+    rows = q.select(0, 10**12, [Matcher("a", "=", "1")]).collect()
+    # duplicate (series, ts=0) collapsed; both timestamps present
+    assert sorted(r[S.TS_COLUMN] for r in rows) == [0, 1000]
+    # without dedup the duplicate sample survives (concatenating merger)
+    out2 = str(tmp_path / "merged2")
+    C.convert_merged([b1, b2], out2)
+    q2 = ParquetQueryable.from_paths(spark, [out2])
+    assert sorted(
+        r[S.TS_COLUMN] for r in q2.select(0, 10**12, [Matcher("a", "=", "1")]).collect()
+    ) == [0, 0, 1000]
