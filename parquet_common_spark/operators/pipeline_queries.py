@@ -586,6 +586,42 @@ def c1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------- sim4: int8-quantized top-k
+
+# Quantized cosine is scale-free (the per-vector scales cancel), so the
+# whole search is integer dot products — exact in any engine, no float
+# fold alignment required.  The oracle replays the quantizer
+# (floor(x/s + 0.5), the portable half-up) and the integer-dot ranking.
+_SIM4_SQL = """
+    WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    sc AS (SELECT id, GREATEST(list_max(list_transform(e, x -> abs(x))), 1e-30) / 127.0 AS s, e
+           FROM v),
+    q AS (SELECT id, CAST(list_transform(e, x -> floor(x / s + 0.5)) AS DOUBLE[]) AS qv
+          FROM sc),
+    qq AS (SELECT * FROM q WHERE id < 5),
+    scored AS (
+      SELECT a.id AS query_id, b.id AS neighbor_id,
+             list_dot_product(a.qv, b.qv)
+             / (sqrt(list_dot_product(a.qv, a.qv)) * sqrt(list_dot_product(b.qv, b.qv))) AS qcos
+      FROM qq a, q b WHERE a.id <> b.id),
+    ranked AS (SELECT query_id, neighbor_id, qcos,
+                      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qcos DESC, neighbor_id) AS rn
+               FROM scored)
+    SELECT query_id, neighbor_id, ROUND(qcos, 5) AS qcos, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= 5 ORDER BY query_id, rank
+"""
+
+
+@query("sim4_quantized_topk", _SIM4_SQL)
+def sim4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_common_spark.operators import quantize as Q
+
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    return Q.quantized_topk(emb, emb.where(F.col("vec_id") < 5), k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
 # ------------------------------------------------ deterministic sampling
 
 _SAMPLE_FRACTION = 0.2

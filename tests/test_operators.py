@@ -299,3 +299,48 @@ def test_stratified_fixed_exact_k(spark, sf_dir):
     assert sorted(map(tuple, out.select("doc_id").collect())) == sorted(
         map(tuple, again.select("doc_id").collect())
     )
+
+
+# ------------------------------------------------ int8 quantization
+
+
+def test_quantize_roundtrip_error_bound(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from parquet_common_spark.operators import quantize as Q
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qdf = Q.quantize_int8(emb)
+    # dequantization error is bounded by scale/2 per component
+    err = qdf.select(
+        F.array_max(
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                Q.dequantize(F.col("qvec"), F.col("qscale")),
+                lambda a, b: F.abs(a - b),
+            )
+        ).alias("max_err"),
+        (F.col("qscale") / 2 * 1.0000001).alias("bound"),
+    )
+    assert err.where(F.col("max_err") > F.col("bound")).count() == 0
+    # codes stay in int8 range
+    rng = qdf.select(
+        F.array_max(F.transform(F.col("qvec"), lambda x: F.abs(x))).alias("m")
+    )
+    assert rng.where(F.col("m") > 127).count() == 0
+
+
+def test_quantized_topk_recall_vs_float(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from parquet_common_spark.operators import quantize as Q
+    from parquet_common_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = SIM.brute_force_topk(emb, queries, k=5)
+    approx = Q.quantized_topk(emb, queries, k=5)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.8, f"int8 quantization degraded top-k too far: {recall}"
