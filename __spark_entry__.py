@@ -24,10 +24,11 @@ from pyspark.sql import DataFrame, SparkSession
 _CHECK_WINDOW = [
     # family representatives (rest of family was green r3)
     "d2_minhash_lsh_dedup", "d6_duplicate_clusters", "c1_curation_pipeline",
-    "sim2_lsh_topk", "sim3_ivf_topk", "sim4_quantized_topk", "t2_quality_scores",
+    "sim2_lsh_topk", "sim3_ivf_topk", "sim4_quantized_topk",
+    "t2_quality_scores", "t5_tfidf_terms",
     "mm2_frame_sampling", "g1_rollup_revenue", "s1_nation_setops",
     # everything that errored in r3 (events dtype regression)
-    "e1_event_type_stats", "e2_daily_activity", "e3_json_props",
+    "e1_event_type_stats", "e3_json_props",
     "e4_asof_last_click_before_purchase", "e5_top_users_by_value",
     "m1_matcher_eq", "m2_matcher_regex_set", "m3_matcher_negative_regex",
     "m4_empty_label_semantics", "m5_label_values", "m6_time_range_pruning",

@@ -310,44 +310,87 @@ def vector_binop(
         drop = set(ignoring or ())
         match = [c for c in l_labels if c in set(r_labels) and c not in drop]
 
-    lv, rv = F.col("_lv"), F.col("_rv")
+    carry = list(carry or [])
     l = left.withColumnRenamed(value_col, "_lv")
     r = right.withColumnRenamed(value_col, "_rv")
+    # a match label absent from a side's SCHEMA is the constant absent
+    # label (NULL) — PromQL matches on "" there
+    for c in match:
+        if c not in l.columns:
+            l = l.withColumn(c, F.lit(None).cast("string"))
+        if c not in r.columns:
+            r = r.withColumn(c, F.lit(None).cast("string"))
+
+    def ns_join(many, one, one_cols):
+        # PromQL matches on label VALUES where absent == "" — so an
+        # absent label matches an absent label.  A plain column join
+        # drops NULL==NULL pairs; join null-safely (<=>), keeping the
+        # one side's columns under a "_one_" prefix so nothing shadows
+        # the many side.  (Property-test-caught: plain `on=` silently
+        # lost every match group with a missing label.)
+        one = one.select(
+            *[F.col(c).alias(f"_one_{c}") for c in dict.fromkeys(one_cols)]
+        )
+        cond = None
+        for c in match:
+            term = F.col(c).eqNullSafe(F.col(f"_one_{c}"))
+            cond = term if cond is None else cond & term
+        if cond is None:
+            cond = F.lit(True)  # no match labels: scalar-like single pair
+        return many.join(F.broadcast(one), on=cond, how="inner")
+
+    def carried(c):
+        # group_left(c)/group_right(c): the one side's label REPLACES any
+        # same-named label on the many side (upstream semantics); absent
+        # on the one side -> NULL
+        src = f"_one_{c}"
+        return F.col(src).alias(c)
 
     if group == "one":
-        joined = l.join(F.broadcast(r.select(*match, "_rv")), on=match, how="inner")
+        joined = ns_join(l, r, [*match, "_rv"])
+        lv, rv = F.col("_lv"), F.col("_one__rv")
         # arithmetic/bool one-to-one drops to the match labels; a
         # FILTERING comparison keeps the left element's original labels
         # (promql docs: "elements of vector1 for which the expression is
         # true", full label set preserved)
-        keep = l_labels if (op in _CMP and not bool_modifier) else match
+        keep_cols = (
+            [F.col(c) for c in l_labels]
+            if (op in _CMP and not bool_modifier)
+            else [F.col(c) for c in match]
+        )
         many_v = lv
     elif group == "left":
         # many-to-one: right is the "one" side — broadcast it
-        keep = l_labels + [c for c in (carry or []) if c not in l_labels]
-        r = r.select(*match, *(carry or []), "_rv")
-        joined = l.join(F.broadcast(r), on=match, how="inner")
+        one_carry = [c for c in carry if c in r.columns]
+        joined = ns_join(l, r, [*match, *one_carry, "_rv"])
+        lv, rv = F.col("_lv"), F.col("_one__rv")
+        keep_cols = [F.col(c) for c in l_labels if c not in one_carry] + [
+            carried(c) for c in one_carry
+        ]
         many_v = lv
     elif group == "right":
         # one-to-many: left is the "one" side — broadcast it
-        keep = r_labels + [c for c in (carry or []) if c not in r_labels]
-        l = l.select(*match, *(carry or []), "_lv")
-        joined = r.join(F.broadcast(l), on=match, how="inner")
+        one_carry = [c for c in carry if c in l.columns]
+        joined = ns_join(r, l, [*match, *one_carry, "_lv"])
+        lv, rv = F.col("_one__lv"), F.col("_rv")
+        keep_cols = [F.col(c) for c in r_labels if c not in one_carry] + [
+            carried(c) for c in one_carry
+        ]
         many_v = rv
     else:
         raise ValueError(f"unknown group {group!r}")
 
     if op in _ARITH:
         val = _ARITH[op](lv, rv).cast("double")
-        return joined.select(*keep, val.alias(value_col))
+        return joined.select(*keep_cols, val.alias(value_col))
     if op in _CMP:
         cond = _CMP[op](lv, rv)
         if bool_modifier:
             return joined.select(
-                *keep, F.when(cond, F.lit(1.0)).otherwise(F.lit(0.0)).alias(value_col)
+                *keep_cols, F.when(cond, F.lit(1.0)).otherwise(F.lit(0.0)).alias(value_col)
             )
         # filtering comparison keeps the MANY side's sample value
-        return joined.where(cond).select(*keep, many_v.alias(value_col))
+        return joined.where(cond).select(*keep_cols, many_v.alias(value_col))
     raise ValueError(f"unknown operator {op!r}")
 
 

@@ -586,6 +586,34 @@ def c1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------ t5: TF-IDF terms
+
+_T5_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex({_NORM.format(c='text')}, '\\s+')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY term),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM documents),
+    scored AS (SELECT t.doc_id, t.term,
+                      t.tf * ln(CAST(nd AS DOUBLE) / dfreq) AS tfidf
+               FROM tf t JOIN dfreq USING (term) CROSS JOIN n),
+    ranked AS (SELECT doc_id, term, tfidf,
+                      ROW_NUMBER() OVER (PARTITION BY doc_id
+                                         ORDER BY tfidf DESC, term) AS rk
+               FROM scored)
+    SELECT doc_id, term, ROUND(tfidf, 6) AS tfidf, CAST(rk AS INT) AS rank
+    FROM ranked WHERE rk <= 3
+    ORDER BY doc_id, rank
+"""
+
+
+@query("t5_tfidf_terms", _T5_SQL)
+def t5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return T.tfidf_top_terms(docs, "doc_id", "text", k=3).orderBy("doc_id", "rank")
+
+
 # --------------------------------------------- sim4: int8-quantized top-k
 
 # Quantized cosine is scale-free (the per-vector scales cancel), so the

@@ -91,6 +91,40 @@ def lang_id(col: Column) -> Column:
     return expr
 
 
+def tfidf_top_terms(
+    docs, doc_col: str = "doc_id", text_col: str = "text", k: int = 3
+):
+    """Top-k TF-IDF terms per document (classic idf = ln(N/df)).
+
+    Plan: explode normalized tokens (map-only) -> tf groupBy (doc, term)
+    [shuffle 1, map-side combine] -> document frequency groupBy (term)
+    [shuffle 2] -> equi-join tf x df on term -> scalar N via a broadcast
+    1-row aggregate (lazy, no driver action) -> per-doc top-k window
+    [shuffle 3].  At 100 TB the term dictionary join is the big one; it
+    stays an equi-join on term (AQE picks broadcast vs shuffled by the
+    dictionary's real size).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(doc_col), F.explode(tokens(normalize_text(F.col(text_col)))).alias("term")
+    )
+    tf = toks.groupBy(doc_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    ndf = docs.agg(F.count_distinct(F.col(doc_col)).alias("_n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(ndf))
+        .withColumn("tfidf", F.col("tf") * F.log(F.col("_n").cast("double") / F.col("_df")))
+    )
+    w = Window.partitionBy(doc_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(doc_col, "term", F.round("tfidf", 6).alias("tfidf"), F.col("rank").cast("int"))
+    )
+
+
 def quality_score(col: Column) -> Column:
     """Deterministic 0..1 quality heuristic from length / alpha ratio /
     punctuation ratio / stopword ratio.  Integer-derived ratios only, so

@@ -32,7 +32,7 @@ VEC = [
 def to_df(spark, vec):
     names = sorted({k for labels, _ in vec for k in labels})
     rows = [tuple(labels.get(n) for n in names) + (v,) for labels, v in vec]
-    schema = ", ".join(f"{n} string" for n in names) + ", value double"
+    schema = ", ".join([f"{n} string" for n in names] + ["value double"])
     return spark.createDataFrame(rows, schema)
 
 
@@ -368,3 +368,63 @@ def test_absent(spark):
     empty = df.where(F.lit(False))
     got = from_df(V.absent(empty))
     assert got == [({}, 1.0)]
+
+
+# ------------------------------------------- property-based corpus widening
+
+
+def test_agg_and_binop_property(spark):
+    """Randomized instant vectors through agg_vector and vector_binop vs
+    the Python model — property-based widening of the golden corpus."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    label_vals = st.sampled_from(["a", "b", "c", None])
+    values = st.floats(
+        min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+    )
+
+    @st.composite
+    def vectors(draw, min_size=1, max_size=8):
+        n = draw(st.integers(min_value=min_size, max_value=max_size))
+        out, seen = [], set()
+        for _ in range(n):
+            labels = {}
+            for name in ("j", "i"):
+                v = draw(label_vals)
+                if v is not None:
+                    labels[name] = v
+            key = tuple(sorted(labels.items()))
+            if key in seen:
+                continue  # unique label sets (instant-vector invariant)
+            seen.add(key)
+            out.append((labels, draw(values)))
+        return out
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        vec=vectors(),
+        op=st.sampled_from(["sum", "avg", "min", "max", "count"]),
+        agg_by=st.sampled_from([["j"], ["i"], ["j", "i"], []]),
+    )
+    def run_agg(vec, op, agg_by):
+        df = to_df(spark, vec)
+        assert_same(from_df(V.agg_vector(df, op, by=agg_by)), m_agg(vec, op, by=agg_by))
+
+    run_agg()
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        left=vectors(),
+        binop=st.sampled_from(["+", "*", "-"]),
+    )
+    def run_binop(left, binop):
+        # right = sum by j of left: a valid "one" side for on(j) group_left
+        right = m_agg(left, "sum", by=["j"])
+        ldf, rdf = to_df(spark, left), to_df(spark, right)
+        got = V.vector_binop(ldf, rdf, binop, on=["j"], group="left")
+        # model indexes the one side by match key incl. absent j -> None
+        expected = m_binop(left, right, binop, on=["j"], group="left")
+        assert_same(from_df(got), expected)
+
+    run_binop()
