@@ -271,3 +271,96 @@ def native_histogram_quantile(
         .when(pos > F.size(pos_idx), F.pow(gamma, F.element_at(pos_idx, -1).cast("double")))
         .otherwise(interp)
     )
+
+
+# ------------------------- histogram_count / _sum / _avg / _fraction
+# (upstream promql/functions.go funcHistogramCount/Sum/Avg and
+# promql/quantile.go histogramFraction — the rest of the native-histogram
+# function family; the reference serves the chunks and delegates these to
+# the PromQL engine)
+
+
+def histogram_count(count: Column) -> Column:
+    return count.cast("double")
+
+
+def histogram_sum(s: Column) -> Column:
+    return s.cast("double")
+
+
+def histogram_avg(s: Column, count: Column) -> Column:
+    return s.cast("double") / count.cast("double")
+
+
+def _rank_below(
+    x: Column,
+    gamma: Column,
+    zero_count: Column,
+    pos_idx: Column,
+    pos_counts: Column,
+    neg_idx: Column,
+    neg_counts: Column,
+    inclusive: bool = True,
+) -> Column:
+    """Estimated number of observations <= x (``inclusive``) or < x: full
+    buckets below x plus a linearly interpolated share of the bucket
+    containing x.  The zero bucket is a POINT mass at 0.0 (our quantile
+    walk's convention), so inclusivity only matters there: it counts
+    when x > 0, or at x == 0 only for the inclusive rank — which is what
+    lets histogram_fraction(0, u) include the zero bucket while
+    histogram_fraction uses the exclusive rank at its lower bound."""
+
+    def pos_part(k, c):
+        up, lo = F.pow(gamma, k.cast("double")), F.pow(gamma, k.cast("double") - 1)
+        return c.cast("double") * (
+            F.when(x >= up, F.lit(1.0))
+            .when(x <= lo, F.lit(0.0))
+            .otherwise((x - lo) / (up - lo))
+        )
+
+    def neg_part(k, c):
+        # bucket spans [-γ^k, -γ^(k-1)]
+        lo, up = -F.pow(gamma, k.cast("double")), -F.pow(gamma, k.cast("double") - 1)
+        return c.cast("double") * (
+            F.when(x >= up, F.lit(1.0))
+            .when(x <= lo, F.lit(0.0))
+            .otherwise((x - lo) / (up - lo))
+        )
+
+    fsum = lambda arr: F.aggregate(arr, F.lit(0.0), lambda a, v: a + v)  # noqa: E731
+    zero_hit = (x >= 0) if inclusive else (x > 0)
+    return (
+        fsum(F.zip_with(neg_idx, neg_counts, neg_part))
+        + F.when(zero_hit, zero_count.cast("double")).otherwise(F.lit(0.0))
+        + fsum(F.zip_with(pos_idx, pos_counts, pos_part))
+    )
+
+
+def histogram_fraction(
+    lower: float | Column,
+    upper: float | Column,
+    schema: Column,
+    zero_count: Column,
+    count: Column,
+    pos_idx: Column,
+    pos_counts: Column,
+    neg_idx: Column | None = None,
+    neg_counts: Column | None = None,
+) -> Column:
+    """Fraction of observations in [lower, upper] (linear in-bucket
+    interpolation, the same value-axis rule as the quantile walk's
+    ``linear`` mode; NULL on an empty histogram)."""
+    lo = F.lit(lower) if isinstance(lower, (int, float)) else lower
+    up = F.lit(upper) if isinstance(upper, (int, float)) else upper
+    if neg_idx is None:
+        neg_idx = F.array().cast("array<int>")
+    if neg_counts is None:
+        neg_counts = F.array().cast("array<long>")
+    gamma = F.pow(F.lit(2.0), F.pow(F.lit(2.0), -schema.cast("double")))
+    args = (gamma, zero_count, pos_idx, pos_counts, neg_idx, neg_counts)
+    frac = (
+        _rank_below(up, *args, inclusive=True) - _rank_below(lo, *args, inclusive=False)
+    ) / count.cast("double")
+    return F.when(count <= 0, F.lit(None).cast("double")).otherwise(
+        F.least(F.greatest(frac, F.lit(0.0)), F.lit(1.0))
+    )

@@ -1178,6 +1178,101 @@ def m14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------- m16: native-histogram function family
+
+# histogram_count / histogram_fraction over per-(event_type, day)
+# exponential histograms (upstream promql funcHistogramCount /
+# histogramFraction — the reference delegates these to the PromQL
+# engine).  The oracle replays the per-bucket linear-interpolation rank
+# sums in SQL from the raw observations; fractions round at 6dp so the
+# two engines' float summation orders cannot flip a digit.
+
+
+def _m16_rank_sql(x: float, inclusive: bool) -> str:
+    g = "POWER(2.0, 0.25)"  # γ at schema 2
+    up_p, lo_p = f"POWER({g}, k)", f"POWER({g}, k - 1)"
+    up_n, lo_n = f"(-POWER({g}, k - 1))", f"(-POWER({g}, k))"
+    # zero bucket = point mass at 0.0: inclusive rank counts it at x >= 0,
+    # the exclusive (lower-bound) rank only at x > 0
+    zero_cmp = ">=" if inclusive else ">"
+    return f"""SUM(CASE
+        WHEN rng = 1 THEN c * (CASE WHEN {x} >= {up_p} THEN 1.0
+                                    WHEN {x} <= {lo_p} THEN 0.0
+                                    ELSE ({x} - {lo_p}) / ({up_p} - {lo_p}) END)
+        WHEN rng = -1 THEN c * (CASE WHEN {x} >= {up_n} THEN 1.0
+                                     WHEN {x} <= {lo_n} THEN 0.0
+                                     ELSE ({x} - {lo_n}) / ({up_n} - {lo_n}) END)
+        ELSE c * (CASE WHEN {x} {zero_cmp} 0 THEN 1.0 ELSE 0.0 END) END)"""
+
+
+def _m16_sql() -> str:
+    def frac(lo: float, up: float) -> str:
+        return (
+            f"ROUND(LEAST(GREATEST(({_m16_rank_sql(up, True)} - {_m16_rank_sql(lo, False)})"
+            f" / SUM(c), 0.0), 1.0), 6)"
+        )
+
+    return f"""
+    WITH base AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+             value - 50.0 AS v
+      FROM events),
+    bucketed AS (
+      SELECT event_type, day,
+             CASE WHEN abs(v) <= 1e-9 THEN 0 WHEN v > 0 THEN 1 ELSE -1 END AS rng,
+             CASE WHEN abs(v) <= 1e-9 THEN 0
+                  ELSE CAST(ceil(ln(abs(v)) / ln(POWER(2.0, 0.25)) - 1e-12) AS INT) END AS k
+      FROM base),
+    counts AS (
+      SELECT event_type, day, rng, k, COUNT(*) AS c
+      FROM bucketed GROUP BY event_type, day, rng, k)
+    SELECT event_type, day,
+           CAST(SUM(c) AS DOUBLE) AS h_count,
+           {frac(0.0, 25.0)} AS frac_0_25,
+           {frac(-10.0, 10.0)} AS frac_n10_10,
+           {frac(5.0, 1000000000.0)} AS frac_ge5
+    FROM counts
+    GROUP BY event_type, day
+    ORDER BY event_type, day
+    """
+
+
+@query("m16_histogram_functions", _m16_sql())
+def m16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_common_spark.functions import native_histograms as NH
+    from parquet_common_spark.functions.native_histograms import build_histograms
+
+    ev = load(spark, sf_dir, "events")["events"]
+    day = F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000)).cast(
+        "long"
+    )
+    base = ev.select(
+        "event_type", day.alias("day"), (F.col("value") - F.lit(50.0)).alias("obs")
+    )
+    h = build_histograms(base, ["event_type", "day"], "obs", schema=2)
+
+    def frac(lo: float, up: float):
+        return F.round(
+            NH.histogram_fraction(
+                lo, up,
+                F.col("nh_schema"), F.col("nh_zero_count"), F.col("nh_count"),
+                F.col("nh_pos_idx"), F.col("nh_pos_counts"),
+                F.col("nh_neg_idx"), F.col("nh_neg_counts"),
+            ),
+            6,
+        )
+
+    return h.select(
+        "event_type",
+        "day",
+        NH.histogram_count(F.col("nh_count")).alias("h_count"),
+        frac(0.0, 25.0).alias("frac_0_25"),
+        frac(-10.0, 10.0).alias("frac_n10_10"),
+        frac(5.0, 1_000_000_000.0).alias("frac_ge5"),
+    ).orderBy("event_type", "day")
+
+
 # ------------------------------------------- st3: streaming deduplication
 
 # dropDuplicatesWithinWatermark through the gate: the events stream is

@@ -217,3 +217,48 @@ def test_build_engines_agree(spark):
         for c in cols:
             assert a[g][c] == b[g][c], (g, c)
         assert a[g]["nh_sum"] == pytest.approx(b[g]["nh_sum"], rel=1e-9)
+
+
+def test_histogram_fraction_edges(spark):
+    from pyspark.sql import functions as F
+
+    from parquet_common_spark.functions import native_histograms as NH
+
+    # one histogram: neg bucket k=1 (span [-γ, -1]) c=2, zero c=3,
+    # pos bucket k=2 (span (γ, γ²]) c=5  -> count 10, schema 0 (γ=2)
+    df = spark.createDataFrame(
+        [(0, 3, 10, [2], [5], [1], [2])],
+        "nh_schema int, nh_zero_count long, nh_count long,"
+        " nh_pos_idx array<int>, nh_pos_counts array<long>,"
+        " nh_neg_idx array<int>, nh_neg_counts array<long>",
+    )
+
+    def frac(lo, up):
+        return NH.histogram_fraction(
+            lo, up, F.col("nh_schema"), F.col("nh_zero_count"), F.col("nh_count"),
+            F.col("nh_pos_idx"), F.col("nh_pos_counts"),
+            F.col("nh_neg_idx"), F.col("nh_neg_counts"),
+        )
+
+    r = df.select(
+        frac(-1e9, 1e9).alias("all"),
+        frac(0.0, 1e9).alias("nonneg"),
+        frac(-1e9, -1.0).alias("neg_all"),
+        frac(2.0, 4.0).alias("pos_bucket"),  # γ=2: pos bucket spans (2, 4]
+        frac(2.0, 3.0).alias("pos_half"),    # linear: half the bucket
+        frac(1e9, 1e9).alias("empty_range"),
+    ).collect()[0]
+    assert r["all"] == 1.0
+    assert r["nonneg"] == pytest.approx(0.8)      # (3 + 5) / 10
+    assert r["neg_all"] == pytest.approx(0.2)     # the 2 negative obs
+    assert r["pos_bucket"] == pytest.approx(0.5)  # whole pos bucket
+    assert r["pos_half"] == pytest.approx(0.25)   # half of 5 / 10
+    assert r["empty_range"] == 0.0
+    # empty histogram -> NULL
+    empty = spark.createDataFrame(
+        [(0, 0, 0, [], [], [], [])],
+        "nh_schema int, nh_zero_count long, nh_count long,"
+        " nh_pos_idx array<int>, nh_pos_counts array<long>,"
+        " nh_neg_idx array<int>, nh_neg_counts array<long>",
+    )
+    assert empty.select(frac(-1e9, 1e9).alias("f")).collect()[0]["f"] is None
