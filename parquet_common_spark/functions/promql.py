@@ -455,3 +455,64 @@ def deriv_over_windows(
             "predict_linear", F.when(ok, intercept + slope_us * t_target)
         )
     return out.drop("_st", "_sv", "_stv", "_st2", "_tmin", "_tmax")
+
+
+def double_exponential_smoothing_over_windows(
+    df: DataFrame,
+    series_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    window_us: int,
+    sf: float,
+    tf: float,
+    order_col: str | None = None,
+) -> DataFrame:
+    """PromQL ``double_exponential_smoothing(v[range], sf, tf)`` (Holt's
+    linear method, upstream promql/functions.go — known as holt_winters
+    before Prometheus 3.x) per fixed window:
+
+        s_1     = v_1 ;  b_1 = v_2 - v_1
+        trend_i = tf*(s_{i-1} - s_{i-2}) + (1-tf)*trend_{i-1}   (i >= 3)
+        s_i     = sf*v_i + (1-sf)*(s_{i-1} + trend_i)
+        result  = s_n   (NULL when the window holds < 2 samples)
+
+    The smoothing is inherently sequential, but windows are bounded, so
+    it runs as ONE left-to-right ``aggregate`` fold over the window's
+    time-sorted value list — deterministic, and reproducible in ANSI SQL
+    as the identical ``list_reduce`` fold (both engines walk the same
+    list in the same order with the same arithmetic, so results match
+    bit-for-bit).  State rides in a 5-slot double array
+    ``[i, s_prev, s_prev2, trend, v0]``.  One shuffle: the groupBy on
+    (series, window).  ``order_col`` breaks equal-timestamp ties.
+    """
+    win = (F.col(ts_col) / F.lit(window_us)).cast("long").alias("_win")
+    order = [F.col(ts_col)] + ([F.col(order_col)] if order_col else [])
+    agg = df.groupBy(*series_cols, win).agg(
+        F.count(F.lit(1)).alias("n_samples"),
+        F.transform(
+            F.sort_array(F.collect_list(F.struct(*order, F.col(value_col).alias("_v")))),
+            lambda s: s["_v"],
+        ).alias("_vals"),
+    )
+    sfc, cfc = F.lit(float(sf)), F.lit(1.0 - sf)
+    tfc, ctc = F.lit(float(tf)), F.lit(1.0 - tf)
+
+    def step(acc, v):
+        i = F.element_at(acc, 1)
+        s_prev, s_prev2 = F.element_at(acc, 2), F.element_at(acc, 3)
+        trend, v0 = F.element_at(acc, 4), F.element_at(acc, 5)
+        b1 = v - s_prev  # trend init from the first two samples
+        s1 = sfc * v + cfc * (s_prev + b1)
+        tr = tfc * (s_prev - s_prev2) + ctc * trend
+        sn = sfc * v + cfc * (s_prev + tr)
+        return (
+            F.when(i == 0.0, F.array(F.lit(1.0), v, F.lit(0.0), F.lit(0.0), v))
+            .when(i == 1.0, F.array(F.lit(2.0), s1, s_prev, b1, v0))
+            .otherwise(F.array(i + 1.0, sn, s_prev, tr, v0))
+        )
+
+    zero = F.array(*[F.lit(0.0)] * 5)
+    smoothed = F.element_at(F.aggregate(F.col("_vals"), zero, step), 2)
+    return agg.withColumn(
+        "smoothed", F.when(F.col("n_samples") >= 2, smoothed)
+    ).drop("_vals")

@@ -1178,6 +1178,77 @@ def m14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------- m17: double exponential smoothing (Holt's linear)
+
+# The sequential smoothing fold replayed in SQL: both engines walk the
+# SAME time-sorted value list left-to-right with the same arithmetic
+# (Spark aggregate() vs DuckDB list_reduce over a prepended state list),
+# so the smoothed values match bit-for-bit — no rounding tolerance
+# needed beyond the display ROUND.
+_M17_SF, _M17_TF = 0.3, 0.1
+
+
+def _m17_sql() -> str:
+    sf, tf = _M17_SF, _M17_TF
+    csf, ctf = 1.0 - sf, 1.0 - tf
+    # state = [i, s_prev, s_prev2, trend, v0]; elements ride as 5-lists
+    step = f"""CASE
+        WHEN acc[1] = 0.0 THEN [1.0, x[1], 0.0, 0.0, x[1]]
+        WHEN acc[1] = 1.0 THEN [2.0,
+            {sf} * x[1] + {csf} * (acc[2] + (x[1] - acc[2])),
+            acc[2], x[1] - acc[2], acc[5]]
+        ELSE [acc[1] + 1.0,
+            {sf} * x[1] + {csf} * (acc[2] + ({tf} * (acc[2] - acc[3]) + {ctf} * acc[4])),
+            acc[2], {tf} * (acc[2] - acc[3]) + {ctf} * acc[4], acc[5]]
+        END"""
+    return f"""
+    WITH base AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+             epoch_us(ts) AS tus, event_id, value AS v
+      FROM events),
+    grouped AS (
+      SELECT event_type, day,
+             COUNT(*) AS n_samples,
+             list(v ORDER BY tus, event_id) AS vals
+      FROM base GROUP BY event_type, day)
+    SELECT event_type, day, n_samples,
+           CASE WHEN n_samples >= 2 THEN ROUND(
+             list_reduce(
+               list_prepend([0.0, 0.0, 0.0, 0.0, 0.0],
+                            list_transform(vals, v -> [v, 0.0, 0.0, 0.0, 0.0])),
+               (acc, x) -> {step})[2], 6)
+           END AS smoothed
+    FROM grouped
+    ORDER BY event_type, day
+    """
+
+
+@query("m17_double_exponential_smoothing", _m17_sql())
+def m17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_common_spark.functions.promql import (
+        double_exponential_smoothing_over_windows,
+    )
+
+    ev = load(spark, sf_dir, "events")["events"]
+    base = ev.select(
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        "event_id",
+        F.col("value").alias("v"),
+    )
+    out = double_exponential_smoothing_over_windows(
+        base, ["event_type"], "tus", "v", 86_400_000_000,
+        sf=_M17_SF, tf=_M17_TF, order_col="event_id",
+    )
+    return out.select(
+        "event_type",
+        F.col("_win").alias("day"),
+        "n_samples",
+        F.round("smoothed", 6).alias("smoothed"),
+    ).orderBy("event_type", "day")
+
+
 # --------------------------- m16: native-histogram function family
 
 # histogram_count / histogram_fraction over per-(event_type, day)

@@ -383,3 +383,39 @@ def test_suite_matches_a_la_carte(gauge_df):
         assert r["stdvar_over_time"] == pytest.approx(ag[k]["stdvar_over_time"], abs=1e-12)
         assert r["last_over_time"] == ag[k]["last_over_time"]
         assert r["quantile_0_9_over_time"] == ag[k]["quantile_0_9_over_time"]
+
+
+def test_double_exponential_smoothing_vs_model(spark):
+    import random
+
+    from parquet_common_spark.functions.promql import (
+        double_exponential_smoothing_over_windows,
+    )
+
+    rng = random.Random(41)
+    rows = [(1, i * 1000, i, rng.uniform(0, 100)) for i in range(50)]
+    rows += [(2, i * 1000, i, float(i)) for i in range(2)]       # exactly 2 samples
+    rows += [(3, 0, 0, 7.0)]                                     # 1 sample -> NULL
+    df = spark.createDataFrame(rows, "series long, tus long, oid long, v double")
+    out = double_exponential_smoothing_over_windows(
+        df, ["series"], "tus", "v", 10**9, sf=0.3, tf=0.1, order_col="oid"
+    )
+    got = {r["series"]: r["smoothed"] for r in out.collect()}
+
+    def model(vals, sf, tf):
+        if len(vals) < 2:
+            return None
+        s_prev, s_prev2, trend = vals[0], 0.0, 0.0
+        for i, v in enumerate(vals[1:], start=1):
+            if i == 1:
+                trend = v - s_prev
+                s = sf * v + (1 - sf) * (s_prev + trend)
+            else:
+                trend = tf * (s_prev - s_prev2) + (1 - tf) * trend
+                s = sf * v + (1 - sf) * (s_prev + trend)
+            s_prev2, s_prev = s_prev, s
+        return s_prev
+
+    assert got[1] == pytest.approx(model([r[3] for r in rows if r[0] == 1], 0.3, 0.1), rel=1e-12)
+    assert got[2] == pytest.approx(model([0.0, 1.0], 0.3, 0.1), rel=1e-12)
+    assert got[3] is None
