@@ -394,6 +394,67 @@ def vector_binop(
     raise ValueError(f"unknown operator {op!r}")
 
 
+def vector_setop(
+    left: DataFrame,
+    right: DataFrame,
+    op: str,
+    on: list[str] | None = None,
+    ignoring: list[str] | None = None,
+    value_col: str = "value",
+) -> DataFrame:
+    """PromQL logical/set binary operators (promql/engine.go
+    VectorAnd/VectorOr/VectorUnless):
+
+      - ``and``:    left rows whose match-label signature exists in right
+                    (null-safe LEFT SEMI join — no value from right);
+      - ``unless``: left rows whose signature does NOT exist in right
+                    (LEFT ANTI join);
+      - ``or``:     all left rows, plus right rows whose signature has no
+                    counterpart in left (anti join + unionByName).
+
+    Match labels follow on()/ignoring() exactly like vector_binop; the
+    probe side collapses to distinct signatures and is broadcast, so the
+    kept side never shuffles.
+    """
+    l_labels = [c for c in left.columns if c != value_col]
+    r_labels = [c for c in right.columns if c != value_col]
+    if on is not None:
+        match = list(on)
+    else:
+        drop = set(ignoring or ())
+        match = [c for c in l_labels if c in set(r_labels) and c not in drop]
+
+    def sig(df: DataFrame) -> DataFrame:
+        out = df
+        for c in match:
+            if c not in out.columns:
+                out = out.withColumn(c, F.lit(None).cast("string"))
+        return out.select(*[F.col(c).alias(f"_sig_{c}") for c in match]).distinct()
+
+    def sig_join(kept: DataFrame, probe: DataFrame, how: str) -> DataFrame:
+        k, added = kept, []
+        for c in match:
+            if c not in k.columns:
+                k = k.withColumn(c, F.lit(None).cast("string"))
+                added.append(c)
+        cond = None
+        for c in match:
+            term = F.col(c).eqNullSafe(F.col(f"_sig_{c}"))
+            cond = term if cond is None else cond & term
+        if cond is None:
+            cond = F.lit(True)
+        return k.join(F.broadcast(sig(probe)), on=cond, how=how).drop(*added)
+
+    if op == "and":
+        return sig_join(left, right, "left_semi")
+    if op == "unless":
+        return sig_join(left, right, "left_anti")
+    if op == "or":
+        extra = sig_join(right, left, "left_anti")
+        return left.unionByName(extra, allowMissingColumns=True)
+    raise ValueError(f"unknown set operator {op!r}")
+
+
 def absent(df: DataFrame, value_col: str = "value") -> DataFrame:
     """absent(v): a single labelless 1.0 series when v is empty, else
     empty (promql/functions.go funcAbsent, label inference skipped).

@@ -428,3 +428,40 @@ def test_agg_and_binop_property(spark):
         assert_same(from_df(got), expected)
 
     run_binop()
+
+
+# ----------------------------------------------- logical/set operators
+
+
+def m_setop(left, right, op, on=None, ignoring=None):
+    def match_key(labels, shared):
+        if on is not None:
+            return tuple((k, labels.get(k)) for k in on)
+        drop = set(ignoring or ())
+        return tuple((k, labels[k]) for k in sorted(labels) if k in shared and k not in drop)
+
+    l_names = {k for l, _ in left for k in l}
+    r_names = {k for l, _ in right for k in l}
+    shared = l_names & r_names
+    r_sigs = {match_key(l, shared) for l, _ in right}
+    l_sigs = {match_key(l, shared) for l, _ in left}
+    if op == "and":
+        return [(l, v) for l, v in left if match_key(l, shared) in r_sigs]
+    if op == "unless":
+        return [(l, v) for l, v in left if match_key(l, shared) not in r_sigs]
+    if op == "or":
+        return list(left) + [(l, v) for l, v in right if match_key(l, shared) not in l_sigs]
+    raise AssertionError(op)
+
+
+@pytest.mark.parametrize("op", ["and", "or", "unless"])
+@pytest.mark.parametrize("matchspec", [{"on": ["job"]}, {"on": ["job", "instance"]}, {"ignoring": ["code"]}, {}])
+def test_vector_setops(spark, op, matchspec):
+    right_vec = [
+        ({"job": "api", "instance": "a", "code": "200"}, 1.0),
+        ({"job": "db", "instance": "c"}, 2.0),
+        ({"job": "web", "instance": "z"}, 3.0),
+    ]
+    ldf, rdf = to_df(spark, VEC), to_df(spark, right_vec)
+    got = from_df(V.vector_setop(ldf, rdf, op, **matchspec))
+    assert_same(got, m_setop(VEC, right_vec, op, **matchspec))
