@@ -154,3 +154,45 @@ def test_native_histogram_build_is_jvm_native(spark):
     p = plan_of(build_histograms(df, ["g"], "v", schema=2))
     assert "FlatMapGroupsInPandas" not in p and "ArrowEvalPython" not in p
     assert "partial_count" in p or "HashAggregate" in p
+
+
+def test_registry_wide_no_unplanned_cartesians(spark):
+    """Sweep EVERY registry query's physical plan at sf0.001 and assert
+    no CartesianProduct anywhere and no BroadcastNestedLoopJoin outside
+    the brute-force-by-contract scans.  This is the 100 TB discipline
+    gate in one test: a new query that accidentally plans an all-pairs
+    join fails here before it ever reaches the driver.
+
+    Streaming queries (st*) are excluded — building their result
+    EXECUTES the stream; their operators are stateful joins/dedup, which
+    have no cartesian failure mode."""
+    import __spark_entry__ as E
+
+    # BroadcastNestedLoopJoin is legitimate in exactly two shapes:
+    #   - brute-force-by-contract scans: queries/centroids broadcast, the
+    #     corpus scanned map-only (similarity.py / quantize.py; d5's
+    #     exact mode is O(n^2) by contract, sim3's centroid assignment
+    #     broadcasts <= n_centroids rows);
+    #   - 1-row scalar broadcasts: a crossJoin against a single-row
+    #     aggregate (t5's corpus size N; q11a/q20a/q22's scalar-subquery
+    #     thresholds) — the "join" is a constant attach, zero data motion.
+    nlj_ok = {
+        "sim1_cosine_topk", "sim4_quantized_topk", "d5_embedding_neardup",
+        "sim3_ivf_topk", "t5_tfidf_terms",
+        "q11a_important_parts", "q20a_active_part_suppliers", "q22_inactive_customers",
+    }
+    sf_dir = "/root/testdata/sf0.001"
+    failures = []
+    for name, q in E._registry().items():
+        if name.startswith("st"):
+            continue
+        try:
+            plan = q.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001
+            failures.append(f"{name}: plan build failed: {type(e).__name__}: {e}")
+            continue
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct in plan")
+        if "BroadcastNestedLoopJoin" in plan and name not in nlj_ok:
+            failures.append(f"{name}: unexpected BroadcastNestedLoopJoin")
+    assert not failures, "\n".join(failures)
