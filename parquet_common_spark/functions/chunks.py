@@ -625,6 +625,59 @@ def unpack_histogram_chunks(
     return out
 
 
+def pack_mixed_chunks(
+    float_samples: list[tuple[int, float]] | None = None,
+    histogram_samples: list[HistogramSample] | None = None,
+    samples_per_chunk: int = 120,
+    float_counts: bool = False,
+) -> bytes:
+    """One cell holding BOTH float and histogram chunks — the reference's
+    encoder emits XOR, histogram and float-histogram chunks of the same
+    series into the SAME data-column cell (encoder.go:202-219 iterates
+    all three encodings when serializing), which happens whenever a
+    series switches sample type.  Frames simply concatenate."""
+    out = b""
+    if float_samples:
+        out += pack_chunks(float_samples, samples_per_chunk)
+    if histogram_samples:
+        out += pack_histogram_chunks(histogram_samples, samples_per_chunk, float_counts)
+    return out
+
+
+def unpack_mixed_chunks(
+    buf: bytes, mint: int | None = None, maxt: int | None = None
+) -> tuple[list[tuple[int, float]], list[HistogramSample]]:
+    """Decode a cell of mixed encodings, dispatching per frame
+    (the decoder's Pool.Get-by-encoding, encoder.go:274-325) with the
+    same chunk-level pruning and sample-level trim."""
+    floats: list[tuple[int, float]] = []
+    hists: list[HistogramSample] = []
+    pos = 0
+    while pos < len(buf):
+        enc, pos = _read_uvarint(buf, pos)
+        cmin, pos = _read_uvarint(buf, pos)
+        cmax, pos = _read_uvarint(buf, pos)
+        cmin, cmax = _to_i64(cmin), _to_i64(cmax)
+        ln, pos = _read_uvarint(buf, pos)
+        body = buf[pos : pos + ln]
+        pos += ln
+        if (maxt is not None and cmin > maxt) or (mint is not None and cmax < mint):
+            continue
+        if enc == ENC_XOR:
+            floats.extend(decode_chunk(body))
+        elif enc in (ENC_HISTOGRAM, ENC_FLOAT_HISTOGRAM):
+            hists.extend(decode_histogram_chunk(body, enc == ENC_FLOAT_HISTOGRAM))
+        else:
+            raise NotImplementedError(f"unknown chunk encoding {enc}")
+    if mint is not None:
+        floats = [s for s in floats if s[0] >= mint]
+        hists = [s for s in hists if s.ts >= mint]
+    if maxt is not None:
+        floats = [s for s in floats if s[0] <= maxt]
+        hists = [s for s in hists if s.ts <= maxt]
+    return floats, hists
+
+
 # --------------------------------------------------------- DataFrame level
 
 

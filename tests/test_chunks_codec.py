@@ -314,3 +314,61 @@ def test_histogram_dataframe_roundtrip(spark):
     assert got == sorted(rows)
     pruned = CK.packed_to_histograms(packed, mint=100, maxt=250)
     assert pruned.count() == len([r for r in rows if 100 <= r[2] <= 250])
+
+
+def test_mixed_encoding_cell_roundtrip():
+    """Mirror of the reference's TestEncodeDecode invariants
+    (schema/encoder_test.go:31-97): a cell holding float AND histogram
+    chunks of one series decodes to exactly the input samples, every
+    decoded chunk respects the samples_per_chunk cap, and time pruning
+    drops whole frames regardless of encoding."""
+    floats = [(t * 1000, float(t) * 0.5) for t in range(100)]
+    hists = [_mk_hist(t * 1000 + 1, t) for t in range(70)]
+    cap = 30
+    buf = CK.pack_mixed_chunks(floats, hists, samples_per_chunk=cap)
+    # per-chunk sample cap (walk the frames, decode each body)
+    pos, per_chunk = 0, []
+    while pos < len(buf):
+        enc, pos = CK._read_uvarint(buf, pos)
+        _, pos = CK._read_uvarint(buf, pos)
+        _, pos = CK._read_uvarint(buf, pos)
+        ln, pos = CK._read_uvarint(buf, pos)
+        body = buf[pos : pos + ln]
+        pos += ln
+        if enc == CK.ENC_XOR:
+            per_chunk.append(len(CK.decode_chunk(body)))
+        else:
+            per_chunk.append(len(CK.decode_histogram_chunk(body, enc == 3)))
+    assert all(n <= cap for n in per_chunk)
+    assert sum(per_chunk) == len(floats) + len(hists)
+    # lossless decode of both sample kinds
+    got_f, got_h = CK.unpack_mixed_chunks(buf)
+    assert got_f == floats and got_h == hists
+    # pruning drops whole frames of either encoding
+    got_f, got_h = CK.unpack_mixed_chunks(buf, mint=10_000, maxt=50_000)
+    assert got_f == [s for s in floats if 10_000 <= s[0] <= 50_000]
+    assert got_h == [s for s in hists if 10_000 <= s.ts <= 50_000]
+
+
+def test_bucket_range_clamps_like_data_colum_idx():
+    """Mirror of schema_builder_test.go Test_DataColumIdx's clamp cases:
+    a timestamp below the shard's mint lands in bucket 0."""
+    from parquet_common_spark.schema import ShardMeta
+
+    meta = ShardMeta(
+        mint_ms=3_600_000, maxt_ms=5 * 3_600_000, col_duration_ms=3_600_000,
+        sort_labels=("__name__",),
+    )
+    # query entirely BEFORE the shard -> empty bucket range (lo > hi);
+    # the reference's write-side DataColumIdx clamps ts<mint to 0
+    # (:66-109 case mint=1h ts=0) because no such sample can exist —
+    # query-side, an empty range is the correct pruning
+    lo, hi = meta.bucket_range(0, 0)
+    assert lo > hi
+    # a range straddling the shard start clamps low to bucket 0
+    assert meta.bucket_range(0, 3_600_000) == (0, 0)
+    # query far beyond maxt clamps to the last bucket (query-side
+    # semantics; the reference's write-side idx is unclamped upward but
+    # no sample beyond maxt exists by construction)
+    lo, hi = meta.bucket_range(0, 10**9)
+    assert lo == 0 and hi == (5 * 3_600_000 - 3_600_000) // 3_600_000
