@@ -516,3 +516,40 @@ def double_exponential_smoothing_over_windows(
     return agg.withColumn(
         "smoothed", F.when(F.col("n_samples") >= 2, smoothed)
     ).drop("_vals")
+
+
+def absent_over_time_windows(
+    df: DataFrame,
+    series_cols: list[str],
+    ts_col: str,
+    window_us: int,
+    range_start_us: int,
+    range_end_us: int,
+) -> DataFrame:
+    """PromQL ``absent_over_time(v[range])`` evaluated per fixed window
+    across [range_start_us, range_end_us): one row with value 1.0 for
+    every (series, window) with NO samples (promql/functions.go
+    funcAbsentOverTime; the series universe is the distinct series seen
+    anywhere in the frame — PromQL's label inference from the selector,
+    which our callers express by pre-filtering ``df``).
+
+    Plan: distinct series (1 shuffle, tiny) × an exploded window
+    sequence (bounded by the range), LEFT ANTI against the observed
+    (series, window) pairs — the observed side is aggregated before the
+    anti join, so the join carries one row per present window, not per
+    sample."""
+    lo = range_start_us // window_us
+    hi = (range_end_us - 1) // window_us
+    scaffold = (
+        df.select(*series_cols)
+        .distinct()
+        .withColumn("_win", F.explode(F.sequence(F.lit(lo), F.lit(hi))))
+    )
+    observed = (
+        df.withColumn("_win", (F.col(ts_col) / F.lit(window_us)).cast("long"))
+        .select(*series_cols, "_win")
+        .distinct()
+    )
+    return scaffold.join(
+        observed, on=[*series_cols, "_win"], how="left_anti"
+    ).withColumn("absent", F.lit(1.0))

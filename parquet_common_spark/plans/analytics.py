@@ -1178,6 +1178,56 @@ def m14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------- m18: absent_over_time windows
+
+# Sparse selector (events with value > 300 — a few hits per type) over
+# the full day range: absent_over_time emits 1.0 for every
+# (event_type, day) with NO qualifying sample.  The oracle rebuilds the
+# scaffold with generate_series × the distinct types and anti-joins the
+# observed days — pure integer arithmetic end to end.
+_M18_SQL = """
+    WITH sel AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day
+      FROM events WHERE value > 300),
+    bounds AS (
+      SELECT CAST(floor(MIN(epoch_us(ts)) / 86400000000) AS BIGINT) AS lo,
+             CAST(floor(MAX(epoch_us(ts)) / 86400000000) AS BIGINT) AS hi
+      FROM events),
+    scaffold AS (
+      SELECT t.event_type, CAST(g.day AS BIGINT) AS day
+      FROM (SELECT DISTINCT event_type FROM sel) t
+      CROSS JOIN (SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                                (SELECT hi FROM bounds))) AS day) g)
+    SELECT s.event_type, s.day, CAST(1.0 AS DOUBLE) AS absent
+    FROM scaffold s
+    ANTI JOIN (SELECT DISTINCT event_type, day FROM sel) o
+      USING (event_type, day)
+    ORDER BY event_type, day
+"""
+
+
+@query("m18_absent_over_time", _M18_SQL)
+def m18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_common_spark.functions.promql import absent_over_time_windows
+
+    ev = load(spark, sf_dir, "events")["events"]
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))
+    bounds = ev.agg(F.min(tus).alias("lo"), F.max(tus).alias("hi")).collect()[0]
+    day_us = 86_400_000_000
+    sel = ev.where(F.col("value") > 300).select(
+        "event_type", tus.alias("tus")
+    )
+    out = absent_over_time_windows(
+        sel, ["event_type"], "tus", day_us,
+        (int(bounds["lo"]) // day_us) * day_us,
+        (int(bounds["hi"]) // day_us) * day_us + day_us,
+    )
+    return out.select(
+        "event_type", F.col("_win").alias("day"), "absent"
+    ).orderBy("event_type", "day")
+
+
 # --------------------- m17: double exponential smoothing (Holt's linear)
 
 # The sequential smoothing fold replayed in SQL: both engines walk the
