@@ -394,6 +394,40 @@ def vector_binop(
     raise ValueError(f"unknown operator {op!r}")
 
 
+def vsort(df: DataFrame, value_col: str = "value", desc: bool = False) -> DataFrame:
+    """promql sort()/sort_desc(): order an instant vector by value (the
+    label columns break ties deterministically — upstream leaves tie
+    order unspecified)."""
+    labels = sorted(c for c in df.columns if c != value_col)
+    lead = F.desc(value_col) if desc else F.asc(value_col)
+    return df.orderBy(lead, *[F.asc_nulls_first(c) for c in labels])
+
+
+def vsort_desc(df: DataFrame, value_col: str = "value") -> DataFrame:
+    return vsort(df, value_col, desc=True)
+
+
+def scalar(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """promql scalar(v): the single sample's value, NaN when the vector
+    does not have exactly one element (promql/functions.go funcScalar).
+    Declarative: a 1-row frame joined against the input's count."""
+    n = df.agg(F.count(F.lit(1)).alias("_n"))
+    v = df.agg(F.max(F.col(value_col)).alias("_v"))  # the only value when n==1
+    return (
+        n.crossJoin(v)
+        .select(
+            F.when(F.col("_n") == 1, F.col("_v"))
+            .otherwise(F.lit(float("nan")))
+            .alias(value_col)
+        )
+    )
+
+
+def vector(spark, x: float, value_col: str = "value") -> DataFrame:
+    """promql vector(scalar): a single labelless sample."""
+    return spark.range(1).select(F.lit(float(x)).alias(value_col))
+
+
 def vector_setop(
     left: DataFrame,
     right: DataFrame,

@@ -465,3 +465,20 @@ def test_vector_setops(spark, op, matchspec):
     ldf, rdf = to_df(spark, VEC), to_df(spark, right_vec)
     got = from_df(V.vector_setop(ldf, rdf, op, **matchspec))
     assert_same(got, m_setop(VEC, right_vec, op, **matchspec))
+
+
+def test_sort_scalar_vector(spark):
+    df = to_df(spark, VEC)
+    vals = [r["value"] for r in V.vsort(df).collect()]
+    assert vals == sorted(vals)
+    vals = [r["value"] for r in V.vsort_desc(df).collect()]
+    assert vals == sorted(vals, reverse=True)
+    # scalar: NaN unless exactly one element
+    import math
+
+    assert math.isnan(V.scalar(df).collect()[0]["value"])
+    one = df.where((F.col("job") == "db") & (F.col("instance") == "c"))
+    assert V.scalar(one).collect()[0]["value"] == 5.0
+    empty = df.where(F.lit(False))
+    assert math.isnan(V.scalar(empty).collect()[0]["value"])
+    assert from_df(V.vector(spark, 42.0)) == [({}, 42.0)]
