@@ -14,9 +14,14 @@ Layers (see SURVEY.md):
      100 TB scale.
 """
 
+# NOTE: the bare `convert` FUNCTION is deliberately not re-exported — it
+# would shadow the `parquet_common_spark.convert` submodule attribute
+# (callers do `from parquet_common_spark import convert as C`).
+from parquet_common_spark.convert import convert_merged, convert_sharded
+from parquet_common_spark.limits import Quota, ResourceExhausted
 from parquet_common_spark.matchers import Matcher, matchers_to_predicate
 from parquet_common_spark.queryable import ParquetQueryable, ShardDataset
-from parquet_common_spark.limits import Quota, ResourceExhausted
+from parquet_common_spark.session import get_spark
 
 __all__ = [
     "Matcher",
@@ -25,6 +30,9 @@ __all__ = [
     "ShardDataset",
     "Quota",
     "ResourceExhausted",
+    "convert_merged",
+    "convert_sharded",
+    "get_spark",
 ]
 
 __version__ = "0.1.0"
