@@ -28,7 +28,7 @@ _CHECK_WINDOW = [
     "t2_quality_scores", "t5_tfidf_terms",
     "mm2_frame_sampling", "g1_rollup_revenue", "s1_nation_setops",
     # everything that errored in r3 (events dtype regression)
-    "e1_event_type_stats", "e3_json_props",
+    "e1_event_type_stats",
     "e4_asof_last_click_before_purchase", "e5_top_users_by_value",
     "m1_matcher_eq", "m2_matcher_regex_set", "m3_matcher_negative_regex",
     "m4_empty_label_semantics", "m5_label_values", "m6_time_range_pruning",
@@ -37,6 +37,7 @@ _CHECK_WINDOW = [
     "m11_native_histogram_quantile", "m12_promql_functions",
     "m13_chunk_roundtrip", "m14_histogram_chunk_roundtrip",
     "m15_promql_vector_matching", "m16_histogram_functions",
+    "g3_vector_aggregations",
     "m17_double_exponential_smoothing", "m18_absent_over_time",
     "w3_moving_avg_events", "w4_sessionization", "w5_session_windows",
     "st1_streaming_daily_counts", "st2_stream_stream_join",

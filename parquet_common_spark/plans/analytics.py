@@ -1178,6 +1178,61 @@ def m14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------- g3: PromQL aggregation operators through the gate
+
+# agg_vector (avg/stddev/quantile with by-grouping) over the per-
+# (event_type, day) count vector; the oracle uses AVG/STDDEV_POP/
+# QUANTILE_CONT — the exact population-moment and sorted-linear-
+# interpolation rules the operators implement.
+_G3_SQL = """
+    WITH v AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+             CAST(COUNT(*) AS DOUBLE) AS value
+      FROM events GROUP BY 1, 2)
+    SELECT day,
+           ROUND(AVG(value), 6) AS avg_n,
+           ROUND(STDDEV_POP(value), 6) AS stddev_n,
+           ROUND(QUANTILE_CONT(value, 0.25), 6) AS q25,
+           ROUND(QUANTILE_CONT(value, 0.5), 6) AS q50,
+           ROUND(QUANTILE_CONT(value, 0.9), 6) AS q90
+    FROM v GROUP BY day ORDER BY day
+"""
+
+
+@query("g3_vector_aggregations", _G3_SQL)
+def g3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_common_spark.functions import promql_vec as V
+
+    ev = load(spark, sf_dir, "events")["events"]
+    day = (
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000))
+        .cast("long")
+        .cast("string")
+    )
+    vec = ev.groupBy(F.col("event_type"), day.alias("day")).agg(
+        F.count(F.lit(1)).cast("double").alias("value")
+    )
+    parts = [
+        V.agg_vector(vec, "avg", by=["day"]).withColumnRenamed("value", "avg_n"),
+        V.agg_vector(vec, "stddev", by=["day"]).withColumnRenamed("value", "stddev_n"),
+        V.agg_vector(vec, "quantile", by=["day"], q=0.25).withColumnRenamed("value", "q25"),
+        V.agg_vector(vec, "quantile", by=["day"], q=0.5).withColumnRenamed("value", "q50"),
+        V.agg_vector(vec, "quantile", by=["day"], q=0.9).withColumnRenamed("value", "q90"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.join(p, "day")
+    return out.select(
+        F.col("day").cast("long").alias("day"),
+        F.round("avg_n", 6).alias("avg_n"),
+        F.round("stddev_n", 6).alias("stddev_n"),
+        F.round("q25", 6).alias("q25"),
+        F.round("q50", 6).alias("q50"),
+        F.round("q90", 6).alias("q90"),
+    ).orderBy("day")
+
+
 # ----------------------------------------- m18: absent_over_time windows
 
 # Sparse selector (events with value > 300 — a few hits per type) over
