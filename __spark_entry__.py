@@ -39,7 +39,7 @@ _CHECK_WINDOW = [
     "m15_promql_vector_matching", "m16_histogram_functions",
     "g3_vector_aggregations",
     "m17_double_exponential_smoothing", "m18_absent_over_time",
-    "w3_moving_avg_events", "w4_sessionization", "w5_session_windows",
+    "w3_moving_avg_events", "w5_session_windows", "w6_sliding_windows",
     "st1_streaming_daily_counts", "st2_stream_stream_join",
     "st3_streaming_dedup", "p2_deterministic_sample",
     "q8a_market_share",

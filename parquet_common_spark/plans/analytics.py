@@ -1178,6 +1178,51 @@ def m14(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------- w6: sliding event-time windows (overlapping)
+
+# F.window with a slide — each event lands in window_duration/slide
+# overlapping windows (here 2).  This is the native operator Structured
+# Streaming uses for sliding aggregations; the oracle rebuilds the
+# window set relationally (generate_series of slide-aligned starts
+# joined on containment).  Counts and decimal-exact sums only.
+_W6_SQL = """
+    WITH b AS (
+      SELECT event_type, epoch_us(ts) AS tus, value FROM events),
+    bounds AS (
+      SELECT CAST(floor(MIN(tus) / 43200000000) AS BIGINT) * 43200000000 AS lo,
+             MAX(tus) AS hi
+      FROM b),
+    wins AS (
+      SELECT unnest(generate_series((SELECT lo - 43200000000 FROM bounds),
+                                    (SELECT hi FROM bounds),
+                                    43200000000)) AS ws)
+    SELECT w.ws AS window_start_us, e.event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM wins w JOIN b e
+      ON e.tus >= w.ws AND e.tus < w.ws + 86400000000
+    GROUP BY w.ws, e.event_type
+    ORDER BY window_start_us, event_type
+"""
+
+
+@query("w6_sliding_windows", _W6_SQL)
+def w6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")["events"]
+    win = F.window(F.col("ts").cast("timestamp"), "1 day", "12 hours")
+    return (
+        ev.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), 2).alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("w.start").cast("timestamp")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start_us", "event_type")
+    )
+
+
 # ---------------------- g3: PromQL aggregation operators through the gate
 
 # agg_vector (avg/stddev/quantile with by-grouping) over the per-
