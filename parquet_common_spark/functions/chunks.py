@@ -157,6 +157,10 @@ _DOD_WINDOWS = ((0b10, 2, 14), (0b110, 3, 17), (0b1110, 4, 20))
 
 def encode_chunk(samples: list[tuple[int, float]]) -> bytes:
     """One XOR chunk body (Gorilla layout, see module doc)."""
+    if len(samples) > 0xFFFF:
+        raise ValueError(
+            f"chunk sample count {len(samples)} exceeds the 16-bit header limit (65535)"
+        )
     w = _BitWriter()
     w.write_bits(len(samples), 16)  # 2-byte big-endian count header
     prev_ts = prev_delta = 0
@@ -454,6 +458,10 @@ def _bits2f(b: int) -> float:
 
 def encode_histogram_chunk(samples: list[HistogramSample], float_counts: bool) -> bytes:
     """One histogram chunk body (layout in the section comment above)."""
+    if len(samples) > 0xFFFF:
+        raise ValueError(
+            f"chunk sample count {len(samples)} exceeds the 16-bit header limit (65535)"
+        )
     w = _BitWriter()
     w.write_bits(len(samples), 16)
     if samples:

@@ -61,7 +61,7 @@ def increase_over_windows(
     src = counter_adjusted(df, series_cols, ts_col, value_col) if adjust_resets else df.withColumn(
         "_adj_value", F.col(value_col)
     )
-    win = (F.col(ts_col) / F.lit(window_us)).cast("long").alias("_win")
+    win = F.floor(F.col(ts_col) / F.lit(window_us)).cast("long").alias("_win")
     w_asc = Window.partitionBy(*series_cols, "_win").orderBy(F.asc(ts_col))
     w_desc = Window.partitionBy(*series_cols, "_win").orderBy(F.desc(ts_col))
     ranked = (
@@ -127,7 +127,7 @@ def extrapolated_increase_over_windows(
     PromQL drops them.  Reset detection uses within-window sample pairs
     only, exactly like the upstream loop.  One shuffle on (series, win);
     everything else is Column arithmetic on per-window aggregates."""
-    win = (F.col(ts_col) / F.lit(window_us)).cast("long").alias("_win")
+    win = F.floor(F.col(ts_col) / F.lit(window_us)).cast("long").alias("_win")
     w_ord = Window.partitionBy(*series_cols, "_win").orderBy(F.asc(ts_col), F.asc(value_col))
     w_asc = w_ord
     w_desc = Window.partitionBy(*series_cols, "_win").orderBy(
@@ -219,7 +219,7 @@ def agg_over_time(
     story of plans/common.dsum.  ``quantiles`` adds
     ``quantile_<q>_over_time`` columns via exact linear-interpolation
     percentile (the same definition Prometheus uses)."""
-    win = (F.col(ts_col) / F.lit(window_us)).cast("long").alias("_win")
+    win = F.floor(F.col(ts_col) / F.lit(window_us)).cast("long").alias("_win")
     dec = f"decimal(18,{value_scale})"  # compact long-backed Decimal (see plans/common.dsum); values must satisfy |v| < 10^(18-value_scale)
     sv = F.sum(F.col(value_col).cast(dec))
     sv2 = F.sum(F.col(value_col).cast(dec) * F.col(value_col).cast(dec))
@@ -269,7 +269,7 @@ def promql_suite_over_windows(
     than one family member is needed — the à-la-carte functions below
     each cost their own shuffle."""
     dec = f"decimal(18,{value_scale})"  # compact long-backed Decimal (see plans/common.dsum); values must satisfy |v| < 10^(18-value_scale)
-    win = (F.col(ts_col) / F.lit(window_us)).cast("long")
+    win = F.floor(F.col(ts_col) / F.lit(window_us)).cast("long")
     staged = df.withColumn("_win", win).withColumn(
         "_t", F.col(ts_col) - F.col("_win") * F.lit(window_us)
     )
@@ -346,7 +346,7 @@ def resets_changes_over_windows(
     like the upstream loops (promql/functions.go funcResets/funcChanges).
     NaN handling matches upstream incidentally: both engines compare
     NaN = NaN as true, so NaN→NaN counts as no change."""
-    win = (F.col(ts_col) / F.lit(window_us)).cast("long").alias("_win")
+    win = F.floor(F.col(ts_col) / F.lit(window_us)).cast("long").alias("_win")
     w = Window.partitionBy(*series_cols, "_win").orderBy(F.asc(ts_col), F.asc(value_col))
     prev = F.lag(value_col).over(w)
     flagged = (
@@ -376,7 +376,7 @@ def instant_over_windows(
     irate divides by their time difference, and a counter reset between
     the two (last < previous) makes the numerator the last value itself.
     Windows with < 2 samples or zero time difference yield NULL."""
-    win = (F.col(ts_col) / F.lit(window_us)).cast("long").alias("_win")
+    win = F.floor(F.col(ts_col) / F.lit(window_us)).cast("long").alias("_win")
     w_desc = Window.partitionBy(*series_cols, "_win").orderBy(
         F.desc(ts_col), F.desc(value_col)
     )
@@ -428,7 +428,7 @@ def deriv_over_windows(
     engines and aggregation orders.  Windows with < 2 samples or all
     samples at one timestamp yield NULL (as PromQL drops them)."""
     dec = f"decimal(18,{value_scale})"  # compact long-backed Decimal (see plans/common.dsum); values must satisfy |v| < 10^(18-value_scale)
-    win = (F.col(ts_col) / F.lit(window_us)).cast("long")
+    win = F.floor(F.col(ts_col) / F.lit(window_us)).cast("long")
     t_rel = F.col(ts_col) - F.col("_win") * F.lit(window_us)  # µs into the window
     staged = df.withColumn("_win", win).withColumn("_t", t_rel)
     agg = staged.groupBy(*series_cols, "_win").agg(
@@ -485,7 +485,7 @@ def double_exponential_smoothing_over_windows(
     ``[i, s_prev, s_prev2, trend, v0]``.  One shuffle: the groupBy on
     (series, window).  ``order_col`` breaks equal-timestamp ties.
     """
-    win = (F.col(ts_col) / F.lit(window_us)).cast("long").alias("_win")
+    win = F.floor(F.col(ts_col) / F.lit(window_us)).cast("long").alias("_win")
     order = [F.col(ts_col)] + ([F.col(order_col)] if order_col else [])
     agg = df.groupBy(*series_cols, win).agg(
         F.count(F.lit(1)).alias("n_samples"),
@@ -546,7 +546,7 @@ def absent_over_time_windows(
         .withColumn("_win", F.explode(F.sequence(F.lit(lo), F.lit(hi))))
     )
     observed = (
-        df.withColumn("_win", (F.col(ts_col) / F.lit(window_us)).cast("long"))
+        df.withColumn("_win", F.floor(F.col(ts_col) / F.lit(window_us)).cast("long"))
         .select(*series_cols, "_win")
         .distinct()
     )

@@ -106,11 +106,23 @@ def vround(c: Column, nearest: float = 1.0) -> Column:
 
 
 def clamp(c: Column, lo: float, hi: float) -> Column:
-    """clamp(v, min, max); empty result upstream when min > max — here NaN
-    (per-row expression; callers filter)."""
+    """clamp(v, min, max); upstream returns an EMPTY vector when
+    min > max (promql/functions.go funcClamp).  As a per-row expression
+    that contract is expressed as NULL — the exploded model's "no
+    sample" encoding — so a caller that forgets to drop the rows gets
+    NULL values (visible, filterable), never phantom numbers.  Use
+    :func:`clamp_df` for the full DataFrame-level semantics."""
     if lo > hi:
-        return F.lit(float("nan"))
+        return F.lit(None).cast("double")
     return F.least(F.greatest(c, F.lit(float(lo))), F.lit(float(hi)))
+
+
+def clamp_df(df: DataFrame, lo: float, hi: float, value_col: str = "value") -> DataFrame:
+    """DataFrame-level clamp with the exact upstream contract: empty
+    result when lo > hi, else per-row clamping."""
+    if lo > hi:
+        return df.where(F.lit(False))
+    return df.withColumn(value_col, clamp(F.col(value_col), lo, hi))
 
 
 def clamp_min(c: Column, lo: float) -> Column:
@@ -124,6 +136,60 @@ def clamp_max(c: Column, hi: float) -> Column:
 # ------------------------------------------------------- label manipulation
 
 
+def _java_replacement(template: str, group_count: int, group_names: set[str]) -> str:
+    """Translate a Go ``regexp.Expand`` template (what PromQL
+    label_replace takes) into a Java ``Matcher.appendReplacement``
+    template.
+
+    Go dialect: ``$$`` is a literal dollar; ``$name``/``${name}`` is a
+    group reference where ``name`` is the longest run of word chars
+    (``$1x`` == ``${1x}``); an all-digit name is an index ref; a
+    reference to a nonexistent group expands to "".  ``\\`` is a literal
+    backslash.  Java dialect: ``\\`` escapes, bare ``$`` not followed by
+    a valid group throws IllegalArgumentException — so every literal
+    ``$``/``\\`` must be escaped and dead group refs must be dropped at
+    translation time, not passed through."""
+    out: list[str] = []
+    i, n = 0, len(template)
+    while i < n:
+        ch = template[i]
+        if ch == "\\":
+            out.append("\\\\")
+            i += 1
+            continue
+        if ch != "$":
+            out.append(ch)
+            i += 1
+            continue
+        # ch == "$"
+        if i + 1 < n and template[i + 1] == "$":
+            out.append("\\$")
+            i += 2
+            continue
+        if i + 1 < n and template[i + 1] == "{":
+            j = template.find("}", i + 2)
+            if j == -1:  # unterminated ${ — Go treats as literal text
+                out.append("\\$")
+                i += 1
+                continue
+            name, i = template[i + 2 : j], j + 1
+        else:
+            m = _re.match(r"\w+", template[i + 1 :])
+            if not m:  # bare $ at end / before non-word char: literal
+                out.append("\\$")
+                i += 1
+                continue
+            name, i = m.group(0), i + 1 + m.end()
+        if name.isdigit():
+            if int(name) <= group_count:
+                out.append(f"${int(name)}")
+            # else: nonexistent index — Go expands to "", emit nothing
+        elif name in group_names:
+            out.append(f"${{{name}}}")
+        # else: nonexistent named group — Go expands to "", emit nothing
+    return "".join(out)
+
+
 def label_replace(
     df: DataFrame,
     dst_label: str,
@@ -133,15 +199,22 @@ def label_replace(
 ) -> DataFrame:
     """promql/functions.go funcLabelReplace: if ``regex`` matches the
     ENTIRE value of ``src_label`` (absent label == ""), set ``dst_label``
-    to ``replacement`` with $1..$9 group expansion; otherwise the series
-    is unchanged.  An empty result for dst drops the label (here: NULL,
+    to ``replacement`` with Go Expand template semantics ($N/${name}
+    refs, $$ literal, dead refs -> ""); otherwise the series is
+    unchanged.  An empty result for dst drops the label (here: NULL,
     the exploded model's absent encoding)."""
-    anchored = f"^(?:{validate_re2(regex)})$"
+    validated = validate_re2(regex)
+    anchored = f"^(?:{validated})$"
+    # group inventory for dead-reference elimination (validate_re2 keeps
+    # the pattern in the RE2 subset Python's re can compile; named groups
+    # come back in Java (?<name> form — normalize for introspection)
+    introspect = _re.compile(f"(?:{validated.replace('(?<', '(?P<')})")
     src = F.coalesce(F.col(src_label), F.lit("")) if src_label in df.columns else F.lit("")
     matched = src.rlike(anchored)
-    # regexp_replace on the anchored pattern rewrites the whole value with
-    # the expanded template ($1..$9 refs are Java-regex compatible)
-    expanded = F.regexp_replace(src, anchored, _re.sub(r"\$(\d)", r"$\1", replacement))
+    template = _java_replacement(
+        replacement, introspect.groups, set(introspect.groupindex)
+    )
+    expanded = F.regexp_replace(src, anchored, template)
     new_dst = F.when(expanded == "", F.lit(None).cast("string")).otherwise(expanded)
     cur = F.col(dst_label) if dst_label in df.columns else F.lit(None).cast("string")
     return df.withColumn(dst_label, F.when(matched, new_dst).otherwise(cur))
@@ -288,19 +361,33 @@ def vector_binop(
     carry: list[str] | None = None,
     value_col: str = "value",
     bool_modifier: bool = False,
+    strict: bool = True,
 ) -> DataFrame:
     """``left <op> right`` with PromQL vector matching
     (promql/engine.go VectorBinop).
 
-    - match labels: ``on`` if given, else both sides' shared label
-      columns minus ``ignoring``;
-    - ``group="one"``: one-to-one — output labels are the match labels;
+    - match labels: ``on`` if given, else the UNION of both sides'
+      label columns minus ``ignoring`` (upstream signatures include ALL
+      non-ignored labels with absent == "" — a label present on only
+      one side with a non-empty value refuses to pair, exactly like
+      upstream; a missing column is materialized as NULL and matched
+      null-safely);
+    - ``group="one"``: one-to-one — output labels are the ``on`` labels
+      when ``on`` is given, else the LEFT side's labels minus
+      ``ignoring`` (engine.go resultMetric);
     - ``group="left"`` (many-to-one): output keeps ALL left labels, plus
       ``carry`` labels copied from the right (group_left(carry...));
       ``group="right"`` mirrors it.  The "one" side is broadcast.
     - arithmetic ops produce values; comparison ops FILTER (keeping the
       many side's value) unless ``bool_modifier``, which returns 1.0/0.0
       and keeps every matched pair.
+    - ``strict`` (default): duplicate match keys on the "one" side raise
+      at execution time, mirroring upstream's "found duplicate series /
+      many-to-one matching must be explicit" errors.  The check is a
+      window count over the (broadcast-small) one side — the many side
+      is never re-shuffled for it.  Duplicates on the MANY side of a
+      one-to-one match are not detected (documented relaxation: upstream
+      errors; here each many row pairs independently).
     """
     l_labels = [c for c in left.columns if c != value_col]
     r_labels = [c for c in right.columns if c != value_col]
@@ -308,7 +395,7 @@ def vector_binop(
         match = list(on)
     else:
         drop = set(ignoring or ())
-        match = [c for c in l_labels if c in set(r_labels) and c not in drop]
+        match = [c for c in dict.fromkeys([*l_labels, *r_labels]) if c not in drop]
 
     carry = list(carry or [])
     l = left.withColumnRenamed(value_col, "_lv")
@@ -321,13 +408,33 @@ def vector_binop(
         if c not in r.columns:
             r = r.withColumn(c, F.lit(None).cast("string"))
 
-    def ns_join(many, one, one_cols):
+    def ns_join(many, one, one_cols, one_value):
         # PromQL matches on label VALUES where absent == "" — so an
         # absent label matches an absent label.  A plain column join
         # drops NULL==NULL pairs; join null-safely (<=>), keeping the
         # one side's columns under a "_one_" prefix so nothing shadows
         # the many side.  (Property-test-caught: plain `on=` silently
         # lost every match group with a missing label.)
+        if strict:
+            # upstream errors on duplicate signatures on the "one" side;
+            # a window count over the broadcast-small side keeps the
+            # check off the many side's plan entirely.  assert_true is
+            # folded into the value column so pruning can't drop it.
+            w = Window.partitionBy(*match) if match else Window.partitionBy(F.lit(1))
+            one = one.withColumn("_mcnt", F.count(F.lit(1)).over(w))
+            one = one.withColumn(
+                one_value,
+                F.when(
+                    F.assert_true(
+                        F.col("_mcnt") == 1,
+                        F.lit(
+                            "vector matching: duplicate series on the one side "
+                            "(upstream: many-to-one matching must be explicit)"
+                        ),
+                    ).isNull(),
+                    F.col(one_value),
+                ),
+            ).drop("_mcnt")
         one = one.select(
             *[F.col(c).alias(f"_one_{c}") for c in dict.fromkeys(one_cols)]
         )
@@ -347,22 +454,26 @@ def vector_binop(
         return F.col(src).alias(c)
 
     if group == "one":
-        joined = ns_join(l, r, [*match, "_rv"])
+        joined = ns_join(l, r, [*match, "_rv"], "_rv")
         lv, rv = F.col("_lv"), F.col("_one__rv")
-        # arithmetic/bool one-to-one drops to the match labels; a
-        # FILTERING comparison keeps the left element's original labels
-        # (promql docs: "elements of vector1 for which the expression is
-        # true", full label set preserved)
-        keep_cols = (
-            [F.col(c) for c in l_labels]
-            if (op in _CMP and not bool_modifier)
-            else [F.col(c) for c in match]
-        )
+        # arithmetic/bool one-to-one keeps the on() labels when on= is
+        # given, else the LEFT labels minus ignoring (engine.go
+        # resultMetric); a FILTERING comparison keeps the left element's
+        # original labels (promql docs: "elements of vector1 for which
+        # the expression is true", full label set preserved)
+        if op in _CMP and not bool_modifier:
+            keep = l_labels
+        elif on is not None:
+            keep = match
+        else:
+            drop = set(ignoring or ())
+            keep = [c for c in l_labels if c not in drop]
+        keep_cols = [F.col(c) for c in keep]
         many_v = lv
     elif group == "left":
         # many-to-one: right is the "one" side — broadcast it
         one_carry = [c for c in carry if c in r.columns]
-        joined = ns_join(l, r, [*match, *one_carry, "_rv"])
+        joined = ns_join(l, r, [*match, *one_carry, "_rv"], "_rv")
         lv, rv = F.col("_lv"), F.col("_one__rv")
         keep_cols = [F.col(c) for c in l_labels if c not in one_carry] + [
             carried(c) for c in one_carry
@@ -371,7 +482,7 @@ def vector_binop(
     elif group == "right":
         # one-to-many: left is the "one" side — broadcast it
         one_carry = [c for c in carry if c in l.columns]
-        joined = ns_join(r, l, [*match, *one_carry, "_lv"])
+        joined = ns_join(r, l, [*match, *one_carry, "_lv"], "_lv")
         lv, rv = F.col("_one__lv"), F.col("_rv")
         keep_cols = [F.col(c) for c in r_labels if c not in one_carry] + [
             carried(c) for c in one_carry
@@ -446,9 +557,12 @@ def vector_setop(
       - ``or``:     all left rows, plus right rows whose signature has no
                     counterpart in left (anti join + unionByName).
 
-    Match labels follow on()/ignoring() exactly like vector_binop; the
-    probe side collapses to distinct signatures and is broadcast, so the
-    kept side never shuffles.
+    Match labels follow on()/ignoring() exactly like vector_binop —
+    ``ignoring`` signatures span the UNION of both sides' labels (absent
+    == NULL, matched null-safely), so a one-side-only label with a
+    non-empty value refuses to pair, as upstream.  The probe side
+    collapses to distinct signatures and is broadcast, so the kept side
+    never shuffles.
     """
     l_labels = [c for c in left.columns if c != value_col]
     r_labels = [c for c in right.columns if c != value_col]
@@ -456,7 +570,7 @@ def vector_setop(
         match = list(on)
     else:
         drop = set(ignoring or ())
-        match = [c for c in l_labels if c in set(r_labels) and c not in drop]
+        match = [c for c in dict.fromkeys([*l_labels, *r_labels]) if c not in drop]
 
     def sig(df: DataFrame) -> DataFrame:
         out = df

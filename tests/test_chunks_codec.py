@@ -372,3 +372,16 @@ def test_bucket_range_clamps_like_data_colum_idx():
     # no sample beyond maxt exists by construction)
     lo, hi = meta.bucket_range(0, 10**9)
     assert lo == 0 and hi == (5 * 3_600_000 - 3_600_000) // 3_600_000
+
+
+def test_encoders_reject_oversized_sample_count():
+    # the chunk count header is 16-bit; >65535 samples must raise, not
+    # silently truncate the count and corrupt the chunk
+    with pytest.raises(ValueError, match="65535"):
+        CK.encode_chunk([(i, 1.0) for i in range(65_536)])
+    hs = CK.HistogramSample(
+        ts=0, schema=0, zero_threshold=0.0, zero_count=0, count=1, sum=1.0,
+        pos_idx=(), pos_counts=(), neg_idx=(), neg_counts=(),
+    )
+    with pytest.raises(ValueError, match="65535"):
+        CK.encode_histogram_chunk([hs] * 65_536, float_counts=False)

@@ -419,3 +419,21 @@ def test_double_exponential_smoothing_vs_model(spark):
     assert got[1] == pytest.approx(model([r[3] for r in rows if r[0] == 1], 0.3, 0.1), rel=1e-12)
     assert got[2] == pytest.approx(model([0.0, 1.0], 0.3, 0.1), rel=1e-12)
     assert got[3] is None
+
+
+def test_window_ids_floor_for_negative_timestamps(spark):
+    """Window bucketing must be floor semantics for pre-1970 timestamps:
+    truncation-toward-zero would put ts=-1 into window 0 instead of -1,
+    producing phantom absent windows (the chunk codec explicitly
+    supports pre-1970 data, so the window layer must too)."""
+    from parquet_common_spark.functions.promql import absent_over_time_windows
+
+    df = spark.createDataFrame(
+        [("s", -1, 1.0), ("s", -15, 2.0)], "series string, ts long, value double"
+    )
+    out = absent_over_time_windows(
+        df, ["series"], "ts", window_us=10, range_start_us=-20, range_end_us=0
+    ).collect()
+    # samples at ts=-15 (window -2) and ts=-1 (window -1) cover the
+    # whole [-20, 0) range: nothing is absent
+    assert out == []

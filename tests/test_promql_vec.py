@@ -133,17 +133,21 @@ def m_topk(vec, k, by=None, without=None, bottom=False):
 
 
 def m_binop(left, right, op, on=None, ignoring=None, group="one", carry=None, bool_modifier=False):
-    def match_key(labels, other_names):
+    # upstream signature: on() labels if given, else ALL non-ignored
+    # labels across BOTH sides (absent == None) — a one-side-only label
+    # with a value makes the signatures differ, refusing the pair
+    l_names = {k for l, _ in left for k in l}
+    r_names = {k for l, _ in right for k in l}
+    union_names = l_names | r_names
+
+    def match_key(labels, _other_names=None):
         if on is not None:
             return tuple((k, labels.get(k)) for k in on)
         drop = set(ignoring or ())
-        shared = other_names
         return tuple(
-            (k, labels[k]) for k in sorted(labels) if k in shared and k not in drop
+            (k, labels.get(k)) for k in sorted(union_names) if k not in drop
         )
 
-    l_names = {k for l, _ in left for k in l}
-    r_names = {k for l, _ in right for k in l}
     ops = {
         "+": lambda a, b: a + b, "-": lambda a, b: a - b, "*": lambda a, b: a * b,
         "/": lambda a, b: a / b, "%": lambda a, b: math.fmod(a, b),
@@ -169,7 +173,13 @@ def m_binop(left, right, op, on=None, ignoring=None, group="one", carry=None, bo
         lv, rv = (ov, v) if group == "right" else (v, ov)
         r = ops[op](lv, rv)
         if group == "one":
-            keep = dict(k) if not (is_cmp and not bool_modifier) else dict(labels)
+            if is_cmp and not bool_modifier:
+                keep = dict(labels)
+            elif on is not None:
+                keep = {kk: vv for kk, vv in dict(k).items() if vv is not None}
+            else:
+                drop = set(ignoring or ())
+                keep = {kk: vv for kk, vv in labels.items() if kk not in drop}
         else:
             keep = dict(labels)
             for c in carry or []:
@@ -185,6 +195,43 @@ def m_binop(left, right, op, on=None, ignoring=None, group="one", carry=None, bo
     return out
 
 
+def m_go_expand(template, m):
+    """Go regexp.Expand semantics: $$ literal, $name/${name} with name =
+    longest \\w+ run ($1x == ${1x}), all-digit name is an index ref,
+    nonexistent refs expand to ""."""
+    out, i, n = [], 0, len(template)
+    while i < n:
+        ch = template[i]
+        if ch != "$":
+            out.append(ch)
+            i += 1
+            continue
+        if i + 1 < n and template[i + 1] == "$":
+            out.append("$")
+            i += 2
+            continue
+        if i + 1 < n and template[i + 1] == "{":
+            j = template.find("}", i + 2)
+            if j == -1:
+                out.append("$")
+                i += 1
+                continue
+            name, i = template[i + 2 : j], j + 1
+        else:
+            mm = re.match(r"\w+", template[i + 1 :])
+            if not mm:
+                out.append("$")
+                i += 1
+                continue
+            name, i = mm.group(0), i + 1 + mm.end()
+        if name.isdigit():
+            if int(name) <= m.re.groups:
+                out.append(m.group(int(name)) or "")
+        elif name in m.re.groupindex:
+            out.append(m.group(name) or "")
+    return "".join(out)
+
+
 def m_label_replace(vec, dst, repl, src, regex):
     pat = re.compile(f"(?:{regex})")
     out = []
@@ -193,7 +240,7 @@ def m_label_replace(vec, dst, repl, src, regex):
         m = pat.fullmatch(s)
         labels = dict(labels)
         if m:
-            val = re.sub(r"\$(\d)", lambda g: m.group(int(g.group(1))) or "", repl)
+            val = m_go_expand(repl, m)
             if val == "":
                 labels.pop(dst, None)
             else:
@@ -279,15 +326,54 @@ def test_topk_bottomk(spark, bottom):
 
 def test_label_replace_semantics(spark):
     df = to_df(spark, VEC)
-    # full-match required; $1 expansion
+    # full-match required; ${1} expansion ("$1xx" would be the named
+    # group "1xx" in Go's Expand — the classic label_replace gotcha)
+    got = from_df(V.label_replace(df, "status_class", "${1}xx", "code", "([0-9])[0-9]+"))
+    assert_same(got, m_label_replace(VEC, "status_class", "${1}xx", "code", "([0-9])[0-9]+"))
+    assert got[0][0]["status_class"].endswith("xx")
+    # and the gotcha itself: $1xx == ${1xx} == nonexistent -> dst dropped
     got = from_df(V.label_replace(df, "status_class", "$1xx", "code", "([0-9])[0-9]+"))
     assert_same(got, m_label_replace(VEC, "status_class", "$1xx", "code", "([0-9])[0-9]+"))
+    assert all("status_class" not in l for l, _ in got)
     # non-matching regex leaves rows unchanged (partial match must NOT fire)
     got = from_df(V.label_replace(df, "x", "hit", "code", "0"))
     assert_same(got, m_label_replace(VEC, "x", "hit", "code", "0"))
     # empty replacement drops the destination label
     got = from_df(V.label_replace(df, "code", "", "code", "200"))
     assert_same(got, m_label_replace(VEC, "code", "", "code", "200"))
+
+
+def test_label_replace_template_translation(spark):
+    """Go Expand template -> Java replacement: $$ literal dollar, dead
+    group refs expand to "", literal backslash survives, ${N} braces."""
+    vec = [({"code": "200"}, 1.0)]
+    df = to_df(spark, vec)
+
+    def dst(df_out):
+        return from_df(df_out)[0][0].get("x")
+
+    assert dst(V.label_replace(df, "x", "$$1-${1}", "code", "(2)..")) == "$1-2"
+    # ${9} refers to a nonexistent group -> Go expands to empty
+    assert dst(V.label_replace(df, "x", "a${9}b", "code", "(2)..")) == "ab"
+    # $9b is the nonexistent NAMED group "9b" (longest-run rule)
+    assert dst(V.label_replace(df, "x", "a$9b", "code", "(2)..")) == "a"
+    # literal backslash passes through (Java would treat bare \ as escape)
+    assert dst(V.label_replace(df, "x", "a\\b", "code", "2..")) == "a\\b"
+    # $1x is ${1x} (a nonexistent named group) in Go, NOT ${1} + "x"
+    assert dst(V.label_replace(df, "x", "q$1x", "code", "(2)..")) == "q"
+    # trailing bare $ is literal
+    assert dst(V.label_replace(df, "x", "v$", "code", "2..")) == "v$"
+
+
+def test_clamp_min_gt_max(spark):
+    """clamp with min > max: upstream returns an empty vector; the
+    column form yields NULL (never phantom numbers), the DataFrame form
+    is empty."""
+    df = to_df(spark, VEC)
+    rows = df.select(V.clamp(F.col("value"), 5.0, 1.0).alias("c")).collect()
+    assert all(r["c"] is None for r in rows)
+    assert V.clamp_df(df, 5.0, 1.0).count() == 0
+    assert V.clamp_df(df, 0.0, 10.0).count() == len(VEC)
 
 
 def test_label_join(spark):
@@ -324,6 +410,35 @@ def test_binop_ignoring(spark):
     right = to_df(spark, RIGHT_ONE)
     got = from_df(V.vector_binop(left, right, "/", ignoring=["code"]))
     assert_same(got, m_binop(VEC, RIGHT_ONE, "/", ignoring=["code"]))
+
+
+def test_binop_ignoring_one_side_only_label(spark):
+    """Upstream signatures under ignoring() span ALL non-ignored labels:
+    a label present on only one side with a non-empty value must refuse
+    to pair, and the paired output keeps left labels minus ignored."""
+    left = to_df(spark, [({"job": "api", "extra": "x"}, 10.0), ({"job": "db"}, 7.0)])
+    right = to_df(spark, [({"job": "api"}, 2.0), ({"job": "db"}, 1.0)])
+    # no modifier: full-label-set match -> only the db pair (extra=x blocks api)
+    got = from_df(V.vector_binop(left, right, "+"))
+    assert_same(got, [({"job": "db"}, 8.0)])
+    # ignoring(extra): both pair; output = left labels minus ignored
+    got = from_df(V.vector_binop(left, right, "+", ignoring=["extra"]))
+    assert_same(got, [({"job": "api"}, 12.0), ({"job": "db"}, 8.0)])
+
+
+def test_binop_duplicate_one_side_raises(spark):
+    """Duplicate match keys on the one side must raise (upstream:
+    many-to-one matching must be explicit), not silently fan out."""
+    left = to_df(spark, [({"job": "api", "instance": "a"}, 1.0)])
+    dup = to_df(
+        spark,
+        [({"job": "api", "instance": "a"}, 2.0), ({"job": "api", "instance": "b"}, 3.0)],
+    )
+    with pytest.raises(Exception, match="duplicate series|many-to-one"):
+        V.vector_binop(left, dup, "+", on=["job"]).collect()
+    # strict=False restores the documented relaxation
+    got = V.vector_binop(left, dup, "+", on=["job"], strict=False).collect()
+    assert len(got) == 2
 
 
 def test_binop_group_left_with_carry(spark):
@@ -434,15 +549,19 @@ def test_agg_and_binop_property(spark):
 
 
 def m_setop(left, right, op, on=None, ignoring=None):
-    def match_key(labels, shared):
+    l_names = {k for l, _ in left for k in l}
+    r_names = {k for l, _ in right for k in l}
+    union_names = l_names | r_names
+
+    def match_key(labels, _shared=None):
         if on is not None:
             return tuple((k, labels.get(k)) for k in on)
         drop = set(ignoring or ())
-        return tuple((k, labels[k]) for k in sorted(labels) if k in shared and k not in drop)
+        return tuple(
+            (k, labels.get(k)) for k in sorted(union_names) if k not in drop
+        )
 
-    l_names = {k for l, _ in left for k in l}
-    r_names = {k for l, _ in right for k in l}
-    shared = l_names & r_names
+    shared = union_names
     r_sigs = {match_key(l, shared) for l, _ in right}
     l_sigs = {match_key(l, shared) for l, _ in left}
     if op == "and":

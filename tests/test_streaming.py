@@ -83,8 +83,9 @@ def test_windowed_series_agg(spark, tmp_path):
 
 def test_rate_per_series_stateful(spark, tmp_path):
     src = str(tmp_path / "in")
-    # counter series: value == ts/1000 -> rate 1.0/s
-    rows = [(7, s * 1000, float(s)) for s in range(60)]
+    # counter series: value increments 1 per second -> rate 1.0/s
+    # (ts offset off epoch 0: an event-time at the initial watermark is late)
+    rows = [(7, (s + 1) * 1000, float(s)) for s in range(60)]
     spark.createDataFrame(rows, "series_hash long, ts long, value double") \
         .coalesce(1).write.parquet(src)
     stream = spark.readStream.schema("series_hash long, ts long, value double").parquet(src)
@@ -109,7 +110,7 @@ def test_rate_counter_reset_within_batch(spark, tmp_path):
     """A counter reset inside one micro-batch must yield the positive
     reset-compensated increase (batch-path parity), not last-first."""
     src = str(tmp_path / "in")
-    rows = [(3, s * 1000, float(s if s < 10 else s - 10)) for s in range(20)]
+    rows = [(3, (s + 1) * 1000, float(s if s < 10 else s - 10)) for s in range(20)]
     spark.createDataFrame(rows, "series_hash long, ts long, value double") \
         .coalesce(1).write.parquet(src)
     stream = spark.readStream.schema("series_hash long, ts long, value double").parquet(src)
@@ -132,8 +133,8 @@ def test_rate_counter_reset_across_batches(spark, tmp_path):
     zero/negative rate — the state's last value participates in reset
     compensation."""
     src = str(tmp_path / "in")
-    b1 = [(5, s * 1000, float(s)) for s in range(10)]            # 0..9
-    b2 = [(5, (10 + s) * 1000, float(s)) for s in range(10)]     # resets to 0..9
+    b1 = [(5, (s + 1) * 1000, float(s)) for s in range(10)]      # 0..9
+    b2 = [(5, (11 + s) * 1000, float(s)) for s in range(10)]     # resets to 0..9
     spark.createDataFrame(b1, "series_hash long, ts long, value double") \
         .coalesce(1).write.mode("append").parquet(src)
     spark.createDataFrame(b2, "series_hash long, ts long, value double") \
@@ -185,3 +186,45 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     got = spark.sql("select * from dedup_stream").collect()
     assert len(got) == 5
     assert sorted(r["event_id"] for r in got) == [0, 1, 2, 3, 4]
+
+
+def test_rate_state_expires_for_idle_series(spark, tmp_path):
+    """A series idle past the retention horizon must have its state
+    DROPPED (EventTimeTimeout): when it comes back, it restarts from
+    fresh state (total_samples resets) instead of accumulating forever.
+    Guards the unbounded-state-store failure mode of churning series."""
+    src = str(tmp_path / "in")
+    schema = "series_hash long, ts long, value double"
+    hour = 3_600_000
+    batches = [
+        # b1: series 5 active at t ~ 0
+        [(5, (s + 1) * 1000, float(s)) for s in range(10)],
+        # b2: series 6 far in the future -> advances the watermark
+        [(6, 3 * hour + s * 1000, float(s)) for s in range(5)],
+        # b3: series 6 again -> watermark now way past series 5's
+        # last_seen + retention; series 5's timeout fires this batch
+        [(6, 3 * hour + 60_000 + s * 1000, float(s + 60)) for s in range(5)],
+        # b4: series 5 returns -> must start from FRESH state
+        [(5, 3 * hour + 120_000 + s * 1000, float(s)) for s in range(10)],
+    ]
+    for b in batches:
+        spark.createDataFrame(b, schema).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    q = (
+        rate_per_series(stream, watermark="1 second", retention_ms=60_000)
+        .writeStream.format("memory")
+        .queryName("rates_expiry")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    s5 = spark.sql(
+        "select * from rates_expiry where series_hash = 5 order by total_samples"
+    ).collect()
+    totals = [r["total_samples"] for r in s5]
+    # without expiry the second appearance would report 20; with expiry
+    # the state was dropped while idle, so it reports a fresh 10
+    assert 10 in totals and 20 not in totals and len(s5) == 2
