@@ -55,6 +55,29 @@ class ShardDataset:
         return S.label_columns(self.series.columns)
 
 
+class DictResultCache:
+    """Default predicate-result cache: an unbounded in-process dict of
+    persisted DataFrames.  The reference makes its cache an injectable
+    interface (search/constraint_cache.go:16-33) so deployments can plug
+    bounded/shared implementations; any object with the same three
+    methods (``get``/``put``/``clear``) drops in here — e.g. an LRU that
+    unpersists evicted frames."""
+
+    def __init__(self):
+        self._store: dict = {}
+
+    def get(self, key):
+        return self._store.get(key)
+
+    def put(self, key, df: DataFrame) -> None:
+        self._store[key] = df.persist()
+
+    def clear(self) -> None:
+        for df in self._store.values():
+            df.unpersist()
+        self._store.clear()
+
+
 class ParquetQueryable:
     """Matcher-query engine over one or more shards.
 
@@ -63,21 +86,27 @@ class ParquetQueryable:
     query time range.
     """
 
-    def __init__(self, shards: list[ShardDataset], result_cache: bool = False):
-        """``result_cache=True`` memoizes the filtered series set per
+    def __init__(self, shards: list[ShardDataset], result_cache=False):
+        """``result_cache`` memoizes the filtered series set per
         (shard, matcher-set) across Select calls — the reference's
         predicate-result cache (O9, search/constraint_cache.go:16-71),
         realized as persisted DataFrames (MEMORY_AND_DISK) instead of
-        row-range lists."""
+        row-range lists.  Pass ``True`` for the built-in
+        :class:`DictResultCache`, or any object with ``get(key)``,
+        ``put(key, df)`` and ``clear()`` to inject your own policy
+        (mirroring the reference's injectable cache interface)."""
         if not shards:
             raise ValueError("at least one shard required")
         self.shards = shards
-        self._result_cache: dict | None = {} if result_cache else None
+        if result_cache is True:
+            self._result_cache = DictResultCache()
+        elif result_cache:
+            self._result_cache = result_cache
+        else:
+            self._result_cache = None
 
     def clear_cache(self) -> None:
-        if self._result_cache:
-            for df in self._result_cache.values():
-                df.unpersist()
+        if self._result_cache is not None:
             self._result_cache.clear()
 
     @staticmethod
@@ -86,8 +115,13 @@ class ParquetQueryable:
         return tuple(sorted((m.name, m.op, m.value) for m in ms))
 
     @classmethod
-    def from_paths(cls, spark: SparkSession, shard_dirs: list[str]) -> "ParquetQueryable":
-        return cls([ShardDataset.read(spark, d) for d in shard_dirs])
+    def from_paths(
+        cls, spark: SparkSession, shard_dirs: list[str], result_cache=False
+    ) -> "ParquetQueryable":
+        return cls(
+            [ShardDataset.read(spark, d) for d in shard_dirs],
+            result_cache=result_cache,
+        )
 
     # -- Select -----------------------------------------------------------
     def select(
@@ -157,8 +191,8 @@ class ParquetQueryable:
             series = self._result_cache.get(key)
             if series is None:
                 pred = matchers_to_predicate(matchers, shard.series.columns)
-                series = shard.series.where(pred).persist()
-                self._result_cache[key] = series
+                series = shard.series.where(pred)
+                self._result_cache.put(key, series)
         else:
             pred = matchers_to_predicate(matchers, shard.series.columns)
             series = shard.series.where(pred)
@@ -211,23 +245,59 @@ class ParquetQueryable:
         No-matcher fast path is schema-only (reference:
         search/materialize.go:250-261) — a catalog lookup, zero I/O.
         """
-        names: set[str] = set()
+        if not matchers:
+            # schema-only across every shard: zero Spark actions
+            names = {
+                S.extract_label_from_column(c)
+                for shard in self.shards
+                for c in shard.label_cols
+            }
+            out = sorted(names)
+            return out[:limit] if limit is not None else out
+
+        # ONE action total regardless of shard count: each shard's
+        # one-row per-column "any non-null non-empty value" aggregate is
+        # normalized to (name, present) rows and unioned lazily — at
+        # 1,000 shards this is one job with 1,000 tiny parallel
+        # aggregations, not 1,000 sequential driver round-trips.
+        parts: list[DataFrame] = []
         for shard in self.shards:
             cols = shard.label_cols
-            if not matchers:
-                names.update(S.extract_label_from_column(c) for c in cols)
+            if not cols:
                 continue
             pred = matchers_to_predicate(matchers, shard.series.columns)
-            # one pass: per-column "any non-null non-empty value survives"
             aggs = [
                 F.max((F.col(c).isNotNull()) & (F.col(c) != "")).alias(c)
                 for c in cols
             ]
-            row = shard.series.where(pred).agg(*aggs).collect()[0]
-            names.update(
-                S.extract_label_from_column(c) for c in cols if row[c]
+            one_row = shard.series.where(pred).agg(*aggs)
+            parts.append(
+                one_row.select(
+                    F.explode(
+                        F.array(
+                            *[
+                                F.struct(
+                                    F.lit(S.extract_label_from_column(c)).alias("name"),
+                                    F.coalesce(F.col(c), F.lit(False)).alias("present"),
+                                )
+                                for c in cols
+                            ]
+                        )
+                    ).alias("e")
+                ).select("e.name", "e.present")
             )
-        out = sorted(names)
+        if not parts:
+            return []
+        merged = parts[0]
+        for p in parts[1:]:
+            merged = merged.unionByName(p)
+        rows = (
+            merged.where(F.col("present"))
+            .select("name")
+            .distinct()
+            .collect()
+        )
+        out = sorted(r["name"] for r in rows)
         return out[:limit] if limit is not None else out
 
     def label_values(

@@ -232,8 +232,7 @@ def test_series_hash_stability(spark):
 
 def test_result_cache(spark, shard):
     out, _ = shard
-    q = ParquetQueryable.from_paths(spark, [out])
-    q._result_cache = {}  # enable
+    q = ParquetQueryable.from_paths(spark, [out], result_cache=True)
     m = [Matcher("env", "=", "dev")]
     a = q.select(0, 10**12, m, skip_chunks=True).count()
     plan = (
@@ -243,7 +242,74 @@ def test_result_cache(spark, shard):
     assert "InMemoryTableScan" in plan  # second call reads the cached result
     assert q.select(0, 10**12, m, skip_chunks=True).count() == a
     q.clear_cache()
-    assert not q._result_cache
+    assert not q._result_cache._store
+
+
+def test_result_cache_injection(spark, shard):
+    """The cache is an injectable interface (reference:
+    search/constraint_cache.go:16-33): any get/put/clear object plugs
+    in, and the engine routes every Select through it."""
+    out, _ = shard
+
+    class RecordingCache:
+        def __init__(self):
+            self.store, self.gets, self.puts, self.cleared = {}, 0, 0, False
+
+        def get(self, key):
+            self.gets += 1
+            return self.store.get(key)
+
+        def put(self, key, df):
+            self.puts += 1
+            self.store[key] = df
+
+        def clear(self):
+            self.cleared = True
+            self.store.clear()
+
+    cache = RecordingCache()
+    q = ParquetQueryable.from_paths(spark, [out], result_cache=cache)
+    m = [Matcher("env", "=", "dev")]
+    n = q.select(0, 10**12, m, skip_chunks=True).count()
+    assert q.select(0, 10**12, m, skip_chunks=True).count() == n
+    assert cache.puts == 1 and cache.gets == 2  # second call hit
+    q.clear_cache()
+    assert cache.cleared
+
+
+def test_label_names_single_action(spark, tmp_path, monkeypatch):
+    """Filtered label_names must run ONE Spark action regardless of
+    shard count (at 1,000 shards the old per-shard collect() was 1,000
+    sequential jobs)."""
+    dirs = []
+    for i in range(3):
+        d = str(tmp_path / f"s{i}")
+        df = spark.createDataFrame(
+            [({"__name__": "m", f"lab{i}": "x", "env": "dev"}, 0, 1.0)],
+            "labels map<string,string>, ts long, value double",
+        )
+        C.convert(df, d)
+        dirs.append(d)
+    q = ParquetQueryable.from_paths(spark, dirs)
+
+    # patch the CONCRETE DataFrame class (pyspark 4: pyspark.sql.DataFrame
+    # is the abstract base; the classic session returns a subclass)
+    dfcls = type(q.shards[0].series)
+    calls = {"n": 0}
+    orig = dfcls.collect
+
+    def counting_collect(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(dfcls, "collect", counting_collect)
+    names = q.label_names(matchers=[Matcher("env", "=", "dev")])
+    assert names == ["__name__", "env", "lab0", "lab1", "lab2"]
+    assert calls["n"] == 1
+    # and the no-matcher path is schema-only: zero actions
+    calls["n"] = 0
+    assert q.label_names() == ["__name__", "env", "lab0", "lab1", "lab2"]
+    assert calls["n"] == 0
 
 
 def test_convert_merged_blocks(spark, tmp_path):
