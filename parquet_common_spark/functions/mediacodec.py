@@ -1,0 +1,229 @@
+"""Stdlib-only media codecs for the multimodal operators.
+
+The container ships no image/audio libraries, so the decode path the
+multimodal operators need is implemented here from the published file
+formats directly (PNG: RFC 2083 / W3C PNG spec; JPEG: ITU T.81 marker
+structure; WAV: RIFF/WAVE chunk layout) using only ``zlib`` + ``struct``
++ numpy:
+
+  - :func:`decode_png` — FULL pixel decode: chunk walk, IDAT zlib
+    inflate, per-scanline unfilter (None/Sub/Up/Average/Paeth), for
+    8-bit gray / gray+alpha / RGB / RGBA / palette, non-interlaced.
+  - :func:`encode_png` — pixel array back to a valid PNG (filter 0).
+  - :func:`resize_nearest` — nearest-neighbor resample over the decoded
+    array (numpy index arithmetic, no loops).
+  - :func:`jpeg_dimensions` — header-only decode (SOF marker scan);
+    full JPEG entropy decode is out of scope without a DCT library, so
+    geometry is the honest deliverable there.
+  - :func:`wav_info` — fmt/data chunk parse -> (channels, rate, frames).
+  - :func:`sniff_media` — magic-byte detection.
+
+Production deployments with Pillow/libav available can swap these for
+the library calls; the operator-facing contract
+(`operators/multimodal._decode_media`) is unchanged either way.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def sniff_media(payload: bytes) -> str | None:
+    """Magic-byte format detection; None when no known container."""
+    if payload[:8] == PNG_SIGNATURE:
+        return "png"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if payload[4:8] == b"ftyp":
+        return "mp4"
+    return None
+
+
+def _png_chunks(data: bytes):
+    pos = 8
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        yield ctype, body
+        pos += 12 + length  # len + type + data + crc
+        if ctype == b"IEND":
+            break
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a PNG to (width, height, HxWxC uint8 array).
+
+    Supports bit depth 8, color types 0/2/3/4/6, non-interlaced —
+    raises NotImplementedError outside that envelope (16-bit and Adam7
+    are legal PNG but rare in training corpora)."""
+    if data[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG: bad signature")
+    width = height = None
+    bitdepth = colortype = interlace = None
+    idat = bytearray()
+    palette = None
+    for ctype, body in _png_chunks(data):
+        if ctype == b"IHDR":
+            width, height, bitdepth, colortype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(body)
+    if width is None:
+        raise ValueError("not a PNG: missing IHDR")
+    if bitdepth != 8:
+        raise NotImplementedError(f"PNG bit depth {bitdepth} unsupported (8 only)")
+    if interlace != 0:
+        raise NotImplementedError("Adam7 interlaced PNG unsupported")
+    if colortype not in _PNG_CHANNELS:
+        raise NotImplementedError(f"PNG color type {colortype} unsupported")
+    channels = _PNG_CHANNELS[colortype]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG IDAT length does not match geometry")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    bpp = channels  # bytes per pixel at depth 8
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).astype(
+            np.int32
+        )
+        pos += stride + 1
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 1:  # Sub
+            cur = line.copy()
+            for i in range(bpp, stride):
+                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype == 3:  # Average
+            cur = line.copy()
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line.copy()
+            for i in range(stride):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                ul = int(prev[i - bpp]) if i >= bpp else 0
+                cur[i] = (cur[i] + _paeth(left, int(prev[i]), ul)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    pixels = out.reshape(height, width, channels)
+    if colortype == 3:
+        if palette is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        pixels = palette[pixels[:, :, 0]]
+    return width, height, pixels
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Encode an HxW, HxWx1/2/3/4 uint8 array as a valid PNG (filter 0
+    scanlines, one zlib IDAT)."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    height, width, channels = arr.shape
+    colortype = {1: 0, 2: 4, 3: 2, 4: 6}.get(channels)
+    if colortype is None:
+        raise ValueError(f"unsupported channel count {channels}")
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, colortype, 0, 0, 0)
+    stride_rows = np.concatenate(
+        [np.zeros((height, 1), dtype=np.uint8), arr.reshape(height, width * channels)],
+        axis=1,
+    )  # filter byte 0 per scanline
+    idat = zlib.compress(stride_rows.tobytes(), 6)
+    return (
+        PNG_SIGNATURE
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def resize_nearest(pixels: np.ndarray, new_w: int, new_h: int) -> np.ndarray:
+    """Nearest-neighbor resample (pure index arithmetic — vectorized)."""
+    h, w = pixels.shape[:2]
+    ys = (np.arange(new_h) * (h / new_h)).astype(np.int64).clip(0, h - 1)
+    xs = (np.arange(new_w) * (w / new_w)).astype(np.int64).clip(0, w - 1)
+    return pixels[ys[:, None], xs[None, :]]
+
+
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def jpeg_dimensions(data: bytes) -> tuple[int, int]:
+    """(width, height) from the first SOF marker (ITU T.81 B.2.2)."""
+    if data[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG: bad SOI")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2  # standalone markers, no length
+            continue
+        (length,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        if marker in _JPEG_SOF:
+            precision, height, width = struct.unpack(">BHH", data[pos + 4 : pos + 9])
+            return width, height
+        pos += 2 + length
+    raise ValueError("JPEG: no SOF marker found")
+
+
+def wav_info(data: bytes) -> tuple[int, int, int]:
+    """(n_channels, sample_rate, n_frames) from RIFF/WAVE chunks."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE header")
+    pos = 12
+    channels = rate = block_align = None
+    frames = 0
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if cid == b"fmt ":
+            _fmt, channels, rate, _brate, block_align, _bits = struct.unpack(
+                "<HHIIHH", data[pos + 8 : pos + 24]
+            )
+        elif cid == b"data" and block_align:
+            frames = size // block_align
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if channels is None:
+        raise ValueError("WAV: missing fmt chunk")
+    return channels, rate, frames

@@ -1,12 +1,17 @@
 """Multimodal column plumbing: opaque binary media + typed metadata.
 
-The container has no image/audio libraries, so the decode step is a
-clearly-marked deterministic STUB — but the Spark-side plumbing is real
-and tested: binary columns, typed metadata structs, Arrow-batched
-mapInPandas with an explicit output schema, and batch-shape control via
-maxRecordsPerBatch.  Swapping `_decode_stub` for PIL/librosa is a
-one-function change; the plan shape (map-only, no shuffle, columnar Arrow
-transfer) is the part that matters at 100 TB.
+The decode step is REAL for the formats a stdlib-only container can
+honestly decode (functions/mediacodec.py): PNG full pixel decode
+(zlib inflate + scanline unfilter), JPEG header geometry, WAV
+frame-count parse — detected by magic bytes.  Payloads with no known
+container magic (the synthetic corpus attach_fake_media builds) fall
+back to a deterministic synthetic decode so the plumbing tests stay
+closed-form; real video containers raise NotImplementedError (no
+stdlib demuxer — wire libav/PyAV in production).  The Spark-side shape
+is the part that matters at 100 TB and is final either way: binary
+columns, typed metadata structs, Arrow-batched mapInPandas with an
+explicit output schema, batch-shape control via maxRecordsPerBatch,
+map-only plans.
 """
 
 from __future__ import annotations
@@ -58,11 +63,10 @@ def attach_fake_media(df: DataFrame, id_col: str = "doc_id", text_col: str = "te
     )
 
 
-def _decode_stub(media_type: str, payload: bytes) -> tuple[int, int, int]:
-    """STUB decode: real decode (PIL / libav / librosa) is unavailable in
-    this container.  Returns deterministic fake (width, height, n_frames)
-    derived from the payload so tests are stable.  Replace this function
-    to productionize; the mapInPandas plumbing around it is final."""
+def _decode_synthetic(media_type: str, payload: bytes) -> tuple[int, int, int]:
+    """Deterministic synthetic decode for payloads with no container
+    magic (the corpus attach_fake_media builds): fake (width, height,
+    n_frames) derived from the payload length, stable for tests."""
     n = len(payload)
     if media_type == "image":
         return (n % 640 + 1, n % 480 + 1, 1)
@@ -71,6 +75,33 @@ def _decode_stub(media_type: str, payload: bytes) -> tuple[int, int, int]:
     if media_type == "audio":
         return (0, 0, n % 48000 + 1)
     raise NotImplementedError(f"unknown media type {media_type!r}")
+
+
+def _decode_media(media_type: str, payload: bytes) -> tuple[int, int, int]:
+    """Real decode where the format allows (see module doc): PNG pixels,
+    JPEG geometry, WAV frames; synthetic fallback for magic-less
+    payloads; NotImplementedError for real video containers."""
+    from parquet_common_spark.functions import mediacodec as MC
+
+    fmt = MC.sniff_media(payload)
+    if fmt == "png":
+        w, h, _pixels = MC.decode_png(payload)
+        return (w, h, 1)
+    if fmt == "jpeg":
+        w, h = MC.jpeg_dimensions(payload)
+        return (w, h, 1)
+    if fmt == "wav":
+        _ch, _rate, frames = MC.wav_info(payload)
+        return (0, 0, frames)
+    if fmt == "mp4":
+        raise NotImplementedError(
+            "video demux needs libav/PyAV — not available stdlib-only"
+        )
+    return _decode_synthetic(media_type, payload)
+
+
+# Back-compat alias: the r1-r4 surface exposed the stub under this name.
+_decode_stub = _decode_media
 
 
 def decode_media(df: DataFrame, batch_size: int = 1024) -> DataFrame:
@@ -150,22 +181,31 @@ RESIZED_SCHEMA = StructType(
 
 
 def resize_media(df: DataFrame, max_side: int = 256) -> DataFrame:
-    """Resize stub for image rows: computes the target geometry for a
-    max-side constraint (real arithmetic) and passes the payload through
-    (STUB — PIL unavailable; swapping in a real resampler touches only
-    the inner function)."""
+    """Resize for image rows.  PNG payloads take the REAL path: pixel
+    decode -> nearest-neighbor resample -> PNG re-encode (stdlib codec,
+    functions/mediacodec.py).  Other payloads compute the target
+    geometry and pass bytes through (JPEG re-encode needs a DCT library;
+    synthetic payloads have no pixels)."""
 
     def resize(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:
         import pandas as pd
+
+        from parquet_common_spark.functions import mediacodec as MC
 
         for pdf in batches:
             out = {"doc_id": [], "media_type": [], "width": [], "height": [], "payload": []}
             for doc_id, mt, payload in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
                 raw = bytes(payload)
-                w, h, _ = _decode_stub(mt, raw) if mt in ("image", "video") else (0, 0, 0)
+                if mt in ("image", "video"):
+                    w, h, _ = _decode_media(mt, raw)
+                else:
+                    w, h = 0, 0
                 if w and max(w, h) > max_side:
                     scale = max_side / max(w, h)
                     w, h = max(int(w * scale), 1), max(int(h * scale), 1)
+                    if MC.sniff_media(raw) == "png":
+                        _w0, _h0, pixels = MC.decode_png(raw)
+                        raw = MC.encode_png(MC.resize_nearest(pixels, w, h))
                 out["doc_id"].append(int(doc_id))
                 out["media_type"].append(mt)
                 out["width"].append(w)

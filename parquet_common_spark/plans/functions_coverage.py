@@ -242,15 +242,41 @@ def f3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("a1_approx_distinct", None)  # estimator values are engine-specific ->
-def a1(spark: SparkSession, sf_dir: str) -> DataFrame:  # rows-only + test bound
+@query(
+    "a1_approx_distinct",
+    # The estimator VALUE is engine-specific (Spark HLL++ vs anything
+    # DuckDB would produce), so the hashed columns are the exact count
+    # plus a deterministic pass/fail: |approx - exact| / exact within
+    # 3x the default rsd (0.05).  Spark's HLL sketch is hash-based and
+    # merge-commutative, so the bound check is reproducible across
+    # partitionings; the oracle asserts the same rows with TRUE.
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_bound
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def a1(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir, "events")
+    rel_bound = 3 * 0.05  # 3x approx_count_distinct's default rsd
     return (
         t["events"]
         .groupBy("event_type")
         .agg(
-            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.approx_count_distinct("user_id").alias("_approx"),
             F.countDistinct("user_id").alias("exact_users"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= F.lit(rel_bound)
+            ).alias("within_bound"),
         )
         .orderBy("event_type")
     )

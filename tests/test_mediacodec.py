@@ -1,0 +1,195 @@
+"""Stdlib media codec: PNG decode/encode round-trip against hand-built
+files, unfilter coverage for every PNG filter type, JPEG/WAV header
+parses, and the Spark-side decode path exercising real payloads."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from parquet_common_spark.functions import mediacodec as MC
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _hand_png(pixels: np.ndarray, filters: list[int]) -> bytes:
+    """Build a PNG BY HAND with an explicit filter type per scanline —
+    independent of encode_png, so decode is tested against the spec,
+    not against our own encoder."""
+    h, w, c = pixels.shape
+    colortype = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    bpp = c
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.int32)
+    for y, ftype in zip(range(h), filters):
+        cur = pixels[y].reshape(-1).astype(np.int32)
+        if ftype == 0:
+            enc = cur.copy()
+        elif ftype == 1:  # Sub
+            enc = cur.copy()
+            for i in range(w * c - 1, bpp - 1, -1):
+                enc[i] = (enc[i] - cur[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            enc = (cur - prev) & 0xFF
+        elif ftype == 3:  # Average
+            enc = cur.copy()
+            for i in range(w * c - 1, -1, -1):
+                left = cur[i - bpp] if i >= bpp else 0
+                enc[i] = (enc[i] - ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            enc = cur.copy()
+            for i in range(w * c - 1, -1, -1):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                ul = int(prev[i - bpp]) if i >= bpp else 0
+                enc[i] = (enc[i] - MC._paeth(left, int(prev[i]), ul)) & 0xFF
+        raw.append(ftype)
+        raw.extend(int(x) & 0xFF for x in enc)
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, colortype, 0, 0, 0)
+    return (
+        MC.PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_png_roundtrip(channels):
+    rng = np.random.default_rng(7 + channels)
+    arr = rng.integers(0, 256, size=(13, 9, channels), dtype=np.uint8)
+    data = MC.encode_png(arr)
+    w, h, got = MC.decode_png(data)
+    assert (w, h) == (9, 13)
+    assert np.array_equal(got, arr)
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_unfilter_each_type(ftype):
+    rng = np.random.default_rng(ftype)
+    arr = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    data = _hand_png(arr, [ftype] * 5)
+    w, h, got = MC.decode_png(data)
+    assert (w, h) == (7, 5)
+    assert np.array_equal(got, arr), f"filter {ftype} unfilter mismatch"
+
+
+def test_png_mixed_filters_and_palette():
+    rng = np.random.default_rng(42)
+    arr = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    data = _hand_png(arr, [0, 1, 2, 3, 4])
+    _, _, got = MC.decode_png(data)
+    assert np.array_equal(got, arr)
+    # palette: indexed pixels expand through PLTE
+    palette = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255]], dtype=np.uint8)
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)[:, :, None]
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    raw = b"\x00" + bytes(idx[0].reshape(-1)) + b"\x00" + bytes(idx[1].reshape(-1))
+    data = (
+        MC.PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"PLTE", palette.tobytes())
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    w, h, got = MC.decode_png(data)
+    assert (w, h) == (2, 2)
+    assert np.array_equal(got, palette[idx[:, :, 0]])
+
+
+def test_png_rejects_out_of_envelope():
+    # 16-bit depth is honest NotImplementedError, not silent garbage
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    data = MC.PNG_SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError, match="bit depth"):
+        MC.decode_png(data)
+    with pytest.raises(ValueError, match="signature"):
+        MC.decode_png(b"nope")
+
+
+def test_resize_nearest_geometry():
+    arr = np.arange(8 * 6 * 3, dtype=np.uint8).reshape(8, 6, 3)
+    out = MC.resize_nearest(arr, 3, 4)
+    assert out.shape == (4, 3, 3)
+    assert np.array_equal(out[0, 0], arr[0, 0])  # corner anchored
+
+
+def test_jpeg_dimensions():
+    # SOI + APP0(JFIF) + SOF0(120x80) + EOI — marker walk must skip APP0
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = struct.pack(">BHHB", 8, 80, 120, 3) + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"
+    data = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+        + b"\xff\xc0" + struct.pack(">H", len(sof0) + 2) + sof0
+        + b"\xff\xd9"
+    )
+    assert MC.jpeg_dimensions(data) == (120, 80)
+    with pytest.raises(ValueError, match="SOI"):
+        MC.jpeg_dimensions(b"\x00\x01")
+
+
+def test_wav_info():
+    # 2ch 16-bit 8kHz, 100 frames -> data = 100 * 4 bytes
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    data_body = b"\x00" * 400
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data_body)) + data_body
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert MC.wav_info(wav) == (2, 8000, 100)
+
+
+def test_sniff_media():
+    assert MC.sniff_media(MC.encode_png(np.zeros((1, 1, 3), dtype=np.uint8))) == "png"
+    assert MC.sniff_media(b"\xff\xd8\xff\xe0rest") == "jpeg"
+    assert MC.sniff_media(b"RIFF\x00\x00\x00\x00WAVE") == "wav"
+    assert MC.sniff_media(b"\x00\x00\x00\x18ftypmp42") == "mp4"
+    assert MC.sniff_media(b"plain text") is None
+
+
+def test_decode_media_real_and_fallback(spark):
+    """The operator-facing decode routes real containers through the
+    codec and magic-less payloads through the synthetic fallback —
+    end-to-end through the Arrow mapInPandas plan."""
+    from parquet_common_spark.operators import multimodal as MM
+
+    png = MC.encode_png(np.zeros((11, 17, 3), dtype=np.uint8))
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 24 + 8 + 64) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", 64) + b"\x00" * 64
+    )
+    rows = [(1, "image", bytearray(png)), (2, "audio", bytearray(wav)), (3, "image", bytearray(b"synthetic"))]
+    df = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    got = {r["doc_id"]: r for r in MM.decode_media(df).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["n_frames"]) == (17, 11, 1)
+    assert got[2]["n_frames"] == 32  # 64 bytes / 2-byte block align
+    assert got[3]["width"] == len(b"synthetic") % 640 + 1  # fallback
+    # video containers are an honest NotImplementedError, not fake numbers
+    with pytest.raises(NotImplementedError, match="libav"):
+        MM._decode_media("video", b"\x00\x00\x00\x18ftypmp42")
+
+
+def test_resize_media_real_png(spark):
+    """resize_media re-encodes PNG payloads for real: output payload is
+    a valid PNG at the constrained geometry."""
+    from parquet_common_spark.operators import multimodal as MM
+
+    rng = np.random.default_rng(3)
+    big = MC.encode_png(rng.integers(0, 256, size=(64, 48, 3), dtype=np.uint8))
+    df = spark.createDataFrame([(9, "image", bytearray(big))], MM.MEDIA_SCHEMA)
+    (row,) = MM.resize_media(df, max_side=32).collect()
+    assert (row["width"], row["height"]) == (24, 32)
+    w, h, pixels = MC.decode_png(bytes(row["payload"]))
+    assert (w, h) == (24, 32) and pixels.shape == (32, 24, 3)
