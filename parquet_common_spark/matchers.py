@@ -120,6 +120,87 @@ def _as_alternation_of_literals(pattern: str) -> list[str] | None:
     return None
 
 
+def _enumerate_literals(pattern: str, limit: int = 64) -> list[str] | None:
+    """Expand a regex whose language is a SMALL FINITE set of literal
+    strings into that set — e.g. ``test_metric_[1-5]`` ->
+    ["test_metric_1", ..., "test_metric_5"], ``a(b|c)d`` -> ["abd",
+    "acd"].  Returns None when the language is infinite, larger than
+    ``limit``, or uses constructs the expansion doesn't cover.
+
+    This is the O1 set-matcher rewrite generalized to char classes and
+    nested groups, mirroring Prometheus's FastRegexMatcher
+    ``findSetMatches`` (prometheus/model/labels/regexp.go) and the
+    reference's equality-set constraint path (search/constraint.go) —
+    an IN list reaches the parquet scan (dictionary/bloom pruning)
+    where an anchored rlike never does."""
+    try:
+        import re._parser as sre
+    except ImportError:  # pragma: no cover - py<3.11 spelling
+        import sre_parse as sre
+    try:
+        tree = sre.parse(pattern)
+    except Exception:
+        return None
+    if tree.state.flags & re.IGNORECASE:
+        return None  # IN comparison is case-exact
+
+    def walk(seq) -> list[str] | None:
+        outs = [""]
+        for op, av in seq:
+            opname = str(op)
+            if opname == "LITERAL":
+                outs = [o + chr(av) for o in outs]
+                continue
+            if opname == "IN":
+                chars: list[str] = []
+                for iop, iav in av:
+                    if str(iop) == "LITERAL":
+                        chars.append(chr(iav))
+                    elif str(iop) == "RANGE":
+                        lo, hi = iav
+                        if hi - lo + 1 > limit:
+                            return None
+                        chars.extend(chr(c) for c in range(lo, hi + 1))
+                    else:  # NEGATE, CATEGORY (\d, \w), ...
+                        return None
+                suffixes: list[str] = chars
+            elif opname == "SUBPATTERN":
+                sub = walk(av[3])
+                if sub is None:
+                    return None
+                suffixes = sub
+            elif opname == "BRANCH":
+                suffixes = []
+                for branch in av[1]:
+                    sub = walk(branch)
+                    if sub is None:
+                        return None
+                    suffixes.extend(sub)
+            elif opname == "MAX_REPEAT":
+                lo, hi, item = av
+                if lo != hi or lo > 8:  # only exact small {n} repeats
+                    return None
+                sub = walk(item)
+                if sub is None:
+                    return None
+                suffixes = [""]
+                for _ in range(lo):
+                    if len(suffixes) * len(sub) > limit:
+                        return None
+                    suffixes = [a + b for a in suffixes for b in sub]
+            else:  # ANY, ANCHOR, ASSERT, ...: not a finite literal set
+                return None
+            if len(outs) * len(suffixes) > limit:
+                return None
+            outs = [o + s for o in outs for s in suffixes]
+        return outs
+
+    outs = walk(tree)
+    if outs is None or len(outs) > limit:
+        return None
+    return list(dict.fromkeys(outs))
+
+
 def _as_prefix(pattern: str) -> str | None:
     """``thanos-.*`` -> "thanos-" (prefix-regex optimization,
     reference: search/constraint.go:719-735)."""
@@ -173,6 +254,9 @@ def matcher_to_predicate(m: Matcher, columns: list[str] | set[str]) -> Column:
         base = _eq_predicate(col, pattern)
         return _neq_predicate(col, pattern) if negate else base
     alts = _as_alternation_of_literals(pattern)
+    if alts is None:
+        # generalized finite-set expansion (char classes, nested groups)
+        alts = _enumerate_literals(pattern)
     if alts is not None:
         base = col.isin(alts)
         if "" in alts:

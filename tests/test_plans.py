@@ -44,6 +44,46 @@ def test_in_rewrite_pushdown(spark, shard_dir):
     assert "In(l___name__, [m1,m2,m3])" in p
 
 
+def test_charclass_enumeration_pushdown(spark, shard_dir):
+    """``m[1-3]`` is a finite literal set: it must compile to an In
+    filter that reaches the parquet scan (dictionary/bloom pruning at
+    100 TB), never an anchored rlike full scan."""
+    q = ParquetQueryable.from_paths(spark, [shard_dir])
+    sel = q.select(0, 10**12, [Matcher("__name__", "=~", "m[1-3]")], skip_chunks=True)
+    p = plan_of(sel)
+    assert "In(l___name__, [m1,m2,m3])" in p
+    assert "rlike" not in p.lower()
+    # nested groups too: m(1|2)0 -> {m10, m20}
+    sel = q.select(0, 10**12, [Matcher("__name__", "=~", "m1(0|9)")], skip_chunks=True)
+    assert "In(l___name__, [m10,m19])" in plan_of(sel)
+
+
+def test_negative_regex_keeps_equality_pushdown(spark, shard_dir):
+    """The NULL-aware F.when form a negative regex compiles to cannot
+    itself push to parquet (NULL rows may match) — but it must not
+    poison the conjunction: the equality matcher alongside it still has
+    to reach PushedFilters (the reference-shaped NegativeRegex
+    workloads depend on scanning only the named metric's row groups)."""
+    q = ParquetQueryable.from_paths(spark, [shard_dir])
+    sel = q.select(
+        0,
+        10**12,
+        [Matcher("__name__", "=", "m7"), Matcher("inst", "!~", "(1.*|2.*)")],
+        skip_chunks=True,
+    )
+    p = plan_of(sel)
+    assert "EqualTo(l___name__,m7)" in p
+    # and the set-typed negative (!~ over a finite set) keeps Not(In)
+    sel = q.select(
+        0,
+        10**12,
+        [Matcher("__name__", "=", "m7"), Matcher("inst", "!~", "1|2|3")],
+        skip_chunks=True,
+    )
+    p = plan_of(sel)
+    assert "EqualTo(l___name__,m7)" in p
+
+
 def test_time_bucket_partition_pruning(spark, shard_dir):
     q = ParquetQueryable.from_paths(spark, [shard_dir])
     sel = q.select(0, 3500, [Matcher("__name__", "=", "m7")])
