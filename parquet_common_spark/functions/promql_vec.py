@@ -333,21 +333,53 @@ def bottomk(df: DataFrame, k: int, **kw) -> DataFrame:
 
 # ------------------------------------------------- binary vector matching
 
+def _ieee_div(l: Column, r: Column) -> Column:
+    """IEEE-754 division (Go float semantics): x/0 = ±Inf, 0/0 = NaN.
+    Spark's ANSI mode (the 4.x default) raises DIVIDE_BY_ZERO even for
+    doubles, so the zero-divisor branches are pinned explicitly.  A
+    -0.0 divisor is treated as +0.0 (signum cannot distinguish them)."""
+    return (
+        F.when(r != 0, l / r)
+        .when(F.isnan(l) | (l == 0), F.lit(float("nan")))
+        .when(l > 0, F.lit(float("inf")))
+        .otherwise(F.lit(float("-inf")))
+    )
+
+
+def _ieee_mod(l: Column, r: Column) -> Column:
+    """Go math.Mod: mod-by-zero is NaN (ANSI Spark would raise)."""
+    return F.when(r != 0, l % r).otherwise(F.lit(float("nan")))
+
+
+def _ieee_cmp(base, is_neq: bool = False):
+    """PromQL comparisons follow IEEE: any comparison with NaN is false
+    except !=, which is true.  Spark's native ordering treats NaN as a
+    largest value equal to itself, so the NaN rows are pinned."""
+
+    def f(l: Column, r: Column) -> Column:
+        nan = F.isnan(l) | F.isnan(r)
+        if is_neq:
+            return F.when(nan, F.lit(True)).otherwise(base(l, r))
+        return (~nan) & base(l, r)
+
+    return f
+
+
 _ARITH = {
     "+": lambda l, r: l + r,
     "-": lambda l, r: l - r,
     "*": lambda l, r: l * r,
-    "/": lambda l, r: l / r,
-    "%": lambda l, r: l % r,
+    "/": _ieee_div,
+    "%": _ieee_mod,
     "^": lambda l, r: F.pow(l, r),
 }
 _CMP = {
-    "==": lambda l, r: l == r,
-    "!=": lambda l, r: l != r,
-    ">": lambda l, r: l > r,
-    "<": lambda l, r: l < r,
-    ">=": lambda l, r: l >= r,
-    "<=": lambda l, r: l <= r,
+    "==": _ieee_cmp(lambda l, r: l == r),
+    "!=": _ieee_cmp(lambda l, r: l != r, is_neq=True),
+    ">": _ieee_cmp(lambda l, r: l > r),
+    "<": _ieee_cmp(lambda l, r: l < r),
+    ">=": _ieee_cmp(lambda l, r: l >= r),
+    "<=": _ieee_cmp(lambda l, r: l <= r),
 }
 
 

@@ -1,0 +1,935 @@
+"""Spark evaluator for PromQL ASTs over promqltest-loaded samples.
+
+Maps the upstream evaluation model (prometheus/prometheus
+promql/engine.go + promql/functions.go; the reference delegates to it —
+/root/reference/queryable/parquet_queryable_test.go:45-66) onto
+DataFrame plans:
+
+  - an *instant vector at a set of eval timestamps* is a DataFrame with
+    an ``_ev`` column (eval timestamp, ms) + ``l_<label>`` columns +
+    ``value``.  A range query is ONE plan evaluating every step — the
+    steps ride as a broadcast ``_ev`` frame, so per-step work fans out
+    instead of looping Spark actions.
+  - a *scalar* is a DataFrame ``(_ev, value)`` with one row per step.
+  - selectors follow Prometheus 3.x semantics: left-open lookback
+    ``(T-5m, T]`` for instant vectors, left-open ``(T-r, T]`` range
+    windows, staleness markers end a series, ``offset`` / fixed ``@``
+    timestamps shift the effective eval time.
+  - vector matching, aggregation operators, label_replace/label_join,
+    and the math functions are the SAME combinators the registry
+    queries use (functions/promql_vec.py) — ``_ev`` participates as an
+    implicit always-on match label; ``__name__`` is excluded from
+    matching and dropped from outputs exactly where upstream drops it.
+  - range-vector functions (rate/increase/delta, *_over_time, deriv/
+    predict_linear, idelta/irate, changes/resets, double exponential
+    smoothing, absent_over_time) implement the upstream formulas with
+    explicit per-eval window bounds; the extrapolation algorithm is the
+    same one functions/promql.py pins over tumbling windows
+    (promql/functions.go extrapolatedRate), re-expressed for
+    eval-at-instant bounds.
+
+This is the acceptance-test path: plans are tiny and breadth matters
+more than throughput.  The production analytics path stays on the
+tumbling-window layer in functions/promql.py.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from parquet_common_spark.matchers import Matcher, matcher_to_predicate
+from parquet_common_spark.schema import label_to_column
+from parquet_common_spark.functions import promql_vec as pv
+from parquet_common_spark.functions.histograms import histogram_quantile
+from parquet_common_spark.promqltest import promqlparse as ast
+from parquet_common_spark.promqltest.scriptparse import LoadCmd
+
+LOOKBACK_MS = 5 * 60 * 1000
+NAME_COL = label_to_column("__name__")
+
+# atan2 participates in arithmetic vector matching like / or %
+pv._ARITH.setdefault("atan2", lambda l, r: F.atan2(l, r))
+
+
+class PromQLEvalError(ValueError):
+    pass
+
+
+def _mangle(names):
+    return [label_to_column(n) for n in names]
+
+
+class PromQLEngine:
+    """Evaluates PromQL ASTs against samples accumulated from ``load``."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        # calendar functions (minute/hour/month/...) extract UTC fields
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        self._samples: DataFrame | None = None
+        self._label_cols: list[str] = []
+
+    # ------------------------------------------------------------ storage
+
+    def clear(self):
+        self._samples = None
+        self._label_cols = []
+
+    def load(self, cmd: LoadCmd):
+        rows = []
+        label_names: dict[str, None] = {}
+        for labels, _ in cmd.series:
+            for k in labels:
+                label_names[k] = None
+        for labels, samples in cmd.series:
+            for s in samples:
+                rows.append(
+                    tuple(labels.get(n) for n in label_names)
+                    + (s.ts_ms, float(s.value), bool(s.stale))
+                )
+        cols = _mangle(label_names)
+        schema_parts = [f"`{c}` string" for c in cols]
+        schema = ", ".join(schema_parts + ["ts long", "value double", "stale boolean"])
+        df = self.spark.createDataFrame(rows, schema)
+        if self._samples is None:
+            self._samples = df
+            self._label_cols = cols
+        else:
+            self._samples = self._samples.unionByName(df, allowMissingColumns=True)
+            self._label_cols = list(dict.fromkeys([*self._label_cols, *cols]))
+
+    # ------------------------------------------------------------- public
+
+    def eval_instant(self, expr, t_ms: int):
+        return self._run(expr, [int(t_ms)])
+
+    def eval_range(self, expr, start_ms: int, end_ms: int, step_ms: int):
+        evs = list(range(int(start_ms), int(end_ms) + 1, int(step_ms)))
+        return self._run(expr, evs)
+
+    def _run(self, expr, evs: list[int]):
+        """-> ("vector", [(labels, {ev: value})]) | ("scalar", {ev: value})
+        | ("string", s).  The vector list preserves plan output order so
+        eval_ordered can compare sequences."""
+        if isinstance(expr, str):
+            expr = ast.parse_promql(expr)
+        steps = self.spark.createDataFrame([(e,) for e in evs], "_ev long")
+        kind, df = self._eval(expr, steps)
+        if kind == "string":
+            return ("string", df)
+        rows = df.collect()
+        if kind == "scalar":
+            return ("scalar", {r["_ev"]: r["value"] for r in rows})
+        label_cols = [c for c in df.columns if c not in ("_ev", "value")]
+        out: list[tuple[dict, dict]] = []
+        index: dict = {}
+        for r in rows:
+            labels = {}
+            for c in label_cols:
+                v = r[c]
+                if v is not None:
+                    labels[c[len("l_"):]] = v
+            key = tuple(sorted(labels.items()))
+            if key not in index:
+                index[key] = len(out)
+                out.append((labels, {}))
+            series_vals = out[index[key]][1]
+            if r["_ev"] in series_vals:
+                raise PromQLEvalError(
+                    f"vector cannot contain metrics with the same labelset: {labels}"
+                )
+            series_vals[r["_ev"]] = r["value"]
+        return ("vector", out)
+
+    # ------------------------------------------------------- core dispatch
+
+    def _eval(self, node, steps: DataFrame):
+        if isinstance(node, ast.NumberLiteral):
+            return ("scalar", steps.withColumn("value", F.lit(float(node.value))))
+        if isinstance(node, ast.StringLiteral):
+            return ("string", node.value)
+        if isinstance(node, ast.VectorSelector):
+            return ("vector", self._instant_select(node, steps))
+        if isinstance(node, ast.MatrixSelector):
+            raise PromQLEvalError("range vector used where instant vector expected")
+        if isinstance(node, ast.Subquery):
+            raise PromQLEvalError("subqueries are not supported by this engine")
+        if isinstance(node, ast.Unary):
+            kind, df = self._eval(node.expr, steps)
+            if kind == "string":
+                raise PromQLEvalError("unary on string")
+            df = df.withColumn("value", -F.col("value"))
+            if kind == "vector":
+                df = self._drop_name(df)
+            return (kind, df)
+        if isinstance(node, ast.Binary):
+            return self._binary(node, steps)
+        if isinstance(node, ast.Aggregate):
+            return self._aggregate(node, steps)
+        if isinstance(node, ast.Call):
+            return self._call(node, steps)
+        raise PromQLEvalError(f"cannot evaluate {type(node).__name__}")
+
+    # ---------------------------------------------------------- selectors
+
+    def _base(self, sel: ast.VectorSelector) -> DataFrame:
+        if self._samples is None:
+            return self.spark.createDataFrame([], "ts long, value double, stale boolean")
+        df = self._samples
+        matchers = [Matcher(m.name, m.op, m.value) for m in sel.matchers]
+        if sel.name is not None:
+            matchers.append(Matcher("__name__", "=", sel.name))
+        cols = df.columns
+        pred = F.lit(True)
+        for m in matchers:
+            pred = pred & matcher_to_predicate(m, cols)
+        return df.where(pred)
+
+    def _eff_ev(self, sel: ast.VectorSelector):
+        eff = F.lit(int(sel.at_ms)) if sel.at_ms is not None else F.col("_ev")
+        if sel.offset_ms:
+            eff = eff - F.lit(int(sel.offset_ms))
+        return eff
+
+    def _instant_select(
+        self, sel: ast.VectorSelector, steps: DataFrame, value_expr: str = "value"
+    ) -> DataFrame:
+        """Latest non-stale sample per series within the left-open
+        lookback window; ``value_expr='ts'`` yields timestamp() values."""
+        base = self._base(sel)
+        labels = [c for c in base.columns if c.startswith("l_")]
+        eff = self._eff_ev(sel)
+        cond = (F.col("ts") > eff - F.lit(LOOKBACK_MS)) & (F.col("ts") <= eff)
+        j = base.join(F.broadcast(steps), on=cond, how="inner")
+        picked = j.groupBy("_ev", *labels).agg(
+            F.max_by(
+                F.struct(
+                    F.col("value").alias("v"),
+                    F.col("stale").alias("st"),
+                    F.col("ts").alias("t"),
+                ),
+                F.col("ts"),
+            ).alias("_s")
+        )
+        val = (
+            (F.col("_s.t").cast("double") / F.lit(1000.0))
+            if value_expr == "ts"
+            else F.col("_s.v")
+        )
+        return (
+            picked.where(~F.col("_s.st"))
+            .select("_ev", *labels, val.alias("value"))
+        )
+
+    def _range_frame(self, node: ast.MatrixSelector, steps: DataFrame):
+        """Samples in the left-open window (eff-r, eff] per step; carries
+        ``_start``/``_end`` (ms) for extrapolation math."""
+        sel = node.selector
+        base = self._base(sel).where(~F.col("stale"))
+        labels = [c for c in base.columns if c.startswith("l_")]
+        eff = self._eff_ev(sel)
+        cond = (F.col("ts") > eff - F.lit(int(node.range_ms))) & (F.col("ts") <= eff)
+        j = base.join(F.broadcast(steps), on=cond, how="inner")
+        j = j.withColumn("_end", self._eff_ev(sel)).withColumn(
+            "_start", F.col("_end") - F.lit(int(node.range_ms))
+        )
+        return j, labels, int(node.range_ms)
+
+    # ------------------------------------------------------------ binary
+
+    def _scalar_join(self, vec: DataFrame, sc: DataFrame, alias: str) -> DataFrame:
+        return vec.join(
+            F.broadcast(sc.withColumnRenamed("value", alias)), on="_ev", how="inner"
+        )
+
+    def _drop_name(self, df: DataFrame) -> DataFrame:
+        return df.drop(NAME_COL) if NAME_COL in df.columns else df
+
+    def _binary(self, node: ast.Binary, steps: DataFrame):
+        op = node.op
+        lk, ldf = self._eval(node.lhs, steps)
+        rk, rdf = self._eval(node.rhs, steps)
+        if "string" in (lk, rk):
+            raise PromQLEvalError("binary op on string operand")
+        is_cmp = op in ("==", "!=", "<", ">", "<=", ">=")
+        is_set = op in ("and", "or", "unless")
+
+        def apply(lc, rc):
+            # the same IEEE-pinned op tables vector_binop uses
+            if op in pv._ARITH:
+                return pv._ARITH[op](lc, rc)
+            return pv._CMP[op](lc, rc)
+
+        if lk == "scalar" and rk == "scalar":
+            if is_set:
+                raise PromQLEvalError(f"set operator {op!r} not allowed on scalars")
+            if is_cmp and not node.bool_modifier:
+                raise PromQLEvalError("comparisons between scalars must use bool")
+            j = self._scalar_join(ldf.withColumnRenamed("value", "_lv"), rdf, "_rv")
+            res = apply(F.col("_lv"), F.col("_rv"))
+            if is_cmp:
+                res = F.when(res, F.lit(1.0)).otherwise(F.lit(0.0))
+            return ("scalar", j.select("_ev", res.cast("double").alias("value")))
+
+        if is_set:
+            if lk != "vector" or rk != "vector":
+                raise PromQLEvalError(f"set operator {op!r} requires vectors")
+            on = ["_ev"] + _mangle(node.on) if node.on is not None else None
+            ignoring = _mangle(node.ignoring or []) + [NAME_COL] if node.on is None else None
+            return ("vector", pv.vector_setop(ldf, rdf, op, on=on, ignoring=ignoring))
+
+        if lk == "vector" and rk == "vector":
+            on = ["_ev"] + _mangle(node.on) if node.on is not None else None
+            ignoring = (
+                _mangle(node.ignoring or []) + [NAME_COL] if node.on is None else None
+            )
+            carry = _mangle(node.carry)
+            out = pv.vector_binop(
+                ldf,
+                rdf,
+                op,
+                on=on,
+                ignoring=ignoring,
+                group=node.group,
+                carry=carry,
+                bool_modifier=node.bool_modifier,
+            )
+            if (not is_cmp) or node.bool_modifier:
+                out = self._drop_name(out)
+            return ("vector", out)
+
+        # scalar <op> vector / vector <op> scalar
+        if lk == "vector":
+            vec, sc, vec_left = ldf, rdf, True
+        else:
+            vec, sc, vec_left = rdf, ldf, False
+        j = self._scalar_join(vec, sc, "_sc")
+        lv = F.col("value") if vec_left else F.col("_sc")
+        rv = F.col("_sc") if vec_left else F.col("value")
+        labels = [c for c in vec.columns if c not in ("_ev", "value")]
+        if is_cmp:
+            cond = apply(lv, rv)
+            if node.bool_modifier:
+                out = j.select(
+                    "_ev", *labels,
+                    F.when(cond, F.lit(1.0)).otherwise(F.lit(0.0)).alias("value"),
+                )
+                return ("vector", self._drop_name(out))
+            out = j.where(cond).select("_ev", *labels, "value")
+            return ("vector", out)
+        out = j.select(
+            "_ev", *labels, apply(lv, rv).cast("double").alias("value")
+        )
+        return ("vector", self._drop_name(out))
+
+    # -------------------------------------------------------- aggregation
+
+    def _aggregate(self, node: ast.Aggregate, steps: DataFrame):
+        kind, df = self._eval(node.expr, steps)
+        if kind != "vector":
+            raise PromQLEvalError(f"aggregation {node.op} requires an instant vector")
+        op = node.op
+
+        def static_param():
+            p = node.param
+            if isinstance(p, ast.NumberLiteral):
+                return float(p.value)
+            if isinstance(p, ast.Unary) and isinstance(p.expr, ast.NumberLiteral):
+                return -float(p.expr.value) if p.op == "-" else float(p.expr.value)
+            raise PromQLEvalError(f"{op} parameter must be a number literal here")
+
+        if node.by is not None:
+            by = ["_ev"] + _mangle(node.by)
+            without = None
+        elif node.without is not None:
+            by = None
+            without = list(dict.fromkeys(_mangle(node.without) + [NAME_COL]))
+        else:
+            by = ["_ev"]
+            without = None
+
+        if op in ("sum", "min", "max", "avg", "count", "group", "stddev", "stdvar"):
+            return ("vector", pv.agg_vector(df, op, by=by, without=without))
+        if op == "quantile":
+            return (
+                "vector",
+                pv.agg_vector(df, "quantile", by=by, without=without, q=static_param()),
+            )
+        if op in ("topk", "bottomk"):
+            k = int(static_param())
+            out = pv.topk(df, k, by=by, without=without, bottom=op == "bottomk")
+            return ("vector", out)
+        if op == "count_values":
+            p = node.param
+            if not isinstance(p, ast.StringLiteral):
+                raise PromQLEvalError("count_values needs a string label")
+            out = pv.count_values(
+                self._drop_name(df), label_to_column(p.value), by=by, without=without
+            )
+            return ("vector", out)
+        if op in ("limitk", "limit_ratio"):
+            raise PromQLEvalError(f"{op} is not supported by this engine")
+        raise PromQLEvalError(f"unknown aggregation {op!r}")
+
+    # ----------------------------------------------------------- functions
+
+    def _call(self, node: ast.Call, steps: DataFrame):
+        fn = node.func
+        h = getattr(self, f"_fn_{fn}", None)
+        if h is not None:
+            return h(node.args, steps)
+        if fn in _SIMPLE_MATH:
+            return self._simple_math(fn, node.args, steps)
+        if fn in _OVER_TIME:
+            return self._over_time(fn, node.args, steps)
+        raise PromQLEvalError(f"unsupported function {fn!r}")
+
+    # -- shared helpers
+
+    def _vec_arg(self, arg, steps) -> DataFrame:
+        kind, df = self._eval(arg, steps)
+        if kind != "vector":
+            raise PromQLEvalError("expected an instant vector argument")
+        return df
+
+    def _matrix_arg(self, arg, steps):
+        if not isinstance(arg, ast.MatrixSelector):
+            if isinstance(arg, ast.Subquery):
+                raise PromQLEvalError("subqueries are not supported by this engine")
+            raise PromQLEvalError("expected a range vector argument")
+        return self._range_frame(arg, steps)
+
+    def _scalar_param(self, arg, steps) -> DataFrame:
+        kind, df = self._eval(arg, steps)
+        if kind != "scalar":
+            raise PromQLEvalError("expected a scalar argument")
+        return df
+
+    def _simple_math(self, fn, args, steps):
+        if len(args) != 1:
+            raise PromQLEvalError(f"{fn} takes one argument")
+        df = self._vec_arg(args[0], steps)
+        out = df.withColumn("value", _SIMPLE_MATH[fn](F.col("value")))
+        return ("vector", self._drop_name(out))
+
+    # -- instant-vector functions
+
+    def _fn_clamp(self, args, steps):
+        df = self._vec_arg(args[0], steps)
+        lo = self._scalar_param(args[1], steps)
+        hi = self._scalar_param(args[2], steps)
+        j = self._scalar_join(self._scalar_join(df, lo, "_lo"), hi, "_hi")
+        out = (
+            j.where(~(F.col("_lo") > F.col("_hi")))
+            .withColumn(
+                "value",
+                F.least(F.greatest(F.col("value"), F.col("_lo")), F.col("_hi")),
+            )
+            .drop("_lo", "_hi")
+        )
+        return ("vector", self._drop_name(out))
+
+    def _fn_clamp_min(self, args, steps):
+        df = self._vec_arg(args[0], steps)
+        lo = self._scalar_param(args[1], steps)
+        j = self._scalar_join(df, lo, "_lo")
+        out = j.withColumn("value", F.greatest(F.col("value"), F.col("_lo"))).drop("_lo")
+        return ("vector", self._drop_name(out))
+
+    def _fn_clamp_max(self, args, steps):
+        df = self._vec_arg(args[0], steps)
+        hi = self._scalar_param(args[1], steps)
+        j = self._scalar_join(df, hi, "_hi")
+        out = j.withColumn("value", F.least(F.col("value"), F.col("_hi"))).drop("_hi")
+        return ("vector", self._drop_name(out))
+
+    def _fn_round(self, args, steps):
+        df = self._vec_arg(args[0], steps)
+        if len(args) > 1:
+            near = self._scalar_param(args[1], steps)
+            j = self._scalar_join(df, near, "_n")
+        else:
+            j = df.withColumn("_n", F.lit(1.0))
+        out = j.withColumn(
+            "value", F.floor(F.col("value") / F.col("_n") + F.lit(0.5)) * F.col("_n")
+        ).drop("_n")
+        return ("vector", self._drop_name(out))
+
+    def _fn_scalar(self, args, steps):
+        df = self._vec_arg(args[0], steps)
+        agg = df.groupBy("_ev").agg(
+            F.count(F.lit(1)).alias("_n"), F.max("value").alias("_v")
+        )
+        out = steps.join(agg, on="_ev", how="left").select(
+            "_ev",
+            F.when(F.col("_n") == 1, F.col("_v"))
+            .otherwise(F.lit(float("nan")))
+            .alias("value"),
+        )
+        return ("scalar", out)
+
+    def _fn_vector(self, args, steps):
+        sc = self._scalar_param(args[0], steps)
+        return ("vector", sc.select("_ev", "value"))
+
+    def _fn_time(self, args, steps):
+        return (
+            "scalar",
+            steps.select(
+                "_ev", (F.col("_ev").cast("double") / F.lit(1000.0)).alias("value")
+            ),
+        )
+
+    def _fn_pi(self, args, steps):
+        return ("scalar", steps.withColumn("value", F.lit(math.pi)))
+
+    def _fn_timestamp(self, args, steps):
+        if isinstance(args[0], ast.VectorSelector):
+            return ("vector", self._drop_name(
+                self._instant_select(args[0], steps, value_expr="ts")
+            ))
+        df = self._vec_arg(args[0], steps)
+        out = df.withColumn("value", F.col("_ev").cast("double") / F.lit(1000.0))
+        return ("vector", self._drop_name(out))
+
+    def _fn_label_replace(self, args, steps):
+        df = self._vec_arg(args[0], steps)
+        dst, repl, src, regex = (self._string(a) for a in args[1:5])
+        out = pv.label_replace(
+            df, label_to_column(dst), repl, label_to_column(src), regex
+        )
+        return ("vector", out)
+
+    def _fn_label_join(self, args, steps):
+        df = self._vec_arg(args[0], steps)
+        dst = self._string(args[1])
+        sep = self._string(args[2])
+        srcs = [label_to_column(self._string(a)) for a in args[3:]]
+        out = pv.label_join(df, label_to_column(dst), sep, *srcs)
+        return ("vector", out)
+
+    def _string(self, arg) -> str:
+        if not isinstance(arg, ast.StringLiteral):
+            raise PromQLEvalError("expected a string literal argument")
+        return arg.value
+
+    def _fn_absent(self, args, steps):
+        kind, df = self._eval(args[0], steps)
+        if kind != "vector":
+            raise PromQLEvalError("absent() requires an instant vector")
+        present = df.select("_ev").distinct()
+        out = steps.join(present, on="_ev", how="left_anti")
+        return ("vector", self._with_absent_labels(out, args[0]))
+
+    def _fn_absent_over_time(self, args, steps):
+        rdf, labels, _ = self._matrix_arg(args[0], steps)
+        present = rdf.select("_ev").distinct()
+        out = steps.join(present, on="_ev", how="left_anti")
+        return ("vector", self._with_absent_labels(out, args[0].selector))
+
+    def _with_absent_labels(self, evs: DataFrame, node) -> DataFrame:
+        """Label inference for absent()/absent_over_time: equality
+        matchers of a direct selector, excluding __name__
+        (promql/functions.go createLabelsForAbsentFunction)."""
+        out = evs.withColumn("value", F.lit(1.0))
+        sel = node
+        if isinstance(sel, ast.MatrixSelector):
+            sel = sel.selector
+        if isinstance(sel, ast.VectorSelector):
+            seen: dict[str, str | None] = {}
+            for m in sel.matchers:
+                if m.name == "__name__":
+                    continue
+                if m.op == "=" and m.value != "":
+                    seen[m.name] = m.value if m.name not in seen else None
+            for name, val in seen.items():
+                if val is not None:
+                    out = out.withColumn(label_to_column(name), F.lit(val))
+        return out
+
+    def _fn_histogram_quantile(self, args, steps):
+        phi = self._scalar_param(args[0], steps)
+        df = self._vec_arg(args[1], steps)
+        le_col = label_to_column("le")
+        if le_col not in df.columns:
+            return ("vector", df.where(F.lit(False)).drop(le_col, NAME_COL))
+        labels = [
+            c for c in df.columns
+            if c not in ("_ev", "value", le_col, NAME_COL)
+        ]
+        le_d = (
+            F.when(F.col(le_col).isin("+Inf", "Inf", "inf"), F.lit(float("inf")))
+            .when(F.col(le_col) == "-Inf", F.lit(float("-inf")))
+            .otherwise(F.col(le_col).cast("double"))
+        )
+        g = (
+            df.withColumn("_le", le_d)
+            .where(F.col("_le").isNotNull())
+            .groupBy("_ev", *labels)
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col("_le"), F.col("value")))
+                ).alias("_b")
+            )
+            .withColumn("_bounds", F.transform(F.col("_b"), lambda s: s["_le"]))
+            .withColumn("_counts", F.transform(F.col("_b"), lambda s: s["value"]))
+        )
+        j = self._scalar_join(g, phi, "_phi")
+        has_inf = F.element_at(F.col("_bounds"), -1) == F.lit(float("inf"))
+        q = histogram_quantile(F.col("_phi"), F.col("_bounds"), F.col("_counts"))
+        val = (
+            F.when(F.isnan(F.col("_phi")), F.lit(float("nan")))
+            .when(F.col("_phi") < 0, F.lit(float("-inf")))
+            .when(F.col("_phi") > 1, F.lit(float("inf")))
+            .when(~has_inf, F.lit(float("nan")))
+            .when(F.size(F.col("_bounds")) < 2, F.lit(float("nan")))
+            .otherwise(q)
+        )
+        out = j.select("_ev", *labels, val.alias("value")).where(
+            F.col("value").isNotNull()
+        )
+        return ("vector", out)
+
+    # -- range-vector functions
+
+    def _fn_rate(self, args, steps):
+        return ("vector", self._extrapolated(args, steps, True, True))
+
+    def _fn_increase(self, args, steps):
+        return ("vector", self._extrapolated(args, steps, True, False))
+
+    def _fn_delta(self, args, steps):
+        return ("vector", self._extrapolated(args, steps, False, False))
+
+    def _extrapolated(self, args, steps, is_counter: bool, is_rate: bool) -> DataFrame:
+        """promql/functions.go extrapolatedRate with explicit per-eval
+        bounds — the same algorithm functions/promql.py pins over
+        tumbling windows (see extrapolated_increase_over_windows)."""
+        rdf, labels, range_ms = self._matrix_arg(args[0], steps)
+        w = Window.partitionBy("_ev", *labels).orderBy("ts")
+        prev = F.lag("value").over(w)
+        staged = rdf.withColumn(
+            "_reset", F.when(prev > F.col("value"), prev).otherwise(F.lit(0.0))
+        )
+        agg = staged.groupBy("_ev", *labels).agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min_by("value", "ts").alias("_first_v"),
+            F.max_by("value", "ts").alias("_last_v"),
+            F.min("ts").alias("_first_ts"),
+            F.max("ts").alias("_last_ts"),
+            F.sum("_reset").alias("_resets"),
+            F.first("_start").alias("_start"),
+            F.first("_end").alias("_end"),
+        )
+        result = F.col("_last_v") - F.col("_first_v") + (
+            F.col("_resets") if is_counter else F.lit(0.0)
+        )
+        to_start = (F.col("_first_ts") - F.col("_start")).cast("double") / 1e3
+        to_end = (F.col("_end") - F.col("_last_ts")).cast("double") / 1e3
+        sampled = (F.col("_last_ts") - F.col("_first_ts")).cast("double") / 1e3
+        avg_dur = sampled / (F.col("_n") - 1).cast("double")
+        threshold = avg_dur * 1.1
+        to_start = F.when(to_start >= threshold, avg_dur / 2).otherwise(to_start)
+        if is_counter:
+            zero_clamp = F.when(
+                (result > 0) & (F.col("_first_v") >= 0),
+                sampled * F.col("_first_v") / result,
+            )
+            to_start = F.when(zero_clamp < to_start, zero_clamp).otherwise(to_start)
+        to_end = F.when(to_end >= threshold, avg_dur / 2).otherwise(to_end)
+        inc = result * (sampled + to_start + to_end) / sampled
+        if is_rate:
+            inc = inc / F.lit(range_ms / 1e3)
+        out = agg.withColumn(
+            "value",
+            F.when((F.col("_n") >= 2) & (sampled > 0), inc).otherwise(
+                F.lit(None).cast("double")
+            ),
+        ).where(F.col("value").isNotNull())
+        return self._drop_name(
+            out.select("_ev", *labels, "value")
+        )
+
+    def _instant_pair(self, args, steps, is_counter: bool, is_rate: bool):
+        """idelta/irate: last two samples (promql/functions.go
+        instantValue)."""
+        rdf, labels, _ = self._matrix_arg(args[0], steps)
+        w = Window.partitionBy("_ev", *labels).orderBy(F.desc("ts"))
+        ranked = rdf.withColumn("_rn", F.row_number().over(w))
+        agg = ranked.groupBy("_ev", *labels).agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.max(F.when(F.col("_rn") == 1, F.col("value"))).alias("_last_v"),
+            F.max(F.when(F.col("_rn") == 2, F.col("value"))).alias("_prev_v"),
+            F.max(F.when(F.col("_rn") == 1, F.col("ts"))).alias("_last_ts"),
+            F.max(F.when(F.col("_rn") == 2, F.col("ts"))).alias("_prev_ts"),
+        )
+        idelta = F.col("_last_v") - F.col("_prev_v")
+        num = (
+            F.when(F.col("_last_v") < F.col("_prev_v"), F.col("_last_v")).otherwise(idelta)
+            if is_counter
+            else idelta
+        )
+        dt_s = (F.col("_last_ts") - F.col("_prev_ts")).cast("double") / 1e3
+        if is_rate:
+            val = F.when(
+                (F.col("_n") >= 2) & (F.col("_last_ts") > F.col("_prev_ts")),
+                num / dt_s,
+            )
+        else:
+            val = F.when(F.col("_n") >= 2, idelta)
+        out = (
+            agg.withColumn("value", val)
+            .where(F.col("value").isNotNull())
+            .select("_ev", *labels, "value")
+        )
+        return ("vector", self._drop_name(out))
+
+    def _fn_idelta(self, args, steps):
+        return self._instant_pair(args, steps, False, False)
+
+    def _fn_irate(self, args, steps):
+        return self._instant_pair(args, steps, True, True)
+
+    def _fn_resets(self, args, steps):
+        return self._pairs_count(args, steps, resets=True)
+
+    def _fn_changes(self, args, steps):
+        return self._pairs_count(args, steps, resets=False)
+
+    def _pairs_count(self, args, steps, resets: bool):
+        rdf, labels, _ = self._matrix_arg(args[0], steps)
+        w = Window.partitionBy("_ev", *labels).orderBy("ts")
+        prev = F.lag("value").over(w)
+        flag = (
+            (prev > F.col("value"))
+            if resets
+            else (
+                prev.isNotNull()
+                & ((prev != F.col("value")) | (F.isnan(prev) != F.isnan(F.col("value"))))
+                & ~(F.isnan(prev) & F.isnan(F.col("value")))
+            )
+        )
+        staged = rdf.withColumn("_f", flag.cast("long"))
+        out = staged.groupBy("_ev", *labels).agg(
+            F.coalesce(F.sum("_f"), F.lit(0)).cast("double").alias("value")
+        )
+        return ("vector", self._drop_name(out.select("_ev", *labels, "value")))
+
+    def _regression(self, args, steps):
+        """least-squares slope/intercept with x in seconds relative to the
+        eval timestamp (promql/functions.go linearRegression)."""
+        rdf, labels, _ = self._matrix_arg(args[0], steps)
+        x = (F.col("ts") - F.col("_end")).cast("double") / 1e3
+        staged = rdf.withColumn("_x", x)
+        agg = staged.groupBy("_ev", *labels).agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("_x").alias("_sx"),
+            F.sum("value").alias("_sv"),
+            F.sum(F.col("_x") * F.col("value")).alias("_sxv"),
+            F.sum(F.col("_x") * F.col("_x")).alias("_sx2"),
+            F.min("ts").alias("_tmin"),
+            F.max("ts").alias("_tmax"),
+        )
+        nd = F.col("_n").cast("double")
+        num = nd * F.col("_sxv") - F.col("_sx") * F.col("_sv")
+        den = nd * F.col("_sx2") - F.col("_sx") * F.col("_sx")
+        slope = num / den
+        intercept = (F.col("_sv") - slope * F.col("_sx")) / nd
+        ok = (F.col("_n") >= 2) & (F.col("_tmax") > F.col("_tmin"))
+        return agg, labels, slope, intercept, ok
+
+    def _fn_deriv(self, args, steps):
+        agg, labels, slope, _, ok = self._regression(args, steps)
+        out = (
+            agg.withColumn("value", F.when(ok, slope))
+            .where(F.col("value").isNotNull())
+            .select("_ev", *labels, "value")
+        )
+        return ("vector", self._drop_name(out))
+
+    def _fn_predict_linear(self, args, steps):
+        agg, labels, slope, intercept, ok = self._regression(args, steps)
+        t = self._scalar_param(args[1], steps)
+        j = self._scalar_join(agg, t, "_t")
+        out = (
+            j.withColumn("value", F.when(ok, intercept + slope * F.col("_t")))
+            .where(F.col("value").isNotNull())
+            .select("_ev", *labels, "value")
+        )
+        return ("vector", self._drop_name(out))
+
+    def _fn_double_exponential_smoothing(self, args, steps):
+        """Holt's linear smoothing — the same fold pinned in
+        functions/promql.py double_exponential_smoothing_over_windows."""
+        rdf, labels, _ = self._matrix_arg(args[0], steps)
+        sf = self._static_number(args[1], "sf")
+        tf = self._static_number(args[2], "tf")
+        if not (0 < sf < 1) or not (0 < tf < 1):
+            raise PromQLEvalError("smoothing factors must be in (0, 1)")
+        agg = rdf.groupBy("_ev", *labels).agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.transform(
+                F.sort_array(F.collect_list(F.struct(F.col("ts"), F.col("value").alias("_v")))),
+                lambda s: s["_v"],
+            ).alias("_vals"),
+        )
+        sfc, cfc = F.lit(float(sf)), F.lit(1.0 - sf)
+        tfc, ctc = F.lit(float(tf)), F.lit(1.0 - tf)
+
+        def step(acc, v):
+            i = F.element_at(acc, 1)
+            s_prev, s_prev2 = F.element_at(acc, 2), F.element_at(acc, 3)
+            trend, v0 = F.element_at(acc, 4), F.element_at(acc, 5)
+            b1 = v - s_prev
+            s1 = sfc * v + cfc * (s_prev + b1)
+            tr = tfc * (s_prev - s_prev2) + ctc * trend
+            sn = sfc * v + cfc * (s_prev + tr)
+            return (
+                F.when(i == 0.0, F.array(F.lit(1.0), v, F.lit(0.0), F.lit(0.0), v))
+                .when(i == 1.0, F.array(F.lit(2.0), s1, s_prev, b1, v0))
+                .otherwise(F.array(i + 1.0, sn, s_prev, tr, v0))
+            )
+
+        zero = F.array(*[F.lit(0.0)] * 5)
+        smoothed = F.element_at(F.aggregate(F.col("_vals"), zero, step), 2)
+        out = (
+            agg.withColumn("value", F.when(F.col("_n") >= 2, smoothed))
+            .where(F.col("value").isNotNull())
+            .select("_ev", *labels, "value")
+        )
+        return ("vector", self._drop_name(out))
+
+    def _static_number(self, arg, what: str) -> float:
+        if isinstance(arg, ast.NumberLiteral):
+            return float(arg.value)
+        if isinstance(arg, ast.Unary) and isinstance(arg.expr, ast.NumberLiteral):
+            return -float(arg.expr.value) if arg.op == "-" else float(arg.expr.value)
+        raise PromQLEvalError(f"{what} must be a number literal")
+
+    def _over_time(self, fn, args, steps):
+        rdf, labels, _ = self._matrix_arg(args[-1], steps)
+        v = F.col("value")
+        if fn == "quantile_over_time":
+            q = self._static_number(args[0], "quantile")
+            if not (0.0 <= q <= 1.0):
+                # upstream warns and yields ±Inf for out-of-range φ
+                agg_expr = F.max(F.lit(float("-inf") if q < 0 else float("inf")))
+            else:
+                agg_expr = F.percentile(v, F.lit(q))
+        else:
+            agg_expr = {
+                "avg_over_time": F.avg(v),
+                "min_over_time": F.min(v),
+                "max_over_time": F.max(v),
+                "sum_over_time": F.sum(v),
+                "count_over_time": F.count(F.lit(1)).cast("double"),
+                "last_over_time": F.max_by(v, F.col("ts")),
+                "first_over_time": F.min_by(v, F.col("ts")),
+                "present_over_time": F.lit(1.0),
+                "stdvar_over_time": F.var_pop(v),
+                "stddev_over_time": F.stddev_pop(v),
+            }[fn]
+        out = rdf.groupBy("_ev", *labels).agg(
+            agg_expr.cast("double").alias("value")
+        )
+        out = out.select("_ev", *labels, "value")
+        # last_over_time keeps the metric name (it serves the raw sample,
+        # like an instant selector); every other *_over_time drops it
+        if fn != "last_over_time":
+            out = self._drop_name(out)
+        return ("vector", out)
+
+    # -- calendar functions (UTC; value is epoch seconds, default time())
+
+    def _calendar(self, fn, args, steps):
+        if args:
+            df = self._vec_arg(args[0], steps)
+        else:
+            df = steps.select(
+                "_ev", (F.col("_ev").cast("double") / F.lit(1000.0)).alias("value")
+            )
+        t = F.timestamp_seconds(F.col("value"))
+        expr = {
+            "minute": F.minute(t),
+            "hour": F.hour(t),
+            "day_of_week": F.dayofweek(t) - F.lit(1),  # Spark: Sun=1; PromQL: Sun=0
+            "day_of_month": F.dayofmonth(t),
+            "day_of_year": F.dayofyear(t),
+            "month": F.month(t),
+            "year": F.year(t),
+            "days_in_month": F.dayofmonth(F.last_day(t)),
+        }[fn]
+        out = df.withColumn("value", expr.cast("double"))
+        return ("vector", self._drop_name(out))
+
+    def _fn_minute(self, a, s):
+        return self._calendar("minute", a, s)
+
+    def _fn_hour(self, a, s):
+        return self._calendar("hour", a, s)
+
+    def _fn_day_of_week(self, a, s):
+        return self._calendar("day_of_week", a, s)
+
+    def _fn_day_of_month(self, a, s):
+        return self._calendar("day_of_month", a, s)
+
+    def _fn_day_of_year(self, a, s):
+        return self._calendar("day_of_year", a, s)
+
+    def _fn_month(self, a, s):
+        return self._calendar("month", a, s)
+
+    def _fn_year(self, a, s):
+        return self._calendar("year", a, s)
+
+    def _fn_days_in_month(self, a, s):
+        return self._calendar("days_in_month", a, s)
+
+
+# sort/sort_desc need dedicated handlers (order must survive to collect)
+def _fn_sort_impl(self, args, steps, desc: bool):
+    df = self._vec_arg(args[0], steps)
+    labels = sorted(c for c in df.columns if c not in ("_ev", "value"))
+    lead = F.desc("value") if desc else F.asc("value")
+    return ("vector", df.orderBy(F.asc("_ev"), lead, *[F.asc_nulls_first(c) for c in labels]))
+
+
+PromQLEngine._fn_sort = lambda self, a, s: _fn_sort_impl(self, a, s, False)
+PromQLEngine._fn_sort_desc = lambda self, a, s: _fn_sort_impl(self, a, s, True)
+
+
+_SIMPLE_MATH = {
+    "abs": pv.vabs,
+    "ceil": pv.vceil,
+    "floor": pv.vfloor,
+    "exp": pv.vexp,
+    "ln": pv.vln,
+    "log2": pv.vlog2,
+    "log10": pv.vlog10,
+    "sqrt": pv.vsqrt,
+    "sgn": pv.vsgn,
+    "acos": F.acos,
+    "asin": F.asin,
+    "atan": F.atan,
+    "cos": F.cos,
+    "sin": F.sin,
+    "tan": F.tan,
+    "acosh": F.acosh,
+    "asinh": F.asinh,
+    "atanh": F.atanh,
+    "cosh": F.cosh,
+    "sinh": F.sinh,
+    "tanh": F.tanh,
+    "deg": lambda c: c * F.lit(180.0 / math.pi),
+    "rad": lambda c: c * F.lit(math.pi / 180.0),
+}
+
+_OVER_TIME = {
+    "avg_over_time", "min_over_time", "max_over_time", "sum_over_time",
+    "count_over_time", "last_over_time", "first_over_time",
+    "present_over_time", "stdvar_over_time", "stddev_over_time",
+    "quantile_over_time",
+}
