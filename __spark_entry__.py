@@ -22,34 +22,36 @@ from pyspark.sql import DataFrame, SparkSession
 # holds queries hash-green in the latest checked round; the full set is
 # still verified locally via tools/check_correctness.py each round.
 _CHECK_WINDOW = [
-    # family representatives (rest of family was green r3)
-    "d2_minhash_lsh_dedup", "d6_duplicate_clusters", "c1_curation_pipeline",
-    "sim2_lsh_topk", "sim3_ivf_topk", "sim4_quantized_topk",
-    "t2_quality_scores", "t5_tfidf_terms",
-    "mm2_frame_sampling", "g1_rollup_revenue", "s1_nation_setops",
-    # everything that errored in r3 (events dtype regression)
-    "e1_event_type_stats",
-    "e4_asof_last_click_before_purchase", "e5_top_users_by_value",
-    "m1_matcher_eq", "m2_matcher_regex_set", "m3_matcher_negative_regex",
-    "m4_empty_label_semantics", "m5_label_values", "m6_time_range_pruning",
-    "m7_label_values_filtered", "m8_daily_series_delta",
-    "m9_extrapolated_rate", "m10_histogram_quantile",
-    "m11_native_histogram_quantile", "m12_promql_functions",
-    "m13_chunk_roundtrip", "m14_histogram_chunk_roundtrip",
-    "m15_promql_vector_matching", "m16_histogram_functions",
-    "g3_vector_aggregations",
-    "m17_double_exponential_smoothing", "m18_absent_over_time",
-    "w3_moving_avg_events", "w5_session_windows", "w6_sliding_windows",
-    "st1_streaming_daily_counts", "st2_stream_stream_join",
-    "st3_streaming_dedup", "p2_deterministic_sample",
-    "q8a_market_share",
-    # never inside the checked prefix in r3
-    "f3_array_functions", "a1_approx_distinct", "p1_pivot_event_counts",
-    "x1_token_frequencies", "sql1_revenue_by_segment",
-    "q20a_active_part_suppliers", "q21a_late_sole_suppliers",
-    # TPC-H rotation (r4 slice)
-    # q3 lives in the tail: entry() smoke-runs it every round anyway
+    # r5 rotation: families/members last DRIVER-checked in r2 (judge
+    # re-verified them in r4, but the driver gate should see every
+    # family member at most 2 rounds stale)
+    "d1_exact_dedup", "d3_simhash_dedup", "d4_ngram_jaccard_dedup",
+    "d5_embedding_neardup", "sim1_cosine_topk",
+    "t1_token_stats", "t3_lang_id", "t4_fingerprints",
+    "mm1_media_metadata", "mm3_resize_geometry",
+    "w1_top_orders_per_customer", "w2_running_revenue", "w4_sessionization",
+    "g2_cube_orders", "e2_daily_activity", "e3_json_props",
+    "p3_stratified_sample",
+    "f1_string_functions", "f2_datetime_functions",
+    "q2a_top_supplier_per_nation", "q11a_important_parts",
+    "q16a_part_supplier_stats",
+    # TPC-H rotation (r5 slice: the queries outside the r4 window)
+    "q4_order_priority", "q7_volume_shipping", "q10_returned_items",
+    "q12_priority_shipping", "q13_customer_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q17_small_quantity_revenue",
+    "q19_bracket_revenue", "q22_inactive_customers",
+    # newly oracled / newly added this round
+    "a1_approx_distinct", "pq1_promql_engine",
+    # carried family representatives covering code CHANGED this round
+    # (matcher IN-enumeration, IEEE cmp/div in promql_vec, engine reuse)
+    "m2_matcher_regex_set", "m3_matcher_negative_regex",
+    "m10_histogram_quantile", "m11_native_histogram_quantile",
+    "m13_chunk_roundtrip", "m15_promql_vector_matching",
+    "g3_vector_aggregations", "st3_streaming_dedup",
+    "e4_asof_last_click_before_purchase", "d2_minhash_lsh_dedup",
+    "sim2_lsh_topk", "w5_session_windows",
     "q1_pricing_summary", "q9_product_profit",
+    "p1_pivot_event_counts", "x1_token_frequencies",
 ]
 
 

@@ -460,3 +460,45 @@ def sql1(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parquet_common_spark.plans.common import REGISTRY
 
     return spark.sql(REGISTRY["sql1_revenue_by_segment"].oracle)
+
+
+@query(
+    "pq1_promql_engine",
+    """
+    SELECT grp, inc FROM (VALUES ('canary', CAST(420 AS DOUBLE)),
+                                 ('production', CAST(180 AS DOUBLE))) AS t(grp, inc)
+    ORDER BY grp
+    """,
+)
+def pq1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The native PromQL engine end-to-end: promqltest-format load ->
+    expression parse -> DataFrame evaluation (promqltest/engine.py; the
+    reference runs this surface through the upstream engine,
+    queryable/parquet_queryable_test.go:45-66).  The oracle is the
+    analytically derived constant table: four regular counters stepping
+    10/20/30/40 per 5m give increase[30m] of exactly 60/120/180/240 at
+    t=50m (interior-window extrapolation covers the 300s to the range
+    start), summing to 180/420 per group.  ``sf_dir`` is unused — the
+    samples are the script's, not the TPC-H tables'."""
+    from parquet_common_spark.promqltest import PromQLEngine, parse_script
+    from parquet_common_spark.promqltest.scriptparse import LoadCmd
+
+    eng = PromQLEngine(spark)
+    script = parse_script(
+        """
+load 5m
+    http_requests{job="api-server", instance="0", group="production"}    0+10x10
+    http_requests{job="api-server", instance="1", group="production"}    0+20x10
+    http_requests{job="api-server", instance="0", group="canary"}        0+30x10
+    http_requests{job="api-server", instance="1", group="canary"}        0+40x10
+"""
+    )
+    for cmd in script.commands:
+        if isinstance(cmd, LoadCmd):
+            eng.load(cmd)
+    vec = eng.eval_instant_df(
+        "sum by (group) (increase(http_requests[30m]))", 50 * 60 * 1000
+    )
+    return vec.select(
+        F.col("l_group").alias("grp"), F.col("value").alias("inc")
+    ).orderBy("grp")

@@ -105,6 +105,18 @@ class PromQLEngine:
     def eval_instant(self, expr, t_ms: int):
         return self._run(expr, [int(t_ms)])
 
+    def eval_instant_df(self, expr, t_ms: int) -> DataFrame:
+        """The instant vector at ``t_ms`` as a lazy DataFrame (label
+        columns + ``value``) — for embedding engine evaluations inside
+        larger Spark plans (e.g. the driver-contract registry)."""
+        if isinstance(expr, str):
+            expr = ast.parse_promql(expr)
+        steps = self.spark.createDataFrame([(int(t_ms),)], "_ev long")
+        kind, df = self._eval(expr, steps)
+        if kind != "vector":
+            raise PromQLEvalError("eval_instant_df requires a vector expression")
+        return df.drop("_ev")
+
     def eval_range(self, expr, start_ms: int, end_ms: int, step_ms: int):
         evs = list(range(int(start_ms), int(end_ms) + 1, int(step_ms)))
         return self._run(expr, evs)
