@@ -407,11 +407,55 @@ class PromQLEngine:
         return df
 
     def _matrix_arg(self, arg, steps):
+        if isinstance(arg, ast.Subquery):
+            return self._subquery_frame(arg, steps)
         if not isinstance(arg, ast.MatrixSelector):
-            if isinstance(arg, ast.Subquery):
-                raise PromQLEvalError("subqueries are not supported by this engine")
             raise PromQLEvalError("expected a range vector argument")
         return self._range_frame(arg, steps)
+
+    DEFAULT_SUBQUERY_STEP_MS = 60_000  # promqltest's default interval
+
+    def _subquery_frame(self, node: ast.Subquery, steps: DataFrame):
+        """``expr[range:step]`` (promql/engine.go evalSubquery): the inner
+        expression evaluated on an absolute step grid (multiples of the
+        step since epoch), serving the points in (T-range, T] as a range
+        vector.  ONE inner plan evaluates the union of every grid point
+        all outer steps need; the outer association is a broadcast range
+        join on the tiny step frames."""
+        step_ms = node.step_ms or self.DEFAULT_SUBQUERY_STEP_MS
+        rng = int(node.range_ms)
+        evs = [r["_ev"] for r in steps.select("_ev").collect()]
+        grid: dict[int, None] = {}
+        for t in evs:
+            eff = node.at_ms if node.at_ms is not None else t
+            eff -= node.offset_ms
+            # grid points are absolute multiples of step; (eff-rng, eff]
+            first = ((eff - rng) // step_ms + 1) * step_ms
+            p = first
+            while p <= eff:
+                grid[p] = None
+                p += step_ms
+        inner_steps = self.spark.createDataFrame(
+            [(p,) for p in sorted(grid)] or [(0,)], "_ev long"
+        )
+        kind, inner = self._eval(node.expr, inner_steps)
+        if kind == "scalar":
+            inner = inner  # a scalar subquery is a labelless vector
+        elif kind != "vector":
+            raise PromQLEvalError("subquery requires a vector expression")
+        labels = [c for c in inner.columns if c not in ("_ev", "value")]
+        pts = inner.withColumnRenamed("_ev", "ts")
+        eff = F.lit(int(node.at_ms)) if node.at_ms is not None else F.col("_ev")
+        if node.offset_ms:
+            eff = eff - F.lit(int(node.offset_ms))
+        cond = (F.col("ts") > eff - F.lit(rng)) & (F.col("ts") <= eff)
+        j = pts.join(F.broadcast(steps), on=cond, how="inner")
+        if node.at_ms is not None:
+            end = F.lit(int(node.at_ms) - int(node.offset_ms))
+        else:
+            end = F.col("_ev") - F.lit(int(node.offset_ms))
+        j = j.withColumn("_end", end).withColumn("_start", F.col("_end") - F.lit(rng))
+        return j, labels, rng
 
     def _scalar_param(self, arg, steps) -> DataFrame:
         kind, df = self._eval(arg, steps)
