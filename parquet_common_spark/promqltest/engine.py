@@ -52,6 +52,22 @@ NAME_COL = label_to_column("__name__")
 # atan2 participates in arithmetic vector matching like / or %
 pv._ARITH.setdefault("atan2", lambda l, r: F.atan2(l, r))
 
+# native-histogram sample columns (the promqltest {{...}} literal
+# notation mapped onto the functions/native_histograms.py sparse model:
+# bucket k covers (γ^(k-1), γ^k], literal offset o = first bucket's k)
+_NH_SCHEMA = [
+    ("nh_schema", "int"),
+    ("nh_zero_count", "long"),
+    ("nh_zero_threshold", "double"),
+    ("nh_count", "long"),
+    ("nh_sum", "double"),
+    ("nh_pos_idx", "array<int>"),
+    ("nh_pos_counts", "array<long>"),
+    ("nh_neg_idx", "array<int>"),
+    ("nh_neg_counts", "array<long>"),
+]
+_NH_COLS = [c for c, _ in _NH_SCHEMA]
+
 
 class PromQLEvalError(ValueError):
     pass
@@ -83,15 +99,38 @@ class PromQLEngine:
         for labels, _ in cmd.series:
             for k in labels:
                 label_names[k] = None
+
+        def hist_fields(h):
+            if h is None:
+                return (None,) * 9
+            pos_idx = [int(h["offset"]) + i for i in range(len(h["buckets"]))]
+            neg_idx = [int(h["n_offset"]) + i for i in range(len(h["n_buckets"]))]
+            return (
+                int(h["schema"]),
+                int(h["z_bucket"]),
+                float(h["z_bucket_w"]),
+                int(h["count"]),
+                float(h["sum"]),
+                pos_idx,
+                [int(c) for c in h["buckets"]],
+                neg_idx,
+                [int(c) for c in h["n_buckets"]],
+            )
+
         for labels, samples in cmd.series:
             for s in samples:
                 rows.append(
                     tuple(labels.get(n) for n in label_names)
                     + (s.ts_ms, float(s.value), bool(s.stale))
+                    + hist_fields(s.hist)
                 )
         cols = _mangle(label_names)
         schema_parts = [f"`{c}` string" for c in cols]
-        schema = ", ".join(schema_parts + ["ts long", "value double", "stale boolean"])
+        schema = ", ".join(
+            schema_parts
+            + ["ts long", "value double", "stale boolean"]
+            + [f"{c} {t}" for c, t in _NH_SCHEMA]
+        )
         df = self.spark.createDataFrame(rows, schema)
         if self._samples is None:
             self._samples = df
@@ -206,33 +245,42 @@ class PromQLEngine:
         return eff
 
     def _instant_select(
-        self, sel: ast.VectorSelector, steps: DataFrame, value_expr: str = "value"
+        self,
+        sel: ast.VectorSelector,
+        steps: DataFrame,
+        value_expr: str = "value",
+        with_hist: bool = False,
     ) -> DataFrame:
         """Latest non-stale sample per series within the left-open
-        lookback window; ``value_expr='ts'`` yields timestamp() values."""
+        lookback window; ``value_expr='ts'`` yields timestamp() values;
+        ``with_hist`` carries the native-histogram columns through (for
+        the histogram_* function family)."""
         base = self._base(sel)
         labels = [c for c in base.columns if c.startswith("l_")]
         eff = self._eff_ev(sel)
         cond = (F.col("ts") > eff - F.lit(LOOKBACK_MS)) & (F.col("ts") <= eff)
         j = base.join(F.broadcast(steps), on=cond, how="inner")
+        carried = [
+            F.col("value").alias("v"),
+            F.col("stale").alias("st"),
+            F.col("ts").alias("t"),
+        ] + ([F.col(c).alias(c) for c in _NH_COLS if c in j.columns] if with_hist else [])
         picked = j.groupBy("_ev", *labels).agg(
-            F.max_by(
-                F.struct(
-                    F.col("value").alias("v"),
-                    F.col("stale").alias("st"),
-                    F.col("ts").alias("t"),
-                ),
-                F.col("ts"),
-            ).alias("_s")
+            F.max_by(F.struct(*carried), F.col("ts")).alias("_s")
         )
         val = (
             (F.col("_s.t").cast("double") / F.lit(1000.0))
             if value_expr == "ts"
             else F.col("_s.v")
         )
+        extra = (
+            [F.col(f"_s.{c}").alias(c) for c in _NH_COLS]
+            if with_hist and all(c in j.columns for c in _NH_COLS)
+            else []
+        )
         return (
             picked.where(~F.col("_s.st"))
-            .select("_ev", *labels, val.alias("value"))
+            .select("_ev", *labels, val.alias("value"), *extra)
         )
 
     def _range_frame(self, node: ast.MatrixSelector, steps: DataFrame):
@@ -605,7 +653,110 @@ class PromQLEngine:
                     out = out.withColumn(label_to_column(name), F.lit(val))
         return out
 
+    # -- native-histogram functions (sparse exponential model; the
+    #    Column kernels live in functions/native_histograms.py)
+
+    def _hist_vec(self, arg, steps) -> DataFrame:
+        if not isinstance(arg, ast.VectorSelector):
+            raise PromQLEvalError(
+                "histogram functions need a direct selector argument here"
+            )
+        df = self._instant_select(arg, steps, with_hist=True)
+        if "nh_schema" not in df.columns:
+            return df.where(F.lit(False)).withColumns(
+                {c: F.lit(None).cast(t) for c, t in _NH_SCHEMA}
+            )
+        return df.where(F.col("nh_schema").isNotNull())
+
+    def _hist_scalar_fn(self, args, steps, value: F.Column | None = None, fn=None):
+        df = self._hist_vec(args[-1], steps)
+        labels = [c for c in df.columns if c.startswith("l_") and c != NAME_COL]
+        val = fn(df) if fn is not None else value
+        return (
+            "vector",
+            df.select("_ev", *labels, val.cast("double").alias("value")).where(
+                F.col("value").isNotNull()
+            ),
+        )
+
+    def _fn_histogram_count(self, args, steps):
+        from parquet_common_spark.functions.native_histograms import histogram_count
+
+        return self._hist_scalar_fn(args, steps, fn=lambda df: histogram_count(F.col("nh_count")))
+
+    def _fn_histogram_sum(self, args, steps):
+        from parquet_common_spark.functions.native_histograms import histogram_sum
+
+        return self._hist_scalar_fn(args, steps, fn=lambda df: histogram_sum(F.col("nh_sum")))
+
+    def _fn_histogram_avg(self, args, steps):
+        from parquet_common_spark.functions.native_histograms import histogram_avg
+
+        return self._hist_scalar_fn(
+            args, steps, fn=lambda df: histogram_avg(F.col("nh_sum"), F.col("nh_count"))
+        )
+
+    def _fn_histogram_fraction(self, args, steps):
+        from parquet_common_spark.functions.native_histograms import histogram_fraction
+
+        lo = self._static_number(args[0], "lower")
+        hi = self._static_number(args[1], "upper")
+        return self._hist_scalar_fn(
+            args,
+            steps,
+            fn=lambda df: histogram_fraction(
+                lo,
+                hi,
+                F.col("nh_schema"),
+                F.col("nh_zero_count"),
+                F.col("nh_count"),
+                F.col("nh_pos_idx"),
+                F.col("nh_pos_counts"),
+                F.col("nh_neg_idx"),
+                F.col("nh_neg_counts"),
+            ),
+        )
+
+    def _native_histogram_quantile(self, args, steps):
+        from parquet_common_spark.functions.native_histograms import (
+            native_histogram_quantile,
+        )
+
+        phi = self._scalar_param(args[0], steps)
+        df = self._hist_vec(args[1], steps)
+        labels = [c for c in df.columns if c.startswith("l_") and c != NAME_COL]
+        j = self._scalar_join(df, phi, "_phi")
+        q = native_histogram_quantile(
+            F.col("_phi"),
+            F.col("nh_schema"),
+            F.col("nh_zero_count"),
+            F.col("nh_pos_idx"),
+            F.col("nh_pos_counts"),
+            F.col("nh_neg_idx"),
+            F.col("nh_neg_counts"),
+            interpolation="exponential",  # upstream ≥2.50 log-axis rule
+        )
+        val = (
+            F.when(F.isnan(F.col("_phi")), F.lit(float("nan")))
+            .when(F.col("_phi") < 0, F.lit(float("-inf")))
+            .when(F.col("_phi") > 1, F.lit(float("inf")))
+            .otherwise(q)
+        )
+        return (
+            "vector",
+            j.select("_ev", *labels, val.alias("value")).where(
+                F.col("value").isNotNull()
+            ),
+        )
+
     def _fn_histogram_quantile(self, args, steps):
+        # native path when the argument selects native-histogram samples;
+        # classic le-bucket path otherwise
+        if isinstance(args[1], ast.VectorSelector) and self._samples is not None:
+            if "nh_schema" in self._samples.columns:
+                probe = self._base(args[1]).where(F.col("nh_schema").isNotNull())
+                if probe.limit(1).count() > 0:
+                    return self._native_histogram_quantile(args, steps)
         phi = self._scalar_param(args[0], steps)
         df = self._vec_arg(args[1], steps)
         le_col = label_to_column("le")

@@ -35,6 +35,7 @@ class Sample:
     ts_ms: int
     value: float
     stale: bool = False
+    hist: dict | None = None  # native-histogram literal fields
 
 
 @dataclass
@@ -141,6 +142,54 @@ def _split_values(text: str) -> list[str]:
     return [t for t in text.split() if t]
 
 
+# --------------------------------------------- native-histogram literals
+
+_SERIES_TOKEN_RE = re.compile(r"\{\{[^}]*\}\}(?:x\d+)?|\S+")
+_HIST_FIELD_RE = re.compile(r"(\w+):(\[[^\]]*\]|\S+)")
+
+
+def _parse_hist_literal(body: str) -> dict:
+    """``{{schema:0 sum:5 count:4 buckets:[1 2 1] offset:0 ...}}`` ->
+    field dict (upstream promqltest histogram notation; span offset o
+    means the first bucket has absolute index o, covering
+    (γ^(o-1), γ^o])."""
+    out: dict = {
+        "schema": 0, "sum": 0.0, "count": 0.0,
+        "z_bucket": 0.0, "z_bucket_w": 0.0,
+        "buckets": [], "offset": 0, "n_buckets": [], "n_offset": 0,
+    }
+    for m in _HIST_FIELD_RE.finditer(body):
+        key, val = m.group(1), m.group(2)
+        if key in ("buckets", "n_buckets"):
+            out[key] = [float(x) for x in val.strip("[]").split()]
+        elif key in ("schema", "offset", "n_offset"):
+            out[key] = int(val)
+        elif key in ("sum", "count", "z_bucket", "z_bucket_w"):
+            out[key] = _parse_number(val)
+        elif key == "counter_reset_hint":
+            pass  # accepted, unused by the engine slice
+        else:
+            raise ScriptParseError(f"unknown histogram field {key!r}")
+    return out
+
+
+def parse_series_values(text: str) -> list[tuple[float | None, bool, dict | None]]:
+    """Load-line values: scalar tokens (with expansion) plus
+    ``{{...}}``/``{{...}}xN`` native-histogram literals ->
+    [(value|None, is_stale, hist|None)] per time slot."""
+    out: list[tuple[float | None, bool, dict | None]] = []
+    for tok in _SERIES_TOKEN_RE.findall(text):
+        if tok.startswith("{{"):
+            end = tok.rindex("}}")
+            hist = _parse_hist_literal(tok[2:end])
+            reps = int(tok[end + 3:]) if tok[end + 2:].startswith("x") else 0
+            for _ in range(reps + 1):
+                out.append((None, False, hist))
+            continue
+        out.extend((v, s, None) for v, s in parse_values([tok]))
+    return out
+
+
 class ScriptParseError(ValueError):
     pass
 
@@ -181,11 +230,11 @@ def parse_script(text: str, name: str = "<script>") -> Script:
                 if not sm or (not sm.group("name") and not sm.group("labels")):
                     raise ScriptParseError(f"{name}:{i + 1}: bad series line {body!r}")
                 labels = _parse_labels(sm.group("name"), sm.group("labels"))
-                vals = parse_values(_split_values(sm.group("values")))
+                vals = parse_series_values(sm.group("values"))
                 samples = [
-                    Sample(slot * step_ms, v, stale)
-                    for slot, (v, stale) in enumerate(vals)
-                    if v is not None
+                    Sample(slot * step_ms, math.nan if v is None else v, stale, hist)
+                    for slot, (v, stale, hist) in enumerate(vals)
+                    if v is not None or hist is not None
                 ]
                 series.append((labels, samples))
                 i += 1

@@ -216,10 +216,16 @@ def test_registry_wide_no_unplanned_cartesians(spark):
     #   - 1-row scalar broadcasts: a crossJoin against a single-row
     #     aggregate (t5's corpus size N; q11a/q20a/q22's scalar-subquery
     #     thresholds) — the "join" is a constant attach, zero data motion.
+    #   - bounded-step broadcasts: the promqltest engine associates
+    #     samples to eval timestamps with a range join against the
+    #     broadcast `_ev` step frame (one row per eval step — bounded by
+    #     the query, not the data), so the nested loop's inner side is
+    #     constant-size (pq1).
     nlj_ok = {
         "sim1_cosine_topk", "sim4_quantized_topk", "d5_embedding_neardup",
         "sim3_ivf_topk", "t5_tfidf_terms",
         "q11a_important_parts", "q20a_active_part_suppliers", "q22_inactive_customers",
+        "pq1_promql_engine",
     }
     sf_dir = "/root/testdata/sf0.001"
     failures = []
