@@ -80,18 +80,27 @@ def _mangle(names):
 class PromQLEngine:
     """Evaluates PromQL ASTs against samples accumulated from ``load``."""
 
-    def __init__(self, spark: SparkSession):
+    def __init__(self, spark: SparkSession, parquet_backed: bool = False):
+        """``parquet_backed=True`` routes every ``load`` block through
+        ``convert()`` to an on-disk shard and serves selectors back
+        through ShardDataset/ParquetQueryable — the reference's
+        acceptance shape (promqltest over parquet-backed storage,
+        queryable/parquet_queryable_test.go:45-66), with the staleness
+        flag riding as an extra value column."""
         self.spark = spark
         # calendar functions (minute/hour/month/...) extract UTC fields
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        self.parquet_backed = parquet_backed
         self._samples: DataFrame | None = None
         self._label_cols: list[str] = []
+        self._pending: list[DataFrame] = []
 
     # ------------------------------------------------------------ storage
 
     def clear(self):
         self._samples = None
         self._label_cols = []
+        self._pending = []
 
     def load(self, cmd: LoadCmd):
         rows = []
@@ -132,12 +141,48 @@ class PromQLEngine:
             + [f"{c} {t}" for c, t in _NH_SCHEMA]
         )
         df = self.spark.createDataFrame(rows, schema)
+        if self.parquet_backed:
+            self._pending.append(df)
+            self._samples = None  # force re-materialization
+            self._label_cols = list(dict.fromkeys([*self._label_cols, *cols]))
+            return
         if self._samples is None:
             self._samples = df
             self._label_cols = cols
         else:
             self._samples = self._samples.unionByName(df, allowMissingColumns=True)
             self._label_cols = list(dict.fromkeys([*self._label_cols, *cols]))
+
+    def _materialize_parquet(self) -> DataFrame:
+        """Write pending load blocks through convert() (one shard per
+        block — the reference's block->shard unit) and read them back
+        through the queryable select path."""
+        import tempfile
+
+        from parquet_common_spark.convert import convert
+        from parquet_common_spark.queryable import ParquetQueryable, ShardDataset
+
+        shards = []
+        for df in self._pending:
+            extra = ["stale"] + [c for c in _NH_COLS if c in df.columns]
+            out_dir = tempfile.mkdtemp(prefix="promqltest_shard_")
+            convert(
+                df.withColumn("ts", F.col("ts") * F.lit(1000)),  # ms -> µs
+                out_dir,
+                labels_col=None,
+                extra_value_cols=extra,
+            )
+            shards.append(ShardDataset.read(self.spark, out_dir))
+        q = ParquetQueryable(shards)
+        sel = q.select(-(2**62), 2**62, [])
+        labels = [c for c in sel.columns if c.startswith("l_")]
+        extras = [c for c in sel.columns if c == "stale" or c in _NH_COLS]
+        return sel.select(
+            *labels,
+            (F.col("s_ts") / F.lit(1000)).cast("long").alias("ts"),
+            F.col("s_value").alias("value"),
+            *extras,
+        )
 
     # ------------------------------------------------------------- public
 
@@ -226,6 +271,8 @@ class PromQLEngine:
     # ---------------------------------------------------------- selectors
 
     def _base(self, sel: ast.VectorSelector) -> DataFrame:
+        if self._samples is None and self._pending:
+            self._samples = self._materialize_parquet()
         if self._samples is None:
             return self.spark.createDataFrame([], "ts long, value double, stale boolean")
         df = self._samples

@@ -57,3 +57,30 @@ def test_corpus_breadth():
         total += sum(1 for c in s.commands if isinstance(c, EvalCmd))
     assert len(SCRIPTS) >= 7
     assert total >= 100, f"only {total} eval blocks in the corpus"
+
+
+PARQUET_BACKED_SCRIPTS = [
+    os.path.join(DATA_DIR, n)
+    for n in ("selectors.test", "staleness.test", "range_functions.test")
+]
+
+
+@pytest.mark.parametrize(
+    "path", PARQUET_BACKED_SCRIPTS, ids=[os.path.basename(p) for p in PARQUET_BACKED_SCRIPTS]
+)
+def test_promqltest_parquet_backed(spark, path):
+    """The reference's exact acceptance shape: the SAME scripts, but
+    every load block written through convert() to a parquet shard and
+    served back through the ShardDataset/ParquetQueryable select path
+    (staleness flag as an extra value column).  Results must be
+    identical to the in-memory engine's."""
+    from parquet_common_spark.promqltest import PromQLEngine, run_script_text
+
+    engine = PromQLEngine(spark, parquet_backed=True)
+    with open(path) as f:
+        text = f.read()
+    res = run_script_text(engine, text, os.path.basename(path))
+    assert res.evals_total > 0
+    if res.failures:
+        msg = "\n".join(str(f) for f in res.failures)
+        pytest.fail(f"{res.evals_passed}/{res.evals_total} evals passed:\n{msg}")
