@@ -211,6 +211,7 @@ class PromQLEngine:
         eval_ordered can compare sequences."""
         if isinstance(expr, str):
             expr = ast.parse_promql(expr)
+        self._qstart, self._qend = evs[0], evs[-1]  # for @ start()/end()
         steps = self.spark.createDataFrame([(e,) for e in evs], "_ev long")
         kind, df = self._eval(expr, steps)
         if kind == "string":
@@ -285,8 +286,19 @@ class PromQLEngine:
             pred = pred & matcher_to_predicate(m, cols)
         return df.where(pred)
 
+    def _resolve_at(self, at) -> int:
+        if at == "start":
+            return int(self._qstart)
+        if at == "end":
+            return int(self._qend)
+        return int(at)
+
     def _eff_ev(self, sel: ast.VectorSelector):
-        eff = F.lit(int(sel.at_ms)) if sel.at_ms is not None else F.col("_ev")
+        eff = (
+            F.lit(self._resolve_at(sel.at_ms))
+            if sel.at_ms is not None
+            else F.col("_ev")
+        )
         if sel.offset_ms:
             eff = eff - F.lit(int(sel.offset_ms))
         return eff
@@ -519,10 +531,11 @@ class PromQLEngine:
         join on the tiny step frames."""
         step_ms = node.step_ms or self.DEFAULT_SUBQUERY_STEP_MS
         rng = int(node.range_ms)
+        at = self._resolve_at(node.at_ms) if node.at_ms is not None else None
         evs = [r["_ev"] for r in steps.select("_ev").collect()]
         grid: dict[int, None] = {}
         for t in evs:
-            eff = node.at_ms if node.at_ms is not None else t
+            eff = at if at is not None else t
             eff -= node.offset_ms
             # grid points are absolute multiples of step; (eff-rng, eff]
             first = ((eff - rng) // step_ms + 1) * step_ms
@@ -540,13 +553,13 @@ class PromQLEngine:
             raise PromQLEvalError("subquery requires a vector expression")
         labels = [c for c in inner.columns if c not in ("_ev", "value")]
         pts = inner.withColumnRenamed("_ev", "ts")
-        eff = F.lit(int(node.at_ms)) if node.at_ms is not None else F.col("_ev")
+        eff = F.lit(at) if at is not None else F.col("_ev")
         if node.offset_ms:
             eff = eff - F.lit(int(node.offset_ms))
         cond = (F.col("ts") > eff - F.lit(rng)) & (F.col("ts") <= eff)
         j = pts.join(F.broadcast(steps), on=cond, how="inner")
-        if node.at_ms is not None:
-            end = F.lit(int(node.at_ms) - int(node.offset_ms))
+        if at is not None:
+            end = F.lit(at - int(node.offset_ms))
         else:
             end = F.col("_ev") - F.lit(int(node.offset_ms))
         j = j.withColumn("_end", end).withColumn("_start", F.col("_end") - F.lit(rng))
@@ -1151,8 +1164,25 @@ def _fn_sort_impl(self, args, steps, desc: bool):
     return ("vector", df.orderBy(F.asc("_ev"), lead, *[F.asc_nulls_first(c) for c in labels]))
 
 
+def _fn_sort_by_label_impl(self, args, steps, desc: bool):
+    """sort_by_label/sort_by_label_desc (upstream experimental): order
+    by the given label values (absent == ""), remaining labels as
+    tie-break."""
+    df = self._vec_arg(args[0], steps)
+    keys = [label_to_column(self._string(a)) for a in args[1:]]
+    rest = sorted(c for c in df.columns if c not in ("_ev", "value") and c not in keys)
+
+    def k(c):
+        col = F.coalesce(F.col(c), F.lit("")) if c in df.columns else F.lit("")
+        return col.desc() if desc else col.asc()
+
+    return ("vector", df.orderBy(F.asc("_ev"), *[k(c) for c in keys], *[k(c) for c in rest]))
+
+
 PromQLEngine._fn_sort = lambda self, a, s: _fn_sort_impl(self, a, s, False)
 PromQLEngine._fn_sort_desc = lambda self, a, s: _fn_sort_impl(self, a, s, True)
+PromQLEngine._fn_sort_by_label = lambda self, a, s: _fn_sort_by_label_impl(self, a, s, False)
+PromQLEngine._fn_sort_by_label_desc = lambda self, a, s: _fn_sort_by_label_impl(self, a, s, True)
 
 
 _SIMPLE_MATH = {

@@ -299,12 +299,21 @@ class _Parser:
                 target.offset_ms = off
             elif t.text == "@":
                 self.next()
-                neg = self.accept("-")
-                at = self.next().text
-                if _DUR_RE.match(at):
-                    at_ms = parse_duration_ms(at)
+                if self.peek().text in ("start", "end"):
+                    # @ start() / @ end(): resolved to the query range
+                    # bounds at evaluation time
+                    kw = self.next().text
+                    self.expect("(")
+                    self.expect(")")
+                    at_ms = kw  # sentinel string
+                    neg = False
                 else:
-                    at_ms = int(float(at) * 1000)
+                    neg = self.accept("-")
+                    at = self.next().text
+                    if _DUR_RE.match(at):
+                        at_ms = parse_duration_ms(at)
+                    else:
+                        at_ms = int(float(at) * 1000)
                 if neg:
                     at_ms = -at_ms
                 target = e.selector if isinstance(e, MatrixSelector) else e
