@@ -159,23 +159,42 @@ def _check_eval(engine: PromQLEngine, cmd: EvalCmd) -> str | None:
     return None
 
 
-def run_script(engine: PromQLEngine, script: Script) -> ScriptResult:
+def run_script(
+    engine: PromQLEngine, script: Script, max_workers: int = 8
+) -> ScriptResult:
+    """Two-phase execution: walk the script sequentially (loads/clears
+    mutate storage), snapshotting the engine state each eval sees, then
+    run the independent eval actions CONCURRENTLY — Spark schedules
+    parallel jobs from multiple threads, so the wall time of a script is
+    bounded by its slowest eval, not the sum.  Snapshots are shallow
+    copies: DataFrames are immutable and ``load``/``clear`` rebind
+    rather than mutate the sample frame, and each copy carries its own
+    ``_qstart``/``_qend`` eval bounds."""
+    import copy
+    from concurrent.futures import ThreadPoolExecutor
+
     res = ScriptResult(script.name)
     engine.clear()
+    pending: list[tuple[EvalCmd, PromQLEngine]] = []
     for cmd in script.commands:
         if isinstance(cmd, ClearCmd):
             engine.clear()
         elif isinstance(cmd, LoadCmd):
             engine.load(cmd)
         elif isinstance(cmd, EvalCmd):
-            res.evals_total += 1
-            msg = _check_eval(engine, cmd)
-            if msg is None:
-                res.evals_passed += 1
-            else:
-                res.failures.append(
-                    EvalFailure(script.name, cmd.line, cmd.expr, msg)
-                )
+            if engine.parquet_backed and engine._pending and engine._samples is None:
+                engine._samples = engine._materialize_parquet()
+            pending.append((cmd, copy.copy(engine)))
+    res.evals_total = len(pending)
+    if not pending:
+        return res
+    with ThreadPoolExecutor(max_workers=max_workers) as ex:
+        msgs = list(ex.map(lambda p: _check_eval(p[1], p[0]), pending))
+    for (cmd, _), msg in zip(pending, msgs):
+        if msg is None:
+            res.evals_passed += 1
+        else:
+            res.failures.append(EvalFailure(script.name, cmd.line, cmd.expr, msg))
     return res
 
 
