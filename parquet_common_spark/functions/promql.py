@@ -38,13 +38,22 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
+
+def _is_reset(prev: Column, cur: Column) -> Column:
+    """Counter-reset test ``prev > cur`` with upstream NaN semantics:
+    Go comparisons with NaN are false, while Spark's ordering sorts NaN
+    above every number (NaN > x is true) — without the guard a NaN
+    sample would fabricate a reset and poison the reset-compensation
+    sum (promql/functions.go extrapolatedRate / funcResets)."""
+    return (~F.isnan(prev)) & (~F.isnan(cur)) & (prev > cur)
+
 def counter_adjusted(df: DataFrame, series_cols: list[str], ts_col: str, value_col: str) -> DataFrame:
     """Add ``_adj_value``: the counter with resets compensated (monotonic
     as long as true inter-sample increases never exceed the reset span)."""
     w = Window.partitionBy(*series_cols).orderBy(ts_col)
     cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     prev = F.lag(value_col).over(w)
-    drop = F.when(prev > F.col(value_col), prev).otherwise(F.lit(0.0))
+    drop = F.when(_is_reset(prev, F.col(value_col)), prev).otherwise(F.lit(0.0))
     return df.withColumn("_adj_value", F.col(value_col) + F.sum(drop).over(cum))
 
 
@@ -140,7 +149,7 @@ def extrapolated_increase_over_windows(
         .withColumn("_rn_d", F.row_number().over(w_desc))
         .withColumn(
             "_reset",
-            F.when(prev > F.col(value_col), prev).otherwise(F.lit(0.0)),
+            F.when(_is_reset(prev, F.col(value_col)), prev).otherwise(F.lit(0.0)),
         )
     )
     first_v = F.max(F.when(F.col("_rn_a") == 1, F.col(value_col)))
@@ -287,7 +296,7 @@ def promql_suite_over_windows(
     ]
     agg = staged.groupBy(*series_cols, "_win").agg(
         F.count(F.lit(1)).alias("n_samples"),
-        F.coalesce(F.sum((F.col("_prev") > v).cast("long")), F.lit(0)).alias("resets"),
+        F.coalesce(F.sum(_is_reset(F.col("_prev"), v).cast("long")), F.lit(0)).alias("resets"),
         F.coalesce(
             F.sum((F.col("_prev").isNotNull() & (F.col("_prev") != v)).cast("long")), F.lit(0)
         ).alias("changes"),
@@ -310,7 +319,7 @@ def promql_suite_over_windows(
     stv, st2 = F.col("_stv").cast("double"), F.col("_st2").cast("double")
     sv2 = F.col("_sv2").cast("double")
     idelta = F.col("_last_v") - F.col("_prev_v")
-    inum = F.when(F.col("_last_v") < F.col("_prev_v"), F.col("_last_v")).otherwise(idelta)
+    inum = F.when(_is_reset(F.col("_prev_v"), F.col("_last_v")), F.col("_last_v")).otherwise(idelta)
     dt_s = (F.col("_last_ts") - F.col("_prev_ts")).cast("double") / 1e6
     iok = (F.col("n_samples") >= 2) & (F.col("_last_ts") > F.col("_prev_ts"))
     num = nd * stv - st * sv
@@ -351,7 +360,7 @@ def resets_changes_over_windows(
     prev = F.lag(value_col).over(w)
     flagged = (
         df.withColumn("_win", win)
-        .withColumn("_reset", (prev > F.col(value_col)).cast("long"))
+        .withColumn("_reset", _is_reset(prev, F.col(value_col)).cast("long"))
         .withColumn(
             "_change", (prev.isNotNull() & (prev != F.col(value_col))).cast("long")
         )
@@ -394,7 +403,7 @@ def instant_over_windows(
     )
     idelta = F.col("_last_v") - F.col("_prev_v")
     num = (
-        F.when(F.col("_last_v") < F.col("_prev_v"), F.col("_last_v")).otherwise(idelta)
+        F.when(_is_reset(F.col("_prev_v"), F.col("_last_v")), F.col("_last_v")).otherwise(idelta)
         if is_counter
         else idelta
     )

@@ -316,9 +316,14 @@ def topk(
     results are deterministic and oracle-checkable."""
     keys = _group_cols(df, value_col, by, without)
     others = [c for c in df.columns if c != value_col and c not in keys]
-    order = [F.asc(value_col) if bottom else F.desc(value_col)] + [
-        F.asc_nulls_first(c) for c in others
-    ]
+    # upstream de-prioritizes NaN for BOTH operators (promql/engine.go
+    # aggregationK: a NaN series is selected only when there are not
+    # enough non-NaN values) — Spark's native ordering would instead
+    # sort NaN above every number and hand topk the NaN series first
+    order = [
+        F.asc(F.isnan(F.col(value_col))),
+        F.asc(value_col) if bottom else F.desc(value_col),
+    ] + [F.asc_nulls_first(c) for c in others]
     w = Window.partitionBy(*keys).orderBy(*order) if keys else Window.orderBy(*order)
     return (
         df.withColumn("_rk", F.row_number().over(w))
@@ -372,6 +377,7 @@ _ARITH = {
     "/": _ieee_div,
     "%": _ieee_mod,
     "^": lambda l, r: F.pow(l, r),
+    "atan2": lambda l, r: F.atan2(l, r),
 }
 _CMP = {
     "==": _ieee_cmp(lambda l, r: l == r),
@@ -503,8 +509,15 @@ def vector_binop(
         keep_cols = [F.col(c) for c in keep]
         many_v = lv
     elif group == "left":
-        # many-to-one: right is the "one" side — broadcast it
-        one_carry = [c for c in carry if c in r.columns]
+        # many-to-one: right is the "one" side — broadcast it.  A carry
+        # label ABSENT from the one side's schema still participates:
+        # upstream resultMetric copies the one side's (empty) value,
+        # DELETING any same-named label on the many side — so missing
+        # carry columns are materialized as NULL rather than dropped.
+        for c in carry:
+            if c not in r.columns:
+                r = r.withColumn(c, F.lit(None).cast("string"))
+        one_carry = list(dict.fromkeys(carry))
         joined = ns_join(l, r, [*match, *one_carry, "_rv"], "_rv")
         lv, rv = F.col("_lv"), F.col("_one__rv")
         keep_cols = [F.col(c) for c in l_labels if c not in one_carry] + [
@@ -512,8 +525,12 @@ def vector_binop(
         ]
         many_v = lv
     elif group == "right":
-        # one-to-many: left is the "one" side — broadcast it
-        one_carry = [c for c in carry if c in l.columns]
+        # one-to-many: left is the "one" side — broadcast it (carry
+        # semantics mirror group_left, incl. NULL-materialized absents)
+        for c in carry:
+            if c not in l.columns:
+                l = l.withColumn(c, F.lit(None).cast("string"))
+        one_carry = list(dict.fromkeys(carry))
         joined = ns_join(r, l, [*match, *one_carry, "_lv"], "_lv")
         lv, rv = F.col("_one__lv"), F.col("_rv")
         keep_cols = [F.col(c) for c in r_labels if c not in one_carry] + [

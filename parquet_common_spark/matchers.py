@@ -165,6 +165,11 @@ def _enumerate_literals(pattern: str, limit: int = 64) -> list[str] | None:
                         return None
                 suffixes: list[str] = chars
             elif opname == "SUBPATTERN":
+                # av = (group, add_flags, del_flags, subpattern); a scoped
+                # inline flag like (?i:...) changes matching semantics the
+                # IN expansion cannot honor — bail to the rlike path
+                if av[1] or av[2]:
+                    return None
                 sub = walk(av[3])
                 if sub is None:
                     return None

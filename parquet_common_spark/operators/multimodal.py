@@ -196,15 +196,20 @@ def resize_media(df: DataFrame, max_side: int = 256) -> DataFrame:
             out = {"doc_id": [], "media_type": [], "width": [], "height": [], "payload": []}
             for doc_id, mt, payload in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
                 raw = bytes(payload)
-                if mt in ("image", "video"):
+                pixels = None
+                if mt in ("image", "video") and MC.sniff_media(raw) == "png":
+                    # single full decode: geometry AND pixels (the
+                    # per-scanline unfilter dominates this operator —
+                    # never pay it twice for the same payload)
+                    w, h, pixels = MC.decode_png(raw)
+                elif mt in ("image", "video"):
                     w, h, _ = _decode_media(mt, raw)
                 else:
                     w, h = 0, 0
                 if w and max(w, h) > max_side:
                     scale = max_side / max(w, h)
                     w, h = max(int(w * scale), 1), max(int(h * scale), 1)
-                    if MC.sniff_media(raw) == "png":
-                        _w0, _h0, pixels = MC.decode_png(raw)
+                    if pixels is not None:
                         raw = MC.encode_png(MC.resize_nearest(pixels, w, h))
                 out["doc_id"].append(int(doc_id))
                 out["media_type"].append(mt)

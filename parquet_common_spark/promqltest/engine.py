@@ -49,9 +49,6 @@ from parquet_common_spark.promqltest.scriptparse import LoadCmd
 LOOKBACK_MS = 5 * 60 * 1000
 NAME_COL = label_to_column("__name__")
 
-# atan2 participates in arithmetic vector matching like / or %
-pv._ARITH.setdefault("atan2", lambda l, r: F.atan2(l, r))
-
 # native-histogram sample columns (the promqltest {{...}} literal
 # notation mapped onto the functions/native_histograms.py sparse model:
 # bucket k covers (γ^(k-1), γ^k], literal offset o = first bucket's k)
@@ -94,6 +91,7 @@ class PromQLEngine:
         self._samples: DataFrame | None = None
         self._label_cols: list[str] = []
         self._pending: list[DataFrame] = []
+        self._qstart = self._qend = 0  # @ start()/end() bounds, set per run
 
     # ------------------------------------------------------------ storage
 
@@ -195,6 +193,7 @@ class PromQLEngine:
         larger Spark plans (e.g. the driver-contract registry)."""
         if isinstance(expr, str):
             expr = ast.parse_promql(expr)
+        self._qstart = self._qend = int(t_ms)  # for @ start()/end()
         steps = self.spark.createDataFrame([(int(t_ms),)], "_ev long")
         kind, df = self._eval(expr, steps)
         if kind != "vector":
@@ -658,6 +657,48 @@ class PromQLEngine:
         out = df.withColumn("value", F.col("_ev").cast("double") / F.lit(1000.0))
         return ("vector", self._drop_name(out))
 
+    def _sort(self, args, steps, desc: bool):
+        """sort/sort_desc: order by value (the collected row order is
+        the result order, so the orderBy must be on the returned df)."""
+        df = self._vec_arg(args[0], steps)
+        labels = sorted(c for c in df.columns if c not in ("_ev", "value"))
+        lead = F.desc("value") if desc else F.asc("value")
+        return (
+            "vector",
+            df.orderBy(F.asc("_ev"), lead, *[F.asc_nulls_first(c) for c in labels]),
+        )
+
+    def _fn_sort(self, args, steps):
+        return self._sort(args, steps, False)
+
+    def _fn_sort_desc(self, args, steps):
+        return self._sort(args, steps, True)
+
+    def _sort_by_label(self, args, steps, desc: bool):
+        """sort_by_label/sort_by_label_desc (upstream experimental):
+        order by the given label values (absent == ""), remaining
+        labels as tie-break."""
+        df = self._vec_arg(args[0], steps)
+        keys = [label_to_column(self._string(a)) for a in args[1:]]
+        rest = sorted(
+            c for c in df.columns if c not in ("_ev", "value") and c not in keys
+        )
+
+        def k(c):
+            col = F.coalesce(F.col(c), F.lit("")) if c in df.columns else F.lit("")
+            return col.desc() if desc else col.asc()
+
+        return (
+            "vector",
+            df.orderBy(F.asc("_ev"), *[k(c) for c in keys], *[k(c) for c in rest]),
+        )
+
+    def _fn_sort_by_label(self, args, steps):
+        return self._sort_by_label(args, steps, False)
+
+    def _fn_sort_by_label_desc(self, args, steps):
+        return self._sort_by_label(args, steps, True)
+
     def _fn_label_replace(self, args, steps):
         df = self._vec_arg(args[0], steps)
         dst, repl, src, regex = (self._string(a) for a in args[1:5])
@@ -691,7 +732,9 @@ class PromQLEngine:
         rdf, labels, _ = self._matrix_arg(args[0], steps)
         present = rdf.select("_ev").distinct()
         out = steps.join(present, on="_ev", how="left_anti")
-        return ("vector", self._with_absent_labels(out, args[0].selector))
+        # _with_absent_labels unwraps MatrixSelector itself; a Subquery
+        # argument contributes no inferable labels (as upstream)
+        return ("vector", self._with_absent_labels(out, args[0]))
 
     def _with_absent_labels(self, evs: DataFrame, node) -> DataFrame:
         """Label inference for absent()/absent_over_time: equality
@@ -811,10 +854,13 @@ class PromQLEngine:
 
     def _fn_histogram_quantile(self, args, steps):
         # native path when the argument selects native-histogram samples;
-        # classic le-bucket path otherwise
-        if isinstance(args[1], ast.VectorSelector) and self._samples is not None:
-            if "nh_schema" in self._samples.columns:
-                probe = self._base(args[1]).where(F.col("nh_schema").isNotNull())
+        # classic le-bucket path otherwise.  _base() first: it also
+        # materializes pending parquet-backed loads, so the probe is
+        # order-independent.
+        if isinstance(args[1], ast.VectorSelector):
+            base = self._base(args[1])
+            if "nh_schema" in base.columns:
+                probe = base.where(F.col("nh_schema").isNotNull())
                 if probe.limit(1).count() > 0:
                     return self._native_histogram_quantile(args, steps)
         phi = self._scalar_param(args[0], steps)
@@ -877,8 +923,11 @@ class PromQLEngine:
         rdf, labels, range_ms = self._matrix_arg(args[0], steps)
         w = Window.partitionBy("_ev", *labels).orderBy("ts")
         prev = F.lag("value").over(w)
+        # NaN guard: Spark orders NaN above every number, upstream Go
+        # comparisons with NaN are false (see promql._is_reset)
+        is_reset = (~F.isnan(prev)) & (~F.isnan(F.col("value"))) & (prev > F.col("value"))
         staged = rdf.withColumn(
-            "_reset", F.when(prev > F.col("value"), prev).otherwise(F.lit(0.0))
+            "_reset", F.when(is_reset, prev).otherwise(F.lit(0.0))
         )
         agg = staged.groupBy("_ev", *labels).agg(
             F.count(F.lit(1)).alias("_n"),
@@ -933,8 +982,13 @@ class PromQLEngine:
             F.max(F.when(F.col("_rn") == 2, F.col("ts"))).alias("_prev_ts"),
         )
         idelta = F.col("_last_v") - F.col("_prev_v")
+        pair_reset = (
+            (~F.isnan(F.col("_last_v")))
+            & (~F.isnan(F.col("_prev_v")))
+            & (F.col("_last_v") < F.col("_prev_v"))
+        )
         num = (
-            F.when(F.col("_last_v") < F.col("_prev_v"), F.col("_last_v")).otherwise(idelta)
+            F.when(pair_reset, F.col("_last_v")).otherwise(idelta)
             if is_counter
             else idelta
         )
@@ -970,7 +1024,7 @@ class PromQLEngine:
         w = Window.partitionBy("_ev", *labels).orderBy("ts")
         prev = F.lag("value").over(w)
         flag = (
-            (prev > F.col("value"))
+            ((~F.isnan(prev)) & (~F.isnan(F.col("value"))) & (prev > F.col("value")))
             if resets
             else (
                 prev.isNotNull()
@@ -1154,35 +1208,6 @@ class PromQLEngine:
 
     def _fn_days_in_month(self, a, s):
         return self._calendar("days_in_month", a, s)
-
-
-# sort/sort_desc need dedicated handlers (order must survive to collect)
-def _fn_sort_impl(self, args, steps, desc: bool):
-    df = self._vec_arg(args[0], steps)
-    labels = sorted(c for c in df.columns if c not in ("_ev", "value"))
-    lead = F.desc("value") if desc else F.asc("value")
-    return ("vector", df.orderBy(F.asc("_ev"), lead, *[F.asc_nulls_first(c) for c in labels]))
-
-
-def _fn_sort_by_label_impl(self, args, steps, desc: bool):
-    """sort_by_label/sort_by_label_desc (upstream experimental): order
-    by the given label values (absent == ""), remaining labels as
-    tie-break."""
-    df = self._vec_arg(args[0], steps)
-    keys = [label_to_column(self._string(a)) for a in args[1:]]
-    rest = sorted(c for c in df.columns if c not in ("_ev", "value") and c not in keys)
-
-    def k(c):
-        col = F.coalesce(F.col(c), F.lit("")) if c in df.columns else F.lit("")
-        return col.desc() if desc else col.asc()
-
-    return ("vector", df.orderBy(F.asc("_ev"), *[k(c) for c in keys], *[k(c) for c in rest]))
-
-
-PromQLEngine._fn_sort = lambda self, a, s: _fn_sort_impl(self, a, s, False)
-PromQLEngine._fn_sort_desc = lambda self, a, s: _fn_sort_impl(self, a, s, True)
-PromQLEngine._fn_sort_by_label = lambda self, a, s: _fn_sort_by_label_impl(self, a, s, False)
-PromQLEngine._fn_sort_by_label_desc = lambda self, a, s: _fn_sort_by_label_impl(self, a, s, True)
 
 
 _SIMPLE_MATH = {

@@ -150,8 +150,8 @@ _TOKEN_RE = re.compile(
   | (?P<number>
         0[xX][0-9a-fA-F]+
       | (?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?
-      | [iI][nN][fF]
-      | [nN][aA][nN]
+      | [iI][nN][fF](?![a-zA-Z0-9_:])
+      | [nN][aA][nN](?![a-zA-Z0-9_:])
     )
   | (?P<string>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*'|`[^`]*`)
   | (?P<op>=~|!~|==|!=|<=|>=|<|>|=|\+|-|\*|/|%|\^|\(|\)|\{|\}|\[|\]|,|:|@)

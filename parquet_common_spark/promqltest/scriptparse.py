@@ -200,10 +200,10 @@ def parse_script(text: str, name: str = "<script>") -> Script:
     i, n = 0, len(lines)
 
     def strip_comment(line: str) -> str:
-        # '#' starts a comment (the format has no string syntax in series
-        # lines where # could appear)
-        idx = line.find("#")
-        return line[:idx] if idx != -1 else line
+        # only WHOLE-LINE comments exist in the format — a '#' inside a
+        # quoted label value (path="/metrics#frag") is data, so mid-line
+        # stripping would corrupt series lines
+        return "" if line.lstrip().startswith("#") else line
 
     while i < n:
         raw = lines[i]
@@ -221,6 +221,9 @@ def parse_script(text: str, name: str = "<script>") -> Script:
             series: list[tuple[dict[str, str], list[Sample]]] = []
             i += 1
             while i < n:
+                if lines[i].strip().startswith("#"):
+                    i += 1  # comment lines are invisible to block structure
+                    continue
                 body = strip_comment(lines[i])
                 if not body.strip():
                     break
@@ -271,6 +274,9 @@ def parse_script(text: str, name: str = "<script>") -> Script:
             i += 1
             # expected result lines: indented
             while i < n:
+                if lines[i].strip().startswith("#"):
+                    i += 1
+                    continue
                 body = strip_comment(lines[i])
                 if not body.strip():
                     break

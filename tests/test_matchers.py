@@ -167,3 +167,21 @@ def test_re2_dialect_guard(spark):
         matcher_to_predicate(Matcher("x", "=~", r"(?P<letter>[ab])[0-9]"), df.columns)
     ).collect()]
     assert sorted(got) == ["a1", "b2"]
+
+
+def test_scoped_flag_not_enumerated(spark):
+    """(?i:...) groups must not expand to a case-exact IN list — the
+    scoped flag changes matching semantics, so the rlike path (which
+    honors it) must be used (review finding, r5)."""
+    from parquet_common_spark.matchers import _enumerate_literals
+
+    assert _enumerate_literals("(?i:abc)") is None
+    assert _enumerate_literals("x(?i:a|b)y") is None
+    # without the flag, the same shape still enumerates
+    assert sorted(_enumerate_literals("x(a|b)y")) == ["xay", "xby"]
+
+    df = spark.createDataFrame([("ABC",), ("abc",), ("xyz",)], "l_job string")
+    got = [r["l_job"] for r in df.where(
+        matcher_to_predicate(Matcher("job", "=~", "(?i:abc)"), df.columns)
+    ).collect()]
+    assert sorted(got) == ["ABC", "abc"]
