@@ -502,3 +502,43 @@ load 5m
     return vec.select(
         F.col("l_group").alias("grp"), F.col("value").alias("inc")
     ).orderBy("grp")
+
+
+@query(
+    "pq2_promql_parquet_storage",
+    """
+    SELECT grp, inc FROM (VALUES ('canary', CAST(420 AS DOUBLE)),
+                                 ('production', CAST(180 AS DOUBLE))) AS t(grp, inc)
+    ORDER BY grp
+    """,
+)
+def pq2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pq1's evaluation with the storage layer in the loop: the load
+    block is written through convert() to a parquet shard and served
+    back through ShardDataset/ParquetQueryable — the reference's
+    promqltest-over-parquet-storage acceptance shape
+    (queryable/parquet_queryable_test.go:45-66) as a driver-gate entry.
+    Same analytically derived oracle as pq1 (results must be identical
+    across storage backends)."""
+    from parquet_common_spark.promqltest import PromQLEngine, parse_script
+    from parquet_common_spark.promqltest.scriptparse import LoadCmd
+
+    eng = PromQLEngine(spark, parquet_backed=True)
+    script = parse_script(
+        """
+load 5m
+    http_requests{job="api-server", instance="0", group="production"}    0+10x10
+    http_requests{job="api-server", instance="1", group="production"}    0+20x10
+    http_requests{job="api-server", instance="0", group="canary"}        0+30x10
+    http_requests{job="api-server", instance="1", group="canary"}        0+40x10
+"""
+    )
+    for cmd in script.commands:
+        if isinstance(cmd, LoadCmd):
+            eng.load(cmd)
+    vec = eng.eval_instant_df(
+        "sum by (group) (increase(http_requests[30m]))", 50 * 60 * 1000
+    )
+    return vec.select(
+        F.col("l_group").alias("grp"), F.col("value").alias("inc")
+    ).orderBy("grp")

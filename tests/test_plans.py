@@ -225,7 +225,7 @@ def test_registry_wide_no_unplanned_cartesians(spark):
         "sim1_cosine_topk", "sim4_quantized_topk", "d5_embedding_neardup",
         "sim3_ivf_topk", "t5_tfidf_terms",
         "q11a_important_parts", "q20a_active_part_suppliers", "q22_inactive_customers",
-        "pq1_promql_engine",
+        "pq1_promql_engine", "pq2_promql_parquet_storage",
     }
     sf_dir = "/root/testdata/sf0.001"
     failures = []

@@ -61,7 +61,16 @@ def test_corpus_breadth():
 
 PARQUET_BACKED_SCRIPTS = [
     os.path.join(DATA_DIR, n)
-    for n in ("selectors.test", "staleness.test", "range_functions.test")
+    for n in (
+        "selectors.test",
+        "staleness.test",
+        "range_functions.test",
+        "operators.test",
+        "histograms.test",
+        # native-histogram columns ride extra_value_cols through
+        # convert() — the reference's EncHistogram disk round trip
+        "native_histograms.test",
+    )
 ]
 
 
