@@ -93,3 +93,28 @@ def test_promqltest_parquet_backed(spark, path):
     if res.failures:
         msg = "\n".join(str(f) for f in res.failures)
         pytest.fail(f"{res.evals_passed}/{res.evals_total} evals passed:\n{msg}")
+
+
+def test_parquet_backed_selector_pushdown(spark):
+    """The engine's selector predicates must reach the parquet scan in
+    parquet-backed mode — same pushdown discipline as the queryable
+    plan pins (tests/test_plans.py)."""
+    from parquet_common_spark.promqltest import PromQLEngine, parse_script
+    from parquet_common_spark.promqltest.scriptparse import LoadCmd
+
+    eng = PromQLEngine(spark, parquet_backed=True)
+    script = parse_script(
+        """
+load 5m
+    pp{job="api", env="prod"} 0+10x10
+    pp{job="web", env="prod"} 0+20x10
+"""
+    )
+    for cmd in script.commands:
+        if isinstance(cmd, LoadCmd):
+            eng.load(cmd)
+    df = eng.eval_instant_df('pp{job="api"}', 50 * 60 * 1000)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert any("l_job" in ln for ln in pushed), pushed
