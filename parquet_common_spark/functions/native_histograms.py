@@ -178,13 +178,18 @@ def build_histograms(
 
 def _cumulative(counts: Column) -> Column:
     """Running-sum array over sparse per-bucket counts (buckets are few:
-    ≤ ~4/octave, so the quadratic concat fold stays tiny)."""
+    ≤ ~4/octave, so the quadratic concat fold stays tiny).  Double-typed
+    so both integer histograms (stored counts) and float histograms
+    (rate()/sum() derived) flow through the same walk."""
     return F.aggregate(
         counts,
-        F.array().cast("array<long>"),
+        F.array().cast("array<double>"),
         lambda acc, x: F.concat(
             acc,
-            F.array(F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(0).cast("long")) + x),
+            F.array(
+                F.coalesce(F.try_element_at(acc, F.lit(-1)), F.lit(0.0))
+                + x.cast("double")
+            ),
         ),
     )
 
@@ -223,8 +228,8 @@ def native_histogram_quantile(
     if neg_counts is None:
         neg_counts = F.array().cast("array<long>")
     gamma = F.pow(F.lit(2.0), F.pow(F.lit(2.0), -schema.cast("double")))
-    neg_total = F.aggregate(neg_counts, F.lit(0).cast("long"), lambda a, x: a + x).cast("double")
-    pos_total = F.aggregate(pos_counts, F.lit(0).cast("long"), lambda a, x: a + x).cast("double")
+    neg_total = F.aggregate(neg_counts, F.lit(0.0), lambda a, x: a + x.cast("double"))
+    pos_total = F.aggregate(pos_counts, F.lit(0.0), lambda a, x: a + x.cast("double"))
     total = neg_total + zero_count.cast("double") + pos_total
     target = qc * total
 

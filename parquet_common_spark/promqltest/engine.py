@@ -759,17 +759,195 @@ class PromQLEngine:
     # -- native-histogram functions (sparse exponential model; the
     #    Column kernels live in functions/native_histograms.py)
 
+    def _norm_hist(self, df: DataFrame) -> DataFrame:
+        """Uniform float-histogram shape: double scalars, double count
+        arrays — so stored integer histograms and derived float
+        histograms (rate()/sum()) share one representation."""
+        return df.withColumns(
+            {
+                "nh_zero_count": F.col("nh_zero_count").cast("double"),
+                "nh_count": F.col("nh_count").cast("double"),
+                "nh_sum": F.col("nh_sum").cast("double"),
+                "nh_pos_counts": F.col("nh_pos_counts").cast("array<double>"),
+                "nh_neg_counts": F.col("nh_neg_counts").cast("array<double>"),
+            }
+        )
+
     def _hist_vec(self, arg, steps) -> DataFrame:
+        """A native-histogram instant vector: selector, sum()
+        aggregation, or rate()/increase() over a histogram range."""
+        if isinstance(arg, ast.Aggregate) and arg.op == "sum":
+            return self._hist_sum(arg, steps)
+        if isinstance(arg, ast.Call) and arg.func in ("rate", "increase"):
+            return self._hist_rate(arg, steps, is_rate=arg.func == "rate")
         if not isinstance(arg, ast.VectorSelector):
             raise PromQLEvalError(
-                "histogram functions need a direct selector argument here"
+                "histogram functions need a selector, sum(), or "
+                "rate()/increase() argument here"
             )
         df = self._instant_select(arg, steps, with_hist=True)
         if "nh_schema" not in df.columns:
             return df.where(F.lit(False)).withColumns(
                 {c: F.lit(None).cast(t) for c, t in _NH_SCHEMA}
             )
-        return df.where(F.col("nh_schema").isNotNull())
+        return self._norm_hist(df.where(F.col("nh_schema").isNotNull()))
+
+    @staticmethod
+    def _merge_sparse(pairs: F.Column):
+        """Merge a flattened array of (idx, cnt) sparse-bucket pairs into
+        (sorted distinct idx array, per-idx summed counts).  Quadratic in
+        the bucket count per group — bounded by ≤ ~4 buckets/octave, so
+        the expression stays tiny and JVM-side."""
+        idxs = F.array_sort(F.array_distinct(F.transform(pairs, lambda p: p["idx"])))
+        merged = F.transform(
+            idxs,
+            lambda k: F.struct(
+                k.alias("idx"),
+                F.aggregate(
+                    pairs,
+                    F.lit(0.0),
+                    lambda a, p: a + F.when(p["idx"] == k, p["cnt"]).otherwise(F.lit(0.0)),
+                ).alias("cnt"),
+            ),
+        )
+        # compact: a merged/differenced bucket at exactly 0 disappears
+        # (upstream compaction) — an empty bucket would poison the
+        # quantile walk's in-bucket division
+        merged = F.filter(merged, lambda s: s["cnt"] != 0)
+        return (
+            F.transform(merged, lambda s: s["idx"]),
+            F.transform(merged, lambda s: s["cnt"]),
+        )
+
+    def _hist_sum(self, node: ast.Aggregate, steps) -> DataFrame:
+        """sum()/sum by() over a native-histogram vector (upstream
+        promql/engine.go histogram aggregation).  Requires one bucketing
+        schema per group (upstream downscales mixed schemas; this engine
+        raises — documented slice)."""
+        inner = self._hist_vec(node.expr, steps)
+        if node.by is not None:
+            keys = ["_ev"] + [c for c in _mangle(node.by) if c in inner.columns]
+        elif node.without is not None:
+            drop = set(_mangle(node.without)) | {NAME_COL}
+            keys = [
+                c for c in inner.columns
+                if (c == "_ev" or c.startswith("l_")) and c not in drop
+            ]
+        else:
+            keys = ["_ev"]
+        pair = lambda i, c: F.zip_with(  # noqa: E731
+            F.col(i), F.col(c), lambda k, v: F.struct(k.alias("idx"), v.cast("double").alias("cnt"))
+        )
+        staged = inner.select(
+            *keys,
+            "nh_schema", "nh_zero_count", "nh_count", "nh_sum",
+            pair("nh_pos_idx", "nh_pos_counts").alias("_pp"),
+            pair("nh_neg_idx", "nh_neg_counts").alias("_np"),
+        )
+        agg = staged.groupBy(*keys).agg(
+            F.min("nh_schema").alias("_smin"),
+            F.max("nh_schema").alias("nh_schema"),
+            F.sum("nh_zero_count").alias("nh_zero_count"),
+            F.sum("nh_count").alias("_count"),
+            F.sum("nh_sum").alias("nh_sum"),
+            F.flatten(F.collect_list("_pp")).alias("_pflat"),
+            F.flatten(F.collect_list("_np")).alias("_nflat"),
+        )
+        # schema-equality guard folded into the count so pruning keeps it
+        count_checked = F.when(
+            F.assert_true(
+                F.col("_smin") == F.col("nh_schema"),
+                F.lit("sum() over mixed native-histogram schemas is not supported"),
+            ).isNull(),
+            F.col("_count"),
+        )
+        pos_idx, pos_counts = self._merge_sparse(F.col("_pflat"))
+        neg_idx, neg_counts = self._merge_sparse(F.col("_nflat"))
+        return agg.select(
+            *keys,
+            "nh_schema",
+            F.col("nh_zero_count"),
+            F.lit(None).cast("double").alias("nh_zero_threshold"),
+            count_checked.alias("nh_count"),
+            "nh_sum",
+            pos_idx.alias("nh_pos_idx"),
+            pos_counts.alias("nh_pos_counts"),
+            neg_idx.alias("nh_neg_idx"),
+            neg_counts.alias("nh_neg_counts"),
+        )
+
+    def _hist_rate(self, node: ast.Call, steps, is_rate: bool) -> DataFrame:
+        """rate()/increase() over a native-histogram range vector:
+        last-minus-first per bucket, scaled by the same boundary
+        extrapolation as the float path (promql/functions.go
+        extrapolatedRate histogram branch — which applies NO counter
+        zero clamp).  Counter-reset compensation inside the window is
+        not implemented (documented slice: monotone histograms)."""
+        rdf, labels, range_ms = self._matrix_arg(node.args[0], steps)
+        if "nh_schema" not in rdf.columns:
+            empty = rdf.where(F.lit(False)).select("_ev", *labels)
+            return empty.withColumns({c: F.lit(None).cast(t) for c, t in _NH_SCHEMA})
+        rdf = rdf.where(F.col("nh_schema").isNotNull())
+        pick = F.struct(
+            "nh_schema", "nh_zero_count", "nh_count", "nh_sum",
+            "nh_pos_idx", "nh_pos_counts", "nh_neg_idx", "nh_neg_counts",
+        )
+        agg = rdf.groupBy("_ev", *labels).agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min_by(pick, "ts").alias("_f"),
+            F.max_by(pick, "ts").alias("_l"),
+            F.min("ts").alias("_first_ts"),
+            F.max("ts").alias("_last_ts"),
+            F.first("_start").alias("_start"),
+            F.first("_end").alias("_end"),
+        )
+        to_start = (F.col("_first_ts") - F.col("_start")).cast("double") / 1e3
+        to_end = (F.col("_end") - F.col("_last_ts")).cast("double") / 1e3
+        sampled = (F.col("_last_ts") - F.col("_first_ts")).cast("double") / 1e3
+        avg_dur = sampled / (F.col("_n") - 1).cast("double")
+        threshold = avg_dur * 1.1
+        to_start = F.when(to_start >= threshold, avg_dur / 2).otherwise(to_start)
+        to_end = F.when(to_end >= threshold, avg_dur / 2).otherwise(to_end)
+        factor = (sampled + to_start + to_end) / sampled
+        if is_rate:
+            factor = factor / F.lit(range_ms / 1e3)
+        ok = (F.col("_n") >= 2) & (sampled > 0)
+
+        def flat_diff(which: str):
+            last = F.zip_with(
+                F.col(f"_l.nh_{which}_idx"),
+                F.col(f"_l.nh_{which}_counts"),
+                lambda k, v: F.struct(k.alias("idx"), v.cast("double").alias("cnt")),
+            )
+            first = F.zip_with(
+                F.col(f"_f.nh_{which}_idx"),
+                F.col(f"_f.nh_{which}_counts"),
+                lambda k, v: F.struct(k.alias("idx"), (-v.cast("double")).alias("cnt")),
+            )
+            return F.concat(last, first)
+
+        pos_idx, pos_counts = self._merge_sparse(flat_diff("pos"))
+        neg_idx, neg_counts = self._merge_sparse(flat_diff("neg"))
+        scale = lambda c: (c * factor).cast("double")  # noqa: E731
+        out = agg.where(ok).select(
+            "_ev",
+            *labels,
+            F.col("_l.nh_schema").alias("nh_schema"),
+            scale(
+                F.col("_l.nh_zero_count").cast("double")
+                - F.col("_f.nh_zero_count").cast("double")
+            ).alias("nh_zero_count"),
+            F.lit(None).cast("double").alias("nh_zero_threshold"),
+            scale(
+                F.col("_l.nh_count").cast("double") - F.col("_f.nh_count").cast("double")
+            ).alias("nh_count"),
+            scale(F.col("_l.nh_sum") - F.col("_f.nh_sum")).alias("nh_sum"),
+            pos_idx.alias("nh_pos_idx"),
+            F.transform(pos_counts, lambda c: c * factor).alias("nh_pos_counts"),
+            neg_idx.alias("nh_neg_idx"),
+            F.transform(neg_counts, lambda c: c * factor).alias("nh_neg_counts"),
+        )
+        return self._drop_name(out)
 
     def _hist_scalar_fn(self, args, steps, value: F.Column | None = None, fn=None):
         df = self._hist_vec(args[-1], steps)
@@ -852,13 +1030,29 @@ class PromQLEngine:
             ),
         )
 
+    def _hist_root_selector(self, node):
+        """The selector a histogram-capable expression bottoms out in:
+        unwraps sum()/rate()/increase() chains (the shapes _hist_vec
+        evaluates natively)."""
+        if isinstance(node, ast.Aggregate) and node.op == "sum":
+            return self._hist_root_selector(node.expr)
+        if isinstance(node, ast.Call) and node.func in ("rate", "increase"):
+            arg = node.args[0]
+            if isinstance(arg, ast.MatrixSelector):
+                return arg.selector
+            return None
+        if isinstance(node, ast.VectorSelector):
+            return node
+        return None
+
     def _fn_histogram_quantile(self, args, steps):
-        # native path when the argument selects native-histogram samples;
-        # classic le-bucket path otherwise.  _base() first: it also
-        # materializes pending parquet-backed loads, so the probe is
-        # order-independent.
-        if isinstance(args[1], ast.VectorSelector):
-            base = self._base(args[1])
+        # native path when the argument (a selector, or a sum()/rate()
+        # chain over one) selects native-histogram samples; classic
+        # le-bucket path otherwise.  _base() first: it also materializes
+        # pending parquet-backed loads, so the probe is order-independent.
+        root = self._hist_root_selector(args[1])
+        if root is not None:
+            base = self._base(root)
             if "nh_schema" in base.columns:
                 probe = base.where(F.col("nh_schema").isNotNull())
                 if probe.limit(1).count() > 0:
