@@ -1,0 +1,322 @@
+"""Differential testing: the Spark PromQL engine vs an independent
+pure-Python evaluation model on randomized series and expressions.
+
+The model implements the instant-vector core (selector lookback,
+binary-op vector matching, aggregation grouping, scalar arithmetic)
+directly from the upstream semantics — dict-based, no Spark — so a bug
+in the DataFrame formulation (join shape, NULL handling, NaN ordering,
+name dropping) surfaces as a divergence.  The temporal family is
+covered by the existing Python-port tests (test_promql_functions.py)
+and the promqltest corpus; this file hammers the matching/grouping
+layer where the combinatorics live.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from parquet_common_spark.promqltest import parse_promql
+from parquet_common_spark.promqltest.promqlparse import (
+    Aggregate,
+    Binary,
+    NumberLiteral,
+    Unary,
+    VectorSelector,
+)
+
+LOOKBACK_MS = 5 * 60 * 1000
+
+
+# ------------------------------------------------------------- the model
+
+
+def _sel_matches(sel: VectorSelector, labels: dict) -> bool:
+    import re
+
+    if sel.name is not None and labels.get("__name__") != sel.name:
+        return False
+    for m in sel.matchers:
+        v = labels.get(m.name, "")
+        if m.op == "=" and v != m.value:
+            return False
+        if m.op == "!=" and v == m.value:
+            return False
+        if m.op == "=~" and not re.fullmatch(m.value, v):
+            return False
+        if m.op == "!~" and re.fullmatch(m.value, v):
+            return False
+    return True
+
+
+def _apply(op, a, b):
+    if op == "+":
+        return a + b
+    if op == "-":
+        return a - b
+    if op == "*":
+        return a * b
+    if op == "/":
+        if b == 0:
+            if math.isnan(a) or a == 0:
+                return math.nan
+            return math.inf if (a > 0) else -math.inf
+        return a / b
+    raise AssertionError(op)
+
+
+def model_eval(node, series, t_ms):
+    """-> dict[frozenset(labels.items()) -> value] or ('scalar', v)."""
+    if isinstance(node, NumberLiteral):
+        return ("scalar", node.value)
+    if isinstance(node, Unary):
+        r = model_eval(node.expr, series, t_ms)
+        if r[0] == "scalar":
+            return ("scalar", -r[1])
+        return ("vector", {
+            frozenset(kv for kv in k if kv[0] != "__name__"): -v
+            for k, v in r[1].items()
+        })
+    if isinstance(node, VectorSelector):
+        out = {}
+        for labels, samples in series:
+            if not _sel_matches(node, labels):
+                continue
+            best = None
+            for ts, val in samples:
+                if t_ms - LOOKBACK_MS < ts <= t_ms:
+                    if best is None or ts > best[0]:
+                        best = (ts, val)
+            if best is not None:
+                out[frozenset(labels.items())] = best[1]
+        return ("vector", out)
+    if isinstance(node, Aggregate):
+        kind, vec = model_eval(node.expr, series, t_ms)
+        if kind != "vector":
+            raise ValueError("aggregation over a scalar")
+        groups: dict = {}
+        for key, val in vec.items():
+            labels = dict(key)
+            if node.by is not None:
+                gl = {n: labels[n] for n in node.by if n in labels}
+            else:
+                drop = set(node.without or []) | {"__name__"}
+                gl = {n: v for n, v in labels.items() if n not in drop}
+            groups.setdefault(frozenset(gl.items()), []).append(val)
+        agg = {}
+        for gk, vals in groups.items():
+            if node.op == "sum":
+                agg[gk] = math.fsum(vals)
+            elif node.op == "min":
+                finite = [v for v in vals if not math.isnan(v)]
+                agg[gk] = min(finite) if finite else math.nan
+            elif node.op == "max":
+                finite = [v for v in vals if not math.isnan(v)]
+                agg[gk] = max(finite) if finite else math.nan
+            elif node.op == "count":
+                agg[gk] = float(len(vals))
+            elif node.op == "avg":
+                agg[gk] = math.fsum(vals) / len(vals)
+            else:
+                raise AssertionError(node.op)
+        return ("vector", agg)
+    if isinstance(node, Binary):
+        lk, lv = model_eval(node.lhs, series, t_ms)
+        rk, rv = model_eval(node.rhs, series, t_ms)
+        if lk == "scalar" and rk == "scalar":
+            return ("scalar", _apply(node.op, lv, rv))
+        if lk == "scalar" or rk == "scalar":
+            vec, sc, left = (rv, lv, False) if lk == "scalar" else (lv, rv, True)
+            out = {}
+            for key, val in vec.items():
+                nk = frozenset(kv for kv in key if kv[0] != "__name__")
+                a, b = (val, sc) if left else (sc, val)
+                out[nk] = _apply(node.op, a, b)
+            return ("vector", out)
+        # vector/vector: upstream signature = all labels except __name__,
+        # minus ignoring / restricted to on
+        def sig(key):
+            labels = dict(key)
+            if node.on is not None:
+                return frozenset(
+                    (n, labels.get(n, "")) for n in node.on
+                )
+            drop = set(node.ignoring or []) | {"__name__"}
+            names = {n for n, _ in key} | {
+                n for rkey in rv for n, _ in rkey
+            } | {n for lkey in lv for n, _ in lkey}
+            return frozenset(
+                (n, labels.get(n, "")) for n in names if n not in drop
+            )
+
+        rindex = {}
+        for key, val in rv.items():
+            s = sig(key)
+            if s in rindex:
+                raise ValueError("duplicate series on the one side")
+            rindex[s] = val
+        lsigs = {}
+        for key in lv:
+            s = sig(key)
+            if s in lsigs:
+                raise ValueError("duplicate series on the left side")
+            lsigs[s] = key
+        out = {}
+        for key, val in lv.items():
+            s = sig(key)
+            if s not in rindex:
+                continue
+            if node.on is not None:
+                nk = s
+            else:
+                drop = set(node.ignoring or []) | {"__name__"}
+                nk = frozenset(kv for kv in key if kv[0] not in drop)
+            out[nk] = _apply(node.op, val, rindex[s])
+        return ("vector", out)
+    raise AssertionError(type(node))
+
+
+# -------------------------------------------------------- the strategies
+
+LABELS = st.fixed_dictionaries(
+    {},
+    optional={
+        "job": st.sampled_from(["api", "web"]),
+        "instance": st.sampled_from(["0", "1"]),
+    },
+)
+NAMES = ["m_one", "m_two"]
+
+
+@st.composite
+def series_sets(draw):
+    n = draw(st.integers(1, 4))
+    out, seen = [], set()
+    for _ in range(n):
+        labels = {"__name__": draw(st.sampled_from(NAMES)), **draw(LABELS)}
+        key = frozenset(labels.items())
+        if key in seen:
+            continue
+        seen.add(key)
+        vals = draw(
+            st.lists(
+                st.floats(
+                    min_value=-100, max_value=100, allow_nan=False, width=32
+                ),
+                min_size=1,
+                max_size=4,
+            )
+        )
+        out.append((labels, [(i * 300_000, v) for i, v in enumerate(vals)]))
+    return out
+
+
+@st.composite
+def exprs(draw, depth=2):
+    choice = draw(
+        st.sampled_from(
+            ["sel", "num"] if depth == 0 else ["sel", "sel", "agg", "bin", "neg", "num"]
+        )
+    )
+    if choice == "num":
+        return str(draw(st.integers(-5, 5)))
+    if choice == "sel":
+        name = draw(st.sampled_from(NAMES))
+        ms = []
+        if draw(st.booleans()):
+            op = draw(st.sampled_from(["=", "!="]))
+            ms.append(f'job{op}"{draw(st.sampled_from(["api", "web", ""]))}"')
+        sel = name + ("{" + ",".join(ms) + "}" if ms else "")
+        return sel
+    if choice == "neg":
+        return f"-({draw(exprs(depth=depth - 1))})"
+    if choice == "agg":
+        op = draw(st.sampled_from(["sum", "min", "max", "count", "avg"]))
+        grouping = draw(st.sampled_from(["", " by (job)", " without (instance)"]))
+        return f"{op}{grouping} ({draw(exprs(depth=depth - 1))})"
+    # bin
+    bop = draw(st.sampled_from(["+", "-", "*", "/"]))
+    matching = draw(st.sampled_from(["", " on(job) ", " ignoring(instance) "]))
+    lhs = draw(exprs(depth=depth - 1))
+    rhs = draw(exprs(depth=depth - 1))
+    return f"({lhs}) {bop}{matching}({rhs})"
+
+
+def _close(a, b):
+    if a is None or b is None:
+        return a is b
+    if math.isnan(a) and math.isnan(b):
+        return True
+    if a == b:
+        return True
+    if math.isinf(a) or math.isinf(b):
+        return False
+    return abs(a - b) <= 1e-9 * max(abs(a), abs(b), 1.0)
+
+
+@pytest.mark.parametrize("t_ms", [15 * 60 * 1000])
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(data=st.data())
+def test_engine_matches_model(spark, t_ms, data):
+    from parquet_common_spark.promqltest import PromQLEngine
+    from parquet_common_spark.promqltest.scriptparse import LoadCmd, Sample
+
+    series = data.draw(series_sets())
+    expr_text = data.draw(exprs())
+    ast_node = parse_promql(expr_text)
+
+    try:
+        want = model_eval(
+            ast_node, [(l, s) for l, s in series], t_ms
+        )
+    except ValueError:
+        want = ("error", None)
+
+    engine = PromQLEngine(spark)
+    engine.clear()
+    engine.load(
+        LoadCmd(
+            300_000,
+            [
+                (labels, [Sample(ts, v) for ts, v in samples])
+                for labels, samples in series
+            ],
+        )
+    )
+    try:
+        kind, got = engine.eval_instant(ast_node, t_ms)
+    except Exception:
+        assert want[0] == "error", (
+            f"engine raised but model succeeded for {expr_text!r}\n"
+            f"series={series}\nmodel={want}"
+        )
+        return
+    assert want[0] != "error", (
+        f"model raised (duplicate one-side series) but engine succeeded "
+        f"for {expr_text!r}\nseries={series}\nengine={got}"
+    )
+
+    if kind == "scalar":
+        assert want[0] == "scalar"
+        assert _close(got[t_ms], want[1]), (expr_text, got, want)
+        return
+    assert want[0] == "vector", (expr_text, want, got)
+    got_map = {
+        frozenset(labels.items()): vals.get(t_ms) for labels, vals in got
+    }
+    got_map = {k: v for k, v in got_map.items() if v is not None}
+    assert set(got_map) == set(want[1]), (
+        f"label sets diverge for {expr_text!r}\nseries={series}\n"
+        f"engine={got_map}\nmodel={want[1]}"
+    )
+    for k, v in want[1].items():
+        assert _close(got_map[k], v), (
+            f"value diverges for {expr_text!r} at {dict(k)}: "
+            f"engine={got_map[k]} model={v}\nseries={series}"
+        )
