@@ -400,6 +400,7 @@ def vector_binop(
     value_col: str = "value",
     bool_modifier: bool = False,
     strict: bool = True,
+    strict_many: bool = False,
 ) -> DataFrame:
     """``left <op> right`` with PromQL vector matching
     (promql/engine.go VectorBinop).
@@ -423,9 +424,12 @@ def vector_binop(
       at execution time, mirroring upstream's "found duplicate series /
       many-to-one matching must be explicit" errors.  The check is a
       window count over the (broadcast-small) one side — the many side
-      is never re-shuffled for it.  Duplicates on the MANY side of a
-      one-to-one match are not detected (documented relaxation: upstream
-      errors; here each many row pairs independently).
+      is never re-shuffled for it.  ``strict_many`` extends the check
+      to the LEFT side of a one-to-one match (upstream errors there
+      too); it costs a window shuffle over the many side, so the
+      analytics registry leaves it off (each many row pairs
+      independently — documented relaxation) and the acceptance-test
+      engine turns it on.
     """
     l_labels = [c for c in left.columns if c != value_col]
     r_labels = [c for c in right.columns if c != value_col]
@@ -492,6 +496,24 @@ def vector_binop(
         return F.col(src).alias(c)
 
     if group == "one":
+        if strict_many:
+            # upstream one-to-one also rejects duplicate signatures on
+            # the left side; fold the assert into the value column
+            w = Window.partitionBy(*match) if match else Window.partitionBy(F.lit(1))
+            l = l.withColumn("_lcnt", F.count(F.lit(1)).over(w))
+            l = l.withColumn(
+                "_lv",
+                F.when(
+                    F.assert_true(
+                        F.col("_lcnt") == 1,
+                        F.lit(
+                            "vector matching: duplicate series on the left side "
+                            "of a one-to-one match"
+                        ),
+                    ).isNull(),
+                    F.col("_lv"),
+                ),
+            ).drop("_lcnt")
         joined = ns_join(l, r, [*match, "_rv"], "_rv")
         lv, rv = F.col("_lv"), F.col("_one__rv")
         # arithmetic/bool one-to-one keeps the on() labels when on= is

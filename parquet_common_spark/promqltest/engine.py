@@ -413,6 +413,9 @@ class PromQLEngine:
                 group=node.group,
                 carry=carry,
                 bool_modifier=node.bool_modifier,
+                # upstream one-to-one rejects duplicates on BOTH sides;
+                # the acceptance engine pays the extra window for parity
+                strict_many=node.group == "one",
             )
             if (not is_cmp) or node.bool_modifier:
                 out = self._drop_name(out)

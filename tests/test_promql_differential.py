@@ -51,6 +51,16 @@ def _sel_matches(sel: VectorSelector, labels: dict) -> bool:
     return True
 
 
+_CMPS = {
+    "==": lambda a, b: a == b,
+    "!=": lambda a, b: a != b,
+    ">": lambda a, b: a > b,
+    "<": lambda a, b: a < b,
+    ">=": lambda a, b: a >= b,
+    "<=": lambda a, b: a <= b,
+}
+
+
 def _apply(op, a, b):
     if op == "+":
         return a + b
@@ -65,6 +75,13 @@ def _apply(op, a, b):
             return math.inf if (a > 0) else -math.inf
         return a / b
     raise AssertionError(op)
+
+
+def _cmp(op, a, b):
+    """IEEE comparisons: NaN compares false except !=."""
+    if math.isnan(a) or math.isnan(b):
+        return op == "!="
+    return _CMPS[op](a, b)
 
 
 def model_eval(node, series, t_ms):
@@ -125,15 +142,56 @@ def model_eval(node, series, t_ms):
     if isinstance(node, Binary):
         lk, lv = model_eval(node.lhs, series, t_ms)
         rk, rv = model_eval(node.rhs, series, t_ms)
+        is_cmp = node.op in _CMPS
+        is_set = node.op in ("and", "or", "unless")
+        if is_set:
+            if lk != "vector" or rk != "vector":
+                raise ValueError("set operator on scalar")
+
+            def setsig(key):
+                labels = dict(key)
+                if node.on is not None:
+                    return frozenset((n, labels.get(n, "")) for n in node.on)
+                drop = set(node.ignoring or []) | {"__name__"}
+                names = (
+                    {n for k in lv for n, _ in k} | {n for k in rv for n, _ in k}
+                ) - drop
+                return frozenset((n, labels.get(n, "")) for n in names)
+
+            rsigs = {setsig(k) for k in rv}
+            lsigs_set = {setsig(k) for k in lv}
+            if node.op == "and":
+                return ("vector", {k: v for k, v in lv.items() if setsig(k) in rsigs})
+            if node.op == "unless":
+                return (
+                    "vector",
+                    {k: v for k, v in lv.items() if setsig(k) not in rsigs},
+                )
+            out = dict(lv)
+            for k, v in rv.items():
+                if setsig(k) not in lsigs_set:
+                    out[k] = v
+            return ("vector", out)
         if lk == "scalar" and rk == "scalar":
+            if is_cmp:
+                if not node.bool_modifier:
+                    raise ValueError("scalar comparison without bool")
+                return ("scalar", 1.0 if _cmp(node.op, lv, rv) else 0.0)
             return ("scalar", _apply(node.op, lv, rv))
         if lk == "scalar" or rk == "scalar":
             vec, sc, left = (rv, lv, False) if lk == "scalar" else (lv, rv, True)
             out = {}
             for key, val in vec.items():
-                nk = frozenset(kv for kv in key if kv[0] != "__name__")
                 a, b = (val, sc) if left else (sc, val)
-                out[nk] = _apply(node.op, a, b)
+                if is_cmp:
+                    if node.bool_modifier:
+                        nk = frozenset(kv for kv in key if kv[0] != "__name__")
+                        out[nk] = 1.0 if _cmp(node.op, a, b) else 0.0
+                    elif _cmp(node.op, a, b):
+                        out[key] = val  # filtering keeps the vector element
+                else:
+                    nk = frozenset(kv for kv in key if kv[0] != "__name__")
+                    out[nk] = _apply(node.op, a, b)
             return ("vector", out)
         # vector/vector: upstream signature = all labels except __name__,
         # minus ignoring / restricted to on
@@ -168,12 +226,20 @@ def model_eval(node, series, t_ms):
             s = sig(key)
             if s not in rindex:
                 continue
+            if is_cmp and not node.bool_modifier:
+                # filtering comparison keeps the left element untouched
+                if _cmp(node.op, val, rindex[s]):
+                    out[key] = val
+                continue
             if node.on is not None:
                 nk = s
             else:
                 drop = set(node.ignoring or []) | {"__name__"}
                 nk = frozenset(kv for kv in key if kv[0] not in drop)
-            out[nk] = _apply(node.op, val, rindex[s])
+            if is_cmp:
+                out[nk] = 1.0 if _cmp(node.op, val, rindex[s]) else 0.0
+            else:
+                out[nk] = _apply(node.op, val, rindex[s])
         return ("vector", out)
     raise AssertionError(type(node))
 
@@ -237,11 +303,24 @@ def exprs(draw, depth=2):
         grouping = draw(st.sampled_from(["", " by (job)", " without (instance)"]))
         return f"{op}{grouping} ({draw(exprs(depth=depth - 1))})"
     # bin
-    bop = draw(st.sampled_from(["+", "-", "*", "/"]))
-    matching = draw(st.sampled_from(["", " on(job) ", " ignoring(instance) "]))
+    bop = draw(
+        st.sampled_from(
+            ["+", "-", "*", "/", ">", "<", ">=", "<=", "==", "!=",
+             "and", "or", "unless"]
+        )
+    )
+    if bop in ("and", "or", "unless"):
+        matching = draw(st.sampled_from(["", " on(job) ", " ignoring(instance) "]))
+        bool_mod = ""
+    elif bop in ("+", "-", "*", "/"):
+        matching = draw(st.sampled_from(["", " on(job) ", " ignoring(instance) "]))
+        bool_mod = ""
+    else:
+        matching = draw(st.sampled_from(["", " on(job) ", " ignoring(instance) "]))
+        bool_mod = draw(st.sampled_from(["", " bool"]))
     lhs = draw(exprs(depth=depth - 1))
     rhs = draw(exprs(depth=depth - 1))
-    return f"({lhs}) {bop}{matching}({rhs})"
+    return f"({lhs}) {bop}{bool_mod}{matching}({rhs})"
 
 
 def _close(a, b):
