@@ -245,10 +245,23 @@ def _group_cols(df: DataFrame, value_col: str, by=None, without=None) -> list[st
     return []
 
 
+def _nan_skipping(agg):
+    """min/max ignore NaN unless every value is NaN (Prometheus 3.x
+    aggregation semantics).  Spark's native min/max sort NaN above every
+    number, so max() would return NaN whenever any sample is NaN."""
+
+    def f(c: Column) -> Column:
+        return F.coalesce(
+            agg(F.when(~F.isnan(c), c)), F.lit(float("nan"))
+        )
+
+    return f
+
+
 _SIMPLE_AGGS = {
     "sum": F.sum,
-    "min": F.min,
-    "max": F.max,
+    "min": _nan_skipping(F.min),
+    "max": _nan_skipping(F.max),
     "avg": F.avg,
     "count": lambda c: F.count(F.lit(1)).cast("double"),
     "group": lambda c: F.lit(1.0),

@@ -490,7 +490,30 @@ class PromQLEngine:
                 self._drop_name(df), label_to_column(p.value), by=by, without=without
             )
             return ("vector", out)
-        if op in ("limitk", "limit_ratio"):
+        if op == "limitk":
+            # experimental upstream: k arbitrary series per group.
+            # Upstream's pick is unspecified; pinned on label order for
+            # reproducibility (same discipline as topk tie-breaks).
+            k = int(static_param())
+            keys = by if by is not None else ["_ev"]
+            if without is not None:
+                keys = [
+                    c for c in df.columns
+                    if (c == "_ev" or c.startswith("l_")) and c not in without
+                ]
+            others = sorted(
+                c for c in df.columns if c not in ("value", *keys)
+            )
+            w = Window.partitionBy(*keys).orderBy(
+                *[F.asc_nulls_first(c) for c in others] or [F.lit(1)]
+            )
+            out = (
+                df.withColumn("_rk", F.row_number().over(w))
+                .where(F.col("_rk") <= k)
+                .drop("_rk")
+            )
+            return ("vector", out)
+        if op == "limit_ratio":
             raise PromQLEvalError(f"{op} is not supported by this engine")
         raise PromQLEvalError(f"unknown aggregation {op!r}")
 

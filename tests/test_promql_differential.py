@@ -118,9 +118,11 @@ def model_eval(node, series, t_ms):
             labels = dict(key)
             if node.by is not None:
                 gl = {n: labels[n] for n in node.by if n in labels}
-            else:
-                drop = set(node.without or []) | {"__name__"}
+            elif node.without is not None:
+                drop = set(node.without) | {"__name__"}
                 gl = {n: v for n, v in labels.items() if n not in drop}
+            else:
+                gl = {}
             groups.setdefault(frozenset(gl.items()), []).append(val)
         agg = {}
         for gk, vals in groups.items():
@@ -268,8 +270,11 @@ def series_sets(draw):
         seen.add(key)
         vals = draw(
             st.lists(
-                st.floats(
-                    min_value=-100, max_value=100, allow_nan=False, width=32
+                st.one_of(
+                    st.floats(
+                        min_value=-100, max_value=100, allow_nan=False, width=32
+                    ),
+                    st.just(math.nan),
                 ),
                 min_size=1,
                 max_size=4,
@@ -292,8 +297,12 @@ def exprs(draw, depth=2):
         name = draw(st.sampled_from(NAMES))
         ms = []
         if draw(st.booleans()):
-            op = draw(st.sampled_from(["=", "!="]))
-            ms.append(f'job{op}"{draw(st.sampled_from(["api", "web", ""]))}"')
+            op = draw(st.sampled_from(["=", "!=", "=~", "!~"]))
+            if op in ("=~", "!~"):
+                val = draw(st.sampled_from(["api|web", "a.*", "web", ".+", ".*"]))
+            else:
+                val = draw(st.sampled_from(["api", "web", ""]))
+            ms.append(f'job{op}"{val}"')
         sel = name + ("{" + ",".join(ms) + "}" if ms else "")
         return sel
     if choice == "neg":
