@@ -408,3 +408,133 @@ def test_engine_matches_model(spark, t_ms, data):
             f"value diverges for {expr_text!r} at {dict(k)}: "
             f"engine={got_map[k]} model={v}\nseries={series}"
         )
+
+
+# ----------------------- range-function differential (extrapolation)
+
+
+def _model_range(fn, samples, t_ms, range_ms):
+    """samples: [(ts_ms, v)] for ONE series; -> value or None (dropped).
+    Mirrors promql/functions.go for the eval-at-instant window
+    (T-r, T]."""
+    from tests.test_promql_functions import py_extrapolated
+
+    win = [(ts, v) for ts, v in samples if t_ms - range_ms < ts <= t_ms]
+    if not win:
+        return None
+    vals = [v for _, v in win]
+    if fn in ("rate", "increase", "delta"):
+        sec = [(ts / 1000.0, v) for ts, v in win]
+        return py_extrapolated(
+            sec,
+            (t_ms - range_ms) / 1000.0,
+            t_ms / 1000.0,
+            is_counter=fn != "delta",
+            is_rate=fn == "rate",
+        )
+    if fn == "avg_over_time":
+        return math.fsum(vals) / len(vals)
+    if fn == "sum_over_time":
+        return math.fsum(vals)
+    if fn == "min_over_time":
+        return min(vals)
+    if fn == "max_over_time":
+        return max(vals)
+    if fn == "count_over_time":
+        return float(len(vals))
+    if fn == "last_over_time":
+        return win[-1][1]
+    if fn == "changes":
+        return float(
+            sum(1 for a, b in zip(vals, vals[1:]) if a != b)
+        )
+    if fn == "resets":
+        return float(sum(1 for a, b in zip(vals, vals[1:]) if b < a))
+    if fn == "idelta":
+        if len(win) < 2:
+            return None
+        return win[-1][1] - win[-2][1]
+    if fn == "irate":
+        if len(win) < 2 or win[-1][0] <= win[-2][0]:
+            return None
+        num = win[-1][1] if win[-1][1] < win[-2][1] else win[-1][1] - win[-2][1]
+        return num / ((win[-1][0] - win[-2][0]) / 1000.0)
+    if fn == "deriv":
+        if len(win) < 2 or win[-1][0] == win[0][0]:
+            return None
+        xs = [(ts - t_ms) / 1000.0 for ts, _ in win]
+        n = len(win)
+        sx, sy = math.fsum(xs), math.fsum(vals)
+        sxy = math.fsum(x * y for x, y in zip(xs, vals))
+        sx2 = math.fsum(x * x for x in xs)
+        return (n * sxy - sx * sy) / (n * sx2 - sx * sx)
+    raise AssertionError(fn)
+
+
+_RANGE_FNS = [
+    "rate", "increase", "delta", "avg_over_time", "sum_over_time",
+    "min_over_time", "max_over_time", "count_over_time",
+    "last_over_time", "changes", "resets", "idelta", "irate", "deriv",
+]
+
+
+@st.composite
+def range_series(draw):
+    """One series with irregular timestamps — gaps and boundary offsets
+    are exactly where extrapolation branches live."""
+    n = draw(st.integers(1, 8))
+    ts = sorted(
+        draw(
+            st.lists(
+                st.integers(0, 40).map(lambda k: k * 30_000),
+                min_size=n,
+                max_size=n,
+                unique=True,
+            )
+        )
+    )
+    vals = draw(
+        st.lists(
+            st.floats(min_value=0, max_value=1000, allow_nan=False, width=32),
+            min_size=n,
+            max_size=n,
+        )
+    )
+    return list(zip(ts, vals))
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(data=st.data())
+def test_range_functions_match_model(spark, data):
+    from parquet_common_spark.promqltest import PromQLEngine
+    from parquet_common_spark.promqltest.scriptparse import LoadCmd, Sample
+
+    samples = data.draw(range_series())
+    fn = data.draw(st.sampled_from(_RANGE_FNS))
+    range_ms = data.draw(st.sampled_from([300_000, 600_000, 900_000]))
+    t_ms = data.draw(st.sampled_from([600_000, 900_000, 1_200_000]))
+
+    want = _model_range(fn, samples, t_ms, range_ms)
+
+    engine = PromQLEngine(spark)
+    engine.clear()
+    engine.load(
+        LoadCmd(60_000, [({"__name__": "rsvc"}, [Sample(ts, v) for ts, v in samples])])
+    )
+    rng = f"{range_ms // 1000}s"
+    kind, got = engine.eval_instant(f"{fn}(rsvc[{rng}])", t_ms)
+    assert kind == "vector"
+    got_val = None
+    for labels, vals in got:
+        got_val = vals.get(t_ms)
+    if want is None:
+        assert got_val is None, (fn, samples, t_ms, range_ms, got_val)
+    else:
+        assert got_val is not None and _close(got_val, want), (
+            f"{fn}[{rng}] at {t_ms}: engine={got_val} model={want}\n"
+            f"samples={samples}"
+        )
