@@ -14,6 +14,7 @@ layer where the combinatorics live.
 from __future__ import annotations
 
 import math
+import os
 
 import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
@@ -344,9 +345,12 @@ def _close(a, b):
     return abs(a - b) <= 1e-9 * max(abs(a), abs(b), 1.0)
 
 
+_EXAMPLES = int(os.environ.get("PROMQL_DIFF_EXAMPLES", "40"))
+
+
 @pytest.mark.parametrize("t_ms", [15 * 60 * 1000])
 @settings(
-    max_examples=40,
+    max_examples=_EXAMPLES,
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
 )
@@ -504,7 +508,7 @@ def range_series(draw):
 
 
 @settings(
-    max_examples=60,
+    max_examples=max(60, _EXAMPLES),
     deadline=None,
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
 )
