@@ -1352,6 +1352,19 @@ class PromQLEngine:
     def _over_time(self, fn, args, steps):
         rdf, labels, _ = self._matrix_arg(args[-1], steps)
         v = F.col("value")
+        if fn == "mad_over_time":
+            # median absolute deviation (upstream experimental):
+            # median(|x - median(x)|); the inner median rides a window
+            # over the same (eval, series) partition the outer groupBy
+            # uses, so no extra shuffle
+            w = Window.partitionBy("_ev", *labels)
+            staged = rdf.withColumn("_med", F.percentile(v, F.lit(0.5)).over(w))
+            out = staged.groupBy("_ev", *labels).agg(
+                F.percentile(F.abs(v - F.col("_med")), F.lit(0.5))
+                .cast("double")
+                .alias("value")
+            )
+            return ("vector", self._drop_name(out.select("_ev", *labels, "value")))
         if fn == "quantile_over_time":
             q = self._static_number(args[0], "quantile")
             if not (0.0 <= q <= 1.0):
@@ -1460,5 +1473,5 @@ _OVER_TIME = {
     "avg_over_time", "min_over_time", "max_over_time", "sum_over_time",
     "count_over_time", "last_over_time", "first_over_time",
     "present_over_time", "stdvar_over_time", "stddev_over_time",
-    "quantile_over_time",
+    "quantile_over_time", "mad_over_time",
 }
