@@ -509,24 +509,6 @@ def vector_binop(
         return F.col(src).alias(c)
 
     if group == "one":
-        if strict_many:
-            # upstream one-to-one also rejects duplicate signatures on
-            # the left side; fold the assert into the value column
-            w = Window.partitionBy(*match) if match else Window.partitionBy(F.lit(1))
-            l = l.withColumn("_lcnt", F.count(F.lit(1)).over(w))
-            l = l.withColumn(
-                "_lv",
-                F.when(
-                    F.assert_true(
-                        F.col("_lcnt") == 1,
-                        F.lit(
-                            "vector matching: duplicate series on the left side "
-                            "of a one-to-one match"
-                        ),
-                    ).isNull(),
-                    F.col("_lv"),
-                ),
-            ).drop("_lcnt")
         joined = ns_join(l, r, [*match, "_rv"], "_rv")
         lv, rv = F.col("_lv"), F.col("_one__rv")
         # arithmetic/bool one-to-one keeps the on() labels when on= is
@@ -575,17 +557,40 @@ def vector_binop(
     else:
         raise ValueError(f"unknown group {group!r}")
 
+    def dup_guard(frame: DataFrame, val: Column) -> Column:
+        """``strict_many`` one-to-one: upstream errors only when two
+        same-signature LEFT samples are matched AND emitted (engine.go
+        inserts into matchedSigs after the keep check), so the window
+        count runs over the joined — and, for filtering comparisons,
+        already filtered — frame, and the assert is folded into the
+        value expression so pruning cannot drop it."""
+        if not (strict_many and group == "one"):
+            return val
+        w = Window.partitionBy(*match) if match else Window.partitionBy(F.lit(1))
+        cnt = F.count(F.lit(1)).over(w)
+        return F.when(
+            F.assert_true(
+                cnt == 1,
+                F.lit(
+                    "vector matching: found duplicate series for the match "
+                    "group on the left side of a one-to-one match"
+                ),
+            ).isNull(),
+            val,
+        )
+
     if op in _ARITH:
         val = _ARITH[op](lv, rv).cast("double")
-        return joined.select(*keep_cols, val.alias(value_col))
+        return joined.select(*keep_cols, dup_guard(joined, val).alias(value_col))
     if op in _CMP:
         cond = _CMP[op](lv, rv)
         if bool_modifier:
-            return joined.select(
-                *keep_cols, F.when(cond, F.lit(1.0)).otherwise(F.lit(0.0)).alias(value_col)
-            )
-        # filtering comparison keeps the MANY side's sample value
-        return joined.where(cond).select(*keep_cols, many_v.alias(value_col))
+            val = F.when(cond, F.lit(1.0)).otherwise(F.lit(0.0))
+            return joined.select(*keep_cols, dup_guard(joined, val).alias(value_col))
+        # filtering comparison keeps the MANY side's sample value; the
+        # duplicate check sees only the kept rows, as upstream
+        kept = joined.where(cond)
+        return kept.select(*keep_cols, dup_guard(kept, many_v).alias(value_col))
     raise ValueError(f"unknown operator {op!r}")
 
 

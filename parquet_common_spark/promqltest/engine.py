@@ -495,7 +495,11 @@ class PromQLEngine:
             # Upstream's pick is unspecified; pinned on label order for
             # reproducibility (same discipline as topk tie-breaks).
             k = int(static_param())
-            keys = by if by is not None else ["_ev"]
+            # a by() label with no column groups everything together,
+            # same existence filter as promql_vec._group_cols
+            keys = (
+                [c for c in by if c in df.columns] if by is not None else ["_ev"]
+            )
             if without is not None:
                 keys = [
                     c for c in df.columns
@@ -879,23 +883,30 @@ class PromQLEngine:
             F.flatten(F.collect_list("_pp")).alias("_pflat"),
             F.flatten(F.collect_list("_np")).alias("_nflat"),
         )
-        # schema-equality guard folded into the count so pruning keeps it
-        count_checked = F.when(
-            F.assert_true(
-                F.col("_smin") == F.col("nh_schema"),
-                F.lit("sum() over mixed native-histogram schemas is not supported"),
-            ).isNull(),
-            F.col("_count"),
-        )
+        # schema-equality guard folded into EVERY scalar output column a
+        # consumer might project (quantile reads schema, sum/avg read
+        # sum/count) — attaching it to one column lets Catalyst prune
+        # the assert away with that column (review-caught)
+        def checked(col):
+            return F.when(
+                F.assert_true(
+                    F.col("_smin") == F.col("nh_schema"),
+                    F.lit(
+                        "sum() over mixed native-histogram schemas is not supported"
+                    ),
+                ).isNull(),
+                col,
+            )
+
         pos_idx, pos_counts = self._merge_sparse(F.col("_pflat"))
         neg_idx, neg_counts = self._merge_sparse(F.col("_nflat"))
         return agg.select(
             *keys,
-            "nh_schema",
-            F.col("nh_zero_count"),
+            checked(F.col("nh_schema")).alias("nh_schema"),
+            checked(F.col("nh_zero_count")).alias("nh_zero_count"),
             F.lit(None).cast("double").alias("nh_zero_threshold"),
-            count_checked.alias("nh_count"),
-            "nh_sum",
+            checked(F.col("_count")).alias("nh_count"),
+            checked(F.col("nh_sum")).alias("nh_sum"),
             pos_idx.alias("nh_pos_idx"),
             pos_counts.alias("nh_pos_counts"),
             neg_idx.alias("nh_neg_idx"),
@@ -955,19 +966,43 @@ class PromQLEngine:
         pos_idx, pos_counts = self._merge_sparse(flat_diff("pos"))
         neg_idx, neg_counts = self._merge_sparse(flat_diff("neg"))
         scale = lambda c: (c * factor).cast("double")  # noqa: E731
+
+        # bucket indexes are only comparable under ONE schema; a
+        # mid-window schema change (upstream downscaling) must refuse,
+        # not difference incompatible buckets (review-caught) — folded
+        # into the schema column every consumer reads
+        def schema_checked(col):
+            return F.when(
+                F.assert_true(
+                    F.col("_l.nh_schema") == F.col("_f.nh_schema"),
+                    F.lit(
+                        "rate() over a native histogram whose bucketing schema "
+                        "changed inside the window is not supported"
+                    ),
+                ).isNull(),
+                col,
+            )
+
         out = agg.where(ok).select(
             "_ev",
             *labels,
-            F.col("_l.nh_schema").alias("nh_schema"),
-            scale(
-                F.col("_l.nh_zero_count").cast("double")
-                - F.col("_f.nh_zero_count").cast("double")
+            schema_checked(F.col("_l.nh_schema")).alias("nh_schema"),
+            schema_checked(
+                scale(
+                    F.col("_l.nh_zero_count").cast("double")
+                    - F.col("_f.nh_zero_count").cast("double")
+                )
             ).alias("nh_zero_count"),
             F.lit(None).cast("double").alias("nh_zero_threshold"),
-            scale(
-                F.col("_l.nh_count").cast("double") - F.col("_f.nh_count").cast("double")
+            schema_checked(
+                scale(
+                    F.col("_l.nh_count").cast("double")
+                    - F.col("_f.nh_count").cast("double")
+                )
             ).alias("nh_count"),
-            scale(F.col("_l.nh_sum") - F.col("_f.nh_sum")).alias("nh_sum"),
+            schema_checked(scale(F.col("_l.nh_sum") - F.col("_f.nh_sum"))).alias(
+                "nh_sum"
+            ),
             pos_idx.alias("nh_pos_idx"),
             F.transform(pos_counts, lambda c: c * factor).alias("nh_pos_counts"),
             neg_idx.alias("nh_neg_idx"),
@@ -1375,8 +1410,11 @@ class PromQLEngine:
         else:
             agg_expr = {
                 "avg_over_time": F.avg(v),
-                "min_over_time": F.min(v),
-                "max_over_time": F.max(v),
+                # min/max_over_time skip NaN unless every sample is NaN
+                # (upstream funcMin/MaxOverTime; Spark's native ordering
+                # would make max NaN whenever any sample is)
+                "min_over_time": pv._nan_skipping(F.min)(v),
+                "max_over_time": pv._nan_skipping(F.max)(v),
                 "sum_over_time": F.sum(v),
                 "count_over_time": F.count(F.lit(1)).cast("double"),
                 "last_over_time": F.max_by(v, F.col("ts")),

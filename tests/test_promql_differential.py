@@ -218,12 +218,10 @@ def model_eval(node, series, t_ms):
             if s in rindex:
                 raise ValueError("duplicate series on the one side")
             rindex[s] = val
-        lsigs = {}
-        for key in lv:
-            s = sig(key)
-            if s in lsigs:
-                raise ValueError("duplicate series on the left side")
-            lsigs[s] = key
+        # upstream errors on duplicate LEFT signatures only when two
+        # same-signature samples are matched AND emitted (engine.go
+        # inserts into matchedSigs after the keep check)
+        emitted: set = set()
         out = {}
         for key, val in lv.items():
             s = sig(key)
@@ -232,10 +230,21 @@ def model_eval(node, series, t_ms):
             if is_cmp and not node.bool_modifier:
                 # filtering comparison keeps the left element untouched
                 if _cmp(node.op, val, rindex[s]):
+                    if s in emitted:
+                        raise ValueError("duplicate matched series on the left")
+                    emitted.add(s)
                     out[key] = val
                 continue
+            if s in emitted:
+                raise ValueError("duplicate matched series on the left")
+            emitted.add(s)
             if node.on is not None:
-                nk = s
+                # output keeps only the on() labels PRESENT on the left
+                # sample (resultMetric does not materialize absents)
+                labels = dict(key)
+                nk = frozenset(
+                    (n, labels[n]) for n in node.on if n in labels
+                )
             else:
                 drop = set(node.ignoring or []) | {"__name__"}
                 nk = frozenset(kv for kv in key if kv[0] not in drop)
