@@ -542,3 +542,53 @@ load 5m
     return vec.select(
         F.col("l_group").alias("grp"), F.col("value").alias("inc")
     ).orderBy("grp")
+
+
+@query(
+    "pq3_promql_native_histograms",
+    """
+    SELECT q, v FROM (VALUES
+        ('count', CAST(0.013333333333333334 AS DOUBLE)),
+        ('p75',   CAST(1.5874010519681994 AS DOUBLE)),
+        ('sum',   CAST(0.016666666666666666 AS DOUBLE))) AS t(q, v)
+    ORDER BY q
+    """,
+)
+def pq3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The native-histogram engine flow end-to-end in the driver gate:
+    {{...}} literals -> sparse-histogram storage -> rate() with
+    boundary extrapolation -> same-schema sum() merge ->
+    histogram_count/sum/quantile.  The oracle is the analytically
+    derived constant table: two regular integer histograms stepping
+    (2, 3)/5m give rate buckets k0=1/300, k1=3/300 at t=10m (interior
+    extrapolation factor 2 over the 600 s range), so count=4/300,
+    sum=5/300, and phi=0.75 lands 2/3 into (1, 2] on the log axis:
+    2^(2/3).  ``sf_dir`` unused (script-defined samples)."""
+    from pyspark.sql import functions as SF
+
+    from parquet_common_spark.promqltest import PromQLEngine, parse_script
+    from parquet_common_spark.promqltest.scriptparse import LoadCmd
+
+    eng = PromQLEngine(spark)
+    script = parse_script(
+        """
+load 5m
+    rq{i="a"} {{schema:0 count:2 sum:3 buckets:[1 1] offset:0}} {{schema:0 count:4 sum:6 buckets:[2 2] offset:0}} {{schema:0 count:6 sum:9 buckets:[3 3] offset:0}}
+    rq{i="b"} {{schema:0 count:2 sum:2 buckets:[2] offset:1}} {{schema:0 count:4 sum:4 buckets:[4] offset:1}} {{schema:0 count:6 sum:6 buckets:[6] offset:1}}
+"""
+    )
+    for cmd in script.commands:
+        if isinstance(cmd, LoadCmd):
+            eng.load(cmd)
+    t = 10 * 60 * 1000
+    count = eng.eval_instant_df("histogram_count(sum(rate(rq[10m])))", t)
+    total = eng.eval_instant_df("histogram_sum(sum(rate(rq[10m])))", t)
+    p75 = eng.eval_instant_df(
+        "histogram_quantile(0.75, sum(rate(rq[10m])))", t
+    )
+    return (
+        count.select(SF.lit("count").alias("q"), SF.col("value").alias("v"))
+        .unionByName(p75.select(SF.lit("p75").alias("q"), SF.col("value").alias("v")))
+        .unionByName(total.select(SF.lit("sum").alias("q"), SF.col("value").alias("v")))
+        .orderBy("q")
+    )

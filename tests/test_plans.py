@@ -226,6 +226,7 @@ def test_registry_wide_no_unplanned_cartesians(spark):
         "sim3_ivf_topk", "t5_tfidf_terms",
         "q11a_important_parts", "q20a_active_part_suppliers", "q22_inactive_customers",
         "pq1_promql_engine", "pq2_promql_parquet_storage",
+        "pq3_promql_native_histograms",
     }
     sf_dir = "/root/testdata/sf0.001"
     failures = []

@@ -70,6 +70,8 @@ PARQUET_BACKED_SCRIPTS = [
         # native-histogram columns ride extra_value_cols through
         # convert() — the reference's EncHistogram disk round trip
         "native_histograms.test",
+        # NaN/Inf sample values round-trip the parquet encoding
+        "edge_cases.test",
     )
 ]
 
