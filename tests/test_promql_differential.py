@@ -125,6 +125,10 @@ def model_eval(node, series, t_ms):
             else:
                 gl = {}
             groups.setdefault(frozenset(gl.items()), []).append(val)
+        if node.op in ("topk", "bottomk"):
+            # generated only with k >= series count, so the result is
+            # the full input vector (order-free set comparison)
+            return ("vector", dict(vec))
         agg = {}
         for gk, vals in groups.items():
             if node.op == "sum":
@@ -318,7 +322,13 @@ def exprs(draw, depth=2):
     if choice == "neg":
         return f"-({draw(exprs(depth=depth - 1))})"
     if choice == "agg":
-        op = draw(st.sampled_from(["sum", "min", "max", "count", "avg"]))
+        op = draw(
+            st.sampled_from(["sum", "min", "max", "count", "avg", "topk", "bottomk"])
+        )
+        if op in ("topk", "bottomk"):
+            # k=9 always exceeds the 4-series universe: result == input,
+            # sidestepping upstream's unspecified tie order
+            return f"{op}(9, {draw(exprs(depth=depth - 1))})"
         grouping = draw(st.sampled_from(["", " by (job)", " without (instance)"]))
         return f"{op}{grouping} ({draw(exprs(depth=depth - 1))})"
     # bin
