@@ -460,16 +460,23 @@ def _model_range(fn, samples, t_ms, range_ms):
     if fn == "sum_over_time":
         return math.fsum(vals)
     if fn == "min_over_time":
-        return min(vals)
+        finite = [v for v in vals if not math.isnan(v)]
+        return min(finite) if finite else math.nan
     if fn == "max_over_time":
-        return max(vals)
+        finite = [v for v in vals if not math.isnan(v)]
+        return max(finite) if finite else math.nan
     if fn == "count_over_time":
         return float(len(vals))
     if fn == "last_over_time":
         return win[-1][1]
     if fn == "changes":
+        # upstream funcChanges: NaN -> NaN is explicitly NOT a change
         return float(
-            sum(1 for a, b in zip(vals, vals[1:]) if a != b)
+            sum(
+                1
+                for a, b in zip(vals, vals[1:])
+                if a != b and not (math.isnan(a) and math.isnan(b))
+            )
         )
     if fn == "resets":
         return float(sum(1 for a, b in zip(vals, vals[1:]) if b < a))
@@ -518,7 +525,10 @@ def range_series(draw):
     )
     vals = draw(
         st.lists(
-            st.floats(min_value=0, max_value=1000, allow_nan=False, width=32),
+            st.one_of(
+                st.floats(min_value=0, max_value=1000, allow_nan=False, width=32),
+                st.just(math.nan),
+            ),
             min_size=n,
             max_size=n,
         )
