@@ -438,11 +438,14 @@ def vector_binop(
       many-to-one matching must be explicit" errors.  The check is a
       window count over the (broadcast-small) one side — the many side
       is never re-shuffled for it.  ``strict_many`` extends the check
-      to the LEFT side of a one-to-one match (upstream errors there
-      too); it costs a window shuffle over the many side, so the
-      analytics registry leaves it off (each many row pairs
-      independently — documented relaxation) and the acceptance-test
-      engine turns it on.
+      to the LEFT side of a one-to-one match, with upstream's exact
+      scope: only duplicates that are matched AND emitted error (an
+      unmatched duplicate, or one removed by a filtering comparison,
+      passes).  The check is a window count over the joined — and, for
+      filtering comparisons, already filtered — frame; it costs a
+      window shuffle there, so the analytics registry leaves it off
+      (each many row pairs independently — documented relaxation) and
+      the acceptance-test engine turns it on.
     """
     l_labels = [c for c in left.columns if c != value_col]
     r_labels = [c for c in right.columns if c != value_col]
