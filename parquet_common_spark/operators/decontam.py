@@ -1,0 +1,112 @@
+"""Benchmark decontamination: flag training documents whose token
+n-grams overlap a held-out evaluation/benchmark corpus.
+
+The standard training-data hygiene step (GPT-3 appendix C / Llama 2
+§A.6 style): any document sharing >= ``min_hits`` exact token n-grams
+with the benchmark set is considered contaminated and dropped (or
+down-weighted) before training.  This module expresses it Spark-first:
+
+  - benchmark n-gram set: explode the benchmark split's distinct word
+    n-gram hashes (``dedup.shingle_hashes`` — the same polynomial hash
+    family as the dedup operators, so the oracle SQL can reproduce it)
+    and ``distinct()`` them.  Benchmark corpora are orders of magnitude
+    smaller than the training corpus (MBs vs TBs), so this side is
+    ``F.broadcast()`` — the 100 TB corpus side NEVER shuffles for the
+    membership probe.
+  - corpus probe: explode each document's distinct n-gram hashes, LEFT
+    join the broadcast benchmark set to tag hits, and aggregate
+    (n_shingles, n_hits) per document in ONE groupBy — the only shuffle
+    in the plan, with map-side partial aggregation.  No join-back:
+    zero-hit documents survive because the join is left outer at the
+    shingle level.
+
+Reference parity note: the reference engine (a metrics store) has no
+such operator; this is part of the training-pipeline layer this repo
+adds on top (spec'd in the build brief).  The hash family is shared
+with /root/repo's dedup operators, NOT copied from the reference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from parquet_common_spark.operators.dedup import shingle_hashes
+
+
+def benchmark_ngram_set(
+    benchmark: DataFrame, text_col: str, n: int = 3
+) -> DataFrame:
+    """The distinct token-n-gram hash set of a benchmark corpus, as a
+    one-column DataFrame ``(h)`` ready to broadcast into the corpus
+    probe.  Distinct is computed BEFORE broadcast, so the broadcast
+    payload is the minimal set."""
+    return (
+        benchmark.select(
+            F.explode(shingle_hashes(F.col(text_col), n)).alias("h")
+        ).distinct()
+    )
+
+
+def contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Per-document benchmark-overlap stats over ``corpus``:
+
+    ``(id_col, n_shingles, n_hits, hit_frac, contaminated)``
+
+    where ``n_shingles`` counts the document's DISTINCT token n-grams,
+    ``n_hits`` how many of them appear anywhere in ``benchmark``, and
+    ``contaminated`` is ``n_hits >= min_hits``.
+
+    Scale shape: map-only explode on the corpus side, one broadcast
+    hash join against the (small) benchmark n-gram set, one shuffle
+    (groupBy id) with partial aggregation.  At 100 TB the corpus is
+    never repartitioned and never materializes unexploded arrays across
+    a shuffle boundary.
+    """
+    bench = F.broadcast(benchmark_ngram_set(benchmark, text_col, n))
+    probe = corpus.select(
+        F.col(id_col), F.explode(shingle_hashes(F.col(text_col), n)).alias("h")
+    )
+    tagged = probe.join(bench.withColumn("_hit", F.lit(1)), on="h", how="left")
+    out = tagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_hits"),
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("n_shingles"),
+        F.col("n_hits"),
+        F.round(
+            F.col("n_hits").cast("double") / F.col("n_shingles").cast("double"), 6
+        ).alias("hit_frac"),
+        (F.col("n_hits") >= min_hits).alias("contaminated"),
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """The clean corpus: documents whose benchmark n-gram overlap is
+    below ``min_hits``.  Implemented as a broadcast LEFT ANTI membership
+    probe composed with :func:`contamination`'s stats (the stats frame
+    is small — one row per doc id — but to keep the 100 TB path
+    shuffle-free on full rows, the final filter joins corpus to the
+    contaminated ID SET, which is bounded by the benchmark's true
+    positives and broadcastable in practice)."""
+    bad = (
+        contamination(corpus, benchmark, id_col, text_col, n, min_hits)
+        .where(F.col("contaminated"))
+        .select(id_col)
+    )
+    return corpus.join(F.broadcast(bad), on=id_col, how="left_anti")

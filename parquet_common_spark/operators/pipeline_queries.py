@@ -745,3 +745,58 @@ def sim3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.ivf_topk(emb, emb.where(F.col("vec_id") < 5), k=5, n_centroids=8, nprobe=4).orderBy(
         "query_id", "rank"
     )
+
+
+# ------------------------------------------- d7: benchmark decontamination
+
+# Benchmark split = source 'src0' (the held-out "eval suite"); corpus =
+# every other source.  n=3 token-grams give real overlap signal at the
+# synthetic corpus's ~30-word vocabulary; production pipelines use
+# n=8..13 — the parameter, not the plan, changes.
+_DC_N = 3
+_DC_MIN_HITS = 5
+_DC_BENCH_SRC = "src0"
+
+# shingle CTE carrying the source column (same hash family as d2/d3/d4)
+_DC_CTES = f"""t0 AS (SELECT doc_id AS id, source,
+             list_transform({_TOKS.format(c='text')}, t -> {_phash('t')}) AS th
+           FROM documents),
+    d AS (SELECT id, source,
+             list_distinct(CASE WHEN len(th) >= {_DC_N}
+                  THEN list_transform(generate_series(1, len(th) - {_DC_N - 1}),
+                                      i -> (((th[i] * {_K} + th[i+1]) % {_P}) * {_K} + th[i+2]) % {_P})
+                  ELSE [list_reduce(list_prepend(CAST(0 AS BIGINT), th), (a, b) -> (a * {_K} + b) % {_P})]
+                  END) AS sh
+           FROM t0)"""
+
+_D7_SQL = f"""
+    WITH {_DC_CTES},
+    bench AS (SELECT DISTINCT unnest(sh) AS h FROM d WHERE source = '{_DC_BENCH_SRC}'),
+    corpus AS (SELECT id, unnest(sh) AS h FROM d WHERE source <> '{_DC_BENCH_SRC}'),
+    hits AS (SELECT c.id,
+                    COUNT(*) AS n_shingles,
+                    COUNT(b.h) AS n_hits
+             FROM corpus c LEFT JOIN bench b ON c.h = b.h
+             GROUP BY c.id)
+    SELECT id AS doc_id,
+           CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           ROUND(CAST(n_hits AS DOUBLE) / CAST(n_shingles AS DOUBLE), 6) AS hit_frac,
+           n_hits >= {_DC_MIN_HITS} AS contaminated
+    FROM hits ORDER BY doc_id
+"""
+
+
+@query("d7_benchmark_decontam", _D7_SQL)
+def d7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_common_spark.operators import decontam as DC
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    bench = docs.where(F.col("source") == _DC_BENCH_SRC)
+    corpus = docs.where(F.col("source") != _DC_BENCH_SRC)
+    return (
+        DC.contamination(
+            corpus, bench, "doc_id", "text", n=_DC_N, min_hits=_DC_MIN_HITS
+        )
+        .orderBy("doc_id")
+    )

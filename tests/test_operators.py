@@ -344,3 +344,70 @@ def test_quantized_topk_recall_vs_float(spark, sf_dir):
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.8, f"int8 quantization degraded top-k too far: {recall}"
+
+
+# ------------------------------------------------------ decontamination
+
+
+def test_contamination_flags_planted_overlap(spark):
+    from parquet_common_spark.operators import decontam as DC
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta unrelated tail words here"),  # shares 2 trigrams
+            (1, "nothing in common with the benchmark at all truly"),
+            (2, "alpha beta gamma delta epsilon zeta verbatim copy"),  # shares 4
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_hits"], r["contaminated"])
+        for r in DC.contamination(
+            corpus, bench, "doc_id", "text", n=3, min_hits=2
+        ).collect()
+    }
+    assert out[0][0] == 2 and out[0][1] is True
+    assert out[1] == (0, False)
+    assert out[2][0] == 4 and out[2][1] is True
+    # zero-hit docs must SURVIVE into the stats frame (left-outer probe)
+    assert set(out) == {0, 1, 2}
+
+
+def test_decontaminate_drops_only_contaminated(spark):
+    from parquet_common_spark.operators import decontam as DC
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta unrelated tail words here"),
+            (1, "nothing in common with the benchmark at all truly"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = [
+        r["doc_id"]
+        for r in DC.decontaminate(
+            corpus, bench, "doc_id", "text", n=3, min_hits=1
+        ).collect()
+    ]
+    assert kept == [1]
+
+
+def test_contamination_plan_broadcasts_benchmark(spark):
+    from parquet_common_spark.operators import decontam as DC
+
+    bench = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+    corpus = spark.createDataFrame([(1, "a b c e")], "doc_id long, text string")
+    plan = (
+        DC.contamination(corpus, bench, "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
