@@ -800,3 +800,68 @@ def d7(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------- t6: Gopher repetition filters
+
+# Thresholds calibrated so the synthetic corpus splits (sf0.01 medians:
+# dup_token_frac 0.54, top_bigram_frac 0.069); production Gopher uses
+# top-2gram <= 0.20 (Rae et al. 2021 Table A1) — same rule, same knob.
+_REP_DUP_MAX = 0.60
+_REP_TOP2_MAX = 0.20
+
+_T6_SQL = f"""
+    WITH t0 AS (SELECT doc_id, {_TOKS.format(c='text')} AS toks FROM documents),
+    g AS (SELECT doc_id, toks,
+           CASE WHEN len(toks) >= 2
+                THEN list_transform(generate_series(1, len(toks) - 1),
+                                    i -> toks[i] || ' ' || toks[i+1])
+                ELSE [] END AS grams
+          FROM t0),
+    m AS (SELECT doc_id,
+           CASE WHEN len(toks) > 0
+                THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                ELSE 0.0 END AS dupf,
+           list_reverse_sort(list_transform(list_distinct(grams),
+               x -> {{'c': len(list_filter(grams, y -> y = x)), 'g': x}}))[1] AS top,
+           list_sum(list_transform(toks, t -> length(t))) AS total_chars
+          FROM g),
+    r AS (SELECT doc_id,
+           ROUND(dupf, 6) AS dup_token_frac,
+           top.g AS top_bigram,
+           CAST(top.c AS BIGINT) AS top_bigram_count,
+           ROUND(CASE WHEN top.g IS NOT NULL AND total_chars > 0
+                THEN CAST(top.c * length(replace(top.g, ' ', '')) AS DOUBLE) / total_chars
+                ELSE 0.0 END, 6) AS top_bigram_frac
+          FROM m)
+    SELECT doc_id, dup_token_frac, top_bigram, top_bigram_count, top_bigram_frac,
+           dup_token_frac <= {_REP_DUP_MAX} AND top_bigram_frac <= {_REP_TOP2_MAX} AS keep
+    FROM r ORDER BY doc_id
+"""
+
+
+@query("t6_repetition_filters", _T6_SQL)
+def t6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    staged = (
+        docs.withColumn("_toks", T.tokens(T.normalize_text(F.col("text"))))
+        .withColumn("_grams", T.word_bigrams(F.col("_toks")))
+        .withColumn("_top", T.top_bigram(F.col("_grams")))
+    )
+    dupf = F.round(T.duplicate_token_fraction(F.col("_toks")), 6)
+    topf = F.round(T.top_bigram_char_fraction(F.col("_grams"), F.col("_toks")), 6)
+    return (
+        staged.select(
+            "doc_id",
+            dupf.alias("dup_token_frac"),
+            F.col("_top")["g"].alias("top_bigram"),
+            F.col("_top")["c"].cast("long").alias("top_bigram_count"),
+            topf.alias("top_bigram_frac"),
+        )
+        .withColumn(
+            "keep",
+            (F.col("dup_token_frac") <= _REP_DUP_MAX)
+            & (F.col("top_bigram_frac") <= _REP_TOP2_MAX),
+        )
+        .orderBy("doc_id")
+    )

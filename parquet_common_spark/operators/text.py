@@ -142,3 +142,76 @@ def quality_score(col: Column) -> Column:
         + 0.25 * F.least(4.0 * safe(n_stop, n_tok), F.lit(1.0))
     )
     return F.round(score, 6)
+
+
+# ------------------------------------------------- repetition filters
+
+def duplicate_token_fraction(toks: Column) -> Column:
+    """Fraction of tokens that are repeats of an earlier token:
+    1 - |distinct|/|all| (Gopher-rule family, Rae et al. 2021 §A1.1 —
+    "duplicate word fraction").  0.0 for empty docs.  Map-only."""
+    n = F.size(toks)
+    return F.when(
+        n > 0,
+        F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n.cast("double"),
+    ).otherwise(F.lit(0.0))
+
+
+def word_bigrams(toks: Column) -> Column:
+    """All (non-distinct) adjacent word 2-grams, space-joined.  Empty
+    array below 2 tokens.  Built with slice+zip_with, not element_at in
+    a lambda (see dedup.shingle_hashes_from_token_hashes for why)."""
+    m = F.size(toks) - 1
+    return F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, m),
+            F.slice(toks, 2, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def top_bigram(grams: Column) -> Column:
+    """The most frequent 2-gram as struct(c, g) — count-desc with the
+    lexicographically LARGEST gram breaking count ties (both engines
+    sort structs field-wise, so the oracle reproduces the tie-break).
+    NULL when there are no 2-grams.
+
+    Per-doc cost is O(|distinct grams| * |grams|) inside ONE codegen'd
+    map stage — no explode, no shuffle, no per-doc state beyond the
+    arrays themselves.  ``grams`` should be a materialized column
+    reference (withColumn first): a filter() over a non-attribute array
+    expression re-evaluates the whole array per element."""
+    counted = F.transform(
+        F.array_distinct(grams),
+        lambda g: F.struct(
+            F.size(F.filter(grams, lambda x: x == g)).alias("c"), g.alias("g")
+        ),
+    )
+    return F.get(F.sort_array(counted, asc=False), 0)
+
+
+def top_bigram_char_fraction(grams: Column, toks: Column) -> Column:
+    """Fraction of the document's (non-whitespace) characters contained
+    in occurrences of its most frequent word 2-gram (Gopher repetition
+    rule: "fraction of characters in most common 2-gram"; threshold
+    0.20 in Rae et al. 2021 Table A1).  0.0 when no 2-grams exist.
+
+    Computed as count(top) * chars(top) / total_chars — the standard
+    open reimplementation of the rule.  For self-overlapping repeats
+    ("spam spam spam ...") occurrences share characters and the ratio
+    can exceed 1.0; that is fine for a threshold filter (more
+    repetitive == larger), and exact interval-union coverage would cost
+    a per-doc scan for no ranking change."""
+    top = top_bigram(grams)
+    total_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)
+    )
+    hit_chars = top["c"].cast("long") * F.length(
+        F.regexp_replace(top["g"], " ", "")
+    )
+    return F.when(
+        top.isNotNull() & (total_chars > 0),
+        hit_chars.cast("double") / total_chars.cast("double"),
+    ).otherwise(F.lit(0.0))

@@ -411,3 +411,38 @@ def test_contamination_plan_broadcasts_benchmark(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+# ------------------------------------------------- repetition filters
+
+
+def test_repetition_metrics(spark):
+    rows = [
+        (0, "spam spam spam spam spam spam"),          # one token repeated
+        (1, "all words here are fully distinct okay"),  # no repeats
+        (2, "ab cd ab cd ab cd xy"),                     # dominant "ab cd" bigram
+        (3, "solo"),                                     # <2 tokens: no bigrams
+        (4, ""),                                         # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    staged = (
+        df.withColumn("_toks", T.tokens(T.normalize_text(F.col("text"))))
+        .withColumn("_grams", T.word_bigrams(F.col("_toks")))
+    )
+    out = {
+        r["doc_id"]: r
+        for r in staged.select(
+            "doc_id",
+            T.duplicate_token_fraction(F.col("_toks")).alias("dupf"),
+            T.top_bigram(F.col("_grams")).alias("top"),
+            T.top_bigram_char_fraction(F.col("_grams"), F.col("_toks")).alias("topf"),
+        ).collect()
+    }
+    assert abs(out[0]["dupf"] - 5 / 6) < 1e-9
+    assert out[0]["top"]["g"] == "spam spam" and out[0]["top"]["c"] == 5
+    # 5 occurrences x 8 chars ("spamspam") over 24 total chars -> capped by def
+    assert abs(out[0]["topf"] - 5 * 8 / 24) < 1e-9
+    assert out[1]["dupf"] == 0.0
+    assert out[2]["top"]["g"] == "ab cd" and out[2]["top"]["c"] == 3
+    assert out[3]["top"] is None and out[3]["topf"] == 0.0
+    assert out[4]["dupf"] == 0.0 and out[4]["topf"] == 0.0
