@@ -865,3 +865,64 @@ def t6(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------- t7: PII redaction
+
+# The synthetic corpus contains no organic PII, so the query plants it
+# deterministically from driver data (doc_id arithmetic) IN BOTH
+# ENGINES, then exercises the real detection/redaction bank end-to-end.
+# The operator itself (operators/pii.py) is generic.
+
+_PII_TEXT_SQL = """concat(text,
+      CASE WHEN doc_id % 3 = 0 THEN ' contact user' || doc_id || '@example.com' ELSE '' END,
+      CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || (doc_id % 256) || '.7' ELSE '' END,
+      CASE WHEN doc_id % 7 = 0 THEN ' call 555-123-4567' ELSE '' END,
+      CASE WHEN doc_id % 11 = 0 THEN ' ssn 123-45-6789' ELSE '' END)"""
+
+
+def _pii_sql_counts() -> str:
+    from parquet_common_spark.operators.pii import PII_PATTERNS
+
+    cols = [
+        f"CAST(len(regexp_extract_all(pt, '{p}')) AS BIGINT) AS n_{n}"
+        for n, p, _ in PII_PATTERNS
+    ]
+    red = "pt"
+    for _, p, tok in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{p}', '{tok}', 'g')"
+    return ", ".join(cols) + f", {red} AS redacted"
+
+
+_T7_SQL = f"""
+    WITH t0 AS (SELECT doc_id, {_PII_TEXT_SQL} AS pt FROM documents)
+    SELECT doc_id, {_pii_sql_counts()}
+    FROM t0 ORDER BY doc_id
+"""
+
+
+@query("t7_pii_redaction", _T7_SQL)
+def t7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_common_spark.operators import pii as PII
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" from 10.0."), F.col("doc_id") % 256, F.lit(".7")),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" call 555-123-4567")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+    )
+    staged = docs.withColumn("pt", planted)
+    counts = PII.pii_counts(F.col("pt"))
+    return staged.select(
+        "doc_id",
+        *[c.cast("long").alias(f"n_{n}") for n, c in counts.items()],
+        PII.redact_pii(F.col("pt")).alias("redacted"),
+    ).orderBy("doc_id")

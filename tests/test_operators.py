@@ -446,3 +446,38 @@ def test_repetition_metrics(spark):
     assert out[2]["top"]["g"] == "ab cd" and out[2]["top"]["c"] == 3
     assert out[3]["top"] is None and out[3]["topf"] == 0.0
     assert out[4]["dupf"] == 0.0 and out[4]["topf"] == 0.0
+
+
+# ------------------------------------------------------------ PII bank
+
+
+def test_pii_detection_and_redaction(spark):
+    from parquet_common_spark.operators import pii as PII
+
+    rows = [
+        (0, "mail a.b+c@ex-ample.co.uk and d@e.org today"),
+        (1, "host 192.168.0.1 and 10.255.3.77 up"),
+        (2, "call 555-123-4567 or 800-555-0199"),
+        (3, "ssn 123-45-6789 leaked"),
+        (4, "clean text with no pii at all"),
+        # SSN grouping must NOT count as phone and vice versa
+        (5, "123-45-6789 then 123-456-7890"),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    counts = PII.pii_counts(F.col("t"))
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            *[c.alias(n) for n, c in counts.items()],
+            PII.redact_pii(F.col("t")).alias("red"),
+        ).collect()
+    }
+    assert out[0]["email"] == 2 and out[0]["red"] == "mail <EMAIL> and <EMAIL> today"
+    assert out[1]["ip"] == 2 and out[1]["red"] == "host <IP> and <IP> up"
+    assert out[2]["phone"] == 2 and out[2]["red"] == "call <PHONE> or <PHONE>"
+    assert out[3]["ssn"] == 1 and out[3]["red"] == "ssn <SSN> leaked"
+    assert all(out[4][k] == 0 for k in ("email", "ip", "phone", "ssn"))
+    assert out[4]["red"] == "clean text with no pii at all"
+    assert out[5]["ssn"] == 1 and out[5]["phone"] == 1
+    assert out[5]["red"] == "<SSN> then <PHONE>"
