@@ -926,3 +926,42 @@ def t7(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[c.cast("long").alias(f"n_{n}") for n, c in counts.items()],
         PII.redact_pii(F.col("pt")).alias("redacted"),
     ).orderBy("doc_id")
+
+
+# ------------------------------------------------ p4: mixture sampling
+
+from parquet_common_spark.operators import sampling as SMP  # noqa: E402
+
+# Non-uniform target mixture: domain weight = (source index % 3) + 1,
+# a pure function of the domain value both engines recompute.
+_P4_BUDGET = 200
+
+_P4_SQL = f"""
+    WITH per AS (SELECT source, COUNT(*) AS n,
+                        (CAST(substr(source, 4) AS INT) % 3) + 1 AS w
+                 FROM documents GROUP BY source),
+    tot AS (SELECT SUM(w) AS sw FROM per),
+    r AS (SELECT source,
+                 LEAST(1.0, CAST(w * {_P4_BUDGET} AS DOUBLE) / CAST(sw * n AS DOUBLE)) AS rate
+          FROM per, tot)
+    SELECT d.doc_id, d.source, ROUND(r.rate, 6) AS rate
+    FROM documents d JOIN r ON d.source = r.source
+    WHERE (d.doc_id * {SMP.MIX_MULT} + {SMP.MIX_ADD}) % {SMP.MIX_MOD}
+          < CAST(floor(r.rate * {SMP.MIX_MOD}) AS BIGINT)
+    ORDER BY d.doc_id
+"""
+
+
+@query("p4_mixture_sample", _P4_SQL)
+def p4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")["documents"]
+    out = SMP.mixture_sample(
+        docs,
+        "source",
+        "doc_id",
+        lambda d: (F.substring(d, 4, 10).cast("int") % 3) + 1,
+        budget=_P4_BUDGET,
+    )
+    return out.select(
+        "doc_id", "source", F.round(F.col("_rate"), 6).alias("rate")
+    ).orderBy("doc_id")

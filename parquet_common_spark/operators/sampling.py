@@ -64,3 +64,52 @@ def stratified_fixed(
         .where(F.col("_srk") <= k)
         .drop("_srk")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    weight_of_domain,
+    budget: int,
+) -> DataFrame:
+    """Domain-mixture sampling: draw a deterministic sample whose domain
+    proportions approach target weights under a total row ``budget``
+    (the "data mixing" step of training-set assembly).
+
+    ``weight_of_domain`` maps the domain Column to an INTEGER weight
+    expression (a pure function of the domain value, so both engines
+    can recompute it).  Domain d with n_d rows gets keep-rate
+    ``min(1, (w_d * budget) / (sum_w * n_d))`` — proportional
+    allocation, capped at taking the whole domain; rows are kept by the
+    partition-independent mix(key) threshold, so the sample is a
+    deterministic subset (and a SUPERSET relation holds across growing
+    budgets: larger budget == strictly more of the same rows).
+
+    The rate arithmetic is integer-products-then-ONE-division, so Spark
+    and the oracle agree bitwise on the threshold.
+
+    Plan shape at 100 TB: one low-cardinality groupBy (map-side
+    combined) to count domains, a scalar total, a broadcast of the tiny
+    rates frame, then a map-only filter over the full corpus — the
+    corpus itself never shuffles.
+
+    Returns the sampled rows with a ``_rate`` column attached (callers
+    drop or round it).
+    """
+    per = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_n"))
+    per = per.withColumn("_w", weight_of_domain(F.col(domain_col)).cast("long"))
+    tot = per.agg(F.sum("_w").alias("_sw"))
+    rates = per.crossJoin(F.broadcast(tot)).select(
+        domain_col,
+        F.least(
+            F.lit(1.0),
+            (F.col("_w") * F.lit(int(budget))).cast("double")
+            / (F.col("_sw") * F.col("_n")).cast("double"),
+        ).alias("_rate"),
+    )
+    joined = df.join(F.broadcast(rates), on=domain_col)
+    return joined.where(
+        key_mix(F.col(key_col))
+        < F.floor(F.col("_rate") * F.lit(MIX_MOD)).cast("long")
+    )

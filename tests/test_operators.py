@@ -481,3 +481,48 @@ def test_pii_detection_and_redaction(spark):
     assert out[4]["red"] == "clean text with no pii at all"
     assert out[5]["ssn"] == 1 and out[5]["phone"] == 1
     assert out[5]["red"] == "<SSN> then <PHONE>"
+
+
+# ------------------------------------------------------ mixture sampling
+
+
+def test_mixture_sample_proportions_and_determinism(spark, sf_dir):
+    from parquet_common_spark.operators import sampling as SMP
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    weight = lambda d: (F.substring(d, 4, 10).cast("int") % 3) + 1  # noqa: E731
+    out = SMP.mixture_sample(docs, "source", "doc_id", weight, budget=40)
+    kept = out.groupBy("source").count().collect()
+    total = sum(r["count"] for r in kept)
+    # approximately the budget (hash-threshold sampling is not exact)
+    assert 0.5 * 40 <= total <= 1.5 * 40
+    # partition-independent: same rows under a different layout
+    a = {r["doc_id"] for r in out.select("doc_id").collect()}
+    b = {
+        r["doc_id"]
+        for r in SMP.mixture_sample(
+            docs.repartition(13), "source", "doc_id", weight, budget=40
+        ).select("doc_id").collect()
+    }
+    assert a == b
+    # larger budget keeps a SUPERSET of the same rows
+    big = {
+        r["doc_id"]
+        for r in SMP.mixture_sample(docs, "source", "doc_id", weight, budget=120)
+        .select("doc_id").collect()
+    }
+    assert a <= big
+
+
+def test_mixture_sample_rate_caps_at_one(spark):
+    from parquet_common_spark.operators import sampling as SMP
+
+    df = spark.createDataFrame(
+        [(i, "dom0" if i < 3 else "dom1") for i in range(13)],
+        "doc_id long, source string",
+    )
+    # budget >> corpus: every row survives, rate capped at 1.0
+    out = SMP.mixture_sample(df, "source", "doc_id", lambda d: F.lit(1), budget=1000)
+    rows = out.collect()
+    assert len(rows) == 13
+    assert all(r["_rate"] == 1.0 for r in rows)
