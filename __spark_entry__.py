@@ -40,16 +40,18 @@ _CHECK_WINDOW = [
     "q12_priority_shipping", "q13_customer_distribution",
     "q14_promo_revenue", "q15_top_supplier", "q17_small_quantity_revenue",
     "q19_bracket_revenue", "q22_inactive_customers",
-    # newly oracled / newly added this round
+    # newly oracled / newly added this round (r5: the four new
+    # training-pipeline operators displace r4-checked family members
+    # whose families keep other representatives in the window)
     "a1_approx_distinct", "pq1_promql_engine",
+    "d7_benchmark_decontam", "t6_repetition_filters",
+    "t7_pii_redaction", "p4_mixture_sample",
     # carried family representatives covering code CHANGED this round
     # (matcher IN-enumeration, IEEE cmp/div in promql_vec, engine reuse)
     "m2_matcher_regex_set", "m3_matcher_negative_regex",
-    "m10_histogram_quantile", "m11_native_histogram_quantile",
-    "m13_chunk_roundtrip", "m15_promql_vector_matching",
+    "m11_native_histogram_quantile", "m15_promql_vector_matching",
     "g3_vector_aggregations", "st3_streaming_dedup",
     "e4_asof_last_click_before_purchase", "d2_minhash_lsh_dedup",
-    "sim2_lsh_topk", "w5_session_windows",
     "q1_pricing_summary", "q9_product_profit",
     "p1_pivot_event_counts", "x1_token_frequencies",
 ]
