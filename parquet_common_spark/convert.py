@@ -349,3 +349,89 @@ def convert(
     )
     meta.write(out_dir)
     return meta
+
+
+def convert_bucketed(
+    df: DataFrame,
+    table_prefix: str,
+    n_buckets: int = 32,
+    ts_col: str = "ts",
+    value_col: str | None = "value",
+    labels_col: str | None = "labels",
+    sort_labels: tuple[str, ...] = S.DEFAULT_SORT_LABELS,
+    col_duration_ms: int = S.DEFAULT_COL_DURATION_MS,
+    mint_ms: int | None = None,
+    maxt_ms: int | None = None,
+    extra_value_cols: list[str] | None = None,
+    compression: str = "zstd",
+) -> S.ShardMeta:
+    """Write the shard as BUCKETED catalog tables
+    ``<prefix>_series`` / ``<prefix>_samples``, both bucketed on
+    ``s_series_hash`` with the same bucket count and sorted within
+    buckets (samples additionally by timestamp).
+
+    This is the co-located layout for the 100 TB read path: the
+    series⋈samples join in ``ParquetQueryable`` hits two tables whose
+    bucketing matches the join key, so Catalyst plans a sort-merge join
+    with ZERO shuffle exchanges on either side — the scan IS the join
+    layout (plan-pinned in tests/test_convert_queryable.py).  The
+    reference gets the same effect from positional row alignment inside
+    one sorted file pair (storage/parquet_shard.go:138-185); bucketing
+    is Spark's native equivalent for distributed storage.
+
+    Shard metadata rides on the series table as the ``pcs.meta`` table
+    property (the catalog replaces the ``_meta.json`` sidecar).
+    Directory-based :func:`convert` remains the portable interchange
+    form; use this when the engine owns the catalog.
+    """
+    if labels_col is not None and labels_col in df.columns:
+        df = wide_from_label_map(df, labels_col)
+    label_cols = S.label_columns(df.columns)
+    if mint_ms is None or maxt_ms is None:
+        row = df.agg(F.min(ts_col).alias("mn"), F.max(ts_col).alias("mx")).collect()[0]
+        mint_ms = int(row["mn"]) if mint_ms is None else mint_ms
+        maxt_ms = int(row["mx"]) if maxt_ms is None else maxt_ms
+
+    hashed = df.withColumn(S.SERIES_HASH_COLUMN, S.series_hash_column(label_cols))
+    series = hashed.select(*label_cols, S.SERIES_HASH_COLUMN).distinct()
+    value_exprs = (
+        [F.col(value_col).cast("double").alias(S.VALUE_COLUMN)] if value_col is not None else []
+    ) + [F.col(c) for c in (extra_value_cols or [])]
+    samples = hashed.select(
+        F.col(S.SERIES_HASH_COLUMN),
+        S.data_col_idx(F.col(ts_col).cast("long"), mint_ms, col_duration_ms).alias(
+            S.TIME_BUCKET_COLUMN
+        ),
+        F.col(ts_col).cast("long").alias(S.TS_COLUMN),
+        *value_exprs,
+    )
+
+    (
+        series.write.mode("overwrite")
+        .format("parquet")
+        .option("compression", compression)
+        .option("parquet.bloom.filter.enabled#" + S.label_to_column(S.METRIC_NAME_LABEL), "true")
+        .bucketBy(n_buckets, S.SERIES_HASH_COLUMN)
+        .sortBy(S.SERIES_HASH_COLUMN)
+        .saveAsTable(f"{table_prefix}_series")
+    )
+    (
+        samples.write.mode("overwrite")
+        .format("parquet")
+        .option("compression", compression)
+        .partitionBy(S.TIME_BUCKET_COLUMN)
+        .bucketBy(n_buckets, S.SERIES_HASH_COLUMN)
+        .sortBy(S.SERIES_HASH_COLUMN, S.TS_COLUMN)
+        .saveAsTable(f"{table_prefix}_samples")
+    )
+    meta = S.ShardMeta(
+        mint_ms=mint_ms,
+        maxt_ms=maxt_ms,
+        col_duration_ms=col_duration_ms,
+        sort_labels=tuple(sort_labels),
+    )
+    esc = meta.to_json().replace("'", "''")
+    df.sparkSession.sql(
+        f"ALTER TABLE {table_prefix}_series SET TBLPROPERTIES ('pcs.meta' = '{esc}')"
+    )
+    return meta

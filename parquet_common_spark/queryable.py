@@ -50,6 +50,27 @@ class ShardDataset:
         samples = spark.read.parquet(os.path.join(shard_dir, "samples.parquet"))
         return cls(series=series, samples=samples, meta=meta)
 
+    @classmethod
+    def from_tables(
+        cls, spark: SparkSession, table_prefix: str, meta: S.ShardMeta | None = None
+    ) -> "ShardDataset":
+        """Open a bucketed-table shard written by ``convert_bucketed``:
+        catalog tables ``<prefix>_series`` / ``<prefix>_samples``, with
+        shard metadata read back from the series table's ``pcs.meta``
+        property.  Because both tables are bucketed on the series hash,
+        every Select's series⋈samples join plans shuffle-free."""
+        series = spark.table(f"{table_prefix}_series")
+        samples = spark.table(f"{table_prefix}_samples")
+        if meta is None:
+            props = {
+                r["key"]: r["value"]
+                for r in spark.sql(
+                    f"SHOW TBLPROPERTIES {table_prefix}_series"
+                ).collect()
+            }
+            meta = S.ShardMeta.from_json(props["pcs.meta"])
+        return cls(series=series, samples=samples, meta=meta)
+
     @property
     def label_cols(self) -> list[str]:
         return S.label_columns(self.series.columns)
@@ -120,6 +141,17 @@ class ParquetQueryable:
     ) -> "ParquetQueryable":
         return cls(
             [ShardDataset.read(spark, d) for d in shard_dirs],
+            result_cache=result_cache,
+        )
+
+    @classmethod
+    def from_tables(
+        cls, spark: SparkSession, table_prefixes: list[str], result_cache=False
+    ) -> "ParquetQueryable":
+        """Queryable over bucketed-table shards (see
+        ``convert.convert_bucketed`` / ``ShardDataset.from_tables``)."""
+        return cls(
+            [ShardDataset.from_tables(spark, p) for p in table_prefixes],
             result_cache=result_cache,
         )
 

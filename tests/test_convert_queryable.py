@@ -347,3 +347,51 @@ def test_convert_merged_blocks(spark, tmp_path):
     assert sorted(
         r[S.TS_COLUMN] for r in q2.select(0, 10**12, [Matcher("a", "=", "1")]).collect()
     ) == [0, 0, 1000]
+
+
+# ------------------------------------------------- bucketed table layout
+
+
+def test_bucketed_tables_roundtrip_and_colocated_join(spark, tmp_path):
+    """convert_bucketed writes catalog tables bucketed on the series
+    hash; a Select over them must (a) return exactly what the
+    directory-based shard returns and (b) plan the series⋈samples join
+    with ZERO shuffle exchanges — the bucketing IS the join layout."""
+    df = make_long_df(spark, n_series=16, samples=6)
+    out = str(tmp_path / "dir_shard")
+    C.convert(df, out, col_duration_ms=8 * 3600 * 1000)
+
+    prefix = "pcs_test_bucketed"
+    try:
+        meta = C.convert_bucketed(
+            df, prefix, n_buckets=4, col_duration_ms=8 * 3600 * 1000
+        )
+        assert meta.col_duration_ms == 8 * 3600 * 1000
+
+        qt = ParquetQueryable.from_tables(spark, [prefix])
+        # metadata round-trips through TBLPROPERTIES
+        assert qt.shards[0].meta.col_duration_ms == 8 * 3600 * 1000
+
+        matchers = [Matcher("__name__", "=", "foo"), Matcher("env", "=", "dev")]
+        qd = ParquetQueryable.from_paths(spark, [out])
+        expect = sorted(
+            map(tuple, qd.select(0, 10**12, matchers).collect())
+        )
+        got_df = qt.select(0, 10**12, matchers)
+        assert sorted(map(tuple, got_df.collect())) == expect
+
+        # plan pin: force SMJ (no broadcast) and demand a shuffle-free join
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = (
+                qt.select(0, 10**12, matchers)
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # neither shuffle nor broadcast
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_series")
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_samples")
