@@ -1,0 +1,121 @@
+"""Sequence packing: assign documents to fixed-token-budget training
+sequences ("context windows") in a deterministic global order.
+
+The core primitive is a DISTRIBUTED PREFIX SUM.  The naive Spark form —
+``sum().over(Window.orderBy(...))`` with no partition key — collapses
+to a single task and dies at scale; partitioning the window by a
+low-cardinality domain (20 sources over 100 TB) just moves the collapse
+into 20 giant tasks.  The scalable shape is the classic two-pass scan:
+
+  1. range-repartition on the total order + sort within partitions
+     (the same machinery ``convert`` uses for sorted shards), persist;
+  2. per-partition totals — a tiny aggregate, one row per partition —
+     collected and prefix-summed on the driver (a few KB at any scale);
+  3. one Arrow ``mapInPandas`` pass that streams each partition's
+     batches in order, carrying a running accumulator seeded with the
+     partition's offset.
+
+The result is the exact global running sum over (order_cols), identical
+at any partition count — which makes it oracle-checkable against a SQL
+window cumsum.  Pack assignment is then arithmetic: a document whose
+packed interval starts at ``cum - tokens`` lands in pack
+``floor((cum - tokens) / budget)`` — the standard "greedy fill,
+straddlers overflow" packing used for pretraining batch assembly.
+
+Persisting between pass 1 and pass 3 pins the sampled range boundaries
+(RangePartitioner samples; recomputing the lineage could resample) so
+the driver-side offsets stay aligned with the executor-side partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact running sum of ``value_col`` over the total order given by
+    ``order_cols`` (which must be a unique key), distributed via the
+    two-pass scan described in the module docstring.  Returns the input
+    columns plus ``out_col`` (inclusive prefix sum)."""
+    spark = df.sparkSession
+    n = num_partitions or spark.sparkContext.defaultParallelism
+    d = (
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    try:
+        sums = {
+            r["_pid"]: r["s"]
+            for r in d.groupBy("_pid").agg(F.sum(value_col).alias("s")).collect()
+        }
+        offsets: dict[int, int] = {}
+        acc = 0
+        for pid in sorted(sums):
+            offsets[pid] = acc
+            acc += int(sums[pid])
+        boff = spark.sparkContext.broadcast(offsets)
+
+        # StructType.add MUTATES in place (it would corrupt d's cached
+        # schema and break mapInPandas' input-column resolution) — build
+        # a fresh StructType instead
+        schema = StructType(
+            list(d.schema.fields) + [StructField(out_col, LongType())]
+        )
+
+        def scan(batches):
+            run = None
+            for pdf in batches:
+                if len(pdf) == 0:
+                    yield pdf.assign(**{out_col: pdf.get(value_col, [])})
+                    continue
+                if run is None:
+                    run = boff.value.get(int(pdf["_pid"].iloc[0]), 0)
+                c = pdf[value_col].astype("int64").cumsum() + run
+                run = int(c.iloc[-1])
+                pdf = pdf.copy()
+                pdf[out_col] = c
+                yield pdf
+
+        out = d.mapInPandas(scan, schema=schema).drop("_pid")
+        # the plan holds the persisted frame; materialization happens at
+        # the caller's action, reading the SAME partitions as pass 2
+        return out
+    except Exception:
+        d.unpersist()
+        raise
+
+
+def pack_sequences(
+    df: DataFrame,
+    order_cols: list[str],
+    token_col: str,
+    budget: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Assign each document to a training pack of ``budget`` tokens:
+    documents are laid out end-to-end in (order_cols) order and a doc
+    starting at global token offset ``cum - tokens`` joins pack
+    ``floor(start / budget)``.  Adds columns:
+
+      - ``pack_id``     — the pack the document STARTS in
+      - ``pack_offset`` — token offset within that pack
+      - ``cum_tokens``  — inclusive global running token count
+    """
+    out = global_cumsum(
+        df, order_cols, token_col, out_col="cum_tokens", num_partitions=num_partitions
+    )
+    start = F.col("cum_tokens") - F.col(token_col)
+    return out.withColumn(
+        "pack_id", F.floor(start / F.lit(int(budget))).cast("long")
+    ).withColumn(
+        "pack_offset", (start % F.lit(int(budget))).cast("long")
+    )

@@ -965,3 +965,39 @@ def p4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "source", F.round(F.col("_rate"), 6).alias("rate")
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------- p5: sequence packing
+
+_P5_BUDGET = 512
+
+_P5_SQL = f"""
+    WITH t AS (SELECT doc_id, source,
+                      CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+               FROM documents),
+    c AS (SELECT doc_id, source, n_tokens,
+                 SUM(n_tokens) OVER (ORDER BY source, doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum_tokens
+          FROM t)
+    SELECT doc_id, source, n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(floor((cum_tokens - n_tokens) / {_P5_BUDGET}) AS BIGINT) AS pack_id,
+           CAST((cum_tokens - n_tokens) % {_P5_BUDGET} AS BIGINT) AS pack_offset
+    FROM c ORDER BY doc_id
+"""
+
+
+@query("p5_sequence_packing", _P5_SQL)
+def p5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_common_spark.operators import packing as PK
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    with_tokens = docs.select(
+        "doc_id", "source", T.token_count(F.col("text")).cast("long").alias("n_tokens")
+    )
+    out = PK.pack_sequences(
+        with_tokens, ["source", "doc_id"], "n_tokens", budget=_P5_BUDGET
+    )
+    return out.select(
+        "doc_id", "source", "n_tokens", "cum_tokens", "pack_id", "pack_offset"
+    ).orderBy("doc_id")

@@ -526,3 +526,46 @@ def test_mixture_sample_rate_caps_at_one(spark):
     rows = out.collect()
     assert len(rows) == 13
     assert all(r["_rate"] == 1.0 for r in rows)
+
+
+# ------------------------------------------------------ sequence packing
+
+
+def test_global_cumsum_matches_local_and_partition_independent(spark):
+    from parquet_common_spark.operators import packing as PK
+
+    rows = [(i, f"s{i % 3}", (i * 7) % 11 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    # local reference cumsum keyed by doc_id
+    expect = {}
+    acc = 0
+    for i, s, t in sorted(rows, key=lambda r: (r[1], r[0])):
+        acc += t
+        expect[i] = acc
+    for nparts in (1, 4, 16):
+        got = {
+            r["doc_id"]: r["cum"]
+            for r in PK.global_cumsum(
+                df, ["source", "doc_id"], "n_tokens", num_partitions=nparts
+            ).collect()
+        }
+        assert got == expect, f"nparts={nparts}"
+
+
+def test_pack_sequences_budget_arithmetic(spark):
+    from parquet_common_spark.operators import packing as PK
+
+    df = spark.createDataFrame(
+        [(0, 3), (1, 4), (2, 5), (3, 10), (4, 2)],
+        "doc_id long, n_tokens long",
+    )
+    out = {
+        r["doc_id"]: (r["pack_id"], r["pack_offset"], r["cum_tokens"])
+        for r in PK.pack_sequences(df, ["doc_id"], "n_tokens", budget=8).collect()
+    }
+    # layout: starts at 0,3,7,12,22 with budget 8
+    assert out[0] == (0, 0, 3)
+    assert out[1] == (0, 3, 7)
+    assert out[2] == (0, 7, 12)   # starts at 7 -> pack 0 (straddles into 1)
+    assert out[3] == (1, 4, 22)   # starts at 12 -> pack 1
+    assert out[4] == (2, 6, 24)   # starts at 22 -> pack 2
