@@ -369,3 +369,51 @@ def histogram_fraction(
     return F.when(count <= 0, F.lit(None).cast("double")).otherwise(
         F.least(F.greatest(frac, F.lit(0.0)), F.lit(1.0))
     )
+
+
+def histogram_stdvar(
+    schema: Column,
+    zero_count: Column,
+    count: Column,
+    hsum: Column,
+    pos_idx: Column,
+    pos_counts: Column,
+    neg_idx: Column,
+    neg_counts: Column,
+) -> Column:
+    """Estimated population variance of a native histogram (upstream
+    promql/functions.go funcHistogramStdVar): each bucket contributes
+    ``count * (val - mean)^2`` where ``val`` is the bucket's GEOMETRIC
+    midpoint ``sqrt(lower*upper) = base^(idx-0.5)`` (negated for
+    negative buckets) and the zero bucket contributes at val 0; the sum
+    is divided by the total count.  ``mean = sum/count``.  Kahan
+    compensation is skipped (upstream uses it; the promqltest epsilon
+    is 1e-6 relative and bucket counts are small integers here).
+
+    Empty histogram (count 0) yields NaN, as upstream's 0/0."""
+    cnt = count.cast("double")
+    mean = hsum.cast("double") / cnt
+    base = F.pow(F.lit(2.0), F.pow(F.lit(2.0), -schema.cast("double")))
+
+    def side(idx: Column, counts: Column, sign: float) -> Column:
+        terms = F.zip_with(
+            idx,
+            counts,
+            lambda i, c: c.cast("double")
+            * F.pow(F.lit(sign) * F.pow(base, i.cast("double") - F.lit(0.5)) - mean, F.lit(2.0)),
+        )
+        return F.coalesce(
+            F.aggregate(terms, F.lit(0.0), lambda a, x: a + x), F.lit(0.0)
+        )
+
+    total = (
+        F.coalesce(zero_count.cast("double"), F.lit(0.0)) * F.pow(mean, F.lit(2.0))
+        + side(pos_idx, pos_counts, 1.0)
+        + side(neg_idx, neg_counts, -1.0)
+    )
+    return F.when(count > 0, total / cnt).otherwise(F.lit(float("nan")))
+
+
+def histogram_stddev(*args: Column) -> Column:
+    """sqrt of :func:`histogram_stdvar` (funcHistogramStdDev)."""
+    return F.sqrt(histogram_stdvar(*args))

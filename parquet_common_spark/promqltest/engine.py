@@ -1038,6 +1038,32 @@ class PromQLEngine:
             args, steps, fn=lambda df: histogram_avg(F.col("nh_sum"), F.col("nh_count"))
         )
 
+    def _hist_moment_cols(self):
+        return [
+            F.col("nh_schema"),
+            F.col("nh_zero_count"),
+            F.col("nh_count"),
+            F.col("nh_sum"),
+            F.col("nh_pos_idx"),
+            F.col("nh_pos_counts"),
+            F.col("nh_neg_idx"),
+            F.col("nh_neg_counts"),
+        ]
+
+    def _fn_histogram_stddev(self, args, steps):
+        from parquet_common_spark.functions.native_histograms import histogram_stddev
+
+        return self._hist_scalar_fn(
+            args, steps, fn=lambda df: histogram_stddev(*self._hist_moment_cols())
+        )
+
+    def _fn_histogram_stdvar(self, args, steps):
+        from parquet_common_spark.functions.native_histograms import histogram_stdvar
+
+        return self._hist_scalar_fn(
+            args, steps, fn=lambda df: histogram_stdvar(*self._hist_moment_cols())
+        )
+
     def _fn_histogram_fraction(self, args, steps):
         from parquet_common_spark.functions.native_histograms import histogram_fraction
 
@@ -1422,6 +1448,30 @@ class PromQLEngine:
                 "present_over_time": F.lit(1.0),
                 "stdvar_over_time": F.var_pop(v),
                 "stddev_over_time": F.stddev_pop(v),
+                # ts_of_* (upstream experimental, funcTsOfMin/Max/Last):
+                # the timestamp (seconds) of the selected sample.  Tie +
+                # NaN rules mirror upstream's loop: `<=`/`>=` comparisons
+                # make the LAST occurrence win; a NaN current value is
+                # always replaced, so NaN never wins unless every sample
+                # is NaN (then the last sample's ts).  The NaN mapping to
+                # ±Inf inside the ordering struct reproduces exactly that.
+                "ts_of_last_over_time": F.max(F.col("ts")) / F.lit(1000.0),
+                "ts_of_min_over_time": F.min_by(
+                    F.col("ts"),
+                    F.struct(
+                        F.when(F.isnan(v), F.lit(float("inf"))).otherwise(v).alias("v"),
+                        (-F.col("ts")).alias("nt"),
+                    ),
+                ).cast("double")
+                / F.lit(1000.0),
+                "ts_of_max_over_time": F.max_by(
+                    F.col("ts"),
+                    F.struct(
+                        F.when(F.isnan(v), F.lit(float("-inf"))).otherwise(v).alias("v"),
+                        F.col("ts").alias("t"),
+                    ),
+                ).cast("double")
+                / F.lit(1000.0),
             }[fn]
         out = rdf.groupBy("_ev", *labels).agg(
             agg_expr.cast("double").alias("value")
@@ -1512,4 +1562,5 @@ _OVER_TIME = {
     "count_over_time", "last_over_time", "first_over_time",
     "present_over_time", "stdvar_over_time", "stddev_over_time",
     "quantile_over_time", "mad_over_time",
+    "ts_of_last_over_time", "ts_of_min_over_time", "ts_of_max_over_time",
 }
