@@ -30,20 +30,22 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from parquet_common_spark.operators.dedup import shingle_hashes
+from parquet_common_spark.operators.dedup import shingle_hashes_arrow
 
 
 def benchmark_ngram_set(
-    benchmark: DataFrame, text_col: str, n: int = 3
+    benchmark: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
     """The distinct token-n-gram hash set of a benchmark corpus, as a
     one-column DataFrame ``(h)`` ready to broadcast into the corpus
     probe.  Distinct is computed BEFORE broadcast, so the broadcast
-    payload is the minimal set."""
+    payload is the minimal set.  The hash stage is the Arrow/numpy
+    shingle path shared with the dedup operators (the interpreted HOF
+    variant costs ~10x — measured on d7 at sf0.1)."""
     return (
-        benchmark.select(
-            F.explode(shingle_hashes(F.col(text_col), n)).alias("h")
-        ).distinct()
+        shingle_hashes_arrow(benchmark, id_col, text_col, n)
+        .select(F.explode("_sh").alias("h"))
+        .distinct()
     )
 
 
@@ -69,9 +71,9 @@ def contamination(
     never repartitioned and never materializes unexploded arrays across
     a shuffle boundary.
     """
-    bench = F.broadcast(benchmark_ngram_set(benchmark, text_col, n))
-    probe = corpus.select(
-        F.col(id_col), F.explode(shingle_hashes(F.col(text_col), n)).alias("h")
+    bench = F.broadcast(benchmark_ngram_set(benchmark, id_col, text_col, n))
+    probe = shingle_hashes_arrow(corpus, id_col, text_col, n).select(
+        F.col("_id").alias(id_col), F.explode("_sh").alias("h")
     )
     tagged = probe.join(bench.withColumn("_hit", F.lit(1)), on="h", how="left")
     out = tagged.groupBy(id_col).agg(
