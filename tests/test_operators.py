@@ -569,3 +569,63 @@ def test_pack_sequences_budget_arithmetic(spark):
     assert out[2] == (0, 7, 12)   # starts at 7 -> pack 0 (straddles into 1)
     assert out[3] == (1, 4, 22)   # starts at 12 -> pack 1
     assert out[4] == (2, 6, 24)   # starts at 22 -> pack 2
+
+
+# -------------------------------------- property tests for r5 operators
+
+
+def test_arrow_shingles_match_column_path(spark):
+    """shingle_hashes_arrow must be bit-identical to the HOF Column path
+    for every n — hypothesis over short random word docs."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    words = st.lists(
+        st.text(alphabet="abcxyz ", min_size=0, max_size=6), min_size=0, max_size=12
+    )
+
+    @settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(docs=st.lists(words, min_size=1, max_size=4), n=st.integers(2, 4))
+    def prop(docs, n):
+        rows = [(i, " ".join(w)) for i, w in enumerate(docs)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        col_path = {
+            r["doc_id"]: sorted(r["sh"])
+            for r in df.select(
+                "doc_id", D.shingle_hashes(F.col("text"), n).alias("sh")
+            ).collect()
+        }
+        arrow_path = {
+            r["_id"]: sorted(r["_sh"])
+            for r in D.shingle_hashes_arrow(df, "doc_id", "text", n).collect()
+        }
+        assert arrow_path == col_path
+
+    prop()
+
+
+def test_cumsum_property_random_values(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from parquet_common_spark.operators import packing as PK
+
+    @settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(
+        vals=st.lists(st.integers(0, 10**6), min_size=1, max_size=40),
+        nparts=st.integers(1, 6),
+    )
+    def prop(vals, nparts):
+        rows = [(i, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "k long, v long")
+        got = {
+            r["k"]: r["cum"]
+            for r in PK.global_cumsum(df, ["k"], "v", num_partitions=nparts).collect()
+        }
+        acc, expect = 0, {}
+        for i, v in rows:
+            acc += v
+            expect[i] = acc
+        assert got == expect
+
+    prop()
