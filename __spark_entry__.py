@@ -46,12 +46,12 @@ _CHECK_WINDOW = [
     "a1_approx_distinct", "pq1_promql_engine",
     "d7_benchmark_decontam", "t6_repetition_filters",
     "t7_pii_redaction", "p4_mixture_sample", "p5_sequence_packing",
+    "pq4_promql_range_api",
     # carried family representatives covering code CHANGED this round
     # (matcher IN-enumeration, IEEE cmp/div in promql_vec, engine reuse)
     "m2_matcher_regex_set", "m3_matcher_negative_regex",
     "m11_native_histogram_quantile", "m15_promql_vector_matching",
     "g3_vector_aggregations", "st3_streaming_dedup",
-    "d2_minhash_lsh_dedup",
     "q1_pricing_summary", "q9_product_profit",
     "p1_pivot_event_counts", "x1_token_frequencies",
 ]

@@ -592,3 +592,63 @@ load 5m
         .unionByName(total.select(SF.lit("sum").alias("q"), SF.col("value").alias("v")))
         .orderBy("q")
     )
+
+
+@query(
+    "pq4_promql_range_api",
+    """
+    SELECT grp, ev, r FROM (VALUES
+        ('canary',     CAST(1200000 AS BIGINT), CAST(0.233333 AS DOUBLE)),
+        ('canary',     CAST(1800000 AS BIGINT), CAST(0.233333 AS DOUBLE)),
+        ('canary',     CAST(2400000 AS BIGINT), CAST(0.233333 AS DOUBLE)),
+        ('production', CAST(1200000 AS BIGINT), CAST(0.1 AS DOUBLE)),
+        ('production', CAST(1800000 AS BIGINT), CAST(0.1 AS DOUBLE)),
+        ('production', CAST(2400000 AS BIGINT), CAST(0.1 AS DOUBLE))) AS t(grp, ev, r)
+    ORDER BY grp, ev
+    """,
+)
+def pq4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The public query_range surface over converted shards:
+    PromQLEngine.from_shards routes selectors through
+    ParquetQueryable.select (pushdown + bucket pruning), eval_range_df
+    returns the lazy (labels, _ev, value) frame.  Oracle derived
+    analytically: linear 5m-step counters make rate() constant at every
+    step — per-series slope/300s with full boundary extrapolation
+    (factor 2 over the 2-sample window), summed by group.
+    (Reference shape: remote-read + query_range through the upstream
+    engine, queryable/parquet_queryable_test.go:45-66.)"""
+    import tempfile
+
+    from parquet_common_spark.convert import convert
+    from parquet_common_spark.promqltest import PromQLEngine
+
+    rows = []
+    for inst, group, slope in (
+        ("0", "production", 10.0),
+        ("1", "production", 20.0),
+        ("0", "canary", 30.0),
+        ("1", "canary", 40.0),
+    ):
+        labels = {
+            "__name__": "http_requests",
+            "job": "api-server",
+            "instance": inst,
+            "group": group,
+        }
+        for k in range(11):
+            rows.append((labels, k * 5 * 60 * 1000 * 1000, slope * k))  # µs
+    df = spark.createDataFrame(rows, "labels map<string,string>, ts long, value double")
+    out_dir = tempfile.mkdtemp(prefix="pq4_shard_")
+    convert(df, out_dir)
+    eng = PromQLEngine.from_shards(spark, [out_dir])
+    vec = eng.eval_range_df(
+        "sum by (group) (rate(http_requests[10m]))",
+        20 * 60 * 1000,
+        40 * 60 * 1000,
+        10 * 60 * 1000,
+    )
+    return vec.select(
+        F.col("l_group").alias("grp"),
+        F.col("_ev").alias("ev"),
+        F.round(F.col("value"), 6).alias("r"),
+    ).orderBy("grp", "ev")

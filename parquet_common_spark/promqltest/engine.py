@@ -204,6 +204,58 @@ class PromQLEngine:
         evs = list(range(int(start_ms), int(end_ms) + 1, int(step_ms)))
         return self._run(expr, evs)
 
+    def eval_range_df(
+        self, expr, start_ms: int, end_ms: int, step_ms: int
+    ) -> DataFrame:
+        """The range-query result as a lazy DataFrame: one row per
+        (series, step) with label columns, ``_ev`` (step timestamp, ms)
+        and ``value`` — the query_range API shape, uncollected."""
+        if isinstance(expr, str):
+            expr = ast.parse_promql(expr)
+        evs = list(range(int(start_ms), int(end_ms) + 1, int(step_ms)))
+        self._qstart, self._qend = evs[0], evs[-1]
+        steps = self.spark.createDataFrame([(e,) for e in evs], "_ev long")
+        kind, df = self._eval(expr, steps)
+        if kind != "vector":
+            raise PromQLEvalError("eval_range_df requires a vector expression")
+        return df
+
+    @classmethod
+    def from_shards(
+        cls, spark: SparkSession, shard_dirs: list[str], ts_divisor: int = 1000
+    ) -> "PromQLEngine":
+        """A query engine over EXISTING converted shards — the public
+        instant/range query surface (``eval_instant_df`` /
+        ``eval_range_df``) against ``convert()`` output, no promqltest
+        ``load`` step involved.  ``ts_divisor`` converts the shard's
+        stored timestamps to the engine's milliseconds (1000 for the
+        µs-stored promqltest/convert shards, 1 for ms-native data).
+
+        Selector evaluation flows through ParquetQueryable.select, so
+        matcher pushdown / time-bucket pruning / bucketed layouts all
+        apply before the engine's temporal algebra."""
+        from parquet_common_spark.queryable import ParquetQueryable
+
+        eng = cls(spark)
+        q = ParquetQueryable.from_paths(spark, shard_dirs)
+        sel = q.select(-(2**62), 2**62, [])
+        labels = [c for c in sel.columns if c.startswith("l_")]
+        nh_present = [c for c, _ in _NH_SCHEMA if c in sel.columns]
+        nh_missing = [(c, t) for c, t in _NH_SCHEMA if c not in sel.columns]
+        stale = (
+            F.col("stale") if "stale" in sel.columns else F.lit(False)
+        ).alias("stale")
+        eng._samples = sel.select(
+            *labels,
+            (F.col("s_ts") / F.lit(int(ts_divisor))).cast("long").alias("ts"),
+            F.col("s_value").alias("value"),
+            stale,
+            *[F.col(c) for c in nh_present],
+            *[F.lit(None).cast(t).alias(c) for c, t in nh_missing],
+        )
+        eng._label_cols = labels
+        return eng
+
     def _run(self, expr, evs: list[int]):
         """-> ("vector", [(labels, {ev: value})]) | ("scalar", {ev: value})
         | ("string", s).  The vector list preserves plan output order so

@@ -120,3 +120,35 @@ load 5m
     assert "PushedFilters" in plan
     pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
     assert any("l_job" in ln for ln in pushed), pushed
+
+
+def test_engine_from_shards_instant_and_range(spark, tmp_path):
+    """The public query surface over convert() output: instant + range
+    evaluation against shard-backed storage, no load blocks."""
+    from parquet_common_spark.convert import convert
+    from parquet_common_spark.promqltest import PromQLEngine
+
+    rows = []
+    for env, slope in (("a", 10.0), ("b", 20.0)):
+        labels = {"__name__": "m", "env": env}
+        for k in range(6):
+            rows.append((labels, k * 5 * 60 * 1000 * 1000, slope * k))  # µs
+    df = spark.createDataFrame(
+        rows, "labels map<string,string>, ts long, value double"
+    )
+    out = str(tmp_path / "shard")
+    convert(df, out)
+    eng = PromQLEngine.from_shards(spark, [out])
+
+    inst = {
+        r["l_env"]: r["value"]
+        for r in eng.eval_instant_df("m", 25 * 60 * 1000).collect()
+    }
+    assert inst == {"a": 50.0, "b": 100.0}
+
+    rng = eng.eval_range_df(
+        "sum(m)", 10 * 60 * 1000, 20 * 60 * 1000, 5 * 60 * 1000
+    ).collect()
+    got = {r["_ev"]: r["value"] for r in rng}
+    # sum at 10m/15m/20m of (10k + 20k) = 30k per 5m step
+    assert got == {600000: 60.0, 900000: 90.0, 1200000: 120.0}
