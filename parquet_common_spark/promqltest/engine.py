@@ -1220,7 +1220,31 @@ class PromQLEngine:
                 ).alias("_b")
             )
             .withColumn("_bounds", F.transform(F.col("_b"), lambda s: s["_le"]))
-            .withColumn("_counts", F.transform(F.col("_b"), lambda s: s["value"]))
+            # upstream enforces monotonicity on classic cumulative counts
+            # (promql/quantile.go ensureMonotonic...: counts produced by
+            # rate() over separately-scraped bucket series can dip) —
+            # clamp each count to the running max
+            .withColumn(
+                "_counts",
+                F.aggregate(
+                    F.transform(F.col("_b"), lambda s: s["value"]),
+                    F.array().cast("array<double>"),
+                    lambda acc, c: F.concat(
+                        acc,
+                        F.array(
+                            F.greatest(
+                                c.cast("double"),
+                                # try_: ANSI element_at throws on the
+                                # empty seed array
+                                F.coalesce(
+                                    F.try_element_at(acc, F.lit(-1)),
+                                    F.lit(float("-inf")),
+                                ),
+                            )
+                        ),
+                    ),
+                ),
+            )
         )
         j = self._scalar_join(g, phi, "_phi")
         has_inf = F.element_at(F.col("_bounds"), -1) == F.lit(float("inf"))
