@@ -1438,6 +1438,11 @@ class PromQLEngine:
         )
         return ("vector", self._drop_name(out))
 
+    def _fn_holt_winters(self, args, steps):
+        """Pre-3.0 name of double_exponential_smoothing (upstream kept
+        the alias behind the experimental flag when renaming)."""
+        return self._fn_double_exponential_smoothing(args, steps)
+
     def _fn_double_exponential_smoothing(self, args, steps):
         """Holt's linear smoothing — the same fold pinned in
         functions/promql.py double_exponential_smoothing_over_windows."""
