@@ -489,6 +489,21 @@ def _model_range(fn, samples, t_ms, range_ms):
             return None
         num = win[-1][1] if win[-1][1] < win[-2][1] else win[-1][1] - win[-2][1]
         return num / ((win[-1][0] - win[-2][0]) / 1000.0)
+    if fn == "ts_of_last_over_time":
+        return win[-1][0] / 1000.0
+    if fn in ("ts_of_min_over_time", "ts_of_max_over_time"):
+        # upstream loop: `<=`/`>=` (last occurrence wins), a NaN current
+        # best is always replaced — NaN never wins unless every sample
+        # is NaN (then the last sample's timestamp)
+        best_v, best_t = win[0][1], win[0][0]
+        for ts, v in win[1:]:
+            if fn == "ts_of_min_over_time":
+                take = v <= best_v
+            else:
+                take = v >= best_v
+            if take or math.isnan(best_v):
+                best_v, best_t = v, ts
+        return best_t / 1000.0
     if fn == "deriv":
         if len(win) < 2 or win[-1][0] == win[0][0]:
             return None
@@ -505,6 +520,7 @@ _RANGE_FNS = [
     "rate", "increase", "delta", "avg_over_time", "sum_over_time",
     "min_over_time", "max_over_time", "count_over_time",
     "last_over_time", "changes", "resets", "idelta", "irate", "deriv",
+    "ts_of_last_over_time", "ts_of_min_over_time", "ts_of_max_over_time",
 ]
 
 
