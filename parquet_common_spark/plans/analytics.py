@@ -1832,3 +1832,80 @@ def st2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------- st4: stream-static decontamination (broadcast)
+
+# Same contract as d7 (operators/decontam.py), evaluated over a STREAM
+# of documents against the STATIC benchmark n-gram set: the remaining
+# streaming join shape (st2 covers stream-stream).  The benchmark set is
+# packed into one broadcast array row and equi-joined on a constant key
+# (stream-static cross joins are not allowed; a lit-key broadcast hash
+# join is the supported spelling), so the per-doc check is
+# size(array_intersect(...)) — pure map, no state, no watermark.  At a
+# multi-GB benchmark the batch operator's explode+join form (d7) is the
+# right tool; a broadcast array is the streaming-friendly shape for the
+# MB-scale eval suites decontamination actually uses.
+_ST4_SQL = None  # assigned below from the d7 oracle (identical contract)
+
+
+def _st4_sql() -> str:
+    from parquet_common_spark.operators.pipeline_queries import _D7_SQL
+
+    return _D7_SQL
+
+
+@query("st4_stream_static_decontam", _st4_sql())
+def st4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from parquet_common_spark.operators import dedup as DD
+    from parquet_common_spark.operators.decontam import benchmark_ngram_set
+    from parquet_common_spark.operators.pipeline_queries import (
+        _DC_BENCH_SRC,
+        _DC_MIN_HITS,
+        _DC_N,
+    )
+    from parquet_common_spark.plans.common import ensure_session_env
+
+    ensure_session_env(spark)
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench_docs = batch.where(F.col("source") == _DC_BENCH_SRC)
+    bench_arr = (
+        benchmark_ngram_set(bench_docs, "doc_id", "text", _DC_N)
+        .agg(F.sort_array(F.collect_list("h")).alias("_bench"))
+        .withColumn("_k", F.lit(1))
+    )
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .where(F.col("source") != _DC_BENCH_SRC)
+        .withColumn("_sh", DD.shingle_hashes(F.col("text"), _DC_N))
+        .withColumn("_k", F.lit(1))
+    )
+    flagged = (
+        stream.join(F.broadcast(bench_arr), on="_k", how="inner")
+        .withColumn("n_shingles", F.size("_sh"))
+        .withColumn("n_hits", F.size(F.array_intersect("_sh", "_bench")))
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_shingles").cast("double"), 6
+            ).alias("hit_frac"),
+            (F.col("n_hits") >= _DC_MIN_HITS).alias("contaminated"),
+        )
+    )
+    sink = f"st4_{uuid.uuid4().hex[:8]}"
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink).orderBy("doc_id")
