@@ -53,7 +53,7 @@ _CHECK_WINDOW = [
     "m11_native_histogram_quantile", "m15_promql_vector_matching",
     "g3_vector_aggregations", "st3_streaming_dedup",
     "q1_pricing_summary", "q9_product_profit",
-    "st4_stream_static_decontam", "x1_token_frequencies",
+    "st4_stream_static_decontam", "c2_curation_pipeline_v2",
 ]
 
 

@@ -1001,3 +1001,118 @@ def p5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "source", "n_tokens", "cum_tokens", "pack_id", "pack_offset"
     ).orderBy("doc_id")
+
+
+# ------------------------- c2: curation pipeline v2 (r5 ops composed)
+
+# decontaminate -> repetition-filter -> redact PII -> pack sequences;
+# the end-to-end shape of a modern pretraining curation pass.  Every
+# stage reuses the single-op query's exact constants, so the oracle is
+# assembled from the same SQL fragments.
+_C2_BUDGET = 512
+
+_C2_SQL = f"""
+    WITH {_DC_CTES},
+    bench AS (SELECT DISTINCT unnest(sh) AS h FROM d WHERE source = '{_DC_BENCH_SRC}'),
+    corpus AS (SELECT id, unnest(sh) AS h FROM d WHERE source <> '{_DC_BENCH_SRC}'),
+    hits AS (SELECT c.id, COUNT(b.h) AS n_hits
+             FROM corpus c LEFT JOIN bench b ON c.h = b.h GROUP BY c.id),
+    clean AS (SELECT doc.* FROM documents doc
+              JOIN hits ON doc.doc_id = hits.id
+              WHERE hits.n_hits < {_DC_MIN_HITS}),
+    ct0 AS (SELECT doc_id, {_TOKS.format(c='text')} AS toks FROM clean),
+    cg AS (SELECT doc_id, toks,
+            CASE WHEN len(toks) >= 2
+                 THEN list_transform(generate_series(1, len(toks) - 1),
+                                     i -> toks[i] || ' ' || toks[i+1])
+                 ELSE [] END AS grams
+           FROM ct0),
+    cm AS (SELECT doc_id,
+            ROUND(CASE WHEN len(toks) > 0
+                 THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                 ELSE 0.0 END, 6) AS dupf,
+            list_reverse_sort(list_transform(list_distinct(grams),
+                x -> {{'c': len(list_filter(grams, y -> y = x)), 'g': x}}))[1] AS top,
+            list_sum(list_transform(toks, t -> length(t))) AS total_chars
+           FROM cg),
+    cr AS (SELECT doc_id, dupf,
+            ROUND(CASE WHEN top.g IS NOT NULL AND total_chars > 0
+                 THEN CAST(top.c * length(replace(top.g, ' ', '')) AS DOUBLE) / total_chars
+                 ELSE 0.0 END, 6) AS topf
+           FROM cm),
+    kept AS (SELECT c.doc_id, c.source, c.text FROM clean c
+             JOIN cr ON c.doc_id = cr.doc_id
+             WHERE cr.dupf <= {_REP_DUP_MAX} AND cr.topf <= {_REP_TOP2_MAX}),
+    pii AS (SELECT doc_id, source, {_PII_TEXT_SQL} AS pt FROM kept),
+    red AS (SELECT doc_id, source, {{red}} AS rtext FROM pii),
+    tok AS (SELECT doc_id, source,
+                   CAST(len(string_split_regex(trim(rtext), '\\s+')) AS BIGINT) AS n_tokens
+            FROM red),
+    cum AS (SELECT doc_id, source, n_tokens,
+                   SUM(n_tokens) OVER (ORDER BY source, doc_id
+                                       ROWS UNBOUNDED PRECEDING) AS cum_tokens
+            FROM tok)
+    SELECT doc_id, source, n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens,
+           CAST(floor((cum_tokens - n_tokens) / {_C2_BUDGET}) AS BIGINT) AS pack_id,
+           CAST((cum_tokens - n_tokens) % {_C2_BUDGET} AS BIGINT) AS pack_offset
+    FROM cum ORDER BY doc_id
+"""
+
+
+def _c2_sql() -> str:
+    from parquet_common_spark.operators.pii import PII_PATTERNS
+
+    red = "pt"
+    for _, p, tokn in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{p}', '{tokn}', 'g')"
+    return _C2_SQL.replace("{red}", red)
+
+
+@query("c2_curation_pipeline_v2", _c2_sql())
+def c2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parquet_common_spark.operators import decontam as DC
+    from parquet_common_spark.operators import packing as PK
+    from parquet_common_spark.operators import pii as PII
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    bench_docs = docs.where(F.col("source") == _DC_BENCH_SRC)
+    corpus = docs.where(F.col("source") != _DC_BENCH_SRC)
+    clean = DC.decontaminate(
+        corpus, bench_docs, "doc_id", "text", n=_DC_N, min_hits=_DC_MIN_HITS
+    )
+    staged = (
+        clean.withColumn("_toks", T.tokens(T.normalize_text(F.col("text"))))
+        .withColumn("_grams", T.word_bigrams(F.col("_toks")))
+    )
+    dupf = F.round(T.duplicate_token_fraction(F.col("_toks")), 6)
+    topf = F.round(T.top_bigram_char_fraction(F.col("_grams"), F.col("_toks")), 6)
+    kept = (
+        staged.withColumn("_dupf", dupf)
+        .withColumn("_topf", topf)
+        .where((F.col("_dupf") <= _REP_DUP_MAX) & (F.col("_topf") <= _REP_TOP2_MAX))
+        .select("doc_id", "source", "text")
+    )
+    planted = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" from 10.0."), F.col("doc_id") % 256, F.lit(".7")),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" call 555-123-4567")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+    )
+    red = kept.withColumn("_rtext", PII.redact_pii(planted))
+    with_tokens = red.select(
+        "doc_id", "source", T.token_count(F.col("_rtext")).cast("long").alias("n_tokens")
+    )
+    packed = PK.pack_sequences(
+        with_tokens, ["source", "doc_id"], "n_tokens", budget=_C2_BUDGET
+    )
+    return packed.select(
+        "doc_id", "source", "n_tokens", "cum_tokens", "pack_id", "pack_offset"
+    ).orderBy("doc_id")
