@@ -1846,9 +1846,6 @@ def st2(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multi-GB benchmark the batch operator's explode+join form (d7) is the
 # right tool; a broadcast array is the streaming-friendly shape for the
 # MB-scale eval suites decontamination actually uses.
-_ST4_SQL = None  # assigned below from the d7 oracle (identical contract)
-
-
 def _st4_sql() -> str:
     from parquet_common_spark.operators.pipeline_queries import _D7_SQL
 
