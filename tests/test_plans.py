@@ -228,6 +228,7 @@ def test_registry_wide_no_unplanned_cartesians(spark):
         "p4_mixture_sample",  # 1-row total-weight scalar attached to the tiny rates frame
         "pq1_promql_engine", "pq2_promql_parquet_storage",
         "pq3_promql_native_histograms",
+        "pq4_promql_range_api",  # same bounded-step broadcast as pq1-pq3
     }
     sf_dir = "/root/testdata/sf0.001"
     failures = []
