@@ -152,3 +152,32 @@ def test_engine_from_shards_instant_and_range(spark, tmp_path):
     got = {r["_ev"]: r["value"] for r in rng}
     # sum at 10m/15m/20m of (10k + 20k) = 30k per 5m step
     assert got == {600000: 60.0, 900000: 90.0, 1200000: 120.0}
+
+
+def test_engine_from_shards_multi_shard_union(spark, tmp_path):
+    """from_shards over TWO shards: selector evaluation sees the union
+    (the queryable's k-way merge), aggregation spans both."""
+    from parquet_common_spark.convert import convert
+    from parquet_common_spark.promqltest import PromQLEngine
+
+    def shard(env, slope, sub):
+        rows = []
+        labels = {"__name__": "m", "env": env}
+        for k in range(4):
+            rows.append((labels, k * 5 * 60 * 1000 * 1000, slope * k))
+        df = spark.createDataFrame(
+            rows, "labels map<string,string>, ts long, value double"
+        )
+        out = str(tmp_path / sub)
+        convert(df, out)
+        return out
+
+    dirs = [shard("a", 10.0, "s0"), shard("b", 20.0, "s1")]
+    eng = PromQLEngine.from_shards(spark, dirs)
+    got = {
+        r["l_env"]: r["value"]
+        for r in eng.eval_instant_df("m", 15 * 60 * 1000).collect()
+    }
+    assert got == {"a": 30.0, "b": 60.0}
+    total = eng.eval_instant_df("sum(m)", 15 * 60 * 1000).collect()
+    assert [r["value"] for r in total] == [90.0]
