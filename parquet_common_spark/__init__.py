@@ -17,7 +17,11 @@ Layers (see SURVEY.md):
 # NOTE: the bare `convert` FUNCTION is deliberately not re-exported — it
 # would shadow the `parquet_common_spark.convert` submodule attribute
 # (callers do `from parquet_common_spark import convert as C`).
-from parquet_common_spark.convert import convert_merged, convert_sharded
+from parquet_common_spark.convert import (
+    convert_bucketed,
+    convert_merged,
+    convert_sharded,
+)
 from parquet_common_spark.limits import Quota, ResourceExhausted
 from parquet_common_spark.matchers import Matcher, matchers_to_predicate
 from parquet_common_spark.queryable import ParquetQueryable, ShardDataset
@@ -30,6 +34,7 @@ __all__ = [
     "ShardDataset",
     "Quota",
     "ResourceExhausted",
+    "convert_bucketed",
     "convert_merged",
     "convert_sharded",
     "get_spark",
