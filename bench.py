@@ -62,14 +62,16 @@ def main() -> int:
 
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
-    # best-of-2 per query: the host VM shows multi-second scheduler noise
-    # (observed 2s vs 23s for the same plan back-to-back), so a single
-    # sample can misreport a stable plan by 10x.  Min-of-two is the
-    # standard damping; every trial drops cross-query caches first so each
-    # timed run includes its own full computation (no cache-primed reads).
+    # best-of-3 per query: the host VM shows multi-second scheduler noise
+    # (observed 2s vs 23s for the same plan back-to-back, and a full-run
+    # 15s vs 33s spread under load-avg-5), so a single sample can
+    # misreport a stable plan by 10x and even min-of-two catches a bad
+    # pair.  Min-of-three costs ~40s more and halves the variance again;
+    # every trial drops cross-query caches first so each timed run
+    # includes its own full computation (no cache-primed reads).
     for name in headline:
         best = None
-        for _ in range(2):
+        for _ in range(3):
             clear_pairs_cache()
             t0 = time.perf_counter()
             out = guarded(name, lambda n=name: REGISTRY[n].fn(spark, sf_dir).collect())

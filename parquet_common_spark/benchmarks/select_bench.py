@@ -137,7 +137,7 @@ def run(spark: SparkSession, out_dir: str = BENCH_DIR) -> dict:
     for name, matchers in WORKLOADS:
         sel = q.select(0, 120, matchers)
         best = None
-        for _ in range(2):  # min of 2 — local-mode GC/scheduling noise
+        for _ in range(3):  # min of 3 — local-mode GC/scheduling noise
             t0 = time.perf_counter()
             _force(sel)
             dt = time.perf_counter() - t0
