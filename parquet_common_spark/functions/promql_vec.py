@@ -286,7 +286,18 @@ def agg_vector(
     if op == "quantile":
         if q is None:
             raise ValueError("quantile aggregation requires q")
-        agg = F.percentile(F.col(value_col), F.lit(float(q)))
+        import math as _math
+
+        if _math.isnan(q):
+            # upstream warns and returns NaN for a NaN φ
+            agg = F.max(F.lit(float("nan")))
+        elif not (0.0 <= q <= 1.0):
+            # upstream warns and returns ±Inf for out-of-range φ
+            # (promql/quantile.go); Spark's percentile() would instead
+            # fail analysis on the out-of-range literal
+            agg = F.max(F.lit(float("-inf") if q < 0 else float("inf")))
+        else:
+            agg = F.percentile(F.col(value_col), F.lit(float(q)))
     else:
         agg = _SIMPLE_AGGS[op](F.col(value_col))
     out = df.groupBy(*keys).agg(agg.cast("double").alias(value_col))
