@@ -1509,7 +1509,10 @@ class PromQLEngine:
             return ("vector", self._drop_name(out.select("_ev", *labels, "value")))
         if fn == "quantile_over_time":
             q = self._static_number(args[0], "quantile")
-            if not (0.0 <= q <= 1.0):
+            if math.isnan(q):
+                # upstream warns and yields NaN for a NaN φ
+                agg_expr = F.max(F.lit(float("nan")))
+            elif not (0.0 <= q <= 1.0):
                 # upstream warns and yields ±Inf for out-of-range φ
                 agg_expr = F.max(F.lit(float("-inf") if q < 0 else float("inf")))
             else:
