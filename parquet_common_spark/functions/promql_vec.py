@@ -101,7 +101,14 @@ def vsgn(c: Column) -> Column:
 
 def vround(c: Column, nearest: float = 1.0) -> Column:
     """PromQL round(v, to_nearest): round half UP to the nearest multiple
-    (promql/functions.go funcRound: floor(v/nearest + 0.5))."""
+    (promql/functions.go funcRound: floor(v/nearest + 0.5)).  A zero or
+    NaN ``to_nearest`` makes every value NaN in Go (v/0 -> ±Inf, then
+    ±Inf*0 -> NaN); Spark's ANSI division would raise instead, so the
+    static branch pins it."""
+    import math as _math
+
+    if nearest == 0 or _math.isnan(nearest):
+        return F.when(c.isNotNull(), F.lit(float("nan")))
     return F.floor(c / F.lit(nearest) + F.lit(0.5)) * F.lit(nearest)
 
 
@@ -112,6 +119,13 @@ def clamp(c: Column, lo: float, hi: float) -> Column:
     sample" encoding — so a caller that forgets to drop the rows gets
     NULL values (visible, filterable), never phantom numbers.  Use
     :func:`clamp_df` for the full DataFrame-level semantics."""
+    import math as _math
+
+    if _math.isnan(lo) or _math.isnan(hi):
+        # Go math.Max/Min propagate NaN bounds; Spark's greatest/least
+        # order NaN as largest (greatest would luckily match, least
+        # would silently keep v) — pin the propagation statically
+        return F.when(c.isNotNull(), F.lit(float("nan")))
     if lo > hi:
         return F.lit(None).cast("double")
     return F.least(F.greatest(c, F.lit(float(lo))), F.lit(float(hi)))
@@ -126,10 +140,18 @@ def clamp_df(df: DataFrame, lo: float, hi: float, value_col: str = "value") -> D
 
 
 def clamp_min(c: Column, lo: float) -> Column:
+    import math as _math
+
+    if _math.isnan(lo):  # Go math.Max(v, NaN) == NaN
+        return F.when(c.isNotNull(), F.lit(float("nan")))
     return F.greatest(c, F.lit(float(lo)))
 
 
 def clamp_max(c: Column, hi: float) -> Column:
+    import math as _math
+
+    if _math.isnan(hi):  # Go math.Min(v, NaN) == NaN
+        return F.when(c.isNotNull(), F.lit(float("nan")))
     return F.least(c, F.lit(float(hi)))
 
 

@@ -667,10 +667,25 @@ class PromQLEngine:
         hi = self._scalar_param(args[2], steps)
         j = self._scalar_join(self._scalar_join(df, lo, "_lo"), hi, "_hi")
         out = (
-            j.where(~(F.col("_lo") > F.col("_hi")))
+            # Go: NaN > x is false, so a NaN bound never triggers the
+            # min>max empty-result rule; Spark orders NaN largest and
+            # would wrongly drop the rows on `_lo > _hi`
+            j.where(
+                F.isnan(F.col("_lo"))
+                | F.isnan(F.col("_hi"))
+                | ~(F.col("_lo") > F.col("_hi"))
+            )
             .withColumn(
                 "value",
-                F.least(F.greatest(F.col("value"), F.col("_lo")), F.col("_hi")),
+                # Go math.Max/Min propagate NaN bounds (a NaN bound is
+                # NOT min>max, so the series survives — with value NaN);
+                # Spark's greatest/least order NaN as largest instead
+                F.when(
+                    F.isnan(F.col("_lo")) | F.isnan(F.col("_hi")),
+                    F.lit(float("nan")),
+                ).otherwise(
+                    F.least(F.greatest(F.col("value"), F.col("_lo")), F.col("_hi"))
+                ),
             )
             .drop("_lo", "_hi")
         )
@@ -680,14 +695,25 @@ class PromQLEngine:
         df = self._vec_arg(args[0], steps)
         lo = self._scalar_param(args[1], steps)
         j = self._scalar_join(df, lo, "_lo")
-        out = j.withColumn("value", F.greatest(F.col("value"), F.col("_lo"))).drop("_lo")
+        out = j.withColumn(
+            "value",
+            F.when(F.isnan(F.col("_lo")), F.lit(float("nan"))).otherwise(
+                F.greatest(F.col("value"), F.col("_lo"))
+            ),
+        ).drop("_lo")
         return ("vector", self._drop_name(out))
 
     def _fn_clamp_max(self, args, steps):
         df = self._vec_arg(args[0], steps)
         hi = self._scalar_param(args[1], steps)
         j = self._scalar_join(df, hi, "_hi")
-        out = j.withColumn("value", F.least(F.col("value"), F.col("_hi"))).drop("_hi")
+        out = j.withColumn(
+            "value",
+            # Go math.Min(v, NaN) == NaN; Spark least() would keep v
+            F.when(F.isnan(F.col("_hi")), F.lit(float("nan"))).otherwise(
+                F.least(F.col("value"), F.col("_hi"))
+            ),
+        ).drop("_hi")
         return ("vector", self._drop_name(out))
 
     def _fn_round(self, args, steps):
@@ -698,7 +724,15 @@ class PromQLEngine:
         else:
             j = df.withColumn("_n", F.lit(1.0))
         out = j.withColumn(
-            "value", F.floor(F.col("value") / F.col("_n") + F.lit(0.5)) * F.col("_n")
+            "value",
+            # to_nearest of 0 (v/0 -> ±Inf, ±Inf*0 -> NaN in Go) or NaN
+            # makes every value NaN; ANSI Spark would raise on the
+            # division instead
+            F.when(
+                (F.col("_n") == 0) | F.isnan(F.col("_n")), F.lit(float("nan"))
+            ).otherwise(
+                F.floor(F.col("value") / F.col("_n") + F.lit(0.5)) * F.col("_n")
+            ),
         ).drop("_n")
         return ("vector", self._drop_name(out))
 
