@@ -395,3 +395,22 @@ def test_bucketed_tables_roundtrip_and_colocated_join(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_series")
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_samples")
+
+
+def test_bucketed_tables_carry_extra_value_cols(spark, tmp_path):
+    """convert_bucketed keeps extra per-sample columns (the histogram
+    slot) through the catalog round-trip, like directory convert()."""
+    df = make_long_df(spark, n_series=4, samples=4).withColumn(
+        "flags", F.col("ts") % 7
+    )
+    prefix = "pcs_test_bucketed_extra"
+    try:
+        C.convert_bucketed(df, prefix, n_buckets=2, extra_value_cols=["flags"])
+        qt = ParquetQueryable.from_tables(spark, [prefix])
+        sel = qt.select(0, 10**12, [Matcher("__name__", "=", "foo")])
+        assert "flags" in sel.columns
+        rows = sel.select("s_ts", "flags").distinct().collect()
+        assert all(r["flags"] == r["s_ts"] % 7 for r in rows)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_series")
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_samples")
