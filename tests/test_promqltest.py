@@ -72,6 +72,8 @@ PARQUET_BACKED_SCRIPTS = [
         "native_histograms.test",
         # NaN/Inf sample values round-trip the parquet encoding
         "edge_cases.test",
+        # step-grid range evaluation over the storage-backed select path
+        "range_eval.test",
     )
 ]
 
