@@ -338,3 +338,79 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cos", 5).alias("cos"), F.col("rank").cast("int"))
     )
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    out_dir: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+) -> None:
+    """Persist the IVF index: ``centroids.parquet`` (centroid_id, cvec)
+    and ``cells.parquet`` (centroid_id, neighbor_id, _cv), the corpus
+    partitioned on disk BY CELL.  Searching a prebuilt index
+    (:func:`ivf_topk_prebuilt`) then reads only the probed cells'
+    partitions — at 100 TB the index build is one pass amortized over
+    every subsequent query batch, and each query touches
+    nprobe/n_centroids of the data via partition pruning instead of
+    re-assigning the whole corpus per call.
+
+    Same deterministic centroid choice as :func:`ivf_topk`, so a
+    prebuilt search returns bit-identical results to the inline form
+    (pinned in tests)."""
+    import os
+
+    mix = (F.col(id_col).cast("long") * F.lit(2654435761) + F.lit(40503)) % F.lit(999999937)
+    centroids = (
+        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("cvec"))
+        .orderBy(mix, F.col(id_col))
+        .limit(n_centroids)
+        .select(F.dense_rank().over(Window.orderBy(id_col)).alias("centroid_id"), "cvec")
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    centroids.write.mode("overwrite").parquet(os.path.join(out_dir, "centroids.parquet"))
+    cells = ivf_assign(corpus, centroids, id_col, vec_col, nprobe=1).select(
+        F.col("_vid").alias("neighbor_id"), F.col("_v").alias("_cv"), "centroid_id"
+    )
+    (
+        cells.repartition("centroid_id")
+        .write.mode("overwrite")
+        .partitionBy("centroid_id")
+        .parquet(os.path.join(out_dir, "cells.parquet"))
+    )
+
+
+def ivf_topk_prebuilt(
+    spark,
+    index_dir: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Top-k search against a :func:`build_ivf_index` index.  The probe
+    set's centroid ids become a partition filter on the cells table —
+    `.explain` shows ``PartitionFilters`` on ``centroid_id`` via the
+    dynamic filter of the equi-join, so unprobed cells are never read."""
+    import os
+
+    centroids = spark.read.parquet(os.path.join(index_dir, "centroids.parquet"))
+    cells = spark.read.parquet(os.path.join(index_dir, "cells.parquet"))
+    probes = ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe).select(
+        F.col("_vid").alias("query_id"), F.col("_v").alias("_qv"), "centroid_id"
+    )
+    cand = (
+        probes.join(cells, "centroid_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "_qv", "neighbor_id", "_cv")
+        .distinct()
+        .withColumn("cos", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 5).alias("cos"), F.col("rank").cast("int"))
+    )

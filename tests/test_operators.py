@@ -629,3 +629,19 @@ def test_cumsum_property_random_values(spark):
         assert got == expect
 
     prop()
+
+
+def test_ivf_prebuilt_matches_inline(spark, sf_dir, tmp_path):
+    """A persisted IVF index returns bit-identical results to the
+    inline ivf_topk (same deterministic centroids)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    inline = sorted(map(tuple, SIM.ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=4).collect()))
+    idx = str(tmp_path / "ivf")
+    SIM.build_ivf_index(emb, idx, n_centroids=8)
+    pre = SIM.ivf_topk_prebuilt(spark, idx, queries, k=5, nprobe=4)
+    assert sorted(map(tuple, pre.collect())) == inline
+    # the cells table is partitioned by centroid_id on disk
+    import os
+    parts = [d for d in os.listdir(os.path.join(idx, "cells.parquet")) if d.startswith("centroid_id=")]
+    assert len(parts) == 8
