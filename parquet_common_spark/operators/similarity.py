@@ -414,3 +414,59 @@ def ivf_topk_prebuilt(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cos", 5).alias("cos"), F.col("rank").cast("int"))
     )
+
+
+def refine_centroids(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sweeps: int = 1,
+) -> DataFrame:
+    """Lloyd refinement of IVF centroids: assign every corpus vector to
+    its nearest centroid, replace each centroid with its cell's mean
+    vector.  ``sweeps`` iterations, each one broadcast-assign (map-only
+    over the corpus) + one groupBy(centroid_id) shuffle of (id, vec)
+    pairs with map-side partial aggregation — the canonical distributed
+    k-means step.  Empty cells keep their previous centroid.
+
+    Deterministic: assignment ties break on centroid_id, and the mean
+    is computed with F.aggregate elementwise sums (fixed association
+    order within each partition is NOT guaranteed — float sums can
+    reorder across partitionings, so refined centroids are
+    deterministic only up to float summation order; the recall TEST
+    uses behavioral assertions, not bit-equality, and the
+    oracle-checked sim3 keeps the unrefined sampling)."""
+    cur = centroids
+    for _ in range(sweeps):
+        assigned = ivf_assign(corpus, cur, id_col, vec_col, nprobe=1)
+        # per-dimension partial sums: posexplode keeps the aggregation
+        # in plain (centroid, pos) groupBy land — map-side combined,
+        # no arrays crossing the shuffle
+        dims = assigned.select(
+            "centroid_id", F.posexplode("_v").alias("_pos", "_val")
+        )
+        means = dims.groupBy("centroid_id", "_pos").agg(
+            (F.sum("_val") / F.count(F.lit(1))).alias("_mean")
+        )
+        refined = (
+            means.groupBy("centroid_id")
+            .agg(
+                F.sort_array(
+                    F.collect_list(F.struct("_pos", "_mean"))
+                ).alias("_pm")
+            )
+            .select(
+                "centroid_id",
+                F.transform(F.col("_pm"), lambda s: s["_mean"]).alias("cvec"),
+            )
+        )
+        cur = (
+            cur.select("centroid_id", F.col("cvec").alias("_old"))
+            .join(refined, "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce(F.col("cvec"), F.col("_old")).alias("cvec"),
+            )
+        )
+    return cur

@@ -645,3 +645,31 @@ def test_ivf_prebuilt_matches_inline(spark, sf_dir, tmp_path):
     import os
     parts = [d for d in os.listdir(os.path.join(idx, "cells.parquet")) if d.startswith("centroid_id=")]
     assert len(parts) == 8
+
+
+def test_refine_centroids_improves_quantization(spark, sf_dir):
+    """One Lloyd sweep must not hurt (and near-always improves) the mean
+    cosine between vectors and their assigned centroid."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mix = (F.col("vec_id").cast("long") * F.lit(2654435761) + F.lit(40503)) % F.lit(999999937)
+    from pyspark.sql import Window
+
+    base = (
+        emb.select("vec_id", F.col("embedding").cast("array<double>").alias("cvec"))
+        .orderBy(mix, F.col("vec_id"))
+        .limit(8)
+        .select(F.dense_rank().over(Window.orderBy("vec_id")).alias("centroid_id"), "cvec")
+    )
+
+    def mean_sim(cents):
+        a = SIM.ivf_assign(emb, cents, "vec_id", "embedding", nprobe=1)
+        scored = a.join(F.broadcast(cents), "centroid_id").withColumn(
+            "_s", SIM.cosine(F.col("_v"), F.col("cvec"))
+        )
+        return scored.agg(F.avg("_s")).collect()[0][0]
+
+    before = mean_sim(base)
+    refined = SIM.refine_centroids(emb, base, sweeps=1)
+    assert refined.count() == 8
+    after = mean_sim(refined)
+    assert after >= before - 1e-9, (before, after)
