@@ -892,8 +892,8 @@ class PromQLEngine:
     def _hist_vec(self, arg, steps) -> DataFrame:
         """A native-histogram instant vector: selector, sum()
         aggregation, or rate()/increase() over a histogram range."""
-        if isinstance(arg, ast.Aggregate) and arg.op == "sum":
-            return self._hist_sum(arg, steps)
+        if isinstance(arg, ast.Aggregate) and arg.op in ("sum", "avg"):
+            return self._hist_sum(arg, steps, mean=arg.op == "avg")
         if isinstance(arg, ast.Call) and arg.func in ("rate", "increase"):
             return self._hist_rate(arg, steps, is_rate=arg.func == "rate")
         if not isinstance(arg, ast.VectorSelector):
@@ -935,10 +935,11 @@ class PromQLEngine:
             F.transform(merged, lambda s: s["cnt"]),
         )
 
-    def _hist_sum(self, node: ast.Aggregate, steps) -> DataFrame:
-        """sum()/sum by() over a native-histogram vector (upstream
-        promql/engine.go histogram aggregation).  Requires one bucketing
-        schema per group (upstream downscales mixed schemas; this engine
+    def _hist_sum(self, node: ast.Aggregate, steps, mean: bool = False) -> DataFrame:
+        """sum()/avg() (by/without) over a native-histogram vector
+        (upstream promql/engine.go histogram aggregation; avg is the
+        bucket-wise sum scaled by 1/n).  Requires one bucketing schema
+        per group (upstream downscales mixed schemas; this engine
         raises — documented slice)."""
         inner = self._hist_vec(node.expr, steps)
         if node.by is not None:
@@ -968,6 +969,12 @@ class PromQLEngine:
             F.sum("nh_sum").alias("nh_sum"),
             F.flatten(F.collect_list("_pp")).alias("_pflat"),
             F.flatten(F.collect_list("_np")).alias("_nflat"),
+            F.count(F.lit(1)).alias("_gn"),
+        )
+        scale = (
+            (lambda c: c.cast("double") / F.col("_gn").cast("double"))
+            if mean
+            else (lambda c: c)
         )
         # schema-equality guard folded into EVERY scalar output column a
         # consumer might project (quantile reads schema, sum/avg read
@@ -989,14 +996,14 @@ class PromQLEngine:
         return agg.select(
             *keys,
             checked(F.col("nh_schema")).alias("nh_schema"),
-            checked(F.col("nh_zero_count")).alias("nh_zero_count"),
+            checked(scale(F.col("nh_zero_count"))).alias("nh_zero_count"),
             F.lit(None).cast("double").alias("nh_zero_threshold"),
-            checked(F.col("_count")).alias("nh_count"),
-            checked(F.col("nh_sum")).alias("nh_sum"),
+            checked(scale(F.col("_count"))).alias("nh_count"),
+            checked(scale(F.col("nh_sum"))).alias("nh_sum"),
             pos_idx.alias("nh_pos_idx"),
-            pos_counts.alias("nh_pos_counts"),
+            F.transform(pos_counts, lambda c: scale(c)).alias("nh_pos_counts"),
             neg_idx.alias("nh_neg_idx"),
-            neg_counts.alias("nh_neg_counts"),
+            F.transform(neg_counts, lambda c: scale(c)).alias("nh_neg_counts"),
         )
 
     def _hist_rate(self, node: ast.Call, steps, is_rate: bool) -> DataFrame:
@@ -1207,7 +1214,7 @@ class PromQLEngine:
         """The selector a histogram-capable expression bottoms out in:
         unwraps sum()/rate()/increase() chains (the shapes _hist_vec
         evaluates natively)."""
-        if isinstance(node, ast.Aggregate) and node.op == "sum":
+        if isinstance(node, ast.Aggregate) and node.op in ("sum", "avg"):
             return self._hist_root_selector(node.expr)
         if isinstance(node, ast.Call) and node.func in ("rate", "increase"):
             arg = node.args[0]
