@@ -890,7 +890,7 @@ class PromQLEngine:
         )
 
     def _hist_vec(self, arg, steps) -> DataFrame:
-        """A native-histogram instant vector: selector, sum()
+        """A native-histogram instant vector: selector, sum()/avg()
         aggregation, or rate()/increase() over a histogram range."""
         if isinstance(arg, ast.Aggregate) and arg.op in ("sum", "avg"):
             return self._hist_sum(arg, steps, mean=arg.op == "avg")
@@ -898,7 +898,7 @@ class PromQLEngine:
             return self._hist_rate(arg, steps, is_rate=arg.func == "rate")
         if not isinstance(arg, ast.VectorSelector):
             raise PromQLEvalError(
-                "histogram functions need a selector, sum(), or "
+                "histogram functions need a selector, sum()/avg(), or "
                 "rate()/increase() argument here"
             )
         df = self._instant_select(arg, steps, with_hist=True)
