@@ -1008,11 +1008,14 @@ class PromQLEngine:
 
     def _hist_rate(self, node: ast.Call, steps, is_rate: bool) -> DataFrame:
         """rate()/increase() over a native-histogram range vector:
-        last-minus-first per bucket, scaled by the same boundary
-        extrapolation as the float path (promql/functions.go
-        extrapolatedRate histogram branch — which applies NO counter
-        zero clamp).  Counter-reset compensation inside the window is
-        not implemented (documented slice: monotone histograms)."""
+        last-minus-first per bucket PLUS counter-reset compensation
+        (promql/functions.go histogramRate: each pre-reset histogram is
+        ADDED back, a reset being a drop in total or zero-bucket count),
+        scaled by the same boundary extrapolation as the float path
+        (the histogram branch applies NO counter zero clamp).  Bucket-
+        level-only resets (a bucket dropping while counts hold — only
+        possible with NaN observations) are not detected — documented
+        slice."""
         rdf, labels, range_ms = self._matrix_arg(node.args[0], steps)
         if "nh_schema" not in rdf.columns:
             empty = rdf.where(F.lit(False)).select("_ev", *labels)
@@ -1022,7 +1025,42 @@ class PromQLEngine:
             "nh_schema", "nh_zero_count", "nh_count", "nh_sum",
             "nh_pos_idx", "nh_pos_counts", "nh_neg_idx", "nh_neg_counts",
         )
-        agg = rdf.groupBy("_ev", *labels).agg(
+        wseries = Window.partitionBy("_ev", *labels).orderBy("ts")
+        _pair_t = "array<struct<idx:int,cnt:double>>"
+
+        def prev_pairs(which: str):
+            return F.when(
+                F.col("_reset"),
+                F.zip_with(
+                    F.col(f"_prevh.nh_{which}_idx"),
+                    F.col(f"_prevh.nh_{which}_counts"),
+                    lambda k, v: F.struct(
+                        k.alias("idx"), v.cast("double").alias("cnt")
+                    ),
+                ),
+            ).otherwise(F.array().cast(_pair_t))
+
+        staged = rdf.withColumn("_prevh", F.lag(pick).over(wseries))
+        staged = staged.withColumn(
+            "_reset",
+            F.col("_prevh").isNotNull()
+            & (
+                (F.col("_prevh.nh_count") > F.col("nh_count"))
+                | (F.col("_prevh.nh_zero_count") > F.col("nh_zero_count"))
+            ),
+        )
+        staged = staged.withColumn("_comp_pp", prev_pairs("pos")).withColumn(
+            "_comp_np", prev_pairs("neg")
+        )
+
+        def comp_scalar(field: str):
+            return F.sum(
+                F.when(
+                    F.col("_reset"), F.col(f"_prevh.{field}").cast("double")
+                ).otherwise(F.lit(0.0))
+            )
+
+        agg = staged.groupBy("_ev", *labels).agg(
             F.count(F.lit(1)).alias("_n"),
             F.min_by(pick, "ts").alias("_f"),
             F.max_by(pick, "ts").alias("_l"),
@@ -1030,6 +1068,13 @@ class PromQLEngine:
             F.max("ts").alias("_last_ts"),
             F.first("_start").alias("_start"),
             F.first("_end").alias("_end"),
+            comp_scalar("nh_count").alias("_comp_count"),
+            comp_scalar("nh_sum").alias("_comp_sum"),
+            comp_scalar("nh_zero_count").alias("_comp_zero"),
+            F.flatten(F.collect_list("_comp_pp")).alias("_comp_pp"),
+            F.flatten(F.collect_list("_comp_np")).alias("_comp_np"),
+            F.min("nh_schema").alias("_smin"),
+            F.max("nh_schema").alias("_smax"),
         )
         to_start = (F.col("_first_ts") - F.col("_start")).cast("double") / 1e3
         to_end = (F.col("_end") - F.col("_last_ts")).cast("double") / 1e3
@@ -1054,7 +1099,8 @@ class PromQLEngine:
                 F.col(f"_f.nh_{which}_counts"),
                 lambda k, v: F.struct(k.alias("idx"), (-v.cast("double")).alias("cnt")),
             )
-            return F.concat(last, first)
+            # + every pre-reset histogram's buckets (already positive)
+            return F.concat(last, first, F.col(f"_comp_{which[:1]}p"))
 
         pos_idx, pos_counts = self._merge_sparse(flat_diff("pos"))
         neg_idx, neg_counts = self._merge_sparse(flat_diff("neg"))
@@ -1065,9 +1111,11 @@ class PromQLEngine:
         # not difference incompatible buckets (review-caught) — folded
         # into the schema column every consumer reads
         def schema_checked(col):
+            # min/max over EVERY in-window sample (not just first/last —
+            # a mid-window change must refuse too)
             return F.when(
                 F.assert_true(
-                    F.col("_l.nh_schema") == F.col("_f.nh_schema"),
+                    F.col("_smin") == F.col("_smax"),
                     F.lit(
                         "rate() over a native histogram whose bucketing schema "
                         "changed inside the window is not supported"
@@ -1084,6 +1132,7 @@ class PromQLEngine:
                 scale(
                     F.col("_l.nh_zero_count").cast("double")
                     - F.col("_f.nh_zero_count").cast("double")
+                    + F.col("_comp_zero")
                 )
             ).alias("nh_zero_count"),
             F.lit(None).cast("double").alias("nh_zero_threshold"),
@@ -1091,11 +1140,12 @@ class PromQLEngine:
                 scale(
                     F.col("_l.nh_count").cast("double")
                     - F.col("_f.nh_count").cast("double")
+                    + F.col("_comp_count")
                 )
             ).alias("nh_count"),
-            schema_checked(scale(F.col("_l.nh_sum") - F.col("_f.nh_sum"))).alias(
-                "nh_sum"
-            ),
+            schema_checked(
+                scale(F.col("_l.nh_sum") - F.col("_f.nh_sum") + F.col("_comp_sum"))
+            ).alias("nh_sum"),
             pos_idx.alias("nh_pos_idx"),
             F.transform(pos_counts, lambda c: c * factor).alias("nh_pos_counts"),
             neg_idx.alias("nh_neg_idx"),
