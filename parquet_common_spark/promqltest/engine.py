@@ -570,7 +570,31 @@ class PromQLEngine:
             )
             return ("vector", out)
         if op == "limit_ratio":
-            raise PromQLEvalError(f"{op} is not supported by this engine")
+            # experimental upstream: deterministic pseudo-random series
+            # sample.  Upstream hashes the labelset to [0,1) and keeps
+            # f < r (r >= 0) or f >= 1+r (r < 0), so limit_ratio(r) and
+            # limit_ratio(r-1) PARTITION the input — that contract (and
+            # determinism across partitionings/reruns) is what we
+            # reproduce; the hash itself is this engine's stable series
+            # hash, not upstream's xxhash, so WHICH series land in each
+            # part differs from upstream (documented — same stance as
+            # topk/limitk tie-breaks).  |r| > 1 clamps to keep-all, as
+            # upstream warns-and-clamps.
+            from parquet_common_spark.schema import series_hash_column
+
+            r = float(static_param())
+            if math.isnan(r):
+                r = 0.0
+            r = max(-1.0, min(1.0, r))
+            label_cols = [c for c in df.columns if c.startswith("l_")]
+            frac = (
+                F.pmod(series_hash_column(label_cols), F.lit(1_000_003))
+            ).cast("double") / F.lit(1_000_003.0)
+            if r >= 0:
+                keep = frac < F.lit(r)
+            else:
+                keep = frac >= F.lit(1.0 + r)
+            return ("vector", df.where(keep))
         raise PromQLEvalError(f"unknown aggregation {op!r}")
 
     # ----------------------------------------------------------- functions
