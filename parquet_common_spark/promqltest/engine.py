@@ -1553,6 +1553,62 @@ class PromQLEngine:
         )
         return ("vector", self._drop_name(out))
 
+    def _fn_info(self, args, steps):
+        """info(v) (upstream experimental, promql/info.go): enrich every
+        sample of ``v`` with the data labels of the ``target_info``
+        series sharing its identifying labels (instance, job).  Samples
+        with no matching info series pass through unchanged; a sample
+        whose identifying labels match MULTIPLE info series is an error
+        (surfaced by the strict one-side duplicate check).  The optional
+        second argument (a data-label selector) is not supported —
+        documented slice; all of target_info's data labels are copied."""
+        df = self._vec_arg(args[0], steps)
+        if len(args) > 1:
+            raise PromQLEvalError(
+                "info() data-label selectors are not supported by this engine"
+            )
+        sel = ast.VectorSelector(
+            name="target_info",
+            matchers=[ast.LabelMatcher("__name__", "=", "target_info")],
+        )
+        info = self._instant_select(sel, steps)
+        ident = ["_ev", label_to_column("instance"), label_to_column("job")]
+        carry_cand = [
+            c for c in info.columns
+            if c.startswith("l_") and c not in ident and c != NAME_COL
+        ]
+        missing = [c for c in ident if c not in info.columns or c not in df.columns]
+        if missing or info.isEmpty():
+            return ("vector", df)  # nothing to enrich with
+        # the shared samples frame gives EVERY selector every label
+        # column (others' labels as NULL); carrying an all-NULL column
+        # would null out v's own same-named label — restrict carry to
+        # labels the info series actually populate (tiny one-row action
+        # over the already-small info frame)
+        flags = info.agg(
+            *[F.max(F.col(c).isNotNull()).alias(c) for c in carry_cand]
+        ).collect()[0]
+        carry = [c for c in carry_cand if flags[c]]
+        # matched rows: group_left multiply by the info value forced to
+        # 1.0 (target_info's own value is irrelevant — only labels ride)
+        one = info.select(*ident, *carry, F.lit(1.0).alias("value"))
+        matched_left = df.join(
+            F.broadcast(one.select(*ident).distinct()), on=ident, how="left_semi"
+        )
+        unmatched = df.join(
+            F.broadcast(one.select(*ident).distinct()), on=ident, how="left_anti"
+        )
+        enriched = pv.vector_binop(
+            matched_left,
+            one,
+            "*",
+            on=ident,
+            group="left",
+            carry=carry,
+        )
+        out = enriched.unionByName(unmatched, allowMissingColumns=True)
+        return ("vector", out)
+
     def _fn_holt_winters(self, args, steps):
         """Pre-3.0 name of double_exponential_smoothing (upstream kept
         the alias behind the experimental flag when renaming)."""
