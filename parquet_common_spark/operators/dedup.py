@@ -189,7 +189,7 @@ def _signatures_arrow(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
         Anp = np.asarray(A, dtype=np.int64)[:, None]
         Bnp = np.asarray(B, dtype=np.int64)[:, None]
-        ws = _re.compile(r"\s+")
+        ws = _re.compile(r"\s+", _re.ASCII)  # Java \s is ASCII-only; match the JVM normalize_text path
 
         def tok_hash(t: str) -> int:
             h = 0
@@ -200,7 +200,7 @@ def _signatures_arrow(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         for pdf in it:
             ids, shs, sigs = [], [], []
             for i, text in zip(pdf[pdf.columns[0]], pdf[pdf.columns[1]]):
-                norm = ws.sub(" ", (text or "").lower()).strip()
+                norm = ws.sub(" ", (text or "").lower()).strip(" ")
                 th = np.array([tok_hash(t) for t in norm.split(" ")], dtype=np.int64)
                 if len(th) >= 3:
                     sh = ((th[:-2] * K + th[1:-1]) % P * K + th[2:]) % P
@@ -241,7 +241,7 @@ def shingle_hashes_arrow(
         import numpy as np
         import pandas as pd
 
-        ws = _re.compile(r"\s+")
+        ws = _re.compile(r"\s+", _re.ASCII)  # Java \s is ASCII-only; match the JVM normalize_text path
 
         def tok_hash(t: str) -> int:
             h = 0
@@ -252,7 +252,7 @@ def shingle_hashes_arrow(
         for pdf in it:
             ids, shs = [], []
             for i, text in zip(pdf[pdf.columns[0]], pdf[pdf.columns[1]]):
-                norm = ws.sub(" ", (text or "").lower()).strip()
+                norm = ws.sub(" ", (text or "").lower()).strip(" ")
                 th = np.array([tok_hash(t) for t in norm.split(" ")], dtype=np.int64)
                 if len(th) >= n:
                     m = len(th) - n + 1
@@ -537,13 +537,13 @@ def _char_shingles_arrow(
         import numpy as np
         import pandas as pd
 
-        ws = _re.compile(r"\s+")
+        ws = _re.compile(r"\s+", _re.ASCII)  # Java \s is ASCII-only; match the JVM normalize_text path
         for pdf in it:
             ids, blks, shs = [], [], []
             for i, blk, text in zip(
                 pdf[pdf.columns[0]], pdf[pdf.columns[1]], pdf[pdf.columns[2]]
             ):
-                norm = ws.sub(" ", (text or "").lower()).strip()
+                norm = ws.sub(" ", (text or "").lower()).strip(" ")
                 codes = np.frombuffer(norm.encode("utf-32-le"), dtype=np.uint32).astype(
                     np.int64
                 )

@@ -200,9 +200,23 @@ class PromQLEngine:
             raise PromQLEvalError("eval_instant_df requires a vector expression")
         return df.drop("_ev")
 
+    @staticmethod
+    def _range_steps(start_ms: int, end_ms: int, step_ms: int) -> list:
+        """Validated step grid for the public range-query surface."""
+        start_ms, end_ms, step_ms = int(start_ms), int(end_ms), int(step_ms)
+        if step_ms <= 0:
+            raise PromQLEvalError(
+                f"zero or negative query resolution step: {step_ms}ms"
+            )
+        if start_ms > end_ms:
+            raise PromQLEvalError(
+                "invalid time range: start is after end "
+                f"({start_ms} > {end_ms})"
+            )
+        return list(range(start_ms, end_ms + 1, step_ms))
+
     def eval_range(self, expr, start_ms: int, end_ms: int, step_ms: int):
-        evs = list(range(int(start_ms), int(end_ms) + 1, int(step_ms)))
-        return self._run(expr, evs)
+        return self._run(expr, self._range_steps(start_ms, end_ms, step_ms))
 
     def eval_range_df(
         self, expr, start_ms: int, end_ms: int, step_ms: int
@@ -212,7 +226,7 @@ class PromQLEngine:
         and ``value`` — the query_range API shape, uncollected."""
         if isinstance(expr, str):
             expr = ast.parse_promql(expr)
-        evs = list(range(int(start_ms), int(end_ms) + 1, int(step_ms)))
+        evs = self._range_steps(start_ms, end_ms, step_ms)
         self._qstart, self._qend = evs[0], evs[-1]
         steps = self.spark.createDataFrame([(e,) for e in evs], "_ev long")
         kind, df = self._eval(expr, steps)
@@ -584,7 +598,9 @@ class PromQLEngine:
 
             r = float(static_param())
             if math.isnan(r):
-                r = 0.0
+                # upstream errors on a NaN ratio (promql/engine.go
+                # "Ratio value is NaN") rather than clamping
+                raise PromQLEvalError("Ratio value is NaN")
             r = max(-1.0, min(1.0, r))
             label_cols = [c for c in df.columns if c.startswith("l_")]
             frac = (
@@ -1554,60 +1570,106 @@ class PromQLEngine:
         return ("vector", self._drop_name(out))
 
     def _fn_info(self, args, steps):
-        """info(v) (upstream experimental, promql/info.go): enrich every
-        sample of ``v`` with the data labels of the ``target_info``
-        series sharing its identifying labels (instance, job).  Samples
-        with no matching info series pass through unchanged; a sample
-        whose identifying labels match MULTIPLE info series is an error
-        (surfaced by the strict one-side duplicate check).  The optional
-        second argument (a data-label selector) is not supported —
-        documented slice; all of target_info's data labels are copied."""
+        """info(v[, data-label-selector]) (upstream experimental,
+        promql/info.go): enrich every sample of ``v`` with the data
+        labels of the info series sharing its identifying labels
+        (instance, job).  The optional second argument is a braces-only
+        selector: ``__name__`` matchers pick which info metrics are
+        considered (default ``target_info``); the remaining matchers are
+        data-label matchers — an info series must satisfy all of them
+        (missing label matches ""), and ONLY the matcher-named labels
+        are copied.  With no data-label matchers every populated data
+        label is copied.  Samples with no matching info series pass
+        through unchanged; identifying labels matching MULTIPLE info
+        series is an execution-time error (window count over the
+        broadcast-small info side, assert folded into a join key so
+        pruning can't drop it).  Plan construction is fully lazy — no
+        driver-side actions."""
         df = self._vec_arg(args[0], steps)
+        name_matchers, data_matchers = [], []
         if len(args) > 1:
-            raise PromQLEvalError(
-                "info() data-label selectors are not supported by this engine"
+            sel2 = args[1]
+            if not isinstance(sel2, ast.VectorSelector) or sel2.name is not None:
+                raise PromQLEvalError(
+                    "info(): second argument must be a braces-only label selector"
+                )
+            for m in sel2.matchers:
+                (name_matchers if m.name == "__name__" else data_matchers).append(m)
+        if name_matchers:
+            sel = ast.VectorSelector(name=None, matchers=list(name_matchers))
+        else:
+            sel = ast.VectorSelector(
+                name="target_info",
+                matchers=[ast.LabelMatcher("__name__", "=", "target_info")],
             )
-        sel = ast.VectorSelector(
-            name="target_info",
-            matchers=[ast.LabelMatcher("__name__", "=", "target_info")],
-        )
         info = self._instant_select(sel, steps)
         ident = ["_ev", label_to_column("instance"), label_to_column("job")]
-        carry_cand = [
-            c for c in info.columns
-            if c.startswith("l_") and c not in ident and c != NAME_COL
-        ]
         missing = [c for c in ident if c not in info.columns or c not in df.columns]
-        if missing or info.isEmpty():
+        if missing:
             return ("vector", df)  # nothing to enrich with
-        # the shared samples frame gives EVERY selector every label
-        # column (others' labels as NULL); carrying an all-NULL column
-        # would null out v's own same-named label — restrict carry to
-        # labels the info series actually populate (tiny one-row action
-        # over the already-small info frame)
-        flags = info.agg(
-            *[F.max(F.col(c).isNotNull()).alias(c) for c in carry_cand]
-        ).collect()[0]
-        carry = [c for c in carry_cand if flags[c]]
-        # matched rows: group_left multiply by the info value forced to
-        # 1.0 (target_info's own value is irrelevant — only labels ride)
-        one = info.select(*ident, *carry, F.lit(1.0).alias("value"))
-        matched_left = df.join(
-            F.broadcast(one.select(*ident).distinct()), on=ident, how="left_semi"
+        icols = info.columns
+        for m in data_matchers:
+            info = info.where(
+                matcher_to_predicate(Matcher(m.name, m.op, m.value), icols)
+            )
+        if data_matchers:
+            carry = [
+                c
+                for c in dict.fromkeys(
+                    label_to_column(m.name) for m in data_matchers
+                )
+                if c in icols and c not in ident and c != NAME_COL
+            ]
+        else:
+            carry = [
+                c
+                for c in icols
+                if c.startswith("l_") and c not in ident and c != NAME_COL
+            ]
+        # one row per identifying key on the info side; duplicates error
+        # at execution time.  The assert rides on "_ev" (a join key), so
+        # column pruning cannot eliminate it.
+        w = Window.partitionBy(*ident)
+        one = (
+            info.select(*ident, *carry)
+            .withColumn("_icnt", F.count(F.lit(1)).over(w))
+            .withColumn(
+                "_ev",
+                F.when(
+                    F.assert_true(
+                        F.col("_icnt") == 1,
+                        F.lit(
+                            "info(): found duplicate info series for the "
+                            "identifying labels"
+                        ),
+                    ).isNull(),
+                    F.col("_ev"),
+                ),
+            )
+            .drop("_icnt")
         )
-        unmatched = df.join(
-            F.broadcast(one.select(*ident).distinct()), on=ident, how="left_anti"
+        right = one.select(
+            *[F.col(c).alias(f"_i_{c}") for c in [*ident, *carry]]
         )
-        enriched = pv.vector_binop(
-            matched_left,
-            one,
-            "*",
-            on=ident,
-            group="left",
-            carry=carry,
-        )
-        out = enriched.unionByName(unmatched, allowMissingColumns=True)
-        return ("vector", out)
+        cond = F.lit(True)
+        for c in ident:
+            cond = cond & F.col(c).eqNullSafe(F.col(f"_i_{c}"))
+        joined = df.join(F.broadcast(right), on=cond, how="left")
+        # per-ROW coalesce: an info label rides only where that info
+        # series populates it; v's own label survives otherwise.  (The
+        # shared samples frame materializes every label column for every
+        # selector, so all-NULL carry columns are expected, not special.)
+        base_labels = [c for c in df.columns if c != "value"]
+        out_cols = []
+        for c in base_labels:
+            if c in carry:
+                out_cols.append(F.coalesce(F.col(f"_i_{c}"), joined[c]).alias(c))
+            else:
+                out_cols.append(joined[c])
+        for c in carry:
+            if c not in base_labels:
+                out_cols.append(F.col(f"_i_{c}").alias(c))
+        return ("vector", joined.select(*out_cols, F.col("value")))
 
     def _fn_holt_winters(self, args, steps):
         """Pre-3.0 name of double_exponential_smoothing (upstream kept
@@ -1705,16 +1767,20 @@ class PromQLEngine:
                 "stddev_over_time": F.stddev_pop(v),
                 # ts_of_* (upstream experimental, funcTsOfMin/Max/Last):
                 # the timestamp (seconds) of the selected sample.  Tie +
-                # NaN rules mirror upstream's loop: `<=`/`>=` comparisons
-                # make the LAST occurrence win; a NaN current value is
-                # always replaced, so NaN never wins unless every sample
-                # is NaN (then the last sample's ts).  The NaN mapping to
-                # ±Inf inside the ordering struct reproduces exactly that.
+                # NaN rules mirror upstream's loop (`v <= best ||
+                # isNaN(best)`): `<=`/`>=` comparisons make the LAST
+                # occurrence win; a NaN current value never replaces a
+                # real best, so NaN wins only when every sample is NaN
+                # (then the last sample's ts).  A separate isnan flag —
+                # not a ±Inf mapping — keeps a NaN sample from tying
+                # with a genuine ±Inf sample: the flag sorts every NaN
+                # strictly worse than every real value, ±Inf included.
                 "ts_of_last_over_time": F.max(F.col("ts")) / F.lit(1000.0),
                 "ts_of_min_over_time": F.min_by(
                     F.col("ts"),
                     F.struct(
-                        F.when(F.isnan(v), F.lit(float("inf"))).otherwise(v).alias("v"),
+                        F.isnan(v).cast("int").alias("bad"),
+                        F.when(F.isnan(v), F.lit(0.0)).otherwise(v).alias("v"),
                         (-F.col("ts")).alias("nt"),
                     ),
                 ).cast("double")
@@ -1722,7 +1788,8 @@ class PromQLEngine:
                 "ts_of_max_over_time": F.max_by(
                     F.col("ts"),
                     F.struct(
-                        F.when(F.isnan(v), F.lit(float("-inf"))).otherwise(v).alias("v"),
+                        (~F.isnan(v)).cast("int").alias("ok"),
+                        F.when(F.isnan(v), F.lit(0.0)).otherwise(v).alias("v"),
                         F.col("ts").alias("t"),
                     ),
                 ).cast("double")

@@ -580,8 +580,13 @@ def test_arrow_shingles_match_column_path(spark):
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st
 
+    #   (NBSP) and   (thin space) pin the Java-\s-is-ASCII-only
+    # contract: the Arrow path must treat them as regular characters, not
+    # token separators, exactly like the JVM normalize_text/tokens path.
     words = st.lists(
-        st.text(alphabet="abcxyz ", min_size=0, max_size=6), min_size=0, max_size=12
+        st.text(alphabet="abcxyz   ", min_size=0, max_size=6),
+        min_size=0,
+        max_size=12,
     )
 
     @settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))

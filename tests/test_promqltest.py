@@ -156,6 +156,26 @@ def test_engine_from_shards_instant_and_range(spark, tmp_path):
     assert got == {600000: 60.0, 900000: 90.0, 1200000: 120.0}
 
 
+def test_range_query_validation(spark):
+    """The public range surface rejects a non-positive step and an
+    inverted time range with PromQLEvalError, not a bare ValueError /
+    IndexError (ADVICE r5)."""
+    import pytest
+
+    from parquet_common_spark.promqltest import PromQLEngine
+    from parquet_common_spark.promqltest.engine import PromQLEvalError
+
+    eng = PromQLEngine(spark)
+    with pytest.raises(PromQLEvalError, match="step"):
+        eng.eval_range_df("vector(1)", 0, 1000, 0)
+    with pytest.raises(PromQLEvalError, match="step"):
+        eng.eval_range_df("vector(1)", 0, 1000, -500)
+    with pytest.raises(PromQLEvalError, match="start is after end"):
+        eng.eval_range_df("vector(1)", 2000, 1000, 500)
+    with pytest.raises(PromQLEvalError, match="step"):
+        eng.eval_range("vector(1)", 0, 1000, 0)
+
+
 def test_engine_from_shards_multi_shard_union(spark, tmp_path):
     """from_shards over TWO shards: selector evaluation sees the union
     (the queryable's k-way merge), aggregation spans both."""
