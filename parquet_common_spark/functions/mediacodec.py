@@ -67,6 +67,61 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
+def _unfilter_avg(line: list, prev: np.ndarray, bpp: int) -> list:
+    """Average scanline: the left-neighbour recurrence is inherently
+    sequential, but everything taken from the PREVIOUS row is hoisted
+    and the loop runs on plain Python ints over lists (~15x the old
+    numpy-scalar-indexing loop; numpy scalar reads cost ~100ns each)."""
+    b_l = prev.tolist()
+    cur = [(line[i] + (b_l[i] >> 1)) & 0xFF for i in range(bpp)]
+    ap = cur.append
+    j = 0
+    for ln_i, bv in zip(line[bpp:], b_l[bpp:]):
+        ap((ln_i + ((cur[j] + bv) >> 1)) & 0xFF)
+        j += 1
+    return cur
+
+
+def _unfilter_paeth(line: list, prev: np.ndarray, bpp: int) -> list:
+    """Paeth scanline.  The predictor's pa = |p-a| = |b-c| and the
+    b-2c term depend only on the previous row, so they are vectorized
+    up front; the sequential loop keeps just the a-dependent pieces
+    (pb = |a-c|, pc = |a+b-2c|) on Python ints (~8x the old loop).
+    For the first pixel a == c == 0, so the predictor reduces to b."""
+    stride = len(line)
+    c = np.empty(stride, np.int32)
+    c[:bpp] = 0
+    c[bpp:] = prev[:-bpp]
+    pa_l = np.abs(prev - c).tolist()
+    bm2c_l = (prev - 2 * c).tolist()
+    b_l = prev.tolist()
+    c_l = c.tolist()
+    cur = [(line[i] + b_l[i]) & 0xFF for i in range(bpp)]
+    ap = cur.append
+    j = 0
+    # b is reconstructed lazily as bm2c + 2c only on the picks that
+    # need it (~1/3) — dropping the fifth zip stream is a measured win
+    for ln_i, pa, bm2c, cv in zip(
+        line[bpp:], pa_l[bpp:], bm2c_l[bpp:], c_l[bpp:]
+    ):
+        a = cur[j]
+        j += 1
+        pb = a - cv
+        if pb < 0:
+            pb = -pb
+        pc = a + bm2c
+        if pc < 0:
+            pc = -pc
+        if pa <= pb and pa <= pc:
+            pred = a
+        elif pb <= pc:
+            pred = bm2c + cv + cv
+        else:
+            pred = cv
+        ap((ln_i + pred) & 0xFF)
+    return cur
+
+
 def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
     """Decode a PNG to (width, height, HxWxC uint8 array).
 
@@ -107,31 +162,34 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
     pos = 0
     for y in range(height):
         ftype = raw[pos]
-        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).astype(
-            np.int32
-        )
-        pos += stride + 1
         if ftype == 0:  # None
-            cur = line
+            cur = np.frombuffer(
+                raw, dtype=np.uint8, count=stride, offset=pos + 1
+            ).astype(np.int32)
         elif ftype == 1:  # Sub
-            cur = line.copy()
-            for i in range(bpp, stride):
-                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+            # cur[i] = line[i] + cur[i-bpp] is, per channel, a running
+            # sum mod 256 along the row — one vectorized cumsum
+            line = np.frombuffer(
+                raw, dtype=np.uint8, count=stride, offset=pos + 1
+            )
+            cur = (
+                np.cumsum(line.reshape(width, bpp).astype(np.int64), axis=0)
+                & 0xFF
+            ).astype(np.int32).reshape(stride)
         elif ftype == 2:  # Up
+            line = np.frombuffer(
+                raw, dtype=np.uint8, count=stride, offset=pos + 1
+            ).astype(np.int32)
             cur = (line + prev) & 0xFF
         elif ftype == 3:  # Average
-            cur = line.copy()
-            for i in range(stride):
-                left = cur[i - bpp] if i >= bpp else 0
-                cur[i] = (cur[i] + ((left + prev[i]) >> 1)) & 0xFF
+            line_l = list(raw[pos + 1 : pos + 1 + stride])
+            cur = np.asarray(_unfilter_avg(line_l, prev, bpp), dtype=np.int32)
         elif ftype == 4:  # Paeth
-            cur = line.copy()
-            for i in range(stride):
-                left = int(cur[i - bpp]) if i >= bpp else 0
-                ul = int(prev[i - bpp]) if i >= bpp else 0
-                cur[i] = (cur[i] + _paeth(left, int(prev[i]), ul)) & 0xFF
+            line_l = list(raw[pos + 1 : pos + 1 + stride])
+            cur = np.asarray(_unfilter_paeth(line_l, prev, bpp), dtype=np.int32)
         else:
             raise ValueError(f"bad PNG filter type {ftype}")
+        pos += stride + 1
         out[y] = cur.astype(np.uint8)
         prev = cur
     pixels = out.reshape(height, width, channels)
