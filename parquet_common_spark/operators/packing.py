@@ -32,6 +32,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
+# Frames pinned by global_cumsum, released via release_cached().  The
+# persist is load-bearing while ANY frame derived from the result is
+# still in use (recomputing the lineage could resample the range
+# boundaries and misalign the driver-side offsets), so release is an
+# explicit caller decision after materialization — not a GC hook, which
+# would fire while derived plans still reference the cached partitions.
+_CACHED: list[DataFrame] = []
+
+
+def release_cached() -> int:
+    """Unpersist every frame pinned by prior :func:`global_cumsum` /
+    :func:`pack_sequences` calls in this session; returns the number
+    released.  Call once the results have been materialized (collected
+    or written) — afterwards, re-running an already-built plan derived
+    from a released call may resample range boundaries, so build fresh
+    plans instead of reusing stale ones."""
+    n = 0
+    while _CACHED:
+        d = _CACHED.pop()
+        try:
+            d.unpersist()
+            n += 1
+        except Exception:
+            pass  # session already stopped
+    return n
+
 
 def global_cumsum(
     df: DataFrame,
@@ -87,7 +113,10 @@ def global_cumsum(
 
         out = d.mapInPandas(scan, schema=schema).drop("_pid")
         # the plan holds the persisted frame; materialization happens at
-        # the caller's action, reading the SAME partitions as pass 2
+        # the caller's action, reading the SAME partitions as pass 2.
+        # The pin is registered for release_cached() so a long session
+        # running many packings doesn't accumulate cached frames.
+        _CACHED.append(d)
         return out
     except Exception:
         d.unpersist()

@@ -99,6 +99,38 @@ class DictResultCache:
         self._store.clear()
 
 
+class LruResultCache(DictResultCache):
+    """Bounded predicate-result cache: keeps the ``capacity`` most
+    recently used entries and UNPERSISTS evicted frames, so a
+    long-lived session querying many matcher sets holds at most
+    ``capacity`` cached series frames (the reference's cache is
+    similarly bounded per-deployment; search/constraint_cache.go:16-33).
+    Inject with ``ParquetQueryable(shards, result_cache=
+    LruResultCache(64))``."""
+
+    def __init__(self, capacity: int = 64):
+        super().__init__()
+        if capacity < 1:
+            raise ValueError("capacity must be >= 1")
+        self._capacity = int(capacity)
+
+    def get(self, key):
+        df = self._store.get(key)
+        if df is not None:
+            # dict preserves insertion order: re-insert to mark recency
+            self._store.pop(key)
+            self._store[key] = df
+        return df
+
+    def put(self, key, df: DataFrame) -> None:
+        if key in self._store:
+            self._store.pop(key).unpersist()
+        self._store[key] = df.persist()
+        while len(self._store) > self._capacity:
+            oldest = next(iter(self._store))  # insertion order == recency
+            self._store.pop(oldest).unpersist()
+
+
 class ParquetQueryable:
     """Matcher-query engine over one or more shards.
 

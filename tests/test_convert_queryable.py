@@ -277,6 +277,55 @@ def test_result_cache_injection(spark, shard):
     assert cache.cleared
 
 
+def test_lru_result_cache_bounds_storage(spark, shard):
+    """LruResultCache keeps at most `capacity` persisted frames,
+    unpersisting evictions — a long-lived session can't accumulate
+    cached series frames without bound."""
+    from parquet_common_spark.queryable import LruResultCache
+
+    out, _ = shard
+    cache = LruResultCache(capacity=2)
+    q = ParquetQueryable.from_paths(spark, [out], result_cache=cache)
+    for env in ("dev", "prod", "qa", "dev2"):
+        q.select(0, 10**12, [Matcher("env", "=", env)], skip_chunks=True).count()
+    assert len(cache._store) == 2
+    # recency: touching the older key shields it from the next eviction
+    q.select(0, 10**12, [Matcher("env", "=", "qa")], skip_chunks=True).count()
+    q.select(0, 10**12, [Matcher("env", "=", "new")], skip_chunks=True).count()
+    assert len(cache._store) == 2
+    keys = {k for k in cache._store}
+    assert any("qa" in str(k) for k in keys)
+    # every still-cached frame is persisted; clear() drops them all
+    for df in cache._store.values():
+        assert df.storageLevel.useMemory or df.storageLevel.useDisk
+    q.clear_cache()
+    assert not cache._store
+
+
+def test_packing_release_cached_returns_storage_to_baseline(spark):
+    """global_cumsum pins one frame per call; release_cached() returns
+    storage to baseline after materialization (VERDICT r5 ask #4)."""
+    from parquet_common_spark.operators import packing as PK
+
+    sc = spark.sparkContext
+    PK.release_cached()  # drop any pins left by earlier tests
+
+    def cached_rdd_count():
+        return sc._jsc.sc().getPersistentRDDs().size()
+
+    base = cached_rdd_count()
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 13 + 1) for i in range(100)], "doc_id long, n long"
+    )
+    res = PK.pack_sequences(df, ["doc_id"], "n", budget=32)
+    rows = res.collect()
+    assert len(rows) == 100
+    assert cached_rdd_count() > base  # the pin is real
+    released = PK.release_cached()
+    assert released >= 1
+    assert cached_rdd_count() == base
+
+
 def test_label_names_single_action(spark, tmp_path, monkeypatch):
     """Filtered label_names must run ONE Spark action regardless of
     shard count (at 1,000 shards the old per-shard collect() was 1,000

@@ -413,6 +413,27 @@ def test_contamination_plan_broadcasts_benchmark(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_decontaminate_all_contaminated_no_forced_broadcast(spark):
+    """Adversarial corpus: EVERY document is contaminated, so the
+    anti-join's right side is as large as the corpus itself.  The join
+    must still be correct (empty result) and its plan must not carry an
+    explicit broadcast hint on the contaminated-ID set — AQE decides at
+    runtime (VERDICT r5 'what's wrong' #3)."""
+    from parquet_common_spark.operators import decontam as DC
+
+    text = "alpha beta gamma delta epsilon zeta"
+    bench = spark.createDataFrame([(100, text)], "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(i, text + f" tail{i}") for i in range(50)], "doc_id long, text string"
+    )
+    clean = DC.decontaminate(corpus, bench, "doc_id", "text", n=3, min_hits=1)
+    assert clean.count() == 0
+    logical = clean._jdf.queryExecution().logical().toString()
+    # the benchmark n-gram set broadcast (inside contamination) is the
+    # ONLY hint; the contaminated-ID anti join has none
+    assert logical.count("UnresolvedHint") <= 1
+
+
 # ------------------------------------------------- repetition filters
 
 
