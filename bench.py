@@ -94,6 +94,20 @@ def main() -> int:
 
     guarded("_select_bench", run_select_bench)
 
+    # bucketed-table A/B for the two heaviest select workloads: the
+    # zero-exchange series⋈samples claim (SCALE.md) with a wall-clock
+    # number next to the plan pin.  Reported under a SEPARATE key so the
+    # headline total stays comparable round-over-round.
+    bucketed: dict[str, float] = {}
+
+    def run_select_bucketed_bench():
+        from parquet_common_spark.benchmarks import select_bench
+
+        for name, r in select_bench.run_bucketed(spark).items():
+            bucketed[f"select_bucketed_{name}"] = r["sec"]
+
+    guarded("_select_bucketed_bench", run_select_bucketed_bench)
+
     result = {
         "metric": "headline_total_sec",
         "value": round(sum(times.values()), 3),
@@ -102,6 +116,8 @@ def main() -> int:
         "rows": rows,
         "sf": sf,
     }
+    if bucketed:
+        result["bucketed"] = bucketed
     if errors:
         result["errors"] = errors
     print(json.dumps(result))

@@ -150,3 +150,87 @@ def _force(df: DataFrame) -> None:
     """Materialize every column through the noop sink (a count() would let
     Catalyst prune the label columns and understate the work)."""
     df.write.format("noop").mode("overwrite").save()
+
+
+BUCKETED_PREFIX = os.environ.get(
+    "SPARK_GRAFT_SELECT_BENCH_TABLE", "pcs_bench_f2"
+)
+
+# the two heaviest workloads — the pair where the series⋈samples join
+# dominates, so the bucketed zero-exchange layout shows up as wall clock
+BUCKETED_WORKLOADS = ("SingleMetricAllSeries", "MultipleMetricsRange")
+
+
+def generate_bucketed_dataset(
+    spark: SparkSession, table_prefix: str = BUCKETED_PREFIX
+) -> str:
+    """The same 1.5M-series F2 dataset as :func:`generate_dataset`, but
+    written with ``convert_bucketed`` as co-located catalog tables —
+    the 100 TB layout where the series⋈samples join plans with zero
+    shuffle exchanges.  Cached in the warehouse across runs."""
+    if spark.catalog.tableExists(f"{table_prefix}_series"):
+        return table_prefix
+    # the session catalog is in-memory: a previous session's managed-table
+    # files may survive in the warehouse without catalog entries — clear
+    # them or saveAsTable fails with LOCATION_ALREADY_EXISTS
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    for suffix in ("_series", "_samples"):
+        loc = os.path.join(wh, f"{table_prefix}{suffix}")
+        if os.path.exists(loc):
+            shutil.rmtree(loc, ignore_errors=True)
+    dims = {
+        "metric": 5,
+        "instance": 100,
+        "region": 5,
+        "zone": 10,
+        "service": 20,
+        "environment": 3,
+    }
+    df = spark.range(dims["metric"]).select(F.col("id").alias("m"))
+    for name, n in list(dims.items())[1:]:
+        df = df.crossJoin(spark.range(n).select(F.col("id").alias(name[0] + "_i")))
+    wide = df.select(
+        F.concat(F.lit("test_metric_"), F.col("m")).alias(S.label_to_column("__name__")),
+        F.concat(F.lit("instance-"), F.col("i_i")).alias(S.label_to_column("instance")),
+        F.concat(F.lit("region-"), F.col("r_i")).alias(S.label_to_column("region")),
+        F.concat(F.lit("zone-"), F.col("z_i")).alias(S.label_to_column("zone")),
+        F.concat(F.lit("service-"), F.col("s_i")).alias(S.label_to_column("service")),
+        F.concat(F.lit("environment-"), F.col("e_i")).alias(S.label_to_column("environment")),
+        F.lit(0).cast("long").alias("ts"),
+        F.rand(seed=42).alias("value"),
+    )
+    C.convert_bucketed(
+        wide,
+        table_prefix,
+        labels_col=None,
+        mint_ms=0,
+        maxt_ms=0,
+        col_duration_ms=3_600_000,
+    )
+    return table_prefix
+
+
+def run_bucketed(
+    spark: SparkSession, table_prefix: str = BUCKETED_PREFIX
+) -> dict:
+    """BUCKETED_WORKLOADS over the bucketed-table layout; same matchers,
+    same forcing sink as :func:`run`, so `select_X` vs
+    `select_bucketed_X` is a direct directory-vs-bucketed A/B."""
+    generate_bucketed_dataset(spark, table_prefix)
+    q = ParquetQueryable.from_tables(spark, [table_prefix])
+    by_name = dict(WORKLOADS)
+    results: dict[str, dict] = {}
+    _force(q.select(0, 120, by_name[BUCKETED_WORKLOADS[0]]))  # warm-up
+    for name in BUCKETED_WORKLOADS:
+        sel = q.select(0, 120, by_name[name])
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _force(sel)
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        results[name] = {"sec": round(best, 3), "series": sel.count()}
+    return results
