@@ -171,16 +171,28 @@ def lsh_buckets(vec, dim: int = 64):
     return F.array(*keys)
 
 
-def lsh_buckets_arrow(df: DataFrame, id_col: str, vec_col: str, dim: int = 64) -> DataFrame:
+def lsh_buckets_arrow(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int = 64,
+    n_tables: int = N_TABLES,
+    n_bits: int = N_BITS,
+) -> DataFrame:
     """(id, vec, bucket) rows — one per (row, table) — via ONE numpy matmul
     per Arrow batch: signs = V @ P.T > 0, bits packed per table.
 
     Same plane components and bucket key layout as :func:`lsh_buckets`;
     the Column-expression path folds 48 interpreted HOF dot products per
     row (a ~3000-node expression tree that dominates wall time), while
-    this stage is a single BLAS call.  Map-only, no shuffle."""
+    this stage is a single BLAS call.  Map-only, no shuffle.
+
+    ``n_tables``/``n_bits`` tune the recall/candidate-volume trade
+    (recall ≈ 1-(1-p^n_bits)^n_tables for per-bit collision p); the
+    defaults are the oracle-checked sim2 configuration."""
     from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
 
+    N_TABLES, N_BITS = n_tables, n_bits
     out_schema = StructType(
         [
             StructField("_id", LongType()),
@@ -240,16 +252,18 @@ def lsh_topk(
     vec_col: str = "embedding",
     k: int = 5,
     dim: int = 64,
+    n_tables: int = N_TABLES,
+    n_bits: int = N_BITS,
 ) -> DataFrame:
     """Approximate top-k via multi-table hyperplane LSH: candidates share
-    a bucket in ANY of the N_TABLES tables (equi-join on (table,bits)
+    a bucket in ANY of the n_tables tables (equi-join on (table,bits)
     key), then exact cosine re-rank over the candidate union."""
-    c = lsh_buckets_arrow(corpus, id_col, vec_col, dim=dim).select(
-        F.col("_id").alias("neighbor_id"), F.col("_v").alias("_cv"), "_bkt"
-    )
-    q = lsh_buckets_arrow(queries, id_col, vec_col, dim=dim).select(
-        F.col("_id").alias("query_id"), F.col("_v").alias("_qv"), "_bkt"
-    )
+    c = lsh_buckets_arrow(
+        corpus, id_col, vec_col, dim=dim, n_tables=n_tables, n_bits=n_bits
+    ).select(F.col("_id").alias("neighbor_id"), F.col("_v").alias("_cv"), "_bkt")
+    q = lsh_buckets_arrow(
+        queries, id_col, vec_col, dim=dim, n_tables=n_tables, n_bits=n_bits
+    ).select(F.col("_id").alias("query_id"), F.col("_v").alias("_qv"), "_bkt")
     cand = (
         q.join(c, "_bkt")
         .where(F.col("query_id") != F.col("neighbor_id"))
@@ -288,6 +302,28 @@ def ivf_assign(df: DataFrame, centroids: DataFrame, id_col: str, vec_col: str, n
     )
 
 
+def sample_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str, n_centroids: int
+) -> DataFrame:
+    """Deterministic pseudo-random centroid sample: the ``n_centroids``
+    smallest rows by a Knuth-multiplicative id mix — a TakeOrdered, no
+    count/sort of the corpus and no extra driver action.  The mix is
+    plain BIGINT arithmetic so any engine (including the DuckDB oracle)
+    reproduces the exact sample; ids must stay below ~3.4e9 to avoid
+    64-bit overflow.  Shared by :func:`ivf_topk` and
+    :func:`build_ivf_index`; feed the result through
+    :func:`refine_centroids` for Lloyd-sharpened cells."""
+    mix = (F.col(id_col).cast("long") * F.lit(2654435761) + F.lit(40503)) % F.lit(
+        999999937
+    )
+    return (
+        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("cvec"))
+        .orderBy(mix, F.col(id_col))
+        .limit(n_centroids)
+        .select(F.dense_rank().over(Window.orderBy(id_col)).alias("centroid_id"), "cvec")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -296,6 +332,7 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 16,
     nprobe: int = 4,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: partition the corpus into centroid
     cells (corpus assigned to its 1 nearest centroid), probe the query's
@@ -311,14 +348,12 @@ def ivf_topk(
     including the DuckDB oracle — reproduces the exact sample; ids must
     stay below ~3.4e9 to avoid 64-bit overflow (the driver's vec_ids are
     dense small ints; for larger id spaces swap in a 128-bit mix).
+
+    Pass ``centroids`` (centroid_id, cvec) to search against externally
+    supplied cells — e.g. a :func:`refine_centroids` output.
     """
-    mix = (F.col(id_col).cast("long") * F.lit(2654435761) + F.lit(40503)) % F.lit(999999937)
-    centroids = (
-        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("cvec"))
-        .orderBy(mix, F.col(id_col))
-        .limit(n_centroids)
-        .select(F.dense_rank().over(Window.orderBy(id_col)).alias("centroid_id"), "cvec")
-    )
+    if centroids is None:
+        centroids = sample_centroids(corpus, id_col, vec_col, n_centroids)
     cells = ivf_assign(corpus, centroids, id_col, vec_col, nprobe=1).select(
         F.col("_vid").alias("neighbor_id"), F.col("_v").alias("_cv"), "centroid_id"
     )
@@ -361,13 +396,7 @@ def build_ivf_index(
     (pinned in tests)."""
     import os
 
-    mix = (F.col(id_col).cast("long") * F.lit(2654435761) + F.lit(40503)) % F.lit(999999937)
-    centroids = (
-        corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("cvec"))
-        .orderBy(mix, F.col(id_col))
-        .limit(n_centroids)
-        .select(F.dense_rank().over(Window.orderBy(id_col)).alias("centroid_id"), "cvec")
-    )
+    centroids = sample_centroids(corpus, id_col, vec_col, n_centroids)
     os.makedirs(out_dir, exist_ok=True)
     centroids.write.mode("overwrite").parquet(os.path.join(out_dir, "centroids.parquet"))
     cells = ivf_assign(corpus, centroids, id_col, vec_col, nprobe=1).select(
