@@ -22,38 +22,35 @@ from pyspark.sql import DataFrame, SparkSession
 # holds queries hash-green in the latest checked round; the full set is
 # still verified locally via tools/check_correctness.py each round.
 _CHECK_WINDOW = [
-    # r5 rotation: families/members last DRIVER-checked in r2 (judge
-    # re-verified them in r4, but the driver gate should see every
-    # family member at most 2 rounds stale)
-    "d1_exact_dedup", "d3_simhash_dedup", "d4_ngram_jaccard_dedup",
-    "d5_embedding_neardup", "sim1_cosine_topk",
-    "t1_token_stats", "t3_lang_id", "t4_fingerprints",
-    "mm1_media_metadata", "mm3_resize_geometry",
-    "w1_top_orders_per_customer", "w2_running_revenue", "w4_sessionization",
-    "g2_cube_orders", "e2_daily_activity", "e3_json_props",
-    "p3_stratified_sample",
-    "f1_string_functions", "f2_datetime_functions",
-    "q2a_top_supplier_per_nation", "q11a_important_parts",
-    "q16a_part_supplier_stats",
-    # TPC-H rotation (r5 slice: the queries outside the r4 window)
-    "q4_order_priority", "q7_volume_shipping", "q10_returned_items",
-    "q12_priority_shipping", "q13_customer_distribution",
-    "q14_promo_revenue", "q15_top_supplier", "q17_small_quantity_revenue",
-    "q19_bracket_revenue", "q22_inactive_customers",
-    # newly oracled / newly added this round (r5: the four new
-    # training-pipeline operators displace r4-checked family members
-    # whose families keep other representatives in the window)
-    "a1_approx_distinct", "pq1_promql_engine",
-    "d7_benchmark_decontam", "t6_repetition_filters",
-    "t7_pii_redaction", "p4_mixture_sample", "p5_sequence_packing",
-    "pq4_promql_range_api",
-    # carried family representatives covering code CHANGED this round
-    # (matcher IN-enumeration, IEEE cmp/div in promql_vec, engine reuse)
-    "m2_matcher_regex_set", "m3_matcher_negative_regex",
-    "m11_native_histogram_quantile", "m15_promql_vector_matching",
-    "g3_vector_aggregations", "st3_streaming_dedup",
-    "q1_pricing_summary", "q9_product_profit",
-    "st4_stream_static_decontam", "c2_curation_pipeline_v2",
+    # r6 rotation (VERDICT r5 ask #7): the 46 members that were in the
+    # r5 TAIL — driver-checked last in <=r4, judge-verified in r5 — so
+    # every family is driver-checked at most 2 rounds stale
+    "d2_minhash_lsh_dedup", "t2_quality_scores", "sim2_lsh_topk",
+    "mm2_frame_sampling", "d6_duplicate_clusters", "c1_curation_pipeline",
+    "t5_tfidf_terms", "sim4_quantized_topk", "p2_deterministic_sample",
+    "sim3_ivf_topk", "w3_moving_avg_events", "g1_rollup_revenue",
+    "s1_nation_setops", "e1_event_type_stats",
+    "e4_asof_last_click_before_purchase", "e5_top_users_by_value",
+    "m1_matcher_eq", "m4_empty_label_semantics", "m5_label_values",
+    "m6_time_range_pruning", "m8_daily_series_delta",
+    "m9_extrapolated_rate", "m10_histogram_quantile",
+    "m12_promql_functions", "m13_chunk_roundtrip",
+    "m14_histogram_chunk_roundtrip", "w6_sliding_windows",
+    "m18_absent_over_time", "m17_double_exponential_smoothing",
+    "m16_histogram_functions", "st1_streaming_daily_counts",
+    "w5_session_windows", "st2_stream_stream_join", "q8a_market_share",
+    "m7_label_values_filtered", "q20a_active_part_suppliers",
+    "q21a_late_sole_suppliers", "p1_pivot_event_counts",
+    "x1_token_frequencies", "sql1_revenue_by_segment",
+    "pq2_promql_parquet_storage", "pq3_promql_native_histograms",
+    "q3_shipping_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q18_large_volume_customer",
+    # + the 4 surfaces whose CODE changed this round: decontaminate's
+    # AQE-sized anti join (d7, and c2 composes it with the reworked
+    # packing persist registry), and the PromQL engine (info() selector
+    # arg, limit_ratio NaN, ts_of_* tiebreak, range validation -> pq1)
+    "d7_benchmark_decontam", "p5_sequence_packing",
+    "c2_curation_pipeline_v2", "pq1_promql_engine",
 ]
 
 
