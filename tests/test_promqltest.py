@@ -47,7 +47,7 @@ def test_promqltest_script(engine, path):
 
 
 def test_corpus_breadth():
-    """The corpus stays a real gate: at least 8 files / 100 evals."""
+    """The corpus stays a real gate: at least 20 files / 500 evals."""
     from parquet_common_spark.promqltest.scriptparse import EvalCmd, parse_script
 
     total = 0
@@ -55,8 +55,8 @@ def test_corpus_breadth():
         with open(p) as f:
             s = parse_script(f.read(), os.path.basename(p))
         total += sum(1 for c in s.commands if isinstance(c, EvalCmd))
-    assert len(SCRIPTS) >= 7
-    assert total >= 100, f"only {total} eval blocks in the corpus"
+    assert len(SCRIPTS) >= 20
+    assert total >= 500, f"only {total} eval blocks in the corpus"
 
 
 PARQUET_BACKED_SCRIPTS = [
@@ -74,6 +74,10 @@ PARQUET_BACKED_SCRIPTS = [
         "edge_cases.test",
         # step-grid range evaluation over the storage-backed select path
         "range_eval.test",
+        # upstream-reconstruction files (r6): same fixtures as the
+        # published prometheus testdata, through the storage path too
+        "upstream_operators.test",
+        "upstream_aggregators.test",
     )
 ]
 
