@@ -122,12 +122,92 @@ def _unfilter_paeth(line: list, prev: np.ndarray, bpp: int) -> list:
     return cur
 
 
-def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode a PNG to (width, height, HxWxC uint8 array).
+# Adam7 pass geometry: (x_start, y_start, x_step, y_step)
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
-    Supports bit depth 8, color types 0/2/3/4/6, non-interlaced —
-    raises NotImplementedError outside that envelope (16-bit and Adam7
-    are legal PNG but rare in training corpora)."""
+
+def _unfilter_rows(
+    raw: bytes, n_rows: int, row_bytes: int, bpp: int, pos: int
+) -> tuple[np.ndarray, int]:
+    """Unfilter ``n_rows`` scanlines of ``row_bytes`` filtered bytes each
+    (1 filter-type byte + row_bytes data), starting at ``raw[pos]``.
+    ``bpp`` is the filter distance in BYTES (max(1, channels*bitdepth/8)
+    per the PNG spec).  Returns the (n_rows, row_bytes) uint8 array of
+    raw post-filter bytes and the new read position."""
+    out = np.zeros((n_rows, row_bytes), dtype=np.uint8)
+    prev = np.zeros(row_bytes, dtype=np.int32)
+    groups = row_bytes // bpp if row_bytes % bpp == 0 else None
+    for y in range(n_rows):
+        if pos >= len(raw):
+            raise ValueError("PNG IDAT truncated")
+        ftype = raw[pos]
+        if ftype == 0:  # None
+            cur = np.frombuffer(
+                raw, dtype=np.uint8, count=row_bytes, offset=pos + 1
+            ).astype(np.int32)
+        elif ftype == 1 and groups is not None:  # Sub, bpp-aligned row
+            # cur[i] = line[i] + cur[i-bpp] is, per byte lane, a running
+            # sum mod 256 along the row — one vectorized cumsum
+            line = np.frombuffer(raw, dtype=np.uint8, count=row_bytes, offset=pos + 1)
+            cur = (
+                np.cumsum(line.reshape(groups, bpp).astype(np.int64), axis=0)
+                & 0xFF
+            ).astype(np.int32).reshape(row_bytes)
+        elif ftype == 2:  # Up
+            line = np.frombuffer(
+                raw, dtype=np.uint8, count=row_bytes, offset=pos + 1
+            ).astype(np.int32)
+            cur = (line + prev) & 0xFF
+        elif ftype == 3:  # Average
+            line_l = list(raw[pos + 1 : pos + 1 + row_bytes])
+            cur = np.asarray(_unfilter_avg(line_l, prev, bpp), dtype=np.int32)
+        elif ftype in (1, 4):  # Paeth (or Sub on a ragged row)
+            line_l = list(raw[pos + 1 : pos + 1 + row_bytes])
+            if ftype == 4:
+                cur = np.asarray(_unfilter_paeth(line_l, prev, bpp), dtype=np.int32)
+            else:
+                c = [0] * row_bytes
+                for i in range(row_bytes):
+                    c[i] = (line_l[i] + (c[i - bpp] if i >= bpp else 0)) & 0xFF
+                cur = np.asarray(c, dtype=np.int32)
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        pos += row_bytes + 1
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out, pos
+
+
+def _rows_to_samples(
+    rows: np.ndarray, width: int, channels: int, bitdepth: int
+) -> np.ndarray:
+    """(n_rows, row_bytes) raw bytes -> (n_rows, width, channels) sample
+    array: uint16 for depth 16, uint8 otherwise.  Sub-byte depths are
+    MSB-first packed with row padding to a byte boundary (spec §7.2)."""
+    h = rows.shape[0]
+    if bitdepth == 8:
+        return rows[:, : width * channels].reshape(h, width, channels)
+    if bitdepth == 16:
+        flat = rows[:, : width * channels * 2].astype(np.uint16)
+        return ((flat[:, 0::2] << 8) | flat[:, 1::2]).reshape(h, width, channels)
+    # 1/2/4-bit (greyscale or palette indices; channels == 1)
+    bits = np.unpackbits(rows, axis=1)
+    groups = bits[:, : width * bitdepth].reshape(h, width, bitdepth)
+    weights = (1 << np.arange(bitdepth - 1, -1, -1)).astype(np.uint8)
+    return (groups * weights).sum(axis=2).astype(np.uint8)[:, :, None]
+
+
+def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a PNG to (width, height, HxWxC array).
+
+    Supports bit depths 1/2/4/8/16, color types 0/2/3/4/6, and both
+    non-interlaced and Adam7-interlaced layouts.  Depth 16 returns
+    uint16 samples; sub-byte greyscale is scaled to 8-bit (0..255) like
+    mainstream decoders, while palette indices are left unscaled for
+    the PLTE lookup."""
     if data[:8] != PNG_SIGNATURE:
         raise ValueError("not a PNG: bad signature")
     width = height = None
@@ -145,58 +225,48 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
             idat.extend(body)
     if width is None:
         raise ValueError("not a PNG: missing IHDR")
-    if bitdepth != 8:
-        raise NotImplementedError(f"PNG bit depth {bitdepth} unsupported (8 only)")
-    if interlace != 0:
-        raise NotImplementedError("Adam7 interlaced PNG unsupported")
     if colortype not in _PNG_CHANNELS:
         raise NotImplementedError(f"PNG color type {colortype} unsupported")
+    if bitdepth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"bad PNG bit depth {bitdepth}")
+    if bitdepth < 8 and colortype not in (0, 3):
+        raise ValueError(f"bit depth {bitdepth} invalid for color type {colortype}")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace method {interlace}")
     channels = _PNG_CHANNELS[colortype]
     raw = zlib.decompress(bytes(idat))
-    stride = width * channels
-    if len(raw) != height * (stride + 1):
-        raise ValueError("PNG IDAT length does not match geometry")
-    out = np.zeros((height, stride), dtype=np.uint8)
-    bpp = channels  # bytes per pixel at depth 8
-    prev = np.zeros(stride, dtype=np.int32)
-    pos = 0
-    for y in range(height):
-        ftype = raw[pos]
-        if ftype == 0:  # None
-            cur = np.frombuffer(
-                raw, dtype=np.uint8, count=stride, offset=pos + 1
-            ).astype(np.int32)
-        elif ftype == 1:  # Sub
-            # cur[i] = line[i] + cur[i-bpp] is, per channel, a running
-            # sum mod 256 along the row — one vectorized cumsum
-            line = np.frombuffer(
-                raw, dtype=np.uint8, count=stride, offset=pos + 1
-            )
-            cur = (
-                np.cumsum(line.reshape(width, bpp).astype(np.int64), axis=0)
-                & 0xFF
-            ).astype(np.int32).reshape(stride)
-        elif ftype == 2:  # Up
-            line = np.frombuffer(
-                raw, dtype=np.uint8, count=stride, offset=pos + 1
-            ).astype(np.int32)
-            cur = (line + prev) & 0xFF
-        elif ftype == 3:  # Average
-            line_l = list(raw[pos + 1 : pos + 1 + stride])
-            cur = np.asarray(_unfilter_avg(line_l, prev, bpp), dtype=np.int32)
-        elif ftype == 4:  # Paeth
-            line_l = list(raw[pos + 1 : pos + 1 + stride])
-            cur = np.asarray(_unfilter_paeth(line_l, prev, bpp), dtype=np.int32)
-        else:
-            raise ValueError(f"bad PNG filter type {ftype}")
-        pos += stride + 1
-        out[y] = cur.astype(np.uint8)
-        prev = cur
-    pixels = out.reshape(height, width, channels)
+    bpp = max(1, (channels * bitdepth) // 8)
+    dtype = np.uint16 if bitdepth == 16 else np.uint8
+
+    def row_bytes_for(w: int) -> int:
+        return (w * channels * bitdepth + 7) // 8
+
+    if interlace == 0:
+        expect = height * (row_bytes_for(width) + 1)
+        if len(raw) != expect:
+            raise ValueError("PNG IDAT length does not match geometry")
+        rows, _ = _unfilter_rows(raw, height, row_bytes_for(width), bpp, 0)
+        pixels = _rows_to_samples(rows, width, channels, bitdepth)
+    else:  # Adam7: 7 independently-filtered sub-images, recombined
+        pixels = np.zeros((height, width, channels), dtype=dtype)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rows, pos = _unfilter_rows(raw, ph, row_bytes_for(pw), bpp, pos)
+            pixels[y0::dy, x0::dx] = _rows_to_samples(rows, pw, channels, bitdepth)
+        if pos != len(raw):
+            raise ValueError("PNG IDAT length does not match Adam7 geometry")
     if colortype == 3:
         if palette is None:
             raise ValueError("palette PNG without PLTE chunk")
         pixels = palette[pixels[:, :, 0]]
+    elif bitdepth < 8:  # greyscale: scale to the 8-bit range
+        pixels = (
+            pixels.astype(np.uint16) * (255 // ((1 << bitdepth) - 1))
+        ).astype(np.uint8)
     return width, height, pixels
 
 
@@ -209,20 +279,29 @@ def _png_chunk(ctype: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(pixels: np.ndarray) -> bytes:
-    """Encode an HxW, HxWx1/2/3/4 uint8 array as a valid PNG (filter 0
-    scanlines, one zlib IDAT)."""
-    arr = np.asarray(pixels, dtype=np.uint8)
+def encode_png(pixels: np.ndarray, bitdepth: int = 8) -> bytes:
+    """Encode an HxW, HxWx1/2/3/4 array as a valid PNG (filter 0
+    scanlines, one zlib IDAT).  ``bitdepth`` 8 (uint8 input) or 16
+    (uint16 input, big-endian samples on the wire)."""
+    if bitdepth not in (8, 16):
+        raise ValueError(f"unsupported encode bit depth {bitdepth}")
+    arr = np.asarray(pixels, dtype=np.uint8 if bitdepth == 8 else np.uint16)
     if arr.ndim == 2:
         arr = arr[:, :, None]
     height, width, channels = arr.shape
     colortype = {1: 0, 2: 4, 3: 2, 4: 6}.get(channels)
     if colortype is None:
         raise ValueError(f"unsupported channel count {channels}")
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, colortype, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", width, height, bitdepth, colortype, 0, 0, 0)
+    if bitdepth == 16:
+        flat = arr.reshape(height, width * channels)
+        body = np.empty((height, width * channels * 2), dtype=np.uint8)
+        body[:, 0::2] = (flat >> 8).astype(np.uint8)
+        body[:, 1::2] = (flat & 0xFF).astype(np.uint8)
+    else:
+        body = arr.reshape(height, width * channels)
     stride_rows = np.concatenate(
-        [np.zeros((height, 1), dtype=np.uint8), arr.reshape(height, width * channels)],
-        axis=1,
+        [np.zeros((height, 1), dtype=np.uint8), body], axis=1
     )  # filter byte 0 per scanline
     idat = zlib.compress(stride_rows.tobytes(), 6)
     return (

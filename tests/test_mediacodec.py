@@ -108,13 +108,141 @@ def test_png_mixed_filters_and_palette():
 
 
 def test_png_rejects_out_of_envelope():
-    # 16-bit depth is honest NotImplementedError, not silent garbage
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    # illegal header combinations are hard errors, not silent garbage
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 3, 2, 0, 0, 0)  # depth 3 illegal
     data = MC.PNG_SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError, match="bit depth"):
+    with pytest.raises(ValueError, match="bit depth"):
+        MC.decode_png(data)
+    # sub-byte depth is only legal for greyscale/palette color types
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)
+    data = MC.PNG_SIGNATURE + _chunk(b"IHDR", ihdr) + _chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="invalid for color type"):
         MC.decode_png(data)
     with pytest.raises(ValueError, match="signature"):
         MC.decode_png(b"nope")
+
+
+def test_png_16bit_roundtrip():
+    """Depth-16 decode returns uint16 samples, big-endian on the wire."""
+    rng = np.random.default_rng(21)
+    for channels in (1, 3, 4):
+        arr = rng.integers(0, 65536, size=(9, 7, channels), dtype=np.uint16)
+        w, h, got = MC.decode_png(MC.encode_png(arr, bitdepth=16))
+        assert (w, h) == (7, 9)
+        assert got.dtype == np.uint16
+        assert np.array_equal(got, arr)
+
+
+def test_png_16bit_filtered_scanlines():
+    """16-bit rows through filters 1/2/4: the filter distance is
+    channels*2 BYTES (spec: filters act on bytes, not samples)."""
+    rng = np.random.default_rng(22)
+    arr = rng.integers(0, 65536, size=(6, 5, 3), dtype=np.uint16)
+    h, w, c = arr.shape
+    # build by hand: big-endian byte stream then byte-wise filtering
+    flat = np.empty((h, w * c * 2), dtype=np.int32)
+    flat[:, 0::2] = arr.reshape(h, -1) >> 8
+    flat[:, 1::2] = arr.reshape(h, -1) & 0xFF
+    bpp = c * 2
+    raw = bytearray()
+    prev = np.zeros(w * c * 2, dtype=np.int32)
+    for y, ftype in zip(range(h), [0, 1, 2, 4, 1, 2]):
+        cur = flat[y]
+        if ftype == 0:
+            enc = cur.copy()
+        elif ftype == 1:
+            enc = cur.copy()
+            for i in range(len(cur) - 1, bpp - 1, -1):
+                enc[i] = (enc[i] - cur[i - bpp]) & 0xFF
+        elif ftype == 2:
+            enc = (cur - prev) & 0xFF
+        else:
+            enc = cur.copy()
+            for i in range(len(cur) - 1, -1, -1):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                ul = int(prev[i - bpp]) if i >= bpp else 0
+                enc[i] = (enc[i] - MC._paeth(left, int(prev[i]), ul)) & 0xFF
+        raw.append(ftype)
+        raw.extend(int(x) & 0xFF for x in enc)
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+    data = (
+        MC.PNG_SIGNATURE
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b"")
+    )
+    dw, dh, got = MC.decode_png(data)
+    assert np.array_equal(got, arr)
+
+
+def test_png_subbyte_greyscale():
+    """1/2/4-bit greyscale: MSB-first packing, row byte padding, and
+    the standard scale-to-8-bit expansion."""
+    for depth in (1, 2, 4):
+        maxv = (1 << depth) - 1
+        rng = np.random.default_rng(depth)
+        samples = rng.integers(0, maxv + 1, size=(5, 11), dtype=np.uint8)
+        # pack rows MSB-first with padding
+        raw = bytearray()
+        for y in range(5):
+            bits = np.unpackbits(samples[y][:, None], axis=1, count=8)[:, -depth:]
+            rowbits = bits.reshape(-1)
+            pad = (-len(rowbits)) % 8
+            rowbits = np.concatenate([rowbits, np.zeros(pad, np.uint8)])
+            raw.append(0)
+            raw.extend(np.packbits(rowbits).tobytes())
+        ihdr = struct.pack(">IIBBBBB", 11, 5, depth, 0, 0, 0, 0)
+        data = (
+            MC.PNG_SIGNATURE
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b"")
+        )
+        w, h, got = MC.decode_png(data)
+        assert (w, h) == (11, 5)
+        expect = (samples.astype(np.uint16) * (255 // maxv)).astype(np.uint8)
+        assert np.array_equal(got[:, :, 0], expect), f"depth {depth}"
+
+
+def test_png_adam7_interlaced():
+    """Adam7: 7 independently-filtered passes recombine to the image —
+    hand-built from the spec's pass geometry, mixed filter types."""
+    rng = np.random.default_rng(77)
+    for size in ((10, 9), (8, 8), (3, 2), (1, 1), (5, 1)):
+        h, w = size
+        arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        raw = bytearray()
+        for pi, (x0, y0, dx, dy) in enumerate(MC._ADAM7):
+            sub = arr[y0::dy, x0::dx]
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue
+            prev = np.zeros(pw * 3, dtype=np.int32)
+            for y in range(ph):
+                cur = sub[y].reshape(-1).astype(np.int32)
+                ftype = (pi + y) % 3  # mix None/Sub/Up across passes
+                if ftype == 0:
+                    enc = cur.copy()
+                elif ftype == 1:
+                    enc = cur.copy()
+                    for i in range(pw * 3 - 1, 2, -1):
+                        enc[i] = (enc[i] - cur[i - 3]) & 0xFF
+                else:
+                    enc = (cur - prev) & 0xFF
+                raw.append(ftype)
+                raw.extend(int(x) & 0xFF for x in enc)
+                prev = cur
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)  # interlace=1
+        data = (
+            MC.PNG_SIGNATURE
+            + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _chunk(b"IEND", b"")
+        )
+        dw, dh, got = MC.decode_png(data)
+        assert (dw, dh) == (w, h)
+        assert np.array_equal(got, arr), f"size {size}"
 
 
 def test_resize_nearest_geometry():

@@ -75,6 +75,17 @@ def _apply(op, a, b):
                 return math.nan
             return math.inf if (a > 0) else -math.inf
         return a / b
+    # %, ^, atan2 follow Go math.Mod / math.Pow / math.Atan2 — all three
+    # are the platform IEEE-754 semantics numpy exposes without raising
+    import numpy as np
+
+    with np.errstate(all="ignore"):
+        if op == "%":
+            return float(np.fmod(np.float64(a), np.float64(b)))
+        if op == "^":
+            return float(np.float64(a) ** np.float64(b))
+        if op == "atan2":
+            return float(np.arctan2(np.float64(a), np.float64(b)))
     raise AssertionError(op)
 
 
@@ -143,6 +154,34 @@ def model_eval(node, series, t_ms):
                 agg[gk] = float(len(vals))
             elif node.op == "avg":
                 agg[gk] = math.fsum(vals) / len(vals)
+            elif node.op == "group":
+                agg[gk] = 1.0
+            elif node.op in ("stddev", "stdvar"):
+                # population variance; NaN inputs propagate (upstream
+                # computes the running mean over every sample)
+                mean = math.fsum(vals) / len(vals)
+                var = math.fsum((v - mean) ** 2 for v in vals) / len(vals)
+                agg[gk] = var if node.op == "stdvar" else math.sqrt(var)
+            elif node.op == "quantile":
+                p = node.param
+                phi = -p.expr.value if isinstance(p, Unary) else p.value
+                if math.isnan(phi):
+                    agg[gk] = math.nan
+                elif phi < 0:
+                    agg[gk] = -math.inf
+                elif phi > 1:
+                    agg[gk] = math.inf
+                else:
+                    # Go slices.Sort: NaN sorts before every number
+                    svals = sorted(
+                        vals, key=lambda v: (not math.isnan(v), v)
+                    )
+                    n = len(svals)
+                    rank = phi * (n - 1)
+                    lo = int(math.floor(rank))
+                    hi = min(lo + 1, n - 1)
+                    w = rank - lo
+                    agg[gk] = svals[lo] * (1 - w) + svals[hi] * w
             else:
                 raise AssertionError(node.op)
         return ("vector", agg)
@@ -323,25 +362,31 @@ def exprs(draw, depth=2):
         return f"-({draw(exprs(depth=depth - 1))})"
     if choice == "agg":
         op = draw(
-            st.sampled_from(["sum", "min", "max", "count", "avg", "topk", "bottomk"])
+            st.sampled_from(
+                ["sum", "min", "max", "count", "avg", "topk", "bottomk",
+                 "group", "stddev", "stdvar", "quantile"]
+            )
         )
         if op in ("topk", "bottomk"):
             # k=9 always exceeds the 4-series universe: result == input,
             # sidestepping upstream's unspecified tie order
             return f"{op}(9, {draw(exprs(depth=depth - 1))})"
         grouping = draw(st.sampled_from(["", " by (job)", " without (instance)"]))
+        if op == "quantile":
+            phi = draw(st.sampled_from(["0", "0.25", "0.5", "1", "-0.5", "1.5"]))
+            return f"{op}{grouping} ({phi}, {draw(exprs(depth=depth - 1))})"
         return f"{op}{grouping} ({draw(exprs(depth=depth - 1))})"
     # bin
     bop = draw(
         st.sampled_from(
-            ["+", "-", "*", "/", ">", "<", ">=", "<=", "==", "!=",
-             "and", "or", "unless"]
+            ["+", "-", "*", "/", "%", "^", "atan2", ">", "<", ">=", "<=",
+             "==", "!=", "and", "or", "unless"]
         )
     )
     if bop in ("and", "or", "unless"):
         matching = draw(st.sampled_from(["", " on(job) ", " ignoring(instance) "]))
         bool_mod = ""
-    elif bop in ("+", "-", "*", "/"):
+    elif bop in ("+", "-", "*", "/", "%", "^", "atan2"):
         matching = draw(st.sampled_from(["", " on(job) ", " ignoring(instance) "]))
         bool_mod = ""
     else:
