@@ -1,0 +1,597 @@
+"""Baseline JPEG (ITU T.81 SOF0) codec — stdlib + numpy only.
+
+Closes the "JPEG is geometry-only" slice of the multimodal layer: a
+sequential-baseline decoder (marker parse, stream-defined Huffman
+tables, dequantize, batch numpy IDCT, chroma upsampling, YCbCr->RGB)
+and a matching encoder used by the round-trip tests (4:4:4 or 4:2:0,
+Annex-K quantization tables with libjpeg quality scaling, self-built
+single-length Huffman tables — the DECODER only ever reads tables from
+the stream, so it is exercised against spec-shaped data, not against a
+shared in-memory table).
+
+Scale note: like decode_png, this is the per-payload kernel invoked
+from Arrow `mapInPandas` batches (operators/multimodal.py) — the Spark
+plumbing is map-only; the Python Huffman loop is the documented
+swap-point for libjpeg-turbo/Pillow in a production image pipeline.
+
+The IDCT/FDCT use the orthonormal 8x8 DCT-II matrix (A A^T = I), which
+is exactly T.81 A.3.3's definition; tests pin orthogonality and the
+O(N^4) direct formula independently of the codec.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------- constants
+
+
+def _zigzag() -> list[tuple[int, int]]:
+    """The 64 (row, col) pairs in JPEG zigzag order, generated from the
+    diagonal rule (d even: row decreasing; d odd: row increasing)."""
+    out = []
+    for d in range(15):
+        rows = range(min(d, 7), max(0, d - 7) - 1, -1) if d % 2 == 0 else range(
+            max(0, d - 7), min(d, 7) + 1
+        )
+        out.extend((r, d - r) for r in rows)
+    return out
+
+
+ZIGZAG = _zigzag()
+ZIG_ROWS = np.array([r for r, _ in ZIGZAG])
+ZIG_COLS = np.array([c for _, c in ZIGZAG])
+
+# Annex K.1/K.2 quantization tables (luminance / chrominance)
+QUANT_LUMA = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99],
+], dtype=np.int64)
+QUANT_CHROMA = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+], dtype=np.int64)
+
+
+def dct_matrix() -> np.ndarray:
+    """Orthonormal 8x8 DCT-II basis: A[u, x] = 0.5 c(u) cos((2x+1)u pi/16),
+    c(0) = 1/sqrt(2) — T.81's FDCT is coef = A @ block @ A.T and the
+    IDCT is block = A.T @ coef @ A."""
+    A = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1 / math.sqrt(2)) if u == 0 else 1.0
+        for x in range(8):
+            A[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+    return A
+
+
+_DCT_A = dct_matrix()
+
+
+def _quality_scale(table: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg quality scaling: 5000/Q below 50, else 200-2Q percent."""
+    quality = max(1, min(100, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (table * scale + 50) // 100
+    return np.clip(q, 1, 255)
+
+
+# ---------------------------------------------------------- bit I/O
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+
+class _BitReader:
+    """MSB-first reader over an UNSTUFFED entropy segment."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG: entropy data exhausted")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align(self) -> None:
+        self.nbits = 0
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 EXTEND: map the `size`-bit magnitude code to a signed value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+# ---------------------------------------------------------- Huffman
+
+
+class _HuffTable:
+    """Canonical table from DHT (BITS counts + HUFFVAL symbols)."""
+
+    def __init__(self, bits: list[int], values: list[int]):
+        self.bits = bits
+        self.values = values
+        # mincode/maxcode per length (classic T.81 F.2.2.3 decode)
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            n = bits[length - 1]
+            if n:
+                self.valptr[length] = k
+                self.mincode[length] = code
+                code += n
+                k += n
+                self.maxcode[length] = code - 1
+            code <<= 1
+        # encode map symbol -> (code, length)
+        self.enc: dict[int, tuple[int, int]] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                self.enc[values[k]] = (code, length)
+                code += 1
+                k += 1
+            code <<= 1
+
+    def decode(self, br: _BitReader) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | br.read_bit()
+            if self.bits[length - 1] and code <= self.maxcode[length]:
+                return self.values[self.valptr[length] + code - self.mincode[length]]
+        raise ValueError("JPEG: invalid Huffman code")
+
+
+def _build_table(symbols: list[int]) -> _HuffTable:
+    """A valid DHT-expressible table with every symbol at one length L,
+    2^L > n so the all-ones code never occurs.  Suboptimal compression,
+    fully standard decoding — the decoder exercises the same canonical
+    path as any libjpeg stream."""
+    syms = sorted(set(symbols)) or [0]
+    n = len(syms)
+    L = 1
+    while (1 << L) <= n:
+        L += 1
+    bits = [0] * 16
+    bits[L - 1] = n
+    return _HuffTable(bits, syms)
+
+
+# ---------------------------------------------------------- encoder
+
+
+def _size_cat(v: int) -> int:
+    return 0 if v == 0 else int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _mag_bits(v: int, size: int) -> int:
+    return v if v >= 0 else v + (1 << size) - 1
+
+
+def _component_blocks(plane: np.ndarray) -> np.ndarray:
+    """(H, W) sample plane -> (n_blocks_y, n_blocks_x, 8, 8), edge-padded
+    by replication to multiples of 8."""
+    h, w = plane.shape
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    return padded.reshape(ph // 8, 8, pw // 8, 8).swapaxes(1, 2)
+
+
+def encode_jpeg(
+    pixels: np.ndarray, quality: int = 90, subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode HxW (grey) or HxWx3 (RGB) uint8 as baseline JFIF.
+
+    ``subsampling``: "444" (no chroma subsampling) or "420" (2x2 box
+    mean, the common camera layout).  ``restart_interval`` > 0 inserts
+    DRI/RSTn markers every that many MCUs (exercises the decoder's
+    predictor-reset path)."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    grey = arr.ndim == 2 or arr.shape[2] == 1
+    if arr.ndim == 3 and arr.shape[2] == 1:
+        arr = arr[:, :, 0]
+    h, w = arr.shape[:2]
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    if grey:
+        planes = [arr.astype(np.float64) - 128.0]
+        samp = [(1, 1)]
+    else:
+        rgb = arr.astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsampling == "420":
+            # pad to even, 2x2 box mean
+            def down(p):
+                ph, pw = (p.shape[0] + 1) // 2 * 2, (p.shape[1] + 1) // 2 * 2
+                q = np.pad(p, ((0, ph - p.shape[0]), (0, pw - p.shape[1])), mode="edge")
+                return (q[0::2, 0::2] + q[0::2, 1::2] + q[1::2, 0::2] + q[1::2, 1::2]) / 4.0
+
+            planes = [y - 128.0, down(cb) - 128.0, down(cr) - 128.0]
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y - 128.0, cb - 128.0, cr - 128.0]
+            samp = [(1, 1), (1, 1), (1, 1)]
+    qtables = [_quality_scale(QUANT_LUMA, quality)]
+    if not grey:
+        qtables.append(_quality_scale(QUANT_CHROMA, quality))
+
+    # forward DCT + quantize every block per component
+    A = _DCT_A
+    comp_coefs = []  # per component: (by, bx, 64) zigzagged ints
+    for ci, plane in enumerate(planes):
+        blocks = _component_blocks(plane)
+        coefs = np.einsum("ux,abxy,vy->abuv", A, blocks, A)
+        q = qtables[0 if ci == 0 else 1].astype(np.float64)
+        quant = np.round(coefs / q).astype(np.int64)
+        comp_coefs.append(quant[:, :, ZIG_ROWS, ZIG_COLS])
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+
+    # gather the (dc_diff, ac) symbol stream per table class to build tables
+    def mcu_blocks():
+        """Yield (comp_idx, by, bx) in interleaved MCU order."""
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci, (sh, sv) in enumerate(samp):
+                    for v in range(sv):
+                        for u in range(sh):
+                            yield ci, my * sv + v, mx * sh + u
+
+    def block_at(ci, by, bx):
+        cz = comp_coefs[ci]
+        by = min(by, cz.shape[0] - 1)  # replicate edge blocks if MCU
+        bx = min(bx, cz.shape[1] - 1)  # grid overhangs the plane
+        return cz[by, bx]
+
+    blocks_per_mcu = sum(sh * sv for sh, sv in samp)
+    dc_syms: dict[int, list[int]] = {0: [], 1: []}
+    ac_syms: dict[int, list[int]] = {0: [], 1: []}
+    pred = [0] * len(planes)
+    mcu_index = 0
+    stream: list[tuple[int, list]] = []  # (table_class, tokens) per block
+    for count, (ci, by, bx) in enumerate(mcu_blocks()):
+        if count % blocks_per_mcu == 0:  # a new MCU starts here
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                pred = [0] * len(planes)
+                stream.append((-1, [mcu_index // restart_interval - 1]))
+            mcu_index += 1
+        z = block_at(ci, by, bx)
+        tc = 0 if ci == 0 else 1
+        dc = int(z[0])
+        diff = dc - pred[ci]
+        pred[ci] = dc
+        size = _size_cat(diff)
+        dc_syms[tc].append(size)
+        tokens = [("dc", size, diff)]
+        run = 0
+        last_nz = 0
+        for k in range(1, 64):
+            if z[k] != 0:
+                last_nz = k
+        for k in range(1, last_nz + 1):
+            v = int(z[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                ac_syms[tc].append(0xF0)
+                tokens.append(("ac", 0xF0, 0, 0))
+                run -= 16
+            size = _size_cat(v)
+            sym = (run << 4) | size
+            ac_syms[tc].append(sym)
+            tokens.append(("ac", sym, size, v))
+            run = 0
+        if last_nz < 63:
+            ac_syms[tc].append(0x00)
+            tokens.append(("ac", 0x00, 0, 0))
+        stream.append((tc, tokens))
+
+    n_classes = 1 if grey else 2
+    dc_tabs = [_build_table(dc_syms[c]) for c in range(n_classes)]
+    ac_tabs = [_build_table(ac_syms[c]) for c in range(n_classes)]
+
+    bw = _BitWriter()
+    entropy = bytearray()
+    for tc, tokens in stream:
+        if tc == -1:  # restart marker: flush + emit RSTn
+            bw.flush()
+            entropy.extend(bw.out)
+            bw = _BitWriter()
+            entropy.extend(bytes([0xFF, 0xD0 + (tokens[0] % 8)]))
+            continue
+        for tok in tokens:
+            if tok[0] == "dc":
+                _, size, diff = tok
+                code, length = dc_tabs[tc].enc[size]
+                bw.write(code, length)
+                bw.write(_mag_bits(diff, size), size)
+            else:
+                _, sym, size, v = tok
+                code, length = ac_tabs[tc].enc[sym]
+                bw.write(code, length)
+                if size:
+                    bw.write(_mag_bits(v, size), size)
+    bw.flush()
+    entropy.extend(bw.out)
+
+    # ---- markers
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for ti, q in enumerate(qtables):
+        body = bytes([ti]) + bytes(int(q[r, c]) for r, c in ZIGZAG)
+        out += seg(0xDB, body)
+    ncomp = 1 if grey else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sh, sv = samp[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
+    out += seg(0xC0, sof)
+    for cls, tabs in ((0, dc_tabs), (1, ac_tabs)):
+        for ti, t in enumerate(tabs):
+            body = bytes([(cls << 4) | ti]) + bytes(t.bits) + bytes(t.values)
+            out += seg(0xC4, body)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        ti = 0 if ci == 0 else 1
+        sos += bytes([ci + 1, (ti << 4) | ti])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += entropy
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------- decoder
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a baseline (SOF0/SOF1) JPEG to (width, height, HxWxC uint8)
+    — C is 1 for greyscale, 3 (RGB) otherwise.  Progressive (SOF2),
+    arithmetic coding and hierarchical modes raise NotImplementedError."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: bad SOI")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _HuffTable] = {}
+    comps: list[dict] = []
+    height = width = None
+    restart_interval = 0
+    entropy = None
+    while pos + 2 <= len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (length,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        body = data[pos + 4 : pos + 2 + length]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            b = 0
+            while b < len(body):
+                prec = body[b] >> 4
+                tid = body[b] & 0x0F
+                n = 64 * (2 if prec else 1)
+                vals = body[b + 1 : b + 1 + n]
+                tab = np.zeros((8, 8), dtype=np.int64)
+                for k, (r, c) in enumerate(ZIGZAG):
+                    tab[r, c] = (
+                        struct.unpack(">H", vals[2 * k : 2 * k + 2])[0]
+                        if prec
+                        else vals[k]
+                    )
+                qt[tid] = tab
+                b += 1 + n
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            b = 0
+            while b < len(body):
+                cls = body[b] >> 4
+                tid = body[b] & 0x0F
+                bits = list(body[b + 1 : b + 17])
+                n = sum(bits)
+                values = list(body[b + 17 : b + 17 + n])
+                huff[(cls, tid)] = _HuffTable(bits, values)
+                b += 17 + n
+        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+            _prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
+            comps = []
+            for ci in range(ncomp):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+                )
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0}: only baseline sequential is supported"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = body[0]
+            for si in range(ns):
+                cid, tsel = body[1 + 2 * si], body[2 + 2 * si]
+                for comp in comps:
+                    if comp["id"] == cid:
+                        comp["td"] = tsel >> 4
+                        comp["ta"] = tsel & 0x0F
+            entropy_start = pos + 2 + length
+            # scan to EOI / next marker, unstuffing 0xFF00 and dropping RSTn
+            segments = []  # entropy split at restart markers
+            cur = bytearray()
+            p = entropy_start
+            while p < len(data):
+                byte = data[p]
+                if byte == 0xFF and p + 1 < len(data):
+                    nxt = data[p + 1]
+                    if nxt == 0x00:
+                        cur.append(0xFF)
+                        p += 2
+                        continue
+                    if 0xD0 <= nxt <= 0xD7:
+                        segments.append(bytes(cur))
+                        cur = bytearray()
+                        p += 2
+                        continue
+                    break  # EOI or next real marker
+                cur.append(byte)
+                p += 1
+            segments.append(bytes(cur))
+            entropy = segments
+            pos = p
+            break
+        pos += 2 + length
+    if height is None or entropy is None:
+        raise ValueError("JPEG: missing SOF or SOS")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+    for c in comps:
+        c["bw"] = mcus_x * c["h"]
+        c["bh"] = mcus_y * c["v"]
+        c["zz"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
+
+    pred = [0] * len(comps)
+    seg_idx = 0
+    br = _BitReader(entropy[0])
+    for mcu in range(mcus_x * mcus_y):
+        if restart_interval and mcu and mcu % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(entropy):
+                raise ValueError("JPEG: missing restart segment")
+            br = _BitReader(entropy[seg_idx])
+            pred = [0] * len(comps)
+        my, mx = divmod(mcu, mcus_x)
+        for ci, c in enumerate(comps):
+            dc_tab = huff[(0, c["td"])]
+            ac_tab = huff[(1, c["ta"])]
+            for v in range(c["v"]):
+                for u in range(c["h"]):
+                    z = np.zeros(64, dtype=np.int64)
+                    size = dc_tab.decode(br)
+                    diff = _extend(br.read_bits(size), size)
+                    pred[ci] += diff
+                    z[0] = pred[ci]
+                    k = 1
+                    while k < 64:
+                        sym = ac_tab.decode(br)
+                        if sym == 0x00:  # EOB
+                            break
+                        run = sym >> 4
+                        size = sym & 0x0F
+                        if size == 0:
+                            if run != 15:
+                                raise ValueError("JPEG: bad AC symbol")
+                            k += 16  # ZRL
+                            continue
+                        k += run
+                        if k > 63:
+                            raise ValueError("JPEG: AC coefficient overflow")
+                        z[k] = _extend(br.read_bits(size), size)
+                        k += 1
+                    by, bx = my * c["v"] + v, mx * c["h"] + u
+                    c["zz"][by * c["bw"] + bx] = z
+
+    # dequantize + batch IDCT per component
+    A = _DCT_A
+    planes = []
+    for c in comps:
+        q = qt[c["tq"]]
+        coefs = np.zeros((c["zz"].shape[0], 8, 8), dtype=np.float64)
+        coefs[:, ZIG_ROWS, ZIG_COLS] = c["zz"].astype(np.float64)
+        coefs *= q[None, :, :]
+        blocks = np.einsum("ux,nuv,vy->nxy", A, coefs, A)
+        plane = (
+            blocks.reshape(c["bh"], c["bw"], 8, 8)
+            .swapaxes(1, 2)
+            .reshape(c["bh"] * 8, c["bw"] * 8)
+        )
+        # upsample to full MCU-grid resolution, then crop
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        planes.append(plane[:height, :width] + 128.0)
+
+    if len(planes) == 1:
+        grey = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return width, height, grey[:, :, None]
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=2)
+    return width, height, np.clip(np.round(rgb), 0, 255).astype(np.uint8)

@@ -88,7 +88,14 @@ def _decode_media(media_type: str, payload: bytes) -> tuple[int, int, int]:
         w, h, _pixels = MC.decode_png(payload)
         return (w, h, 1)
     if fmt == "jpeg":
-        w, h = MC.jpeg_dimensions(payload)
+        try:
+            # full baseline pixel decode (functions/jpegcodec.py);
+            # progressive/arithmetic streams fall back to geometry-only
+            from parquet_common_spark.functions import jpegcodec as JC
+
+            w, h, _pixels = JC.decode_jpeg(payload)
+        except NotImplementedError:
+            w, h = MC.jpeg_dimensions(payload)
         return (w, h, 1)
     if fmt == "wav":
         _ch, _rate, frames = MC.wav_info(payload)
@@ -181,15 +188,16 @@ RESIZED_SCHEMA = StructType(
 
 
 def resize_media(df: DataFrame, max_side: int = 256) -> DataFrame:
-    """Resize for image rows.  PNG payloads take the REAL path: pixel
-    decode -> nearest-neighbor resample -> PNG re-encode (stdlib codec,
-    functions/mediacodec.py).  Other payloads compute the target
-    geometry and pass bytes through (JPEG re-encode needs a DCT library;
-    synthetic payloads have no pixels)."""
+    """Resize for image rows.  PNG and baseline-JPEG payloads take the
+    REAL path: pixel decode -> nearest-neighbor resample -> re-encode
+    (stdlib codecs in functions/mediacodec.py + functions/jpegcodec.py).
+    Other payloads compute the target geometry and pass bytes through
+    (progressive JPEG, synthetic payloads)."""
 
     def resize(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:
         import pandas as pd
 
+        from parquet_common_spark.functions import jpegcodec as JC
         from parquet_common_spark.functions import mediacodec as MC
 
         for pdf in batches:
@@ -197,11 +205,17 @@ def resize_media(df: DataFrame, max_side: int = 256) -> DataFrame:
             for doc_id, mt, payload in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
                 raw = bytes(payload)
                 pixels = None
-                if mt in ("image", "video") and MC.sniff_media(raw) == "png":
+                fmt = MC.sniff_media(raw) if mt in ("image", "video") else None
+                if fmt == "png":
                     # single full decode: geometry AND pixels (the
                     # per-scanline unfilter dominates this operator —
                     # never pay it twice for the same payload)
                     w, h, pixels = MC.decode_png(raw)
+                elif fmt == "jpeg":
+                    try:
+                        w, h, pixels = JC.decode_jpeg(raw)
+                    except NotImplementedError:  # progressive: geometry only
+                        w, h = MC.jpeg_dimensions(raw)
                 elif mt in ("image", "video"):
                     w, h, _ = _decode_media(mt, raw)
                 else:
@@ -210,7 +224,13 @@ def resize_media(df: DataFrame, max_side: int = 256) -> DataFrame:
                     scale = max_side / max(w, h)
                     w, h = max(int(w * scale), 1), max(int(h * scale), 1)
                     if pixels is not None:
-                        raw = MC.encode_png(MC.resize_nearest(pixels, w, h))
+                        small = MC.resize_nearest(pixels, w, h)
+                        if fmt == "jpeg":
+                            raw = JC.encode_jpeg(
+                                small[:, :, 0] if small.shape[2] == 1 else small
+                            )
+                        else:
+                            raw = MC.encode_png(small)
                 out["doc_id"].append(int(doc_id))
                 out["media_type"].append(mt)
                 out["width"].append(w)

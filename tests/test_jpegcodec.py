@@ -1,0 +1,132 @@
+"""Baseline JPEG codec: DCT pinned against the T.81 direct formula,
+encoder/decoder round trips across layouts, envelope errors, and the
+multimodal wiring (real JPEG pixels through decode/resize)."""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+import pytest
+
+from parquet_common_spark.functions import jpegcodec as J
+from parquet_common_spark.functions import mediacodec as MC
+
+
+def test_dct_matrix_orthonormal_and_matches_t81():
+    A = J.dct_matrix()
+    assert np.allclose(A @ A.T, np.eye(8), atol=1e-12)
+    rng = np.random.default_rng(0)
+    blk = rng.normal(size=(8, 8))
+    coef = A @ blk @ A.T
+    direct = np.zeros((8, 8))
+    for u in range(8):
+        for v in range(8):
+            cu = 1 / math.sqrt(2) if u == 0 else 1.0
+            cv = 1 / math.sqrt(2) if v == 0 else 1.0
+            s = sum(
+                blk[x, y]
+                * math.cos((2 * x + 1) * u * math.pi / 16)
+                * math.cos((2 * y + 1) * v * math.pi / 16)
+                for x in range(8)
+                for y in range(8)
+            )
+            direct[u, v] = 0.25 * cu * cv * s
+    assert np.allclose(coef, direct, atol=1e-10)
+
+
+def test_zigzag_is_the_standard_order():
+    # the canonical first/last entries of T.81 figure A.6
+    assert J.ZIGZAG[:10] == [
+        (0, 0), (0, 1), (1, 0), (2, 0), (1, 1), (0, 2), (0, 3), (1, 2),
+        (2, 1), (3, 0),
+    ]
+    assert J.ZIGZAG[-3:] == [(6, 7), (7, 6), (7, 7)]
+    assert sorted(J.ZIGZAG) == [(r, c) for r in range(8) for c in range(8)]
+
+
+def test_flat_image_roundtrips_exactly():
+    img = np.full((16, 24), 130, dtype=np.uint8)
+    w, h, out = J.decode_jpeg(J.encode_jpeg(img, quality=90))
+    assert (w, h) == (24, 16)
+    assert np.array_equal(out[:, :, 0], img)
+
+
+def test_smooth_rgb_roundtrip_within_quant_error():
+    x = np.linspace(0, 255, 32)
+    gx, gy = np.meshgrid(x, x)
+    rgb = np.stack([gx, gy, (gx + gy) / 2], axis=2).astype(np.uint8)
+    w, h, out = J.decode_jpeg(J.encode_jpeg(rgb, quality=95))
+    assert (w, h) == (32, 32)
+    err = np.abs(out.astype(int) - rgb.astype(int))
+    assert err.max() <= 8 and err.mean() < 1.5
+
+
+def test_420_subsampling_and_odd_dimensions():
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(90, 160, size=(17, 13, 3)).astype(np.uint8)
+    w, h, out = J.decode_jpeg(J.encode_jpeg(rgb, quality=90, subsampling="420"))
+    assert (w, h) == (13, 17) and out.shape == (17, 13, 3)
+    # mid-range low-contrast content: subsampled chroma stays close
+    err = np.abs(out.astype(int) - rgb.astype(int))
+    assert err.mean() < 30
+
+
+def test_restart_intervals_roundtrip():
+    x = np.linspace(0, 255, 40)
+    gx, gy = np.meshgrid(x, x)
+    rgb = np.stack([gx, gy, gy], axis=2).astype(np.uint8)
+    plain = J.decode_jpeg(J.encode_jpeg(rgb, quality=92))[2]
+    with_rst = J.decode_jpeg(J.encode_jpeg(rgb, quality=92, restart_interval=3))[2]
+    # restart markers change the container, not the content
+    assert np.array_equal(plain, with_rst)
+
+
+def test_grayscale_roundtrip():
+    rng = np.random.default_rng(5)
+    img = (rng.normal(128, 10, size=(24, 24))).clip(0, 255).astype(np.uint8)
+    w, h, out = J.decode_jpeg(J.encode_jpeg(img, quality=95))
+    assert out.shape == (24, 24, 1)
+    assert np.abs(out[:, :, 0].astype(int) - img.astype(int)).mean() < 6
+
+
+def test_geometry_agrees_with_sof_parser():
+    img = np.zeros((10, 34), dtype=np.uint8)
+    data = J.encode_jpeg(img)
+    assert MC.sniff_media(data) == "jpeg"
+    assert MC.jpeg_dimensions(data) == (34, 10)
+
+
+def test_progressive_raises_not_implemented():
+    img = np.zeros((8, 8), dtype=np.uint8)
+    data = bytearray(J.encode_jpeg(img))
+    # rewrite the SOF0 marker (FF C0) to SOF2 (progressive)
+    i = bytes(data).find(b"\xff\xc0")
+    assert i > 0
+    data[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        J.decode_jpeg(bytes(data))
+    with pytest.raises(ValueError, match="SOI"):
+        J.decode_jpeg(b"not a jpeg")
+
+
+def test_multimodal_decodes_and_resizes_real_jpeg(spark):
+    from parquet_common_spark.operators.multimodal import decode_media, resize_media
+
+    big = np.zeros((96, 64, 3), dtype=np.uint8)
+    big[:, :, 0] = 200
+    payload = J.encode_jpeg(big, quality=90)
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(payload))],
+        "doc_id long, media_type string, payload binary",
+    )
+    meta = decode_media(df).collect()[0]
+    assert (meta["width"], meta["height"]) == (64, 96)
+    out = resize_media(df, max_side=48).collect()[0]
+    assert (meta["width"], meta["height"]) == (64, 96)
+    assert max(out["width"], out["height"]) == 48
+    # the resized payload is a real JPEG that decodes to the new geometry
+    w, h, pixels = J.decode_jpeg(bytes(out["payload"]))
+    assert (w, h) == (out["width"], out["height"])
+    assert abs(int(pixels[:, :, 0].mean()) - 200) < 10
