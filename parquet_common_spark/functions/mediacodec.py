@@ -364,3 +364,53 @@ def wav_info(data: bytes) -> tuple[int, int, int]:
     if channels is None:
         raise ValueError("WAV: missing fmt chunk")
     return channels, rate, frames
+
+
+def wav_samples(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode WAV PCM to ((frames, channels) float64 in [-1, 1], rate).
+
+    Supports integer PCM 8 (unsigned) / 16 / 24 / 32-bit and IEEE-float
+    32/64 (fmt tags 1 and 3); anything else (ADPCM, µ-law...) raises
+    NotImplementedError."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE header")
+    pos = 12
+    fmt_tag = channels = rate = bits = None
+    payload = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if cid == b"fmt ":
+            fmt_tag, channels, rate, _brate, _align, bits = struct.unpack(
+                "<HHIIHH", data[pos + 8 : pos + 24]
+            )
+        elif cid == b"data":
+            payload = data[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)
+    if fmt_tag is None or payload is None:
+        raise ValueError("WAV: missing fmt or data chunk")
+    if fmt_tag == 1:  # integer PCM
+        if bits == 8:
+            x = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+            x = (x - 128.0) / 128.0
+        elif bits == 16:
+            x = np.frombuffer(payload, dtype="<i2").astype(np.float64) / 32768.0
+        elif bits == 24:
+            raw = np.frombuffer(payload, dtype=np.uint8)
+            raw = raw[: len(raw) // 3 * 3].reshape(-1, 3).astype(np.int64)
+            v = raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+            v = np.where(v >= 1 << 23, v - (1 << 24), v)
+            x = v.astype(np.float64) / float(1 << 23)
+        elif bits == 32:
+            x = np.frombuffer(payload, dtype="<i4").astype(np.float64) / float(1 << 31)
+        else:
+            raise NotImplementedError(f"WAV PCM bit depth {bits} unsupported")
+    elif fmt_tag == 3:  # IEEE float
+        dt = "<f4" if bits == 32 else "<f8" if bits == 64 else None
+        if dt is None:
+            raise NotImplementedError(f"WAV float bit depth {bits} unsupported")
+        x = np.frombuffer(payload, dtype=dt).astype(np.float64)
+    else:
+        raise NotImplementedError(f"WAV format tag {fmt_tag} unsupported (PCM only)")
+    frames = len(x) // channels
+    return x[: frames * channels].reshape(frames, channels), rate

@@ -21,6 +21,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -239,3 +240,69 @@ def resize_media(df: DataFrame, max_side: int = 256) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("duration_s", DoubleType()),
+        StructField("rms", DoubleType()),
+        StructField("peak", DoubleType()),
+    ]
+)
+
+
+def audio_features(df: DataFrame, batch_size: int = 1024) -> DataFrame:
+    """Per-payload audio features for audio rows: channel/rate/frame
+    geometry plus signal stats (RMS, absolute peak) computed over the
+    REAL PCM samples for WAV payloads (functions/mediacodec.wav_samples
+    — integer 8/16/24/32 and IEEE-float PCM).  Payloads with no WAV
+    magic keep the synthetic frame count with NULL signal stats —
+    geometry is derivable, waveforms are not.  Arrow-batched map-only
+    plan, same shape discipline as decode_media."""
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
+
+    def feats(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:
+        import numpy as np
+        import pandas as pd
+
+        from parquet_common_spark.functions import mediacodec as MC
+
+        for pdf in batches:
+            rows = {k.name: [] for k in AUDIO_SCHEMA.fields}
+            for doc_id, mt, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                raw = bytes(payload)
+                ch = rate = None
+                frames = 0
+                dur = rms = peak = None
+                if MC.sniff_media(raw) == "wav":
+                    try:
+                        x, rate = MC.wav_samples(raw)
+                        frames, ch = x.shape
+                        dur = frames / rate if rate else None
+                        if frames:
+                            rms = float(np.sqrt(np.mean(x * x)))
+                            peak = float(np.abs(x).max())
+                    except NotImplementedError:
+                        ch, rate, frames = MC.wav_info(raw)
+                        dur = frames / rate if rate else None
+                else:
+                    _w, _h, frames = _decode_synthetic(str(mt), raw)
+                rows["doc_id"].append(int(doc_id))
+                rows["n_channels"].append(ch)
+                rows["sample_rate"].append(rate)
+                rows["n_frames"].append(int(frames))
+                rows["duration_s"].append(dur)
+                rows["rms"].append(rms)
+                rows["peak"].append(peak)
+            yield pd.DataFrame(rows)
+
+    return df.where(F.col("media_type") == "audio").mapInPandas(
+        feats, schema=AUDIO_SCHEMA
+    )

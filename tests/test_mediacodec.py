@@ -321,3 +321,86 @@ def test_resize_media_real_png(spark):
     assert (row["width"], row["height"]) == (24, 32)
     w, h, pixels = MC.decode_png(bytes(row["payload"]))
     assert (w, h) == (24, 32) and pixels.shape == (32, 24, 3)
+
+
+def _make_wav(samples: np.ndarray, rate: int, bits: int, fmt_tag: int = 1) -> bytes:
+    """Hand-built RIFF/WAVE: samples (frames, ch) float in [-1, 1]."""
+    frames, ch = samples.shape
+    if fmt_tag == 3:
+        payload = samples.astype("<f4" if bits == 32 else "<f8").tobytes()
+    elif bits == 8:
+        payload = (samples * 127 + 128).clip(0, 255).astype(np.uint8).tobytes()
+    elif bits == 16:
+        payload = (samples * 32767).astype("<i2").tobytes()
+    elif bits == 24:
+        v = (samples.reshape(-1) * ((1 << 23) - 1)).astype(np.int64)
+        v = np.where(v < 0, v + (1 << 24), v)
+        b = np.zeros((len(v), 3), dtype=np.uint8)
+        b[:, 0] = v & 0xFF
+        b[:, 1] = (v >> 8) & 0xFF
+        b[:, 2] = (v >> 16) & 0xFF
+        payload = b.tobytes()
+    else:
+        v = (samples.reshape(-1) * ((1 << 31) - 1)).astype("<i4")
+        payload = v.tobytes()
+    align = ch * bits // 8
+    fmt = struct.pack("<HHIIHH", fmt_tag, ch, rate, rate * align, align, bits)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(payload)) + payload
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_wav_samples_all_depths():
+    """PCM 8/16/24/32-int and 32/64-float all decode to the same signal
+    (a sine whose RMS is 1/sqrt(2) of the amplitude)."""
+    t = np.arange(8000) / 8000.0
+    sig = (0.5 * np.sin(2 * np.pi * 440 * t))[:, None]
+    for bits, tag in ((8, 1), (16, 1), (24, 1), (32, 1), (32, 3), (64, 3)):
+        data = _make_wav(sig, 8000, bits, tag)
+        x, rate = MC.wav_samples(data)
+        assert rate == 8000 and x.shape == (8000, 1)
+        rms = float(np.sqrt(np.mean(x * x)))
+        tol = 0.01 if bits == 8 else 1e-3
+        assert abs(rms - 0.5 / np.sqrt(2)) < tol, (bits, tag, rms)
+    # stereo keeps channel separation
+    st = np.stack([sig[:, 0], np.zeros_like(sig[:, 0])], axis=1)
+    x, _ = MC.wav_samples(_make_wav(st, 8000, 16))
+    assert np.abs(x[:, 1]).max() == 0 and np.abs(x[:, 0]).max() > 0.4
+
+
+def test_wav_samples_rejects_compressed():
+    fmt = struct.pack("<HHIIHH", 2, 1, 8000, 8000, 1, 4)  # ADPCM
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", 4) + b"\x00" * 4
+    data = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(NotImplementedError, match="format tag"):
+        MC.wav_samples(data)
+
+
+def test_audio_features_operator(spark):
+    """Real WAV rows get signal stats; magic-less audio rows keep the
+    synthetic frame count with NULL stats; non-audio rows are dropped."""
+    from parquet_common_spark.operators.multimodal import audio_features
+
+    t = np.arange(4000) / 8000.0
+    sig = (0.25 * np.sin(2 * np.pi * 220 * t))[:, None]
+    wav = _make_wav(sig, 8000, 16)
+    rows = [
+        (1, "audio", bytearray(wav)),
+        (2, "audio", bytearray(b"no-magic-synthetic-payload")),
+        (3, "image", bytearray(b"not-audio")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media_type string, payload binary")
+    got = {r["doc_id"]: r for r in audio_features(df).collect()}
+    assert set(got) == {1, 2}
+    real = got[1]
+    assert real["n_channels"] == 1 and real["sample_rate"] == 8000
+    assert real["n_frames"] == 4000 and abs(real["duration_s"] - 0.5) < 1e-9
+    assert abs(real["rms"] - 0.25 / np.sqrt(2)) < 1e-3
+    assert abs(real["peak"] - 0.25) < 1e-3
+    synth = got[2]
+    assert synth["rms"] is None and synth["peak"] is None
+    assert synth["n_frames"] == len(b"no-magic-synthetic-payload") % 48000 + 1

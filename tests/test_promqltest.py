@@ -59,27 +59,11 @@ def test_corpus_breadth():
     assert total >= 500, f"only {total} eval blocks in the corpus"
 
 
-PARQUET_BACKED_SCRIPTS = [
-    os.path.join(DATA_DIR, n)
-    for n in (
-        "selectors.test",
-        "staleness.test",
-        "range_functions.test",
-        "operators.test",
-        "histograms.test",
-        # native-histogram columns ride extra_value_cols through
-        # convert() — the reference's EncHistogram disk round trip
-        "native_histograms.test",
-        # NaN/Inf sample values round-trip the parquet encoding
-        "edge_cases.test",
-        # step-grid range evaluation over the storage-backed select path
-        "range_eval.test",
-        # upstream-reconstruction files (r6): same fixtures as the
-        # published prometheus testdata, through the storage path too
-        "upstream_operators.test",
-        "upstream_aggregators.test",
-    )
-]
+# The ENTIRE corpus replays through the storage path (r6): every load
+# block written via convert() to a parquet shard and served back
+# through ShardDataset/ParquetQueryable — the reference's exact
+# acceptance shape (RunBuiltinTestsWithStorage), 531 evals / 22 files.
+PARQUET_BACKED_SCRIPTS = SCRIPTS
 
 
 @pytest.mark.parametrize(
