@@ -506,6 +506,32 @@ def mm3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "mm4_audio_features",
+    """
+    SELECT doc_id,
+           CAST(NULL AS INT) AS n_channels,
+           CAST(NULL AS INT) AS sample_rate,
+           CAST(octet_length(encode(text)) % 48000 + 1 AS BIGINT) AS n_frames,
+           CAST(NULL AS DOUBLE) AS duration_s,
+           CAST(NULL AS DOUBLE) AS rms,
+           CAST(NULL AS DOUBLE) AS peak
+    FROM documents WHERE doc_id % 3 = 1 ORDER BY doc_id
+    """,
+)
+def mm4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio features through the Arrow map-only path.  The corpus's
+    synthetic payloads carry no WAV magic, so geometry is the
+    deterministic fallback (mirrored arithmetically in the oracle) and
+    the signal stats are honestly NULL; the REAL decode path — PCM
+    8/16/24/32-int + IEEE-float to RMS/peak — is pinned by
+    tests/test_mediacodec.py over synthesized sine WAVs."""
+    from parquet_common_spark.operators.multimodal import attach_fake_media, audio_features
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return audio_features(attach_fake_media(docs)).orderBy("doc_id")
+
+
 # ------------------------------------- d6: duplicate clusters (iterative)
 
 _D6_SQL = f"""
