@@ -292,6 +292,33 @@ _SIMPLE_AGGS = {
 }
 
 
+def go_quantile_collect(v: Column) -> Column:
+    """Aggregate expression collecting a group's values for
+    :func:`go_quantile_interp` — structs keyed so that sort_array
+    reproduces Go's slices.Sort order (NaN sorts FIRST, before -Inf;
+    Spark's native double ordering would put NaN last)."""
+    return F.collect_list(
+        F.struct((~F.isnan(v)).cast("int").alias("r"), v.alias("v"))
+    )
+
+
+def go_quantile_interp(collected: Column, q: float) -> Column:
+    """promql/quantile.go quantile() over a :func:`go_quantile_collect`
+    aggregate: rank = q*(n-1); v[lo]*(1-weight) + v[hi]*weight with NO
+    weight==0/1 short-circuit — so Inf*0 = NaN propagates exactly like
+    the Go expression (Spark's percentile() special-cases the exact-rank
+    path and returns Inf where upstream returns NaN)."""
+    vals = F.transform(F.sort_array(collected), lambda s: s["v"])
+    n = F.size(vals)
+    rank = F.lit(float(q)) * (n - F.lit(1)).cast("double")
+    lo = F.floor(rank).cast("int")
+    hi = F.least(lo + F.lit(1), n - F.lit(1))
+    w = rank - F.floor(rank)
+    return F.element_at(vals, lo + F.lit(1)) * (F.lit(1.0) - w) + F.element_at(
+        vals, hi + F.lit(1)
+    ) * w
+
+
 def agg_vector(
     df: DataFrame,
     op: str,
@@ -319,7 +346,16 @@ def agg_vector(
             # fail analysis on the out-of-range literal
             agg = F.max(F.lit(float("-inf") if q < 0 else float("inf")))
         else:
-            agg = F.percentile(F.col(value_col), F.lit(float(q)))
+            # Go-exact interpolation (NaN-first sort, Inf*0 -> NaN)
+            raw = df.groupBy(*keys).agg(
+                go_quantile_collect(F.col(value_col)).alias("_qvals")
+            )
+            return raw.select(
+                *keys,
+                go_quantile_interp(F.col("_qvals"), q)
+                .cast("double")
+                .alias(value_col),
+            )
     else:
         agg = _SIMPLE_AGGS[op](F.col(value_col))
     out = df.groupBy(*keys).agg(agg.cast("double").alias(value_col))

@@ -1729,17 +1729,32 @@ class PromQLEngine:
         v = F.col("value")
         if fn == "mad_over_time":
             # median absolute deviation (upstream experimental):
-            # median(|x - median(x)|); the inner median rides a window
-            # over the same (eval, series) partition the outer groupBy
-            # uses, so no extra shuffle
+            # median(|x - median(x)|), both medians via the Go-exact
+            # quantile (NaN-first sort, no exact-rank short-circuit);
+            # the inner median rides a window over the same (eval,
+            # series) partition the outer groupBy uses, so no extra
+            # shuffle
             w = Window.partitionBy("_ev", *labels)
-            staged = rdf.withColumn("_med", F.percentile(v, F.lit(0.5)).over(w))
-            out = staged.groupBy("_ev", *labels).agg(
-                F.percentile(F.abs(v - F.col("_med")), F.lit(0.5))
-                .cast("double")
-                .alias("value")
+            out = (
+                rdf.withColumn(
+                    "_med",
+                    pv.go_quantile_interp(
+                        pv.go_quantile_collect(v).over(w), 0.5
+                    ),
+                )
+                .groupBy("_ev", *labels)
+                .agg(
+                    pv.go_quantile_collect(F.abs(v - F.col("_med"))).alias("_qv")
+                )
+                .select(
+                    "_ev",
+                    *labels,
+                    pv.go_quantile_interp(F.col("_qv"), 0.5)
+                    .cast("double")
+                    .alias("value"),
+                )
             )
-            return ("vector", self._drop_name(out.select("_ev", *labels, "value")))
+            return ("vector", self._drop_name(out))
         if fn == "quantile_over_time":
             q = self._static_number(args[0], "quantile")
             if math.isnan(q):
@@ -1749,7 +1764,19 @@ class PromQLEngine:
                 # upstream warns and yields ±Inf for out-of-range φ
                 agg_expr = F.max(F.lit(float("-inf") if q < 0 else float("inf")))
             else:
-                agg_expr = F.percentile(v, F.lit(q))
+                # Go-exact quantile (see promql_vec.go_quantile_interp)
+                out = (
+                    rdf.groupBy("_ev", *labels)
+                    .agg(pv.go_quantile_collect(v).alias("_qv"))
+                    .select(
+                        "_ev",
+                        *labels,
+                        pv.go_quantile_interp(F.col("_qv"), q)
+                        .cast("double")
+                        .alias("value"),
+                    )
+                )
+                return ("vector", self._drop_name(out))
         else:
             agg_expr = {
                 "avg_over_time": F.avg(v),

@@ -558,7 +558,46 @@ def _model_range(fn, samples, t_ms, range_ms):
         sxy = math.fsum(x * y for x, y in zip(xs, vals))
         sx2 = math.fsum(x * x for x in xs)
         return (n * sxy - sx * sy) / (n * sx2 - sx * sx)
+    if fn == "first_over_time":
+        return win[0][1]
+    if fn == "present_over_time":
+        return 1.0
+    if fn in ("stddev_over_time", "stdvar_over_time"):
+        # upstream aggregates with Welford (funcStddevOverTime); the
+        # running form matters for Inf/NaN propagation, so mirror it
+        mean = aux = 0.0
+        for i, v in enumerate(vals, start=1):
+            delta = v - mean
+            mean += delta / i
+            aux += delta * (v - mean)
+        var = aux / len(vals)
+        return var if fn == "stdvar_over_time" else math.sqrt(var)
+    if fn == "mad_over_time":
+        med = _go_quantile(0.5, vals)
+        return _go_quantile(0.5, [abs(v - med) for v in vals])
+    if fn.startswith("quantile_over_time"):
+        phi = float(fn.split(":")[1])
+        return _go_quantile(phi, vals)
     raise AssertionError(fn)
+
+
+def _go_quantile(phi: float, vals: list[float]) -> float:
+    """promql/quantile.go quantile(): NaN phi -> NaN, out-of-range ->
+    +-Inf, else linear interpolation over Go's slices.Sort order (NaN
+    sorts before every number)."""
+    if math.isnan(phi):
+        return math.nan
+    if phi < 0:
+        return -math.inf
+    if phi > 1:
+        return math.inf
+    s = sorted(vals, key=lambda v: (not math.isnan(v), v))
+    n = len(s)
+    rank = phi * (n - 1)
+    lo = int(math.floor(rank))
+    hi = min(lo + 1, n - 1)
+    w = rank - lo
+    return s[lo] * (1 - w) + s[hi] * w
 
 
 _RANGE_FNS = [
@@ -566,6 +605,11 @@ _RANGE_FNS = [
     "min_over_time", "max_over_time", "count_over_time",
     "last_over_time", "changes", "resets", "idelta", "irate", "deriv",
     "ts_of_last_over_time", "ts_of_min_over_time", "ts_of_max_over_time",
+    "first_over_time", "present_over_time",
+    "stddev_over_time", "stdvar_over_time", "mad_over_time",
+    # ":phi" suffix is stripped to quantile_over_time(phi, ...) below
+    "quantile_over_time:0", "quantile_over_time:0.5",
+    "quantile_over_time:0.9", "quantile_over_time:1.5",
 ]
 
 
@@ -589,6 +633,7 @@ def range_series(draw):
             st.one_of(
                 st.floats(min_value=0, max_value=1000, allow_nan=False, width=32),
                 st.just(math.nan),
+                st.just(math.inf),  # Inf-vs-NaN ordering edges (ts_of_*)
             ),
             min_size=n,
             max_size=n,
@@ -620,7 +665,12 @@ def test_range_functions_match_model(spark, data):
         LoadCmd(60_000, [({"__name__": "rsvc"}, [Sample(ts, v) for ts, v in samples])])
     )
     rng = f"{range_ms // 1000}s"
-    kind, got = engine.eval_instant(f"{fn}(rsvc[{rng}])", t_ms)
+    if fn.startswith("quantile_over_time:"):
+        phi = fn.split(":")[1]
+        expr = f"quantile_over_time({phi}, rsvc[{rng}])"
+    else:
+        expr = f"{fn}(rsvc[{rng}])"
+    kind, got = engine.eval_instant(expr, t_ms)
     assert kind == "vector"
     got_val = None
     for labels, vals in got:
