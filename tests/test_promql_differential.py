@@ -23,6 +23,7 @@ from parquet_common_spark.promqltest import parse_promql
 from parquet_common_spark.promqltest.promqlparse import (
     Aggregate,
     Binary,
+    Call,
     NumberLiteral,
     Unary,
     VectorSelector,
@@ -108,14 +109,38 @@ def model_eval(node, series, t_ms):
             frozenset(kv for kv in k if kv[0] != "__name__"): -v
             for k, v in r[1].items()
         })
+    if isinstance(node, Call):
+        # unary math wrappers: apply per element, dropping __name__
+        import numpy as np
+
+        fns = {
+            "abs": abs,
+            # numpy forms: NaN flows through instead of raising
+            "ceil": lambda v: float(np.ceil(np.float64(v))),
+            "floor": lambda v: float(np.floor(np.float64(v))),
+            "sgn": lambda v: math.nan if math.isnan(v) else float((v > 0) - (v < 0)),
+            "exp": math.exp,
+            "sqrt": lambda v: float(np.sqrt(np.float64(v))),  # sqrt(-x) = NaN, no raise
+        }
+        f = fns[node.func]
+        kind, vec = model_eval(node.args[0], series, t_ms)
+        if kind != "vector":
+            # upstream type-checks: these take an instant vector, a
+            # scalar argument is an error
+            raise ValueError(f"{node.func} over a scalar")
+        return ("vector", {
+            frozenset(kv for kv in k if kv[0] != "__name__"): float(f(v))
+            for k, v in vec.items()
+        })
     if isinstance(node, VectorSelector):
         out = {}
+        eff = t_ms - (node.offset_ms or 0)
         for labels, samples in series:
             if not _sel_matches(node, labels):
                 continue
             best = None
             for ts, val in samples:
-                if t_ms - LOOKBACK_MS < ts <= t_ms:
+                if eff - LOOKBACK_MS < ts <= eff:
                     if best is None or ts > best[0]:
                         best = (ts, val)
             if best is not None:
@@ -341,7 +366,9 @@ def series_sets(draw):
 def exprs(draw, depth=2):
     choice = draw(
         st.sampled_from(
-            ["sel", "num"] if depth == 0 else ["sel", "sel", "agg", "bin", "neg", "num"]
+            ["sel", "num"]
+            if depth == 0
+            else ["sel", "sel", "agg", "bin", "neg", "num", "fn"]
         )
     )
     if choice == "num":
@@ -357,9 +384,13 @@ def exprs(draw, depth=2):
                 val = draw(st.sampled_from(["api", "web", ""]))
             ms.append(f'job{op}"{val}"')
         sel = name + ("{" + ",".join(ms) + "}" if ms else "")
-        return sel
+        off = draw(st.sampled_from(["", "", "", " offset 5m", " offset 10m"]))
+        return sel + off
     if choice == "neg":
         return f"-({draw(exprs(depth=depth - 1))})"
+    if choice == "fn":
+        f = draw(st.sampled_from(["abs", "ceil", "floor", "sgn", "exp", "sqrt"]))
+        return f"{f}({draw(exprs(depth=depth - 1))})"
     if choice == "agg":
         op = draw(
             st.sampled_from(
