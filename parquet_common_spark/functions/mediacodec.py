@@ -7,15 +7,20 @@ structure; WAV: RIFF/WAVE chunk layout) using only ``zlib`` + ``struct``
 + numpy:
 
   - :func:`decode_png` — FULL pixel decode: chunk walk, IDAT zlib
-    inflate, per-scanline unfilter (None/Sub/Up/Average/Paeth), for
-    8-bit gray / gray+alpha / RGB / RGBA / palette, non-interlaced.
-  - :func:`encode_png` — pixel array back to a valid PNG (filter 0).
+    inflate, per-scanline unfilter (None/Sub/Up/Average/Paeth), bit
+    depths 1/2/4/8/16, gray / gray+alpha / RGB / RGBA / palette,
+    non-interlaced AND Adam7.
+  - :func:`encode_png` — pixel array back to a valid PNG (filter 0,
+    depth 8 or 16).
   - :func:`resize_nearest` — nearest-neighbor resample over the decoded
     array (numpy index arithmetic, no loops).
-  - :func:`jpeg_dimensions` — header-only decode (SOF marker scan);
-    full JPEG entropy decode is out of scope without a DCT library, so
-    geometry is the honest deliverable there.
-  - :func:`wav_info` — fmt/data chunk parse -> (channels, rate, frames).
+  - :func:`jpeg_dimensions` — header-only SOF scan; FULL baseline JPEG
+    pixel decode/encode lives in the sibling ``functions/jpegcodec.py``
+    (progressive falls back to this geometry parse).
+  - :func:`wav_info` / :func:`wav_samples` — RIFF chunk parse and full
+    PCM sample decode (int 8/16/24/32, IEEE-float 32/64).
+  - :func:`mp4_info` — ISO-BMFF box walk -> (width, height, duration,
+    n_video_frames); frame DECODE needs codecs and stays out of scope.
   - :func:`sniff_media` — magic-byte detection.
 
 Production deployments with Pillow/libav available can swap these for
@@ -414,3 +419,72 @@ def wav_samples(data: bytes) -> tuple[np.ndarray, int]:
         raise NotImplementedError(f"WAV format tag {fmt_tag} unsupported (PCM only)")
     frames = len(x) // channels
     return x[: frames * channels].reshape(frames, channels), rate
+
+
+def _mp4_boxes(data: bytes, start: int, end: int):
+    """Iterate (box_type, body_start, body_end) of an ISO-BMFF range."""
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", data[pos : pos + 4])
+        btype = data[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:  # 64-bit largesize
+            (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+            body = pos + 16
+        elif size == 0:  # to end of enclosing box
+            size = end - pos
+        if size < 8 or pos + size > end:
+            break
+        yield btype, body, pos + size
+        pos += size
+
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def mp4_info(data: bytes) -> tuple[int, int, float, int]:
+    """(width, height, duration_seconds, n_video_frames) from ISO-BMFF
+    box structure: tkhd 16.16-fixed geometry, mvhd timescale/duration,
+    per-track hdlr to find the video track, stts sample counts.  A pure
+    metadata parse — pixel/frame DECODE needs codecs and stays
+    NotImplementedError in the decode layer."""
+    if data[4:8] != b"ftyp":
+        raise ValueError("not an MP4: missing ftyp")
+    width = height = 0
+    duration = 0.0
+    n_frames = 0
+
+    def walk(start: int, end: int, in_video_track: list):
+        nonlocal width, height, duration, n_frames
+        for btype, b0, b1 in _mp4_boxes(data, start, end):
+            if btype == b"mvhd":
+                ver = data[b0]
+                if ver == 1:
+                    ts, dur = struct.unpack(">IQ", data[b0 + 20 : b0 + 32])
+                else:
+                    ts, dur = struct.unpack(">II", data[b0 + 12 : b0 + 20])
+                if ts:
+                    duration = dur / ts
+            elif btype == b"tkhd":
+                ver = data[b0]
+                geo = b1 - 8  # width/height are the LAST 8 bytes
+                w16, h16 = struct.unpack(">II", data[geo : geo + 8])
+                if w16 and h16:
+                    width, height = w16 >> 16, h16 >> 16
+            elif btype == b"hdlr":
+                in_video_track[0] = data[b0 + 8 : b0 + 12] == b"vide"
+            elif btype == b"stts":
+                (n_entries,) = struct.unpack(">I", data[b0 + 4 : b0 + 8])
+                if in_video_track[0]:
+                    for k in range(n_entries):
+                        cnt, _delta = struct.unpack(
+                            ">II", data[b0 + 8 + 8 * k : b0 + 16 + 8 * k]
+                        )
+                        n_frames += cnt
+            elif btype == b"trak":
+                walk(b0, b1, [False])
+            elif btype in _MP4_CONTAINERS:
+                walk(b0, b1, in_video_track)
+
+    walk(0, len(data), [False])
+    return width, height, duration, n_frames

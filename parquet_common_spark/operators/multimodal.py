@@ -102,9 +102,10 @@ def _decode_media(media_type: str, payload: bytes) -> tuple[int, int, int]:
         _ch, _rate, frames = MC.wav_info(payload)
         return (0, 0, frames)
     if fmt == "mp4":
-        raise NotImplementedError(
-            "video demux needs libav/PyAV — not available stdlib-only"
-        )
+        # real METADATA via the ISO-BMFF box walk; pixel/frame decode
+        # still needs libav/PyAV and raises in sample_frames
+        w, h, _dur, frames = MC.mp4_info(payload)
+        return (w, h, frames)
     return _decode_synthetic(media_type, payload)
 
 

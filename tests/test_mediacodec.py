@@ -304,9 +304,53 @@ def test_decode_media_real_and_fallback(spark):
     assert (got[1]["width"], got[1]["height"], got[1]["n_frames"]) == (17, 11, 1)
     assert got[2]["n_frames"] == 32  # 64 bytes / 2-byte block align
     assert got[3]["width"] == len(b"synthetic") % 640 + 1  # fallback
-    # video containers are an honest NotImplementedError, not fake numbers
-    with pytest.raises(NotImplementedError, match="libav"):
-        MM._decode_media("video", b"\x00\x00\x00\x18ftypmp42")
+    # mp4: real box-walk metadata (geometry + frame count), frame
+    # DECODE stays codec-gated
+    assert MM._decode_media("video", _hand_mp4()) == (320, 240, 45)
+
+
+def _mp4_box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", len(body) + 8) + btype + body
+
+
+def _hand_mp4() -> bytes:
+    """Minimal ISO-BMFF: ftyp + moov{mvhd, trak{tkhd, mdia{hdlr,
+    minf{stbl{stts}}}}} — 320x240, 5s, 30+15 video samples."""
+    ftyp = _mp4_box(b"ftyp", b"mp42\x00\x00\x00\x00")
+    mvhd = _mp4_box(
+        b"mvhd",
+        b"\x00" + b"\x00" * 3 + struct.pack(">IIII", 0, 0, 1000, 5000),
+    )
+    tkhd = _mp4_box(
+        b"tkhd",
+        b"\x00" * 72 + struct.pack(">II", 320 << 16, 240 << 16),
+    )
+    hdlr = _mp4_box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+    stts = _mp4_box(
+        b"stts", b"\x00" * 4 + struct.pack(">IIIII", 2, 30, 100, 15, 200)
+    )
+    stbl = _mp4_box(b"stbl", stts)
+    minf = _mp4_box(b"minf", stbl)
+    mdia = _mp4_box(b"mdia", hdlr + minf)
+    trak = _mp4_box(b"trak", tkhd + mdia)
+    moov = _mp4_box(b"moov", mvhd + trak)
+    return ftyp + moov
+
+
+def test_mp4_info_box_walk():
+    w, h, dur, frames = MC.mp4_info(_hand_mp4())
+    assert (w, h) == (320, 240)
+    assert abs(dur - 5.0) < 1e-9
+    assert frames == 45
+    # an audio-only track contributes no video frames
+    hdlr_a = _mp4_box(b"hdlr", b"\x00" * 8 + b"soun" + b"\x00" * 12)
+    stts = _mp4_box(b"stts", b"\x00" * 4 + struct.pack(">III", 1, 99, 10))
+    mdia = _mp4_box(b"mdia", hdlr_a + _mp4_box(b"minf", _mp4_box(b"stbl", stts)))
+    trak = _mp4_box(b"trak", mdia)
+    data = _mp4_box(b"ftyp", b"mp42\x00\x00\x00\x00") + _mp4_box(b"moov", trak)
+    assert MC.mp4_info(data)[3] == 0
+    with pytest.raises(ValueError, match="ftyp"):
+        MC.mp4_info(b"plainly not an mp4")
 
 
 def test_resize_media_real_png(spark):
