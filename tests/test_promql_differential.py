@@ -713,3 +713,69 @@ def test_range_functions_match_model(spark, data):
             f"{fn}[{rng}] at {t_ms}: engine={got_val} model={want}\n"
             f"samples={samples}"
         )
+
+
+# ----------------------- subquery differential (aligned step grids)
+
+_SUBQ_FNS = [
+    "avg_over_time", "sum_over_time", "min_over_time", "max_over_time",
+    "count_over_time", "last_over_time", "changes", "resets",
+]
+
+
+@settings(
+    max_examples=max(40, _EXAMPLES // 2),
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(data=st.data())
+def test_subquery_matches_model(spark, data):
+    """fn(m[R:res]) — the subquery's inner evals land on the absolute
+    grid (t % res == 0, upstream: aligned to Unix time 0), each with
+    its own lookback; the outer fn folds those per-step values."""
+    from parquet_common_spark.promqltest import PromQLEngine
+    from parquet_common_spark.promqltest.scriptparse import LoadCmd, Sample
+
+    samples = data.draw(range_series())
+    fn = data.draw(st.sampled_from(_SUBQ_FNS))
+    range_ms = data.draw(st.sampled_from([300_000, 600_000]))
+    res_ms = data.draw(st.sampled_from([60_000, 90_000, 150_000]))
+    t_ms = data.draw(st.sampled_from([600_000, 750_000]))
+
+    # model: instant-eval at aligned grid points inside (t-R, t]
+    pts = [
+        p
+        for p in range(0, t_ms + 1, res_ms)
+        if t_ms - range_ms < p <= t_ms
+    ]
+    win = []
+    for p in pts:
+        best = None
+        for ts, v in samples:
+            if p - LOOKBACK_MS < ts <= p:
+                if best is None or ts > best[0]:
+                    best = (ts, v)
+        if best is not None:
+            win.append((p, best[1]))
+    want = _model_range(fn, win, t_ms, range_ms) if win else None
+    # _model_range re-filters by (t-R, t] — pts already inside; it also
+    # handles the fn fold identically to a plain range vector
+
+    engine = PromQLEngine(spark)
+    engine.clear()
+    engine.load(
+        LoadCmd(60_000, [({"__name__": "sq"}, [Sample(ts, v) for ts, v in samples])])
+    )
+    expr = f"{fn}(sq[{range_ms // 1000}s:{res_ms // 1000}s])"
+    kind, got = engine.eval_instant(expr, t_ms)
+    assert kind == "vector"
+    got_val = None
+    for labels, vals in got:
+        got_val = vals.get(t_ms)
+    if want is None:
+        assert got_val is None, (expr, samples, got_val)
+    else:
+        assert got_val is not None and _close(got_val, want), (
+            f"{expr} at {t_ms}: engine={got_val} model={want}\n"
+            f"samples={samples}\ngrid={win}"
+        )
