@@ -1,13 +1,17 @@
-"""Baseline JPEG (ITU T.81 SOF0) codec — stdlib + numpy only.
+"""JPEG (ITU T.81) codec — stdlib + numpy only.
 
 Closes the "JPEG is geometry-only" slice of the multimodal layer: a
-sequential-baseline decoder (marker parse, stream-defined Huffman
-tables, dequantize, batch numpy IDCT, chroma upsampling, YCbCr->RGB)
-and a matching encoder used by the round-trip tests (4:4:4 or 4:2:0,
-Annex-K quantization tables with libjpeg quality scaling, self-built
-single-length Huffman tables — the DECODER only ever reads tables from
-the stream, so it is exercised against spec-shaped data, not against a
-shared in-memory table).
+decoder covering BOTH baseline sequential (SOF0/1) and progressive
+(SOF2 — spectral selection + successive approximation, EOB runs,
+refinement correction bits, the T.81 G / libjpeg scan semantics) with
+stream-defined Huffman tables, dequantize, batch numpy IDCT, chroma
+upsampling and YCbCr->RGB; plus matching encoders used by the
+round-trip tests (baseline: 4:4:4 or 4:2:0 with optional restart
+markers; progressive: the libjpeg-shaped scan script).  The
+progressive encoder transports the SAME quantized coefficients as the
+baseline one, so decode(progressive) == decode(baseline) pixel-exactly
+— the tests pin that identity, which any defect in the EOB-run /
+correction-bit logic breaks.
 
 Scale note: like decode_png, this is the per-payload kernel invoked
 from Arrow `mapInPandas` batches (operators/multimodal.py) — the Spark
@@ -234,16 +238,12 @@ def _component_blocks(plane: np.ndarray) -> np.ndarray:
     return padded.reshape(ph // 8, 8, pw // 8, 8).swapaxes(1, 2)
 
 
-def encode_jpeg(
-    pixels: np.ndarray, quality: int = 90, subsampling: str = "444",
-    restart_interval: int = 0,
-) -> bytes:
-    """Encode HxW (grey) or HxWx3 (RGB) uint8 as baseline JFIF.
-
-    ``subsampling``: "444" (no chroma subsampling) or "420" (2x2 box
-    mean, the common camera layout).  ``restart_interval`` > 0 inserts
-    DRI/RSTn markers every that many MCUs (exercises the decoder's
-    predictor-reset path)."""
+def _prepare_components(pixels: np.ndarray, quality: int, subsampling: str):
+    """Shared encode front half: color transform, (optional) chroma
+    subsampling, forward DCT, quantization.  Returns (grey, h, w, samp,
+    qtables, comp_coefs) with comp_coefs[ci] a (by, bx, 64) zigzagged
+    int array — the SAME coefficients whether transported baseline or
+    progressive (the round-trip tests rely on this identity)."""
     arr = np.asarray(pixels, dtype=np.uint8)
     grey = arr.ndim == 2 or arr.shape[2] == 1
     if arr.ndim == 3 and arr.shape[2] == 1:
@@ -285,6 +285,42 @@ def encode_jpeg(
         q = qtables[0 if ci == 0 else 1].astype(np.float64)
         quant = np.round(coefs / q).astype(np.int64)
         comp_coefs.append(quant[:, :, ZIG_ROWS, ZIG_COLS])
+    return grey, h, w, samp, qtables, comp_coefs
+
+
+def _jpeg_headers(grey, h, w, samp, qtables, sof_marker: int) -> bytearray:
+    """SOI + APP0 + DQT + SOF — shared by baseline and progressive."""
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    for ti, q in enumerate(qtables):
+        body = bytes([ti]) + bytes(int(q[r, c]) for r, c in ZIGZAG)
+        out += _seg(0xDB, body)
+    ncomp = 1 if grey else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sh, sv = samp[ci]
+        sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
+    out += _seg(sof_marker, sof)
+    return out
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+
+def encode_jpeg(
+    pixels: np.ndarray, quality: int = 90, subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode HxW (grey) or HxWx3 (RGB) uint8 as baseline JFIF.
+
+    ``subsampling``: "444" (no chroma subsampling) or "420" (2x2 box
+    mean, the common camera layout).  ``restart_interval`` > 0 inserts
+    DRI/RSTn markers every that many MCUs (exercises the decoder's
+    predictor-reset path)."""
+    grey, h, w, samp, qtables, comp_coefs = _prepare_components(
+        pixels, quality, subsampling
+    )
 
     hmax = max(s[0] for s in samp)
     vmax = max(s[1] for s in samp)
@@ -310,13 +346,13 @@ def encode_jpeg(
     blocks_per_mcu = sum(sh * sv for sh, sv in samp)
     dc_syms: dict[int, list[int]] = {0: [], 1: []}
     ac_syms: dict[int, list[int]] = {0: [], 1: []}
-    pred = [0] * len(planes)
+    pred = [0] * len(comp_coefs)
     mcu_index = 0
     stream: list[tuple[int, list]] = []  # (table_class, tokens) per block
     for count, (ci, by, bx) in enumerate(mcu_blocks()):
         if count % blocks_per_mcu == 0:  # a new MCU starts here
             if restart_interval and mcu_index and mcu_index % restart_interval == 0:
-                pred = [0] * len(planes)
+                pred = [0] * len(comp_coefs)
                 stream.append((-1, [mcu_index // restart_interval - 1]))
             mcu_index += 1
         z = block_at(ci, by, bx)
@@ -380,44 +416,358 @@ def encode_jpeg(
     entropy.extend(bw.out)
 
     # ---- markers
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
-
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    for ti, q in enumerate(qtables):
-        body = bytes([ti]) + bytes(int(q[r, c]) for r, c in ZIGZAG)
-        out += seg(0xDB, body)
+    out = _jpeg_headers(grey, h, w, samp, qtables, sof_marker=0xC0)
     ncomp = 1 if grey else 3
-    sof = struct.pack(">BHHB", 8, h, w, ncomp)
-    for ci in range(ncomp):
-        sh, sv = samp[ci]
-        sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
-    out += seg(0xC0, sof)
     for cls, tabs in ((0, dc_tabs), (1, ac_tabs)):
         for ti, t in enumerate(tabs):
             body = bytes([(cls << 4) | ti]) + bytes(t.bits) + bytes(t.values)
-            out += seg(0xC4, body)
+            out += _seg(0xC4, body)
     if restart_interval:
-        out += seg(0xDD, struct.pack(">H", restart_interval))
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
     for ci in range(ncomp):
         ti = 0 if ci == 0 else 1
         sos += bytes([ci + 1, (ti << 4) | ti])
     sos += bytes([0, 63, 0])
-    out += seg(0xDA, sos)
+    out += _seg(0xDA, sos)
     out += entropy
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ------------------------------------------------ progressive encoder
+
+
+def _emit_eobrun(bw, collect, eobrun: int, br_bits: list[int]) -> int:
+    """Flush a pending EOB run (+ any buffered correction bits)."""
+    if eobrun > 0:
+        nbits = eobrun.bit_length() - 1
+        sym = nbits << 4
+        if collect is not None:
+            collect.append(sym)
+        else:
+            code, length = bw[0].enc[sym]
+            bw[1].write(code, length)
+            if nbits:
+                bw[1].write(eobrun - (1 << nbits), nbits)
+    if collect is None:
+        for bit in br_bits:
+            bw[1].write(bit, 1)
+    br_bits.clear()
+    return 0
+
+
+def _scan_blocks_prog(comp_order, comp_coefs, samp, w, h):
+    """Block stream for a progressive scan, mirroring the decoder's
+    _scan_units (444/grey: every component grid equals the MCU grid)."""
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    if len(comp_order) > 1:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in comp_order:
+                    sh, sv = samp[ci]
+                    for v in range(sv):
+                        for u in range(sh):
+                            cz = comp_coefs[ci]
+                            by = min(my * sv + v, cz.shape[0] - 1)
+                            bx = min(mx * sh + u, cz.shape[1] - 1)
+                            yield ci, cz[by, bx]
+    else:
+        ci = comp_order[0]
+        cz = comp_coefs[ci]
+        for by in range(cz.shape[0]):
+            for bx in range(cz.shape[1]):
+                yield ci, cz[by, bx]
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray, quality: int = 90
+) -> bytes:
+    """Encode as PROGRESSIVE JFIF (SOF2) with a spectral-selection +
+    successive-approximation scan script (the shape libjpeg's default
+    progressive mode uses): DC first at Al=1, AC bands 1-5 / 6-63 at
+    Al=2 per component, then DC and AC refinement scans down to Al=0.
+    Transports the SAME quantized coefficients as :func:`encode_jpeg`
+    (4:4:4), so decode(progressive) == decode(baseline) pixel-exactly —
+    the round-trip tests pin that identity.  Huffman tables are emitted
+    per scan (self-built, stream-defined)."""
+    grey, h, w, samp, qtables, comp_coefs = _prepare_components(
+        pixels, quality, "444"
+    )
+    ncomp = 1 if grey else 3
+    all_comps = list(range(ncomp))
+    # (kind, comps, Ss, Se, Ah, Al)
+    scans = [("dc_first", all_comps, 0, 0, 0, 1)]
+    for ci in all_comps:
+        scans.append(("ac_first", [ci], 1, 5, 0, 2))
+        scans.append(("ac_first", [ci], 6, 63, 0, 2))
+    scans.append(("dc_refine", all_comps, 0, 0, 1, 0))
+    for ci in all_comps:
+        scans.append(("ac_refine", [ci], 1, 63, 2, 1))
+    for ci in all_comps:
+        scans.append(("ac_refine", [ci], 1, 63, 1, 0))
+
+    out = _jpeg_headers(grey, h, w, samp, qtables, sof_marker=0xC2)
+
+    for kind, comp_order, Ss, Se, Ah, Al in scans:
+        # pass 1 collects Huffman symbols; pass 2 emits bits
+        table = None
+        for phase in ("collect", "emit"):
+            collect: list[int] | None = [] if phase == "collect" else None
+            writer = _BitWriter() if phase == "emit" else None
+            bw = (table, writer)
+            pred = {ci: 0 for ci in comp_order}
+            eobrun = 0
+            br_bits: list[int] = []
+
+            def emit_sym(sym, extra=0, nbits=0):
+                if collect is not None:
+                    collect.append(sym)
+                else:
+                    code, length = table.enc[sym]
+                    writer.write(code, length)
+                    if nbits:
+                        writer.write(extra, nbits)
+
+            for ci, z in _scan_blocks_prog(comp_order, comp_coefs, samp, w, h):
+                if kind == "dc_first":
+                    val = int(z[0]) >> Al  # DC point transform: arithmetic
+                    diff = val - pred[ci]
+                    pred[ci] = val
+                    size = _size_cat(diff)
+                    emit_sym(size, _mag_bits(diff, size), size)
+                elif kind == "dc_refine":
+                    if collect is None:
+                        writer.write((int(z[0]) >> Al) & 1, 1)
+                elif kind == "ac_first":
+                    k = Ss
+                    r = 0
+                    while k <= Se:
+                        v = int(z[k])
+                        # AC point transform: magnitude shift toward zero
+                        t = -((-v) >> Al) if v < 0 else v >> Al
+                        if t == 0:
+                            r += 1
+                        else:
+                            eobrun = _emit_eobrun(bw, collect, eobrun, br_bits)
+                            while r > 15:
+                                emit_sym(0xF0)
+                                r -= 16
+                            size = _size_cat(t)
+                            emit_sym((r << 4) | size, _mag_bits(t, size), size)
+                            r = 0
+                        k += 1
+                    if r > 0:
+                        eobrun += 1
+                        if eobrun == 0x7FFF:
+                            eobrun = _emit_eobrun(bw, collect, eobrun, br_bits)
+                else:  # ac_refine
+                    p1 = 1 << Al
+                    absv = []
+                    eob_idx = Ss - 1  # last newly-significant index
+                    for k in range(Ss, Se + 1):
+                        v = int(z[k])
+                        t = (-v if v < 0 else v) >> Al
+                        absv.append(t)
+                        if t == 1:
+                            eob_idx = k
+                    r = 0
+                    pending: list[int] = []  # correction bits of this block
+                    for k in range(Ss, Se + 1):
+                        t = absv[k - Ss]
+                        if t == 0:
+                            r += 1
+                            continue
+                        # ZRLs are needed BEFORE deciding correction vs
+                        # newly-significant (libjpeg jcphuff: past the
+                        # last new significant, runs fold into the EOB)
+                        while r > 15 and k <= eob_idx:
+                            eobrun = _emit_eobrun(bw, collect, eobrun, br_bits)
+                            emit_sym(0xF0)
+                            if collect is None:
+                                for bit in pending:
+                                    writer.write(bit, 1)
+                            pending.clear()
+                            r -= 16
+                        if t > 1:
+                            # already significant: buffer a correction bit
+                            pending.append(t & 1)
+                            continue
+                        # newly significant (t == 1)
+                        eobrun = _emit_eobrun(bw, collect, eobrun, br_bits)
+                        emit_sym((r << 4) | 1)
+                        if collect is None:
+                            writer.write(1 if int(z[k]) >= 0 else 0, 1)
+                            for bit in pending:
+                                writer.write(bit, 1)
+                        pending.clear()
+                        r = 0
+                    if r > 0 or pending:
+                        eobrun += 1
+                        br_bits.extend(pending)
+                        if eobrun == 0x7FFF or len(br_bits) > 900:
+                            eobrun = _emit_eobrun(bw, collect, eobrun, br_bits)
+            # end of scan: flush any pending EOB run
+            if kind in ("ac_first", "ac_refine"):
+                eobrun = _emit_eobrun(bw, collect, eobrun, br_bits)
+            if phase == "collect":
+                table = _build_table(collect) if collect else None
+            else:
+                writer.flush()
+                # DHT (when the scan uses Huffman symbols) + SOS + data
+                needs_table = kind != "dc_refine"
+                cls = 0 if kind.startswith("dc") else 1
+                if needs_table and table is not None:
+                    body = (
+                        bytes([(cls << 4) | 0])
+                        + bytes(table.bits)
+                        + bytes(table.values)
+                    )
+                    out += _seg(0xC4, body)
+                sos = bytes([len(comp_order)])
+                for ci in comp_order:
+                    sos += bytes([ci + 1, 0])  # table 0 for both classes
+                sos += bytes([Ss, Se, (Ah << 4) | Al])
+                out += _seg(0xDA, sos)
+                out += writer.out
+    out += b"\xff\xd9"
     return bytes(out)
 
 
 # ---------------------------------------------------------- decoder
 
 
+def _read_entropy(data: bytes, start: int) -> tuple[list[bytes], int]:
+    """Unstuff an entropy-coded segment: returns (segments split at
+    RSTn markers, position of the next real marker)."""
+    segments: list[bytes] = []
+    cur = bytearray()
+    p = start
+    while p < len(data):
+        byte = data[p]
+        if byte == 0xFF and p + 1 < len(data):
+            nxt = data[p + 1]
+            if nxt == 0x00:
+                cur.append(0xFF)
+                p += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                p += 2
+                continue
+            break  # EOI or next real marker
+        cur.append(byte)
+        p += 1
+    segments.append(bytes(cur))
+    return segments, p
+
+
+def _ac_first_block(z, br, ac_tab, Ss, Se, Al, eobrun):
+    """AC coefficients of ONE block in a first (Ah=0) scan — also the
+    baseline AC path (Ss=1, Se=63, Al=0; EOB == an EOBRUN of 1)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = Ss
+    while k <= Se:
+        sym = ac_tab.decode(br)
+        r, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if r != 15:
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.read_bits(r)
+                break
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > Se:
+            raise ValueError("JPEG: AC coefficient overflow")
+        z[k] = _extend(br.read_bits(s), s) << Al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(z, br, ac_tab, Ss, Se, Al, eobrun):
+    """AC successive-approximation refinement of ONE block (T.81
+    G.1.2.3; the libjpeg decode_mcu_AC_refine structure): correction
+    bits ride on already-nonzero coefficients, (run, 1) symbols place
+    newly-significant ones, EOB runs cover whole blocks whose remaining
+    band has corrections only."""
+    p1 = 1 << Al
+    m1 = -p1
+    k = Ss
+    if eobrun == 0:
+        while k <= Se:
+            sym = ac_tab.decode(br)
+            r, s = sym >> 4, sym & 0x0F
+            sval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                # r == 15: skip 16 zero-HISTORY coefficients
+            else:
+                if s != 1:
+                    raise ValueError("JPEG: bad refinement symbol")
+                sval = p1 if br.read_bit() else m1
+            while k <= Se:
+                if z[k] != 0:
+                    if br.read_bit() and (z[k] & p1) == 0:
+                        z[k] += p1 if z[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if sval and k <= Se:
+                z[k] = sval
+            k += 1
+    if eobrun > 0:
+        while k <= Se:
+            if z[k] != 0:
+                if br.read_bit() and (z[k] & p1) == 0:
+                    z[k] += p1 if z[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _scan_units(scan_comps, mcus_x, mcus_y, width, height, hmax, vmax):
+    """Entropy-coded units of a scan: lists of (comp, block_index).
+    Interleaved (ns > 1): one unit per MCU with every component's h*v
+    blocks.  Single-component: one unit per block of the COMPONENT's
+    own grid (T.81 A.2.2), raster order."""
+    if len(scan_comps) > 1:
+        for mcu in range(mcus_x * mcus_y):
+            my, mx = divmod(mcu, mcus_x)
+            unit = []
+            for c in scan_comps:
+                for v in range(c["v"]):
+                    for u in range(c["h"]):
+                        by, bx = my * c["v"] + v, mx * c["h"] + u
+                        unit.append((c, by * c["bw"] + bx))
+            yield unit
+    else:
+        c = scan_comps[0]
+        cw = -(-(width * c["h"]) // hmax)
+        ch = -(-(height * c["v"]) // vmax)
+        nbx, nby = -(-cw // 8), -(-ch // 8)
+        for by in range(nby):
+            for bx in range(nbx):
+                yield [(c, by * c["bw"] + bx)]
+
+
 def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode a baseline (SOF0/SOF1) JPEG to (width, height, HxWxC uint8)
-    — C is 1 for greyscale, 3 (RGB) otherwise.  Progressive (SOF2),
-    arithmetic coding and hierarchical modes raise NotImplementedError."""
+    """Decode a baseline (SOF0/SOF1) or progressive (SOF2) JPEG to
+    (width, height, HxWxC uint8) — C is 1 for greyscale, 3 (RGB)
+    otherwise.  Arithmetic coding and hierarchical modes raise
+    NotImplementedError."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: bad SOI")
     pos = 2
@@ -426,7 +776,9 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
     comps: list[dict] = []
     height = width = None
     restart_interval = 0
-    entropy = None
+    progressive = False
+    saw_scan = False
+    mcus_x = mcus_y = hmax = vmax = 0
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             pos += 1
@@ -465,7 +817,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
                 values = list(body[b + 17 : b + 17 + n])
                 huff[(cls, tid)] = _HuffTable(bits, values)
                 b += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             _prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
             comps = []
             for ci in range(ncomp):
@@ -473,98 +826,79 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
                 )
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
+            mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
+            for c in comps:
+                c["bw"] = mcus_x * c["h"]
+                c["bh"] = mcus_y * c["v"]
+                c["zz"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0}: only baseline sequential is supported"
+                f"JPEG SOF{marker - 0xC0}: lossless/arithmetic/hierarchical "
+                "modes are unsupported (baseline and progressive only)"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
-        elif marker == 0xDA:  # SOS — entropy data follows
+        elif marker == 0xDA:  # SOS — one scan's entropy data follows
+            if not comps:
+                raise ValueError("JPEG: SOS before SOF")
             ns = body[0]
+            scan_comps = []
             for si in range(ns):
                 cid, tsel = body[1 + 2 * si], body[2 + 2 * si]
                 for comp in comps:
                     if comp["id"] == cid:
                         comp["td"] = tsel >> 4
                         comp["ta"] = tsel & 0x0F
-            entropy_start = pos + 2 + length
-            # scan to EOI / next marker, unstuffing 0xFF00 and dropping RSTn
-            segments = []  # entropy split at restart markers
-            cur = bytearray()
-            p = entropy_start
-            while p < len(data):
-                byte = data[p]
-                if byte == 0xFF and p + 1 < len(data):
-                    nxt = data[p + 1]
-                    if nxt == 0x00:
-                        cur.append(0xFF)
-                        p += 2
-                        continue
-                    if 0xD0 <= nxt <= 0xD7:
-                        segments.append(bytes(cur))
-                        cur = bytearray()
-                        p += 2
-                        continue
-                    break  # EOI or next real marker
-                cur.append(byte)
-                p += 1
-            segments.append(bytes(cur))
-            entropy = segments
-            pos = p
-            break
+                        scan_comps.append(comp)
+            Ss, Se, AhAl = body[1 + 2 * ns : 4 + 2 * ns]
+            Ah, Al = AhAl >> 4, AhAl & 0x0F
+            if not progressive:
+                Ss, Se, Ah, Al = 0, 63, 0, 0
+            segments, pos = _read_entropy(data, pos + 2 + length)
+            seg_idx = 0
+            br = _BitReader(segments[0])
+            pred = {c["id"]: 0 for c in scan_comps}
+            eobrun = 0
+            for ui, unit in enumerate(
+                _scan_units(scan_comps, mcus_x, mcus_y, width, height, hmax, vmax)
+            ):
+                if restart_interval and ui and ui % restart_interval == 0:
+                    seg_idx += 1
+                    if seg_idx >= len(segments):
+                        raise ValueError("JPEG: missing restart segment")
+                    br = _BitReader(segments[seg_idx])
+                    pred = {c["id"]: 0 for c in scan_comps}
+                    eobrun = 0
+                for c, bidx in unit:
+                    z = c["zz"][bidx]
+                    if Ss == 0:
+                        if Ah == 0:  # DC first (or baseline full)
+                            dc_tab = huff[(0, c["td"])]
+                            size = dc_tab.decode(br)
+                            diff = _extend(br.read_bits(size), size)
+                            pred[c["id"]] += diff
+                            z[0] = pred[c["id"]] << Al
+                        else:  # DC refinement: one raw bit
+                            if br.read_bit():
+                                z[0] |= 1 << Al
+                    if Se >= max(Ss, 1):
+                        ac_tab = huff[(1, c["ta"])]
+                        if Ah == 0:
+                            eobrun = _ac_first_block(
+                                z, br, ac_tab, max(Ss, 1), Se, Al, eobrun
+                            )
+                        else:
+                            eobrun = _ac_refine_block(
+                                z, br, ac_tab, Ss, Se, Al, eobrun
+                            )
+            saw_scan = True
+            continue  # pos already at the next marker
         pos += 2 + length
-    if height is None or entropy is None:
+    if height is None or not saw_scan:
         raise ValueError("JPEG: missing SOF or SOS")
-
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcus_x = (width + 8 * hmax - 1) // (8 * hmax)
-    mcus_y = (height + 8 * vmax - 1) // (8 * vmax)
-    for c in comps:
-        c["bw"] = mcus_x * c["h"]
-        c["bh"] = mcus_y * c["v"]
-        c["zz"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
-
-    pred = [0] * len(comps)
-    seg_idx = 0
-    br = _BitReader(entropy[0])
-    for mcu in range(mcus_x * mcus_y):
-        if restart_interval and mcu and mcu % restart_interval == 0:
-            seg_idx += 1
-            if seg_idx >= len(entropy):
-                raise ValueError("JPEG: missing restart segment")
-            br = _BitReader(entropy[seg_idx])
-            pred = [0] * len(comps)
-        my, mx = divmod(mcu, mcus_x)
-        for ci, c in enumerate(comps):
-            dc_tab = huff[(0, c["td"])]
-            ac_tab = huff[(1, c["ta"])]
-            for v in range(c["v"]):
-                for u in range(c["h"]):
-                    z = np.zeros(64, dtype=np.int64)
-                    size = dc_tab.decode(br)
-                    diff = _extend(br.read_bits(size), size)
-                    pred[ci] += diff
-                    z[0] = pred[ci]
-                    k = 1
-                    while k < 64:
-                        sym = ac_tab.decode(br)
-                        if sym == 0x00:  # EOB
-                            break
-                        run = sym >> 4
-                        size = sym & 0x0F
-                        if size == 0:
-                            if run != 15:
-                                raise ValueError("JPEG: bad AC symbol")
-                            k += 16  # ZRL
-                            continue
-                        k += run
-                        if k > 63:
-                            raise ValueError("JPEG: AC coefficient overflow")
-                        z[k] = _extend(br.read_bits(size), size)
-                        k += 1
-                    by, bx = my * c["v"] + v, mx * c["h"] + u
-                    c["zz"][by * c["bw"] + bx] = z
 
     # dequantize + batch IDCT per component
     A = _DCT_A

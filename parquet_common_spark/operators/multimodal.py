@@ -90,8 +90,9 @@ def _decode_media(media_type: str, payload: bytes) -> tuple[int, int, int]:
         return (w, h, 1)
     if fmt == "jpeg":
         try:
-            # full baseline pixel decode (functions/jpegcodec.py);
-            # progressive/arithmetic streams fall back to geometry-only
+            # full pixel decode, baseline AND progressive
+            # (functions/jpegcodec.py); lossless/arithmetic streams
+            # fall back to geometry-only
             from parquet_common_spark.functions import jpegcodec as JC
 
             w, h, _pixels = JC.decode_jpeg(payload)
@@ -190,11 +191,12 @@ RESIZED_SCHEMA = StructType(
 
 
 def resize_media(df: DataFrame, max_side: int = 256) -> DataFrame:
-    """Resize for image rows.  PNG and baseline-JPEG payloads take the
-    REAL path: pixel decode -> nearest-neighbor resample -> re-encode
-    (stdlib codecs in functions/mediacodec.py + functions/jpegcodec.py).
-    Other payloads compute the target geometry and pass bytes through
-    (progressive JPEG, synthetic payloads)."""
+    """Resize for image rows.  PNG and JPEG (baseline + progressive)
+    payloads take the REAL path: pixel decode -> nearest-neighbor
+    resample -> re-encode (stdlib codecs in functions/mediacodec.py +
+    functions/jpegcodec.py).  Other payloads compute the target
+    geometry and pass bytes through (synthetic payloads; lossless/
+    arithmetic JPEG)."""
 
     def resize(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:
         import pandas as pd
@@ -216,7 +218,7 @@ def resize_media(df: DataFrame, max_side: int = 256) -> DataFrame:
                 elif fmt == "jpeg":
                     try:
                         w, h, pixels = JC.decode_jpeg(raw)
-                    except NotImplementedError:  # progressive: geometry only
+                    except NotImplementedError:  # lossless/arithmetic: geometry only
                         w, h = MC.jpeg_dimensions(raw)
                 elif mt in ("image", "video"):
                     w, h, _ = _decode_media(mt, raw)

@@ -98,17 +98,68 @@ def test_geometry_agrees_with_sof_parser():
     assert MC.jpeg_dimensions(data) == (34, 10)
 
 
-def test_progressive_raises_not_implemented():
+def test_unsupported_modes_raise():
     img = np.zeros((8, 8), dtype=np.uint8)
     data = bytearray(J.encode_jpeg(img))
-    # rewrite the SOF0 marker (FF C0) to SOF2 (progressive)
+    # rewrite SOF0 to SOF3 (lossless) — genuinely unsupported
     i = bytes(data).find(b"\xff\xc0")
     assert i > 0
-    data[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="baseline"):
+    data[i + 1] = 0xC3
+    with pytest.raises(NotImplementedError, match="baseline and progressive"):
         J.decode_jpeg(bytes(data))
     with pytest.raises(ValueError, match="SOI"):
         J.decode_jpeg(b"not a jpeg")
+
+
+# -------------------------------------------------- progressive (SOF2)
+#
+# encode_jpeg_progressive transports the SAME quantized coefficients as
+# the baseline encoder, so decode(progressive) must equal
+# decode(baseline) PIXEL-EXACTLY — any defect in the EOB-run /
+# correction-bit / successive-approximation logic breaks the identity.
+
+
+def _assert_progressive_identity(img, quality):
+    base = J.decode_jpeg(J.encode_jpeg(img, quality=quality, subsampling="444"))
+    prog = J.decode_jpeg(J.encode_jpeg_progressive(img, quality=quality))
+    assert base[:2] == prog[:2]
+    assert np.array_equal(base[2], prog[2]), "progressive != baseline pixels"
+    return prog
+
+
+def test_progressive_flat_and_smooth():
+    _assert_progressive_identity(np.full((16, 24), 130, dtype=np.uint8), 90)
+    x = np.linspace(0, 255, 32)
+    gx, gy = np.meshgrid(x, x)
+    rgb = np.stack([gx, gy, (gx + gy) / 2], axis=2).astype(np.uint8)
+    _assert_progressive_identity(rgb, 95)
+
+
+def test_progressive_noise_exercises_all_scan_paths():
+    """Random noise keeps every coefficient band busy: EOB runs, ZRL in
+    refinement scans, newly-significant placements and correction bits
+    all fire.  Also odd geometry (edge-block replication)."""
+    rng = np.random.default_rng(11)
+    for shape, q in (((24, 40, 3), 85), ((17, 13, 3), 70), ((9, 25), 95)):
+        img = rng.integers(0, 256, size=shape).astype(np.uint8)
+        _assert_progressive_identity(img, q)
+
+
+def test_progressive_low_quality_long_eob_runs():
+    """Very low quality zeroes most coefficients — long cross-block EOB
+    runs in both first and refinement scans."""
+    rng = np.random.default_rng(13)
+    img = (rng.normal(128, 6, size=(48, 48, 3))).clip(0, 255).astype(np.uint8)
+    _assert_progressive_identity(img, 10)
+
+
+def test_progressive_stream_is_sof2():
+    img = np.zeros((8, 8), dtype=np.uint8)
+    data = J.encode_jpeg_progressive(img)
+    assert b"\xff\xc2" in data and b"\xff\xc0" not in data
+    assert MC.jpeg_dimensions(data) == (8, 8)  # SOF scan still works
+    # multiple SOS scans present (DC first + AC bands + refinements)
+    assert data.count(b"\xff\xda") >= 4
 
 
 def test_multimodal_decodes_and_resizes_real_jpeg(spark):
