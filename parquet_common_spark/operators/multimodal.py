@@ -1,17 +1,18 @@
 """Multimodal column plumbing: opaque binary media + typed metadata.
 
 The decode step is REAL for the formats a stdlib-only container can
-honestly decode (functions/mediacodec.py): PNG full pixel decode
-(zlib inflate + scanline unfilter), JPEG header geometry, WAV
-frame-count parse — detected by magic bytes.  Payloads with no known
-container magic (the synthetic corpus attach_fake_media builds) fall
-back to a deterministic synthetic decode so the plumbing tests stay
-closed-form; real video containers raise NotImplementedError (no
-stdlib demuxer — wire libav/PyAV in production).  The Spark-side shape
-is the part that matters at 100 TB and is final either way: binary
-columns, typed metadata structs, Arrow-batched mapInPandas with an
-explicit output schema, batch-shape control via maxRecordsPerBatch,
-map-only plans.
+honestly decode: PNG full pixel decode at every bit depth incl. Adam7
+(functions/mediacodec.py), JPEG full pixel decode — baseline AND
+progressive (functions/jpegcodec.py), WAV PCM sample decode, MP4
+ISO-BMFF metadata (geometry/duration/frame counts) — detected by magic
+bytes.  Payloads with no known container magic (the synthetic corpus
+attach_fake_media builds) fall back to a deterministic synthetic
+decode so the plumbing tests stay closed-form; video FRAME decode
+still needs codecs (libav/PyAV in production) and stays a stub.  The
+Spark-side shape is the part that matters at 100 TB and is final
+either way: binary columns, typed metadata structs, Arrow-batched
+mapInPandas with an explicit output schema, batch-shape control via
+maxRecordsPerBatch, map-only plans.
 """
 
 from __future__ import annotations
