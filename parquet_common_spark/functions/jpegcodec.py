@@ -484,18 +484,18 @@ def _scan_blocks_prog(comp_order, comp_coefs, samp, w, h):
 
 
 def encode_jpeg_progressive(
-    pixels: np.ndarray, quality: int = 90
+    pixels: np.ndarray, quality: int = 90, subsampling: str = "444"
 ) -> bytes:
     """Encode as PROGRESSIVE JFIF (SOF2) with a spectral-selection +
     successive-approximation scan script (the shape libjpeg's default
     progressive mode uses): DC first at Al=1, AC bands 1-5 / 6-63 at
     Al=2 per component, then DC and AC refinement scans down to Al=0.
-    Transports the SAME quantized coefficients as :func:`encode_jpeg`
-    (4:4:4), so decode(progressive) == decode(baseline) pixel-exactly —
-    the round-trip tests pin that identity.  Huffman tables are emitted
-    per scan (self-built, stream-defined)."""
+    Transports the SAME quantized coefficients as :func:`encode_jpeg`,
+    so decode(progressive) == decode(baseline) pixel-exactly — the
+    round-trip tests pin that identity (4:4:4 and 4:2:0).  Huffman
+    tables are emitted per scan (self-built, stream-defined)."""
     grey, h, w, samp, qtables, comp_coefs = _prepare_components(
-        pixels, quality, "444"
+        pixels, quality, subsampling
     )
     ncomp = 1 if grey else 3
     all_comps = list(range(ncomp))

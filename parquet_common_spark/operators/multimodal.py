@@ -126,8 +126,17 @@ def decode_media(df: DataFrame, batch_size: int = 1024) -> DataFrame:
     def decode_batches(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:
         import pandas as pd
 
+        def safe(mt, p):
+            # a corrupt payload in a billion-document corpus must NOT
+            # kill the job: undecodable rows yield NULL metadata (the
+            # pipeline can filter `width IS NULL` into a quarantine)
+            try:
+                return _decode_media(mt, p)
+            except Exception:  # noqa: BLE001 — any malformed container
+                return (None, None, None)
+
         for pdf in batches:
-            meta = [_decode_stub(mt, bytes(p)) for mt, p in zip(pdf["media_type"], pdf["payload"])]
+            meta = [safe(mt, bytes(p)) for mt, p in zip(pdf["media_type"], pdf["payload"])]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

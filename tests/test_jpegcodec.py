@@ -181,3 +181,40 @@ def test_multimodal_decodes_and_resizes_real_jpeg(spark):
     w, h, pixels = J.decode_jpeg(bytes(out["payload"]))
     assert (w, h) == (out["width"], out["height"])
     assert abs(int(pixels[:, :, 0].mean()) - 200) < 10
+
+
+def test_progressive_420_identity():
+    rng = np.random.default_rng(5)
+    for shape in ((24, 40, 3), (17, 13, 3)):
+        img = rng.integers(0, 256, size=shape).astype(np.uint8)
+        base = J.decode_jpeg(J.encode_jpeg(img, quality=85, subsampling="420"))
+        prog = J.decode_jpeg(
+            J.encode_jpeg_progressive(img, quality=85, subsampling="420")
+        )
+        assert np.array_equal(base[2], prog[2])
+
+
+def test_corrupt_payloads_yield_null_metadata(spark):
+    """decode_media must survive malformed containers: truncated/garbage
+    payloads with valid magic produce NULL metadata rows, not job
+    failure (quarantine via `width IS NULL` at scale)."""
+    from parquet_common_spark.functions import mediacodec as MC
+    from parquet_common_spark.operators.multimodal import decode_media
+
+    good = J.encode_jpeg(np.zeros((8, 8), dtype=np.uint8))
+    rows = [
+        (1, "image", bytearray(good)),
+        (2, "image", bytearray(MC.PNG_SIGNATURE + b"\x00garbage" * 4)),
+        (3, "image", bytearray(b"\xff\xd8\xff\xe0truncated")),
+        (4, "video", bytearray(b"\x00\x00\x00\x08ftyp")),  # truncated mp4
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, media_type string, payload binary"
+    )
+    got = {r["doc_id"]: r for r in decode_media(df).collect()}
+    assert got[1]["width"] == 8
+    assert got[2]["width"] is None and got[2]["n_frames"] is None
+    assert got[3]["width"] is None
+    # truncated mp4 still yields the (0, 0, 0) metadata parse or NULLs -
+    # either way no exception escapes
+    assert got[4]["n_bytes"] == 8
