@@ -26,7 +26,7 @@ _CHECK_WINDOW = [
     # r5 TAIL — driver-checked last in <=r4, judge-verified in r5 — so
     # every family is driver-checked at most 2 rounds stale
     "d2_minhash_lsh_dedup", "t2_quality_scores", "sim2_lsh_topk",
-    "mm2_frame_sampling", "d6_duplicate_clusters", "c1_curation_pipeline",
+    "mm2_frame_sampling", "d6_duplicate_clusters",
     "t5_tfidf_terms", "sim4_quantized_topk", "p2_deterministic_sample",
     "sim3_ivf_topk", "w3_moving_avg_events", "g1_rollup_revenue",
     "s1_nation_setops", "e1_event_type_stats",
@@ -51,6 +51,9 @@ _CHECK_WINDOW = [
     # arg, limit_ratio NaN, ts_of_* tiebreak, range validation -> pq1)
     "d7_benchmark_decontam", "p5_sequence_packing",
     "c2_curation_pipeline_v2", "pq1_promql_engine",
+    # new this round: the real PNG codec through the gate (c1 yields its
+    # slot — its superset pipeline c2 stays in the window)
+    "mm5_png_pixel_checksum",
 ]
 
 

@@ -284,10 +284,19 @@ def _png_chunk(ctype: bytes, body: bytes) -> bytes:
     )
 
 
-def encode_png(pixels: np.ndarray, bitdepth: int = 8) -> bytes:
-    """Encode an HxW, HxWx1/2/3/4 array as a valid PNG (filter 0
-    scanlines, one zlib IDAT).  ``bitdepth`` 8 (uint8 input) or 16
-    (uint16 input, big-endian samples on the wire)."""
+def encode_png(
+    pixels: np.ndarray,
+    bitdepth: int = 8,
+    filters: int | list[int] | None = None,
+) -> bytes:
+    """Encode an HxW, HxWx1/2/3/4 array as a valid PNG (one zlib IDAT).
+    ``bitdepth`` 8 (uint8 input) or 16 (uint16, big-endian on the wire).
+
+    ``filters``: per-scanline filter type — None/0 writes unfiltered
+    rows; an int applies that filter to every row; a list is cycled
+    row by row.  Filtering the ENCODE side is fully vectorized (unlike
+    decode, every predictor input is an original byte, so Sub/Up/
+    Average/Paeth are shifted-matrix arithmetic — no sequential scan)."""
     if bitdepth not in (8, 16):
         raise ValueError(f"unsupported encode bit depth {bitdepth}")
     arr = np.asarray(pixels, dtype=np.uint8 if bitdepth == 8 else np.uint16)
@@ -305,10 +314,42 @@ def encode_png(pixels: np.ndarray, bitdepth: int = 8) -> bytes:
         body[:, 1::2] = (flat & 0xFF).astype(np.uint8)
     else:
         body = arr.reshape(height, width * channels)
-    stride_rows = np.concatenate(
-        [np.zeros((height, 1), dtype=np.uint8), body], axis=1
-    )  # filter byte 0 per scanline
-    idat = zlib.compress(stride_rows.tobytes(), 6)
+    if filters is None:
+        ftypes = [0] * height
+    elif isinstance(filters, int):
+        ftypes = [filters] * height
+    else:
+        ftypes = [filters[y % len(filters)] for y in range(height)]
+    if any(f not in (0, 1, 2, 3, 4) for f in ftypes):
+        raise ValueError("PNG filter types must be 0-4")
+    if all(f == 0 for f in ftypes):
+        stride_rows = np.concatenate(
+            [np.zeros((height, 1), dtype=np.uint8), body], axis=1
+        )
+        raw = stride_rows.tobytes()
+    else:
+        bpp = channels * (bitdepth // 8)
+        b = body.astype(np.int32)
+        left = np.zeros_like(b)
+        left[:, bpp:] = b[:, :-bpp]
+        up = np.zeros_like(b)
+        up[1:] = b[:-1]
+        upleft = np.zeros_like(b)
+        upleft[1:, bpp:] = b[:-1, :-bpp]
+        # Paeth predictor, vectorized over the whole byte matrix
+        p = left + up - upleft
+        pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - upleft)
+        paeth = np.where(
+            (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, upleft)
+        )
+        preds = {0: np.zeros_like(b), 1: left, 2: up,
+                 3: (left + up) >> 1, 4: paeth}
+        out = bytearray()
+        for y, f in enumerate(ftypes):
+            out.append(f)
+            out.extend(((b[y] - preds[f][y]) & 0xFF).astype(np.uint8).tobytes())
+        raw = bytes(out)
+    idat = zlib.compress(raw, 6)
     return (
         PNG_SIGNATURE
         + _png_chunk(b"IHDR", ihdr)

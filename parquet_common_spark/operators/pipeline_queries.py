@@ -532,6 +532,69 @@ def mm4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audio_features(attach_fake_media(docs)).orderBy("doc_id")
 
 
+@query(
+    "mm5_png_pixel_checksum",
+    """
+    WITH d AS (SELECT doc_id, CAST(doc_id % 12 + 4 AS INT) AS width,
+                      CAST(doc_id % 16 + 5 AS INT) AS height
+               FROM documents WHERE doc_id < 64),
+    g AS (SELECT d.doc_id, d.width, d.height,
+                 x.range AS x, y.range AS y, c.range AS c
+          FROM d, range(16) x, range(21) y, range(3) c
+          WHERE x.range < d.width AND y.range < d.height)
+    SELECT doc_id, width, height,
+           CAST(SUM((doc_id + x + y + 7*c) % 256) AS BIGINT) AS pixel_sum
+    FROM g GROUP BY doc_id, width, height ORDER BY doc_id
+    """,
+)
+def mm5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL PNG codec through the driver gate: deterministic pixel
+    arrays are encoded with cycling filter types 0-4 (exercising every
+    unfilter path), decoded back, and pixel-checksummed inside an Arrow
+    map stage.  PNG is lossless, so the checksum equals the closed-form
+    sum the DuckDB oracle computes from the pixel definition — any
+    filter/inflate/unfilter defect breaks the hash.  (JPEG is lossy and
+    therefore pytest-pinned instead: decode(progressive)==
+    decode(baseline) identity and quantization-error bounds.)"""
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    ids = docs.where(F.col("doc_id") < 64).select("doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("pixel_sum", LongType()),
+        ]
+    )
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        from parquet_common_spark.functions import mediacodec as MC
+
+        for pdf in it:
+            out = {"doc_id": [], "width": [], "height": [], "pixel_sum": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 12 + 4, d % 16 + 5
+                y, x, c = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+                )
+                pixels = ((d + x + y + 7 * c) % 256).astype(np.uint8)
+                data = MC.encode_png(pixels, filters=[0, 1, 2, 3, 4])
+                dw, dh, got = MC.decode_png(data)
+                out["doc_id"].append(d)
+                out["width"].append(dw)
+                out["height"].append(dh)
+                out["pixel_sum"].append(int(got.astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    return ids.mapInPandas(batches, schema=schema).orderBy("doc_id")
+
+
 # ------------------------------------- d6: duplicate clusters (iterative)
 
 _D6_SQL = f"""
