@@ -170,13 +170,20 @@ def sample_frames(df: DataFrame, every_k: int = 10) -> DataFrame:
     def explode_frames(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:
         import pandas as pd
 
+        from parquet_common_spark.functions import mediacodec as MC
+
         for pdf in batches:
             out = {"doc_id": [], "frame_idx": [], "frame_payload": []}
             for doc_id, mt, payload in zip(pdf["doc_id"], pdf["media_type"], pdf["payload"]):
                 if mt != "video":
                     continue
                 raw = bytes(payload)
-                n_frames = len(raw) % 300 + 1  # matches _decode_stub
+                if MC.sniff_media(raw) == "mp4":
+                    # real frame count from the box walk (frame PAYLOAD
+                    # extraction still needs codecs — stub slices)
+                    n_frames = MC.mp4_info(raw)[3]
+                else:
+                    n_frames = len(raw) % 300 + 1  # matches _decode_stub
                 for idx in range(0, n_frames, every_k):
                     # STUB frame: a deterministic slice standing in for a
                     # decoded frame buffer

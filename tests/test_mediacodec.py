@@ -448,3 +448,22 @@ def test_audio_features_operator(spark):
     synth = got[2]
     assert synth["rms"] is None and synth["peak"] is None
     assert synth["n_frames"] == len(b"no-magic-synthetic-payload") % 48000 + 1
+
+
+def test_sample_frames_uses_real_mp4_count(spark):
+    """For real mp4 payloads the frame GRID comes from the stts box walk
+    (45 frames -> indices 0,10,20,30,40 at every_k=10); magic-less rows
+    keep the synthetic count."""
+    from parquet_common_spark.operators.multimodal import sample_frames
+
+    rows = [
+        (1, "video", bytearray(_hand_mp4())),
+        (2, "video", bytearray(b"plain-synthetic")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media_type string, payload binary")
+    got = {}
+    for r in sample_frames(df, every_k=10).collect():
+        got.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert sorted(got[1]) == [0, 10, 20, 30, 40]
+    synth_frames = len(b"plain-synthetic") % 300 + 1
+    assert sorted(got[2]) == list(range(0, synth_frames, 10))
