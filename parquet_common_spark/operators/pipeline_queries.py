@@ -533,6 +533,45 @@ def mm4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "x2_doc_chunking",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents WHERE doc_id < 300),
+    c AS (
+      SELECT doc_id, toks,
+             CAST(CEIL(len(toks) / 24.0) AS INT) AS n_chunks
+      FROM t),
+    e AS (
+      SELECT doc_id, toks, i.range AS chunk_idx
+      FROM c, range(64) i
+      WHERE i.range < GREATEST(n_chunks, 1)),
+    w AS (
+      SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+             toks[chunk_idx*24 + 1 : LEAST(chunk_idx*24 + 32, len(toks))] AS win
+      FROM e)
+    SELECT doc_id, chunk_idx,
+           CAST(len(win) AS INT) AS n_chunk_tokens,
+           array_to_string(win, ' ') AS chunk_text
+    FROM w ORDER BY doc_id, chunk_idx
+    """,
+)
+def x2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-token-window chunking (32-token windows, 8-token overlap,
+    stride 24) — the context-window prep step, map-only Column
+    expressions with posexplode fan-out (operators/text.py
+    chunk_documents); the oracle replays the slice arithmetic with
+    DuckDB list slicing.  range(64) bounds the oracle's index table —
+    the corpus max is well under 64 chunks/doc (ceil guard in tests)."""
+    from parquet_common_spark.operators.text import chunk_documents
+
+    docs = load(spark, sf_dir, "documents")["documents"].where(F.col("doc_id") < 300)
+    return chunk_documents(docs, "doc_id", "text", chunk_tokens=32, overlap=8).orderBy(
+        "doc_id", "chunk_idx"
+    )
+
+
+@query(
     "mm5_png_pixel_checksum",
     """
     WITH d AS (SELECT doc_id, CAST(doc_id % 12 + 4 AS INT) AS width,

@@ -15,7 +15,7 @@ engine can compute it too.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 HASH_P = 1_000_000_007
@@ -215,3 +215,45 @@ def top_bigram_char_fraction(grams: Column, toks: Column) -> Column:
         top.isNotNull() & (total_chars > 0),
         hit_chars.cast("double") / total_chars.cast("double"),
     ).otherwise(F.lit(0.0))
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 32,
+) -> DataFrame:
+    """Fixed-token-window document chunking — the standard pretraining
+    prep step (context windows with overlap so no boundary text is lost
+    to truncation).  One output row per chunk:
+
+        (id_col, chunk_idx, n_chunk_tokens, chunk_text)
+
+    Chunks start at multiples of ``stride = chunk_tokens - overlap``
+    while the start is inside the document; the last chunk may be
+    short.  100 TB shape: pure Column expressions end to end — tokens
+    via split, starts via sequence, the window via slice + array_join,
+    fan-out via posexplode (a generator, NOT a shuffle); the plan stays
+    map-only at any corpus size."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.ceil(n.cast("double") / F.lit(float(stride))).cast("int")
+    starts = F.sequence(
+        F.lit(0), (F.greatest(n_chunks, F.lit(1)) - F.lit(1)) * F.lit(stride), F.lit(stride)
+    )
+    exploded = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.posexplode(starts).alias("chunk_idx", "_start"),
+    )
+    window = F.slice(F.col("_toks"), F.col("_start") + F.lit(1), chunk_tokens)
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        F.size(window).alias("n_chunk_tokens"),
+        F.array_join(window, " ").alias("chunk_text"),
+    )

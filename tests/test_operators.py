@@ -699,3 +699,47 @@ def test_refine_centroids_improves_quantization(spark, sf_dir):
     assert refined.count() == 8
     after = mean_sim(refined)
     assert after >= before - 1e-9, (before, after)
+
+
+def test_chunk_documents_geometry_and_overlap(spark):
+    from parquet_common_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(0, "a b c d e f g h i j"), (1, "x"), (2, "")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        map(tuple, chunk_documents(df, "doc_id", "text", 4, 1).collect())
+    )
+    # stride 3 over 10 tokens: starts 0,3,6,9; last chunk short
+    assert rows == [
+        (0, 0, 4, "a b c d"),
+        (0, 1, 4, "d e f g"),
+        (0, 2, 4, "g h i j"),
+        (0, 3, 1, "j"),
+        (1, 0, 1, "x"),
+        (2, 0, 1, ""),  # empty text == one empty-token chunk (split semantics)
+    ]
+    # coverage: every token appears in at least one chunk; consecutive
+    # chunks share exactly `overlap` tokens
+    toks = "a b c d e f g h i j".split()
+    chunks = [r[3].split(" ") for r in rows if r[0] == 0]
+    assert set(toks) == {t for c in chunks for t in c}
+    for a, b in zip(chunks, chunks[1:]):
+        assert a[-1:] == b[:1]  # overlap 1
+    import pytest
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, "doc_id", "text", 4, 4)
+
+
+def test_chunk_documents_plan_is_map_only(spark):
+    from parquet_common_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    plan = (
+        chunk_documents(df, "doc_id", "text", 8, 2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # posexplode fan-out, zero shuffles
+    assert "Generate" in plan
