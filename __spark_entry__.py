@@ -27,7 +27,7 @@ _CHECK_WINDOW = [
     # every family is driver-checked at most 2 rounds stale
     "d2_minhash_lsh_dedup", "t2_quality_scores", "sim2_lsh_topk",
     "mm2_frame_sampling", "d6_duplicate_clusters",
-    "t5_tfidf_terms", "sim4_quantized_topk", "p2_deterministic_sample",
+    "t5_tfidf_terms", "sim4_quantized_topk",
     "sim3_ivf_topk", "w3_moving_avg_events", "g1_rollup_revenue",
     "s1_nation_setops", "e1_event_type_stats",
     "e4_asof_last_click_before_purchase", "e5_top_users_by_value",
@@ -51,9 +51,10 @@ _CHECK_WINDOW = [
     # arg, limit_ratio NaN, ts_of_* tiebreak, range validation -> pq1)
     "d7_benchmark_decontam", "p5_sequence_packing",
     "c2_curation_pipeline_v2", "pq1_promql_engine",
-    # new this round: the real PNG codec through the gate (c1 yields its
-    # slot — its superset pipeline c2 stays in the window)
-    "mm5_png_pixel_checksum",
+    # new this round: the real PNG codec and the chunking operator
+    # through the gate (c1 and p2 yield their slots — c2 composes c1's
+    # operators, and the p-family keeps p1/p4/p5 in the window)
+    "mm5_png_pixel_checksum", "x2_doc_chunking",
 ]
 
 
