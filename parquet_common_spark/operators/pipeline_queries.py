@@ -1244,3 +1244,61 @@ def c2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select(
         "doc_id", "source", "n_tokens", "cum_tokens", "pack_id", "pack_offset"
     ).orderBy("doc_id")
+
+
+@query(
+    "x3_bpe_pair_counts",
+    r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents),
+    e AS (
+      SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS i
+      FROM t)
+    SELECT a.tok || ' ' || b.tok AS pair, COUNT(*) AS cnt
+    FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+    GROUP BY pair
+    ORDER BY cnt DESC, pair
+    LIMIT 100
+    """,
+)
+def x3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token-pair frequencies — one BPE merge-selection round
+    (the inner loop of tokenizer training).  Spark side is a map-only
+    pair generator (sequence/element_at Column exprs, posexplode) plus
+    ONE map-side-combined hash aggregation; the oracle enumerates the
+    same pairs with a positional self-join."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return T.bpe_pair_counts(docs, "text", top_n=100)
+
+
+@query(
+    "x4_oov_rate",
+    r"""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents),
+    v AS (
+      SELECT token FROM (
+        SELECT token, COUNT(*) AS freq FROM t
+        GROUP BY token ORDER BY freq DESC, token LIMIT 16)),
+    j AS (
+      SELECT t.doc_id, CASE WHEN v.token IS NULL THEN 0 ELSE 1 END AS known
+      FROM t LEFT JOIN v ON t.token = v.token)
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(known) AS BIGINT) AS n_known,
+           ROUND(1.0 - SUM(known) * 1.0 / COUNT(*), 6) AS oov_rate
+    FROM j GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def x4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus top-16
+    vocabulary — the tokenizer-coverage check.  Vocab is built with one
+    bounded aggregation and BROADCAST to the corpus scan (the corpus
+    never shuffles for the membership probe); per-doc stats are the one
+    remaining groupBy.  The synthetic corpus has 31 distinct tokens, so
+    top-16 splits known/unknown nontrivially."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    vocab = T.top_vocabulary(docs, "text", size=16)
+    return T.oov_stats(docs, "doc_id", "text", vocab).orderBy("doc_id")

@@ -257,3 +257,77 @@ def chunk_documents(
         F.size(window).alias("n_chunk_tokens"),
         F.array_join(window, " ").alias("chunk_text"),
     )
+
+
+def adjacent_pairs(col: Column) -> Column:
+    """Adjacent whitespace-token pairs of a document as ``"left right"``
+    strings — the merge-candidate enumeration step of BPE tokenizer
+    training (each merge iteration picks the most frequent adjacent
+    pair).  Pure Column expression: sequence + element_at, no UDF."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(1), F.size(toks) - 1)
+    pairs = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1))
+    )
+    return F.when(F.size(toks) >= 2, pairs).otherwise(F.array().cast("array<string>"))
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str = "text", top_n: int = 100) -> DataFrame:
+    """Global adjacent-pair frequency table — one BPE merge-selection
+    round over the corpus.  Returns the ``top_n`` pairs by count
+    (deterministic tie-break on the pair string).
+
+    100 TB shape: the pair enumeration is a map-only generator
+    (posexplode of a per-doc array, no shuffle); the count is ONE
+    hash aggregation with map-side partial combine, and the key space
+    is bounded by vocab² (tiny next to the corpus), so the shuffle
+    moves only the partial count table.  An actual BPE trainer loops
+    this plan, applying the winning merge between rounds."""
+    pairs = df.select(F.explode(adjacent_pairs(F.col(text_col))).alias("pair"))
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(top_n)
+    )
+
+
+def top_vocabulary(df: DataFrame, text_col: str = "text", size: int = 30000) -> DataFrame:
+    """The ``size`` most frequent whitespace tokens in the corpus
+    (deterministic tie-break on the token), as a one-column frame
+    ``token`` — the fixed-vocabulary construction step."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(size)
+        .select("token")
+    )
+
+
+def oov_stats(
+    df: DataFrame, id_col: str, text_col: str, vocab: DataFrame
+) -> DataFrame:
+    """Per-document out-of-vocabulary statistics against a fixed
+    vocabulary frame (one ``token`` column): token count, in-vocab
+    count, and the OOV fraction (rounded to 6, the registry's ratio
+    convention) — the coverage check run before committing to a
+    tokenizer vocabulary.
+
+    100 TB shape: the vocabulary is broadcast (vocab size is a model
+    constant, ≤ a few hundred thousand strings), so the corpus-side
+    token stream is a map-only broadcast left join followed by ONE
+    groupBy on the document id — a single bounded shuffle.  The
+    explode is a generator, not a shuffle."""
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+    marked = tok.join(
+        F.broadcast(vocab.select("token").withColumn("_known", F.lit(1))), "token", "left"
+    )
+    return marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.coalesce(F.col("_known"), F.lit(0))).cast("long").alias("n_known"),
+        F.round(
+            F.lit(1.0) - F.sum(F.coalesce(F.col("_known"), F.lit(0))) / F.count(F.lit(1)), 6
+        ).alias("oov_rate"),
+    )

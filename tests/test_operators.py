@@ -743,3 +743,52 @@ def test_chunk_documents_plan_is_map_only(spark):
     )
     assert "Exchange" not in plan  # posexplode fan-out, zero shuffles
     assert "Generate" in plan
+
+
+def test_adjacent_pairs_and_bpe_counts(spark):
+    from parquet_common_spark.operators.text import adjacent_pairs, bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(0, "a b a b c"), (1, "a b"), (2, "x"), (3, "")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        r[0]: r[1]
+        for r in df.select("doc_id", adjacent_pairs(F.col("text")).alias("p")).collect()
+    }
+    assert pairs[0] == ["a b", "b a", "a b", "b c"]
+    assert pairs[1] == ["a b"]
+    assert pairs[2] == []  # single token: no pair
+    assert pairs[3] == []  # empty text -> [''] -> no pair
+    counts = [tuple(r) for r in bpe_pair_counts(df, "text", top_n=10).collect()]
+    # 'a b' x3 wins; ties broken by pair string ascending
+    assert counts == [("a b", 3), ("b a", 1), ("b c", 1)]
+
+
+def test_oov_stats_against_fixed_vocab(spark):
+    from parquet_common_spark.operators.text import oov_stats, top_vocabulary
+
+    df = spark.createDataFrame(
+        [(0, "a a b z"), (1, "z z"), (2, "a")],
+        "doc_id long, text string",
+    )
+    vocab = top_vocabulary(df, "text", size=2)  # freq: a=3, z=3, b=1 -> tie-break 'a','z'
+    assert sorted(r[0] for r in vocab.collect()) == ["a", "z"]
+    rows = {r[0]: tuple(r)[1:] for r in oov_stats(df, "doc_id", "text", vocab).collect()}
+    assert rows[0] == (4, 3, 0.25)
+    assert rows[1] == (2, 2, 0.0)
+    assert rows[2] == (1, 1, 0.0)
+
+
+def test_bpe_pair_plan_map_only_before_agg(spark):
+    from parquet_common_spark.operators.text import bpe_pair_counts
+
+    df = spark.createDataFrame([(0, "a b c")], "doc_id long, text string")
+    plan = (
+        bpe_pair_counts(df, "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # one hash aggregation (partial+final) and the TopK sort; the pair
+    # generation itself is a Generate, not a join or extra Exchange
+    assert "Generate" in plan
+    assert "CartesianProduct" not in plan
