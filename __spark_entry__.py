@@ -55,7 +55,15 @@ _CHECK_WINDOW = [
     # through the gate (c1 and p2 yield their slots — c2 composes c1's
     # operators, and the p-family keeps p1/p4/p5 in the window)
     "mm5_png_pixel_checksum", "x2_doc_chunking",
+    # new this round (continuation): tokenizer-training operators.
+    # x1 yields its slot to its own family (x2/x3/x4 all exercise the
+    # same explode+aggregate surface and more); m5 yields to keep the
+    # window at 50 — the m-family retains 11 members incl. the filtered
+    # variant m7, which supersets m5's code path.
+    "x3_bpe_pair_counts", "x4_oov_rate",
 ]
+_CHECK_WINDOW.remove("x1_token_frequencies")
+_CHECK_WINDOW.remove("m5_label_values")
 
 
 def _registry():
