@@ -62,11 +62,18 @@ def vabs(c: Column) -> Column:
 
 
 def vceil(c: Column) -> Column:
-    return F.ceil(c).cast("double")
+    # Go math.Ceil passes NaN/±Inf through; Spark's ceil() returns a
+    # LONG (NaN -> 0, ±Inf would overflow), so pin the non-finite branch
+    # (differential-probe-caught: ceil over a NaN sample returned 0)
+    return F.when(F.isnan(c) | (F.abs(c) == float("inf")), c).otherwise(
+        F.ceil(c).cast("double")
+    )
 
 
 def vfloor(c: Column) -> Column:
-    return F.floor(c).cast("double")
+    return F.when(F.isnan(c) | (F.abs(c) == float("inf")), c).otherwise(
+        F.floor(c).cast("double")
+    )
 
 
 def vexp(c: Column) -> Column:
@@ -109,7 +116,11 @@ def vround(c: Column, nearest: float = 1.0) -> Column:
 
     if nearest == 0 or _math.isnan(nearest):
         return F.when(c.isNotNull(), F.lit(float("nan")))
-    return F.floor(c / F.lit(nearest) + F.lit(0.5)) * F.lit(nearest)
+    # non-finite values pass through (Go floor(NaN)=NaN, floor(±Inf)=±Inf;
+    # Spark's floor() is a LONG — NaN would become 0)
+    return F.when(F.isnan(c) | (F.abs(c) == float("inf")), c).otherwise(
+        F.floor(c / F.lit(nearest) + F.lit(0.5)) * F.lit(nearest)
+    )
 
 
 def clamp(c: Column, lo: float, hi: float) -> Column:

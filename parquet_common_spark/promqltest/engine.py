@@ -721,7 +721,9 @@ class PromQLEngine:
                 # NOT min>max, so the series survives — with value NaN);
                 # Spark's greatest/least order NaN as largest instead
                 F.when(
-                    F.isnan(F.col("_lo")) | F.isnan(F.col("_hi")),
+                    F.isnan(F.col("value"))
+                    | F.isnan(F.col("_lo"))
+                    | F.isnan(F.col("_hi")),
                     F.lit(float("nan")),
                 ).otherwise(
                     F.least(F.greatest(F.col("value"), F.col("_lo")), F.col("_hi"))
@@ -749,10 +751,12 @@ class PromQLEngine:
         j = self._scalar_join(df, hi, "_hi")
         out = j.withColumn(
             "value",
-            # Go math.Min(v, NaN) == NaN; Spark least() would keep v
-            F.when(F.isnan(F.col("_hi")), F.lit(float("nan"))).otherwise(
-                F.least(F.col("value"), F.col("_hi"))
-            ),
+            # Go math.Min propagates NaN from EITHER side; Spark least()
+            # orders NaN largest, so least(NaN, hi) would wrongly keep hi
+            # (differential-probe-caught on a NaN sample)
+            F.when(
+                F.isnan(F.col("value")) | F.isnan(F.col("_hi")), F.lit(float("nan"))
+            ).otherwise(F.least(F.col("value"), F.col("_hi"))),
         ).drop("_hi")
         return ("vector", self._drop_name(out))
 
@@ -769,8 +773,13 @@ class PromQLEngine:
             # makes every value NaN; ANSI Spark would raise on the
             # division instead
             F.when(
-                (F.col("_n") == 0) | F.isnan(F.col("_n")), F.lit(float("nan"))
-            ).otherwise(
+                (F.col("_n") == 0)
+                | F.isnan(F.col("_n"))
+                | F.isnan(F.col("value")),
+                F.lit(float("nan")),
+            )
+            .when(F.abs(F.col("value")) == float("inf"), F.col("value"))
+            .otherwise(
                 F.floor(F.col("value") / F.col("_n") + F.lit(0.5)) * F.col("_n")
             ),
         ).drop("_n")

@@ -97,6 +97,149 @@ def _cmp(op, a, b):
     return _CMPS[op](a, b)
 
 
+def _go_min(a, b):
+    """Go math.Min: NaN propagates (Python's min picks by order)."""
+    if math.isnan(a) or math.isnan(b):
+        return math.nan
+    return min(a, b)
+
+
+def _go_max(a, b):
+    if math.isnan(a) or math.isnan(b):
+        return math.nan
+    return max(a, b)
+
+
+def _dropname(vec: dict) -> dict:
+    """Drop __name__ from every key; a resulting labelset collision is
+    an error, mirroring the engine's 'vector cannot contain metrics
+    with the same labelset' materialization check."""
+    out = {}
+    for k, v in vec.items():
+        nk = frozenset(kv for kv in k if kv[0] != "__name__")
+        if nk in out:
+            raise ValueError("duplicate output labelset after name drop")
+        out[nk] = v
+    return out
+
+
+def _lit(node) -> float:
+    if isinstance(node, NumberLiteral):
+        return float(node.value)
+    if isinstance(node, Unary) and isinstance(node.expr, NumberLiteral):
+        v = float(node.expr.value)
+        return -v if node.op == "-" else v
+    raise ValueError("expected a number literal parameter")
+
+
+def _model_call(node, series, t_ms):
+    import numpy as np
+
+    # element-wise math wrappers: numpy forms follow Go's math package
+    # (NaN flows through, log(0) = -Inf, domain errors = NaN, no raise)
+    def npf(f):
+        def g(v):
+            with np.errstate(all="ignore"):
+                return float(f(np.float64(v)))
+        return g
+
+    fns = {
+        "abs": abs,
+        "ceil": npf(np.ceil),
+        "floor": npf(np.floor),
+        "sgn": lambda v: math.nan if math.isnan(v) else float((v > 0) - (v < 0)),
+        "exp": npf(np.exp),
+        "sqrt": npf(np.sqrt),
+        "ln": npf(np.log),
+        "log2": npf(np.log2),
+        "log10": npf(np.log10),
+        "sin": npf(np.sin),
+        "cos": npf(np.cos),
+        "tan": npf(np.tan),
+        "asin": npf(np.arcsin),
+        "acos": npf(np.arccos),
+        "atan": npf(np.arctan),
+        "sinh": npf(np.sinh),
+        "cosh": npf(np.cosh),
+        "tanh": npf(np.tanh),
+        "asinh": npf(np.arcsinh),
+        "acosh": npf(np.arccosh),
+        "atanh": npf(np.arctanh),
+        "deg": lambda v: v * (180.0 / math.pi),
+        "rad": lambda v: v * (math.pi / 180.0),
+    }
+    if node.func in fns:
+        f = fns[node.func]
+        kind, vec = model_eval(node.args[0], series, t_ms)
+        if kind != "vector":
+            # upstream type-checks: these take an instant vector, a
+            # scalar argument is an error
+            raise ValueError(f"{node.func} over a scalar")
+        return ("vector", _dropname({k: float(f(v)) for k, v in vec.items()}))
+    if node.func == "vector":
+        kind, v = model_eval(node.args[0], series, t_ms)
+        if kind != "scalar":
+            raise ValueError("vector() takes a scalar")
+        return ("vector", {frozenset(): v})
+    if node.func == "scalar":
+        kind, vec = model_eval(node.args[0], series, t_ms)
+        if kind != "vector":
+            raise ValueError("scalar() takes an instant vector")
+        vals = list(vec.values())
+        return ("scalar", vals[0] if len(vals) == 1 else math.nan)
+    if node.func == "timestamp":
+        # grammar only generates timestamp(<selector>): the value is the
+        # RAW sample timestamp in seconds (not the eval time) — the
+        # upstream special case worth probing
+        sel = node.args[0]
+        assert isinstance(sel, VectorSelector)
+        eff = t_ms - (sel.offset_ms or 0)
+        out = {}
+        for labels, samples in series:
+            if not _sel_matches(sel, labels):
+                continue
+            best = None
+            for ts, val in samples:
+                if eff - LOOKBACK_MS < ts <= eff:
+                    if best is None or ts > best[0]:
+                        best = (ts, val)
+            if best is not None:
+                out[frozenset(labels.items())] = best[0] / 1000.0
+        return ("vector", _dropname(out))
+    if node.func in ("clamp", "clamp_min", "clamp_max"):
+        kind, vec = model_eval(node.args[0], series, t_ms)
+        if kind != "vector":
+            raise ValueError(f"{node.func} over a scalar")
+        if node.func == "clamp":
+            lo, hi = _lit(node.args[1]), _lit(node.args[2])
+            # Go: NaN bounds never trigger the min>max empty rule but
+            # propagate NaN into every element (math.Max/Min semantics)
+            if not (math.isnan(lo) or math.isnan(hi)) and lo > hi:
+                return ("vector", {})
+            return ("vector", _dropname(
+                {k: _go_max(lo, _go_min(hi, v)) for k, v in vec.items()}
+            ))
+        b = _lit(node.args[1])
+        f = _go_max if node.func == "clamp_min" else _go_min
+        return ("vector", _dropname({k: f(b, v) for k, v in vec.items()}))
+    if node.func == "round":
+        kind, vec = model_eval(node.args[0], series, t_ms)
+        if kind != "vector":
+            raise ValueError("round over a scalar")
+        to = _lit(node.args[1]) if len(node.args) > 1 else 1.0
+        import numpy as np
+
+        def r(v):
+            # Go funcRound: floor(v/to + 0.5) * to; to == 0 -> v/0 = ±Inf,
+            # floor(±Inf) * 0 = NaN
+            if to == 0 or math.isnan(to):
+                return math.nan
+            with np.errstate(all="ignore"):
+                return float(np.floor(np.float64(v) / to + 0.5) * to)
+        return ("vector", _dropname({k: r(v) for k, v in vec.items()}))
+    raise AssertionError(node.func)
+
+
 def model_eval(node, series, t_ms):
     """-> dict[frozenset(labels.items()) -> value] or ('scalar', v)."""
     if isinstance(node, NumberLiteral):
@@ -105,33 +248,9 @@ def model_eval(node, series, t_ms):
         r = model_eval(node.expr, series, t_ms)
         if r[0] == "scalar":
             return ("scalar", -r[1])
-        return ("vector", {
-            frozenset(kv for kv in k if kv[0] != "__name__"): -v
-            for k, v in r[1].items()
-        })
+        return ("vector", _dropname({k: -v for k, v in r[1].items()}))
     if isinstance(node, Call):
-        # unary math wrappers: apply per element, dropping __name__
-        import numpy as np
-
-        fns = {
-            "abs": abs,
-            # numpy forms: NaN flows through instead of raising
-            "ceil": lambda v: float(np.ceil(np.float64(v))),
-            "floor": lambda v: float(np.floor(np.float64(v))),
-            "sgn": lambda v: math.nan if math.isnan(v) else float((v > 0) - (v < 0)),
-            "exp": math.exp,
-            "sqrt": lambda v: float(np.sqrt(np.float64(v))),  # sqrt(-x) = NaN, no raise
-        }
-        f = fns[node.func]
-        kind, vec = model_eval(node.args[0], series, t_ms)
-        if kind != "vector":
-            # upstream type-checks: these take an instant vector, a
-            # scalar argument is an error
-            raise ValueError(f"{node.func} over a scalar")
-        return ("vector", {
-            frozenset(kv for kv in k if kv[0] != "__name__"): float(f(v))
-            for k, v in vec.items()
-        })
+        return _model_call(node, series, t_ms)
     if isinstance(node, VectorSelector):
         out = {}
         eff = t_ms - (node.offset_ms or 0)
@@ -243,6 +362,64 @@ def model_eval(node, series, t_ms):
                 if setsig(k) not in lsigs_set:
                     out[k] = v
             return ("vector", out)
+        if getattr(node, "group", "one") != "one":
+            if lk != "vector" or rk != "vector":
+                raise ValueError("vector matching with a scalar operand")
+
+            def m1sig(key):
+                labels = dict(key)
+                if node.on is not None:
+                    return frozenset((n, labels.get(n, "")) for n in node.on)
+                drop = set(node.ignoring or []) | {"__name__"}
+                names = (
+                    {n for k in lv for n, _ in k} | {n for k in rv for n, _ in k}
+                ) - drop
+                return frozenset((n, labels.get(n, "")) for n in names)
+
+            many, one = (lv, rv) if node.group == "left" else (rv, lv)
+            one_index = {}
+            for k, v in one.items():
+                s = m1sig(k)
+                if s in one_index:
+                    raise ValueError("duplicate series on the one side")
+                one_index[s] = (k, v)
+            out = {}
+            for k, v in many.items():
+                s = m1sig(k)
+                if s not in one_index:
+                    continue
+                ok, ov = one_index[s]
+                vl, vr = (v, ov) if node.group == "left" else (ov, v)
+                if is_cmp and not node.bool_modifier:
+                    if not _cmp(node.op, vl, vr):
+                        continue
+                    # filtering keeps the MANY side's sample (value and
+                    # labels incl. __name__) — the engine's documented
+                    # stance (promql_vec.vector_binop); upstream source
+                    # is not inspectable offline for the group_right
+                    # corner, so the model pins the engine contract
+                    val = v
+                    labels = dict(k)
+                elif is_cmp:
+                    val = 1.0 if _cmp(node.op, vl, vr) else 0.0
+                    labels = {n: x for n, x in dict(k).items() if n != "__name__"}
+                else:
+                    val = _apply(node.op, vl, vr)
+                    labels = {n: x for n, x in dict(k).items() if n != "__name__"}
+                one_labels = dict(ok)
+                for c in node.carry or []:
+                    cv = one_labels.get(c, "")
+                    if cv != "":
+                        labels[c] = cv
+                    else:
+                        # carried label absent on the one side DELETES a
+                        # same-named many-side label (resultMetric)
+                        labels.pop(c, None)
+                nk = frozenset(labels.items())
+                if nk in out:
+                    raise ValueError("duplicate output labelset in many-to-one")
+                out[nk] = val
+            return ("vector", out)
         if lk == "scalar" and rk == "scalar":
             if is_cmp:
                 if not node.bool_modifier:
@@ -257,11 +434,15 @@ def model_eval(node, series, t_ms):
                 if is_cmp:
                     if node.bool_modifier:
                         nk = frozenset(kv for kv in key if kv[0] != "__name__")
+                        if nk in out:
+                            raise ValueError("duplicate output labelset")
                         out[nk] = 1.0 if _cmp(node.op, a, b) else 0.0
                     elif _cmp(node.op, a, b):
                         out[key] = val  # filtering keeps the vector element
                 else:
                     nk = frozenset(kv for kv in key if kv[0] != "__name__")
+                    if nk in out:
+                        raise ValueError("duplicate output labelset")
                     out[nk] = _apply(node.op, a, b)
             return ("vector", out)
         # vector/vector: upstream signature = all labels except __name__,
@@ -368,7 +549,8 @@ def exprs(draw, depth=2):
         st.sampled_from(
             ["sel", "num"]
             if depth == 0
-            else ["sel", "sel", "agg", "bin", "neg", "num", "fn"]
+            else ["sel", "sel", "agg", "bin", "bin_group", "neg", "num",
+                  "fn", "fn2", "convert"]
         )
     )
     if choice == "num":
@@ -389,8 +571,33 @@ def exprs(draw, depth=2):
     if choice == "neg":
         return f"-({draw(exprs(depth=depth - 1))})"
     if choice == "fn":
-        f = draw(st.sampled_from(["abs", "ceil", "floor", "sgn", "exp", "sqrt"]))
+        f = draw(st.sampled_from(
+            ["abs", "ceil", "floor", "sgn", "exp", "sqrt",
+             "ln", "log2", "log10", "sin", "cos", "tan", "asin", "acos",
+             "atan", "sinh", "cosh", "tanh", "asinh", "acosh", "atanh",
+             "deg", "rad"]
+        ))
         return f"{f}({draw(exprs(depth=depth - 1))})"
+    if choice == "fn2":
+        f = draw(st.sampled_from(["clamp", "clamp_min", "clamp_max", "round"]))
+        arg = draw(exprs(depth=depth - 1))
+        bounds = st.sampled_from(["0", "1", "-2", "2.5", "-0.5", "NaN"])
+        if f == "clamp":
+            return f"clamp({arg}, {draw(bounds)}, {draw(bounds)})"
+        if f == "round":
+            to = draw(st.sampled_from(["", ", 1", ", 0.5", ", 3", ", 0", ", -2"]))
+            return f"round({arg}{to})"
+        return f"{f}({arg}, {draw(bounds)})"
+    if choice == "convert":
+        k = draw(st.sampled_from(["scalar", "vector", "timestamp"]))
+        if k == "scalar":
+            return f"scalar({draw(exprs(depth=depth - 1))})"
+        if k == "vector":
+            return f"vector({draw(st.sampled_from(['0', '3', '-1.5']))})"
+        # timestamp over a raw selector: raw sample ts, not eval time
+        name = draw(st.sampled_from(NAMES))
+        off = draw(st.sampled_from(["", " offset 5m"]))
+        return f"timestamp({name}{off})"
     if choice == "agg":
         op = draw(
             st.sampled_from(
@@ -407,6 +614,36 @@ def exprs(draw, depth=2):
             phi = draw(st.sampled_from(["0", "0.25", "0.5", "1", "-0.5", "1.5"]))
             return f"{op}{grouping} ({phi}, {draw(exprs(depth=depth - 1))})"
         return f"{op}{grouping} ({draw(exprs(depth=depth - 1))})"
+    if choice == "bin_group":
+        # many-to-one / one-to-many vector matching: both operands are
+        # raw selectors (guaranteed vectors — upstream type-checks group
+        # modifiers against scalar operands at parse time)
+        bop = draw(st.sampled_from(["+", "-", "*", "/", ">", "<=", "=="]))
+        bool_mod = (
+            draw(st.sampled_from(["", " bool"]))
+            if bop in (">", "<=", "==")
+            else ""
+        )
+        matching = draw(st.sampled_from(["on(job)", "ignoring(instance)"]))
+        side = draw(st.sampled_from(["group_left", "group_right"]))
+        carry = draw(st.sampled_from(["", "", "(instance)", "(job2)"]))
+        if matching == "on(job)" and carry == "(job)":
+            carry = ""  # upstream forbids carrying an on() label
+
+        def m1sel(draw):
+            name = draw(st.sampled_from(NAMES))
+            ms = []
+            if draw(st.booleans()):
+                op = draw(st.sampled_from(["=", "!="]))
+                val = draw(st.sampled_from(["api", "web", ""]))
+                ms.append(f'job{op}"{val}"')
+            return name + ("{" + ",".join(ms) + "}" if ms else "")
+
+        lhs = m1sel(draw)
+        rhs = m1sel(draw)
+        # NB: the rhs stays unparenthesized — upstream parses
+        # `group_left (x)` as the modifier's label list (same gotcha)
+        return f"({lhs}) {bop}{bool_mod} {matching} {side}{carry} {rhs}"
     # bin
     bop = draw(
         st.sampled_from(
