@@ -176,6 +176,25 @@ def _model_call(node, series, t_ms):
             # scalar argument is an error
             raise ValueError(f"{node.func} over a scalar")
         return ("vector", _dropname({k: float(f(v)) for k, v in vec.items()}))
+    if node.func == "absent":
+        kind, vec = model_eval(node.args[0], series, t_ms)
+        if kind != "vector":
+            raise ValueError("absent() takes an instant vector")
+        if vec:
+            return ("vector", {})
+        labels = {}
+        arg = node.args[0]
+        if isinstance(arg, VectorSelector):
+            # createLabelsForAbsentFunction: = matchers with non-empty
+            # values, excluding __name__; a label matched twice with
+            # different values contributes nothing
+            seen = {}
+            for m in arg.matchers:
+                if m.name == "__name__" or m.op != "=" or m.value == "":
+                    continue
+                seen[m.name] = m.value if m.name not in seen else None
+            labels = {n: v for n, v in seen.items() if v is not None}
+        return ("vector", {frozenset(labels.items()): 1.0})
     if node.func == "vector":
         kind, v = model_eval(node.args[0], series, t_ms)
         if kind != "scalar":
@@ -589,7 +608,13 @@ def exprs(draw, depth=2):
             return f"round({arg}{to})"
         return f"{f}({arg}, {draw(bounds)})"
     if choice == "convert":
-        k = draw(st.sampled_from(["scalar", "vector", "timestamp"]))
+        k = draw(st.sampled_from(["scalar", "vector", "timestamp", "absent"]))
+        if k == "absent":
+            name = draw(st.sampled_from([*NAMES, "m_gone"]))
+            ms = draw(st.sampled_from(
+                ["", '{job="api"}', '{job="nope"}', '{job=""}', '{job!="api"}']
+            ))
+            return f"absent({name}{ms})"
         if k == "scalar":
             return f"scalar({draw(exprs(depth=depth - 1))})"
         if k == "vector":
