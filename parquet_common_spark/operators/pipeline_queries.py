@@ -1302,3 +1302,31 @@ def x4(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")["documents"]
     vocab = T.top_vocabulary(docs, "text", size=16)
     return T.oov_stats(docs, "doc_id", "text", vocab).orderBy("doc_id")
+
+
+@query(
+    "t8_unigram_ppl",
+    r"""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents),
+    v AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY token),
+    tot AS (SELECT SUM(cnt) AS n FROM v),
+    j AS (
+      SELECT t.doc_id, ln(v.cnt * 1.0 / tot.n) AS lp
+      FROM t JOIN v USING (token) CROSS JOIN tot)
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(AVG(lp), 6) AS avg_logprob,
+           ROUND(EXP(-AVG(lp)), 6) AS ppl
+    FROM j GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def t8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM pseudo-perplexity per document — the perplexity-filter
+    quality signal.  The model is ONE map-side-combined aggregation;
+    scoring is a broadcast join + ONE per-doc groupBy; the corpus never
+    shuffles for the model lookup."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    model = T.unigram_model(docs, "text")
+    return T.doc_perplexity(docs, "doc_id", "text", model).orderBy("doc_id")

@@ -331,3 +331,40 @@ def oov_stats(
             F.lit(1.0) - F.sum(F.coalesce(F.col("_known"), F.lit(0))) / F.count(F.lit(1)), 6
         ).alias("oov_rate"),
     )
+
+
+def unigram_model(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus unigram language model: ``(token, logprob)`` with
+    p(token) = count/total — the model half of perplexity-based quality
+    filtering (the CCNet/Wikipedia-LM approach, scaled down to
+    unigrams so the oracle can replay it exactly).
+
+    One shuffle (token groupBy, map-side combined); the total is an
+    aggregation over the already-tiny vocabulary frame, not a second
+    corpus scan."""
+    tok = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("_total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "token", F.log(F.col("cnt") / F.col("_total")).alias("logprob")
+    )
+
+
+def doc_perplexity(
+    df: DataFrame, id_col: str, text_col: str, model: DataFrame
+) -> DataFrame:
+    """Per-document pseudo-perplexity under a broadcast unigram model:
+    ``ppl = exp(-mean(log p(token)))``.  Low-perplexity documents look
+    like the corpus; high-perplexity ones are outliers — the standard
+    LM-filter signal.
+
+    100 TB shape: the model is a broadcast map-side join (vocab is a
+    model constant); the corpus stream never shuffles until the ONE
+    per-document groupBy.  Ratios rounded to 6 (registry convention)."""
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token"))
+    j = tok.join(F.broadcast(model), "token")
+    return j.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("logprob"), 6).alias("avg_logprob"),
+        F.round(F.exp(-F.avg("logprob")), 6).alias("ppl"),
+    )

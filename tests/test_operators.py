@@ -792,3 +792,35 @@ def test_bpe_pair_plan_map_only_before_agg(spark):
     # generation itself is a Generate, not a join or extra Exchange
     assert "Generate" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_unigram_perplexity(spark):
+    import math
+
+    from parquet_common_spark.operators.text import doc_perplexity, unigram_model
+
+    df = spark.createDataFrame(
+        [(0, "a a b"), (1, "b")],
+        "doc_id long, text string",
+    )
+    model = {r[0]: r[1] for r in unigram_model(df, "text").collect()}
+    # corpus: a x2, b x2, total 4 -> p = 0.5 each
+    assert math.isclose(model["a"], math.log(0.5))
+    assert math.isclose(model["b"], math.log(0.5))
+    rows = {r[0]: (r[1], r[2], r[3]) for r in
+            doc_perplexity(df, "doc_id", "text", unigram_model(df, "text")).collect()}
+    assert rows[0][0] == 3 and rows[1][0] == 1
+    assert rows[0][1] == round(math.log(0.5), 6)
+    assert rows[0][2] == round(1 / 0.5, 6)  # uniform model: ppl == 1/p
+
+
+def test_unigram_ppl_plan_broadcasts_model(spark):
+    from parquet_common_spark.operators.text import doc_perplexity, unigram_model
+
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    plan = (
+        doc_perplexity(df, "doc_id", "text", unigram_model(df, "text"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan  # the model lookup never shuffles the corpus
+    assert "SortMergeJoin" not in plan
