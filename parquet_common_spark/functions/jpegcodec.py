@@ -124,32 +124,46 @@ class _BitWriter:
 
 
 class _BitReader:
-    """MSB-first reader over an UNSTUFFED entropy segment."""
+    """MSB-first reader over an UNSTUFFED entropy segment.
+
+    A multi-byte integer accumulator so a whole bit-group is one shift
+    and mask instead of a per-bit Python loop, and ``peek16`` exposes
+    the next 16 bits (zero-padded past the end) for the table-driven
+    Huffman decode.  Raising on exhaustion is preserved bit-exactly:
+    a read only fails when it needs a bit beyond the real data."""
 
     def __init__(self, data: bytes):
         self.data = data
+        self.end = len(data)
         self.pos = 0
         self.acc = 0
         self.nbits = 0
 
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            if self.pos >= len(self.data):
-                raise ValueError("JPEG: entropy data exhausted")
-            self.acc = self.data[self.pos]
-            self.pos += 1
-            self.nbits = 8
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+    def _fill(self, n: int) -> None:
+        data, pos, end = self.data, self.pos, self.end
+        while self.nbits < n:
+            if pos >= end:
+                break
+            self.acc = (self.acc << 8) | data[pos]
+            pos += 1
+            self.nbits += 8
+        self.pos = pos
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill(n)
+            if self.nbits < n:
+                raise ValueError("JPEG: entropy data exhausted")
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
         return v
 
-    def align(self) -> None:
-        self.nbits = 0
+    def read_bit(self) -> int:
+        return self.read_bits(1)
+
 
 
 def _extend(v: int, size: int) -> int:
@@ -193,14 +207,45 @@ class _HuffTable:
                 code += 1
                 k += 1
             code <<= 1
+        # peek-LUT decode (libjpeg-style): every left-justified
+        # maxlen-bit pattern maps to (symbol << 5 | code length);
+        # 0 marks an invalid prefix.  Sized to the table's actual
+        # longest code so the build stays microseconds, decoded with
+        # ONE list index per symbol instead of a per-bit Python loop.
+        maxlen = max((i + 1 for i in range(16) if bits[i]), default=1)
+        self.maxlen = maxlen
+        lut = np.zeros(1 << maxlen, np.int32)
+        code = 0
+        k = 0
+        for length in range(1, maxlen + 1):
+            for _ in range(bits[length - 1]):
+                lo = code << (maxlen - length)
+                hi = (code + 1) << (maxlen - length)
+                lut[lo:hi] = (values[k] << 5) | length
+                code += 1
+                k += 1
+            code <<= 1
+        self.lut = lut.tolist()
 
     def decode(self, br: _BitReader) -> int:
-        code = 0
-        for length in range(1, 17):
-            code = (code << 1) | br.read_bit()
-            if self.bits[length - 1] and code <= self.maxcode[length]:
-                return self.values[self.valptr[length] + code - self.mincode[length]]
-        raise ValueError("JPEG: invalid Huffman code")
+        maxlen = self.maxlen
+        if br.nbits < maxlen:
+            br._fill(maxlen)
+            if br.nbits < maxlen:
+                peek = (br.acc << (maxlen - br.nbits)) & ((1 << maxlen) - 1)
+            else:
+                peek = (br.acc >> (br.nbits - maxlen)) & ((1 << maxlen) - 1)
+        else:
+            peek = (br.acc >> (br.nbits - maxlen)) & ((1 << maxlen) - 1)
+        entry = self.lut[peek]
+        if entry == 0:
+            raise ValueError("JPEG: invalid Huffman code")
+        length = entry & 31
+        if br.nbits < length:
+            raise ValueError("JPEG: entropy data exhausted")
+        br.nbits -= length
+        br.acc &= (1 << br.nbits) - 1
+        return entry >> 5
 
 
 def _build_table(symbols: list[int]) -> _HuffTable:
@@ -686,7 +731,8 @@ def _ac_first_block(z, br, ac_tab, Ss, Se, Al, eobrun):
         k += r
         if k > Se:
             raise ValueError("JPEG: AC coefficient overflow")
-        z[k] = _extend(br.read_bits(s), s) << Al
+        v = br.read_bits(s)  # inline EXTEND (s > 0 here): hot path
+        z[k] = (v if v >= (1 << (s - 1)) else v - (1 << s) + 1) << Al
         k += 1
     return eobrun
 
