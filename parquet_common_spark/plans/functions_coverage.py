@@ -652,3 +652,63 @@ def pq4(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_ev").alias("ev"),
         F.round(F.col("value"), 6).alias("r"),
     ).orderBy("grp", "ev")
+
+
+@query(
+    "a2_approx_quantile",
+    # Same discipline as a1: the sketch VALUE is engine-specific
+    # (Spark's Greenwald-Khanna vs DuckDB's t-digest), so the hashed
+    # columns are the exact percentiles plus a deterministic pass/fail:
+    # the GK sketch with accuracy 1/eps guarantees rank error <= eps*N,
+    # checked as a VALUE bound via the exact quantiles at rank +/- eps*N
+    # (rank error translates to a value window on the sorted column).
+    """
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.50) AS p50_exact,
+             quantile_cont(value, 0.95) AS p95_exact,
+             TRUE AS p50_ok, TRUE AS p95_ok
+      FROM events GROUP BY event_type)
+    SELECT event_type,
+           ROUND(p50_exact, 6) AS p50_exact, ROUND(p95_exact, 6) AS p95_exact,
+           p50_ok, p95_ok
+    FROM b ORDER BY event_type
+    """,
+)
+def a2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate quantiles (Greenwald-Khanna sketch, the distributed
+    scale path for percentiles) bounded against the exact per-group
+    quantiles: the approx p50/p95 must land inside the exact value
+    window [quantile(p - eps), quantile(p + eps)] with eps = 1/accuracy.
+    ONE shuffle for both the sketch and the exact reference; at 100 TB
+    the exact side drops away and the sketch's mergeable partials are
+    the whole story."""
+    from parquet_common_spark.plans.common import load as _load
+
+    t = _load(spark, sf_dir, "events")
+    acc = 200  # sketch rank error eps = 1/acc = 0.005
+    eps = 3.0 / acc  # 3x slack on the value window (a1's discipline):
+    # the sketch returns an OBSERVED element while the window ends are
+    # interpolated, so the exact-eps window can exclude a legal element
+    agg = (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.percentile_approx("value", [0.5, 0.95], F.lit(acc)).alias("_ap"),
+            F.expr(
+                f"percentile(value, array(0.5, 0.95, {0.5-eps}, {0.5+eps},"
+                f" {0.95-eps}, {0.95+eps}))"
+            ).alias("_ex"),
+        )
+    )
+    return agg.select(
+        "event_type",
+        F.round(F.col("_ex")[0], 6).alias("p50_exact"),
+        F.round(F.col("_ex")[1], 6).alias("p95_exact"),
+        (
+            (F.col("_ap")[0] >= F.col("_ex")[2]) & (F.col("_ap")[0] <= F.col("_ex")[3])
+        ).alias("p50_ok"),
+        (
+            (F.col("_ap")[1] >= F.col("_ex")[4]) & (F.col("_ap")[1] <= F.col("_ex")[5])
+        ).alias("p95_ok"),
+    ).orderBy("event_type")
