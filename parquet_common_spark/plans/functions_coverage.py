@@ -712,3 +712,36 @@ def a2(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("_ap")[1] >= F.col("_ex")[4]) & (F.col("_ap")[1] <= F.col("_ex")[5])
         ).alias("p95_ok"),
     ).orderBy("event_type")
+
+
+@query(
+    "e6_value_histogram",
+    """
+    SELECT event_type,
+           CAST(LEAST(FLOOR(value / 25.0), 19) AS INT) AS bucket,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+)
+def e6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type (the heatmap/binning
+    shape): bucket = floor(value/25) clipped to a 20-bucket range.
+    Map-only bucket assignment + ONE combined aggregation over
+    (type, bucket) — a bounded key space, so the shuffle moves only
+    the partial histogram at any corpus size."""
+    from parquet_common_spark.plans.common import load as _load
+
+    t = _load(spark, sf_dir, "events")
+    b = F.least(F.floor(F.col("value") / F.lit(25.0)), F.lit(19)).cast("int")
+    return (
+        t["events"]
+        .groupBy("event_type", b.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("event_type", "bucket")
+    )
