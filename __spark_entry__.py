@@ -61,9 +61,17 @@ _CHECK_WINDOW = [
     # window at 50 — the m-family retains 11 members incl. the filtered
     # variant m7, which supersets m5's code path.
     "x3_bpe_pair_counts", "x4_oov_rate",
+    # continuation batch 2: unigram-perplexity filter, the quantile
+    # sketch, and the binning aggregation — all new code this round.
+    # e5/w3/m13 yield (e keeps e1/e4/e6, w keeps w5/w6, m keeps 12
+    # members incl. both codec round-trips via m14).
+    "t8_unigram_ppl", "a2_approx_quantile", "e6_value_histogram",
 ]
 _CHECK_WINDOW.remove("x1_token_frequencies")
 _CHECK_WINDOW.remove("m5_label_values")
+_CHECK_WINDOW.remove("e5_top_users_by_value")
+_CHECK_WINDOW.remove("w3_moving_avg_events")
+_CHECK_WINDOW.remove("m13_chunk_roundtrip")
 
 
 def _registry():
