@@ -66,12 +66,17 @@ _CHECK_WINDOW = [
     # e5/w3/m13 yield (e keeps e1/e4/e6, w keeps w5/w6, m keeps 12
     # members incl. both codec round-trips via m14).
     "t8_unigram_ppl", "a2_approx_quantile", "e6_value_histogram",
+    # continuation batch 3: incremental dedup against the persisted
+    # sketch index (new code) — m6 yields; the m-family keeps 11
+    # members and the time-range-pruning plan pin lives in pytest.
+    "d8_incremental_dedup",
 ]
 _CHECK_WINDOW.remove("x1_token_frequencies")
 _CHECK_WINDOW.remove("m5_label_values")
 _CHECK_WINDOW.remove("e5_top_users_by_value")
 _CHECK_WINDOW.remove("w3_moving_avg_events")
 _CHECK_WINDOW.remove("m13_chunk_roundtrip")
+_CHECK_WINDOW.remove("m6_time_range_pruning")
 
 
 def _registry():

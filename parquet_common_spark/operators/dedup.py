@@ -850,3 +850,97 @@ def _embedding_neardup_ann(
         cand.mapInPandas(verify, schema=out_schema)
         .select("id_a", "id_b", F.round("cos", 5).alias("cos"))
     )
+
+
+# ------------------------------------------------- incremental MinHash
+
+
+def _band_frame(sigs: DataFrame, carry: tuple = ()) -> DataFrame:
+    """(_id, [carry...], _band) band keys from a signature frame — the
+    same xxhash64(band index, r signature slots) keys minhash_lsh_pairs
+    uses, factored out for the incremental path."""
+    r = MINHASH_K // MINHASH_BANDS
+    return sigs.select(
+        "_id",
+        *carry,
+        F.explode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(j),
+                        *[F.element_at(F.col("_sig"), j * r + k + 1) for k in range(r)],
+                    )
+                    for j in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("_band"),
+    )
+
+
+def build_minhash_index(
+    df: DataFrame, id_col: str, text_col: str, path: str
+) -> None:
+    """Persist the per-document MinHash sketch store
+    ``(_id, _sh, _sig)`` as parquet — the state an incremental dedup
+    pipeline carries between batches.  Documents indexed once are never
+    re-shingled: subsequent batches read sketches, not text.  At 100 TB
+    the index is ~1% of the corpus (32 longs + the distinct shingle
+    hashes per doc) and the build is the same map-only Arrow signature
+    stage the batch path uses."""
+    _signatures_arrow(df, id_col, text_col).write.mode("overwrite").parquet(path)
+
+
+def incremental_minhash_pairs(
+    spark,
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    index_path: str,
+    tau: float = 0.25,
+) -> DataFrame:
+    """Near-duplicate pairs INVOLVING at least one new document: the new
+    batch against the persisted sketch index plus itself — the daily
+    crawl-increment shape.  Old documents contribute only their stored
+    sketches (zero text re-processing); old-old pairs were reported by
+    the runs that indexed them and are excluded by the is-new flag in
+    the join condition, so each pair is reported exactly once across a
+    whole incremental history.
+
+    Plan shape: one map-only Arrow signature stage over the NEW batch
+    only, a band equi-join over (old ∪ new) band keys carrying
+    (id, band, 1-byte flag), and the exact-Jaccard verify join over
+    candidates — identical guarantees to the batch path at a per-batch
+    cost proportional to the batch, not the corpus."""
+    old = spark.read.parquet(index_path).withColumn("_new", F.lit(False))
+    new_sigs = _signatures_arrow(new_df, id_col, text_col).withColumn(
+        "_new", F.lit(True)
+    )
+    all_sigs = old.unionByName(new_sigs)
+    bands = _band_frame(all_sigs, carry=("_new",))
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), "_band")
+        .where(
+            (F.col("a._id") < F.col("b._id"))
+            & (F.col("a._new") | F.col("b._new"))
+        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    cand = cand.repartition(
+        spark.sparkContext.defaultParallelism, "id_a", "id_b"
+    )
+    hashes = all_sigs.select("_id", "_sh")
+    return (
+        cand.join(
+            hashes.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            hashes.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")),
+            "id_b",
+        )
+        .withColumn("jac", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .where(F.col("jac") >= tau)
+        .select("id_a", "id_b", F.round("jac", 6).alias("jaccard"))
+    )

@@ -1330,3 +1330,36 @@ def t8(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")["documents"]
     model = T.unigram_model(docs, "text")
     return T.doc_perplexity(docs, "doc_id", "text", model).orderBy("doc_id")
+
+
+# ------------------------------------------- d8: incremental MinHash
+
+_D8_SPLIT = 300
+# the incremental result == the full-corpus d2 pair set restricted to
+# pairs touching the new batch (id_a < id_b and new ids are the high
+# range, so "touches new" == id_b >= split)
+_D8_SQL = _D2_SQL.replace(
+    f"WHERE jac >= {_SH_TAU}",
+    f"WHERE jac >= {_SH_TAU} AND id_b >= {_D8_SPLIT}",
+)
+
+
+@query("d8_incremental_dedup", _D8_SQL)
+def d8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup detection: the corpus splits into an
+    already-indexed half (doc_id < 300, persisted as a MinHash sketch
+    store via build_minhash_index) and a new batch (doc_id >= 300)
+    deduped against the index + itself with zero re-shingling of the
+    old half.  The oracle is the batch d2 computation restricted to
+    pairs touching the new batch — the incremental path must reproduce
+    the batch answer bit-for-bit."""
+    import tempfile
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    old = docs.where(F.col("doc_id") < _D8_SPLIT)
+    new = docs.where(F.col("doc_id") >= _D8_SPLIT)
+    idx = tempfile.mkdtemp(prefix="pcs_minhash_idx_")
+    D.build_minhash_index(old, "doc_id", "text", idx)
+    return D.incremental_minhash_pairs(
+        spark, new, "doc_id", "text", idx, tau=_SH_TAU
+    ).orderBy("id_a", "id_b")

@@ -824,3 +824,37 @@ def test_unigram_ppl_plan_broadcasts_model(spark):
     )
     assert "BroadcastHashJoin" in plan  # the model lookup never shuffles the corpus
     assert "SortMergeJoin" not in plan
+
+
+def test_incremental_minhash_matches_batch(spark, tmp_path):
+    from parquet_common_spark.operators import dedup as D
+
+    rows = []
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    for i in range(8):
+        rows.append((i, base + f" v{i % 2}"))           # old batch: 2 dup groups
+    for i in range(8, 14):
+        rows.append((i, base + f" v{i % 2}"))           # new batch: joins both groups
+    rows.append((14, "completely different text with no overlap at all here"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    old = df.where(F.col("doc_id") < 8)
+    new = df.where(F.col("doc_id") >= 8)
+
+    full = {
+        (r[0], r[1]) for r in D.minhash_lsh_pairs(df, "doc_id", "text", tau=0.25).collect()
+    }
+    batch1 = {
+        (r[0], r[1]) for r in D.minhash_lsh_pairs(old, "doc_id", "text", tau=0.25).collect()
+    }
+    idx = str(tmp_path / "idx")
+    D.build_minhash_index(old, "doc_id", "text", idx)
+    inc = {
+        (r[0], r[1])
+        for r in D.incremental_minhash_pairs(spark, new, "doc_id", "text", idx, tau=0.25).collect()
+    }
+    # incremental == full pairs touching the new batch (id_b >= 8)
+    assert inc == {p for p in full if p[1] >= 8}
+    # exactly-once across the incremental history: batch1's own pairs +
+    # the increment partition the full pair set
+    assert batch1 | inc == full
+    assert batch1.isdisjoint(inc)
