@@ -212,7 +212,8 @@ def _model_call(node, series, t_ms):
         # upstream special case worth probing
         sel = node.args[0]
         assert isinstance(sel, VectorSelector)
-        eff = t_ms - (sel.offset_ms or 0)
+        base = sel.at_ms if sel.at_ms is not None else t_ms
+        eff = base - (sel.offset_ms or 0)
         out = {}
         for labels, samples in series:
             if not _sel_matches(sel, labels):
@@ -272,7 +273,8 @@ def model_eval(node, series, t_ms):
         return _model_call(node, series, t_ms)
     if isinstance(node, VectorSelector):
         out = {}
-        eff = t_ms - (node.offset_ms or 0)
+        base = node.at_ms if node.at_ms is not None else t_ms
+        eff = base - (node.offset_ms or 0)
         for labels, samples in series:
             if not _sel_matches(node, labels):
                 continue
@@ -586,7 +588,8 @@ def exprs(draw, depth=2):
             ms.append(f'job{op}"{val}"')
         sel = name + ("{" + ",".join(ms) + "}" if ms else "")
         off = draw(st.sampled_from(["", "", "", " offset 5m", " offset 10m"]))
-        return sel + off
+        at = draw(st.sampled_from(["", "", "", " @ 600", " @ 300", " @ 0"]))
+        return sel + off + at
     if choice == "neg":
         return f"-({draw(exprs(depth=depth - 1))})"
     if choice == "fn":
