@@ -70,6 +70,10 @@ _CHECK_WINDOW = [
     # sketch index (new code) — m6 yields; the m-family keeps 11
     # members and the time-range-pruning plan pin lives in pytest.
     "d8_incremental_dedup",
+    # continuation batch 4: the streaming arm of incremental dedup
+    # (new code) — q6 yields; the TPC-H slice keeps 6 members and q6
+    # stays on the bench headline path every round.
+    "st5_streaming_neardup",
 ]
 _CHECK_WINDOW.remove("x1_token_frequencies")
 _CHECK_WINDOW.remove("m5_label_values")
@@ -77,6 +81,7 @@ _CHECK_WINDOW.remove("e5_top_users_by_value")
 _CHECK_WINDOW.remove("w3_moving_avg_events")
 _CHECK_WINDOW.remove("m13_chunk_roundtrip")
 _CHECK_WINDOW.remove("m6_time_range_pruning")
+_CHECK_WINDOW.remove("q6_forecast_revenue")
 
 
 def _registry():

@@ -1906,3 +1906,83 @@ def st4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(sink).orderBy("doc_id")
+
+
+# --------------- st5: streaming near-dup detection vs a static index
+
+# A stream of new documents checked for near-duplicates AGAINST A
+# REFERENCE CORPUS (the persisted MinHash sketch store d8 builds):
+# the streaming arm of incremental dedup.  Everything is stateless —
+# signature/band computation is a map, both joins are stream-static
+# equi joins — so no watermark and no state store; cross-batch
+# dedup of the pair stream happens on the bounded sink (at scale the
+# band join is a shuffled stream-static join and the sink dedup is a
+# downstream batch job; new-new pairs are d8's department).
+def _st5_sql() -> str:
+    from parquet_common_spark.operators.pipeline_queries import _D8_SPLIT, _D2_SQL, _SH_TAU
+
+    return _D2_SQL.replace(
+        f"WHERE jac >= {_SH_TAU}",
+        f"WHERE jac >= {_SH_TAU} AND id_a < {_D8_SPLIT} AND id_b >= {_D8_SPLIT}",
+    )
+
+
+@query("st5_streaming_neardup", _st5_sql())
+def st5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from parquet_common_spark.operators import dedup as DD
+    from parquet_common_spark.operators.pipeline_queries import _D8_SPLIT, _SH_TAU
+    from parquet_common_spark.plans.common import ensure_session_env
+
+    ensure_session_env(spark)
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = tempfile.mkdtemp(prefix="pcs_st5_idx_")
+    DD.build_minhash_index(
+        batch.where(F.col("doc_id") < _D8_SPLIT), "doc_id", "text", idx
+    )
+    index = spark.read.parquet(idx)
+    idx_bands = DD._band_frame(index).select(
+        F.col("_id").alias("_old_id"), "_band"
+    )
+    idx_hashes = index.select(F.col("_id").alias("_old_id"), F.col("_sh").alias("_sh_old"))
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+        .where(F.col("doc_id") >= _D8_SPLIT)
+        .select(F.col("doc_id").alias("_id"), DD.shingle_hashes(F.col("text")).alias("_sh"))
+        .withColumn("_sig", DD.minhash_signature_from_hashes(F.col("_sh")))
+    )
+    # carrying _sh through the band explode duplicates the array x16;
+    # acceptable here because a stream side cannot self-join back (the
+    # batch path's join-back optimization needs two passes over one
+    # frame) — the documented stream/batch trade.
+    stream_bands = DD._band_frame(stream, carry=("_sh",))
+    verified = (
+        stream_bands.join(idx_bands, "_band")
+        .join(idx_hashes, "_old_id")
+        .withColumn("jac", DD.jaccard(F.col("_sh_old"), F.col("_sh")))
+        .where(F.col("jac") >= _SH_TAU)
+        .select(
+            F.col("_old_id").alias("id_a"),
+            F.col("_id").alias("id_b"),
+            F.round("jac", 6).alias("jaccard"),
+        )
+    )
+    sink = f"st5_{uuid.uuid4().hex[:8]}"
+    q = (
+        verified.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(sink)
+        .dropDuplicates(["id_a", "id_b"])
+        .orderBy("id_a", "id_b")
+    )

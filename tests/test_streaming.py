@@ -228,3 +228,24 @@ def test_rate_state_expires_for_idle_series(spark, tmp_path):
     # without expiry the second appearance would report 20; with expiry
     # the state was dropped while idle, so it reports a fresh 10
     assert 10 in totals and 20 not in totals and len(s5) == 2
+
+
+def test_st5_streaming_neardup_matches_incremental_cross_pairs(spark):
+    """The streaming arm must agree with the batch incremental path on
+    the crossing (old, new) pairs; new-new pairs are d8's department."""
+    from parquet_common_spark.plans.common import REGISTRY
+    import parquet_common_spark.plans.analytics  # noqa: F401
+    import parquet_common_spark.operators.pipeline_queries  # noqa: F401
+
+    sf = "/root/testdata/sf0.001"
+    st5 = {
+        (r[0], r[1], r[2])
+        for r in REGISTRY["st5_streaming_neardup"].fn(spark, sf).collect()
+    }
+    d8 = {
+        (r[0], r[1], r[2])
+        for r in REGISTRY["d8_incremental_dedup"].fn(spark, sf).collect()
+        if r[0] < 300  # crossing pairs only
+    }
+    assert st5 == d8
+    assert all(a < 300 <= b for a, b, _ in st5)
