@@ -74,6 +74,10 @@ _CHECK_WINDOW = [
     # (new code) — q6 yields; the TPC-H slice keeps 6 members and q6
     # stays on the bench headline path every round.
     "st5_streaming_neardup",
+    # continuation batch 5: cross-document dup-ngram fraction (new
+    # code) — sim2 yields; the sim family keeps sim3/sim4 in the
+    # window and sim2 was driver-checked green this round (r6 gate).
+    "x5_interdoc_dup_ngrams",
 ]
 _CHECK_WINDOW.remove("x1_token_frequencies")
 _CHECK_WINDOW.remove("m5_label_values")
@@ -82,6 +86,7 @@ _CHECK_WINDOW.remove("w3_moving_avg_events")
 _CHECK_WINDOW.remove("m13_chunk_roundtrip")
 _CHECK_WINDOW.remove("m6_time_range_pruning")
 _CHECK_WINDOW.remove("q6_forecast_revenue")
+_CHECK_WINDOW.remove("sim2_lsh_topk")
 
 
 def _registry():

@@ -1363,3 +1363,52 @@ def d8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.incremental_minhash_pairs(
         spark, new, "doc_id", "text", idx, tau=_SH_TAU
     ).orderBy("id_a", "id_b")
+
+
+# --------------------------------------- x5: inter-document dup n-grams
+
+# RefinedWeb/Gopher-style CROSS-document duplicated-n-gram fraction
+# (t6 measures repetition WITHIN a doc): per doc, the fraction of its
+# distinct 3-gram shingles that also occur in at least one OTHER doc.
+_X5_SQL = f"""
+    WITH {_SHINGLE_CTES},
+    g AS (SELECT id, unnest(sh) AS h FROM docs),
+    c AS (SELECT h, COUNT(DISTINCT id) AS nd FROM g GROUP BY h)
+    SELECT g.id AS doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+           ROUND(SUM(CASE WHEN c.nd > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+             AS shared_frac
+    FROM g JOIN c USING (h)
+    GROUP BY g.id ORDER BY doc_id
+"""
+
+
+@query("x5_interdoc_dup_ngrams", _X5_SQL)
+def x5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document fraction of distinct 3-gram shingles shared with any
+    other document — the cross-document boilerplate signal.  Plan: one
+    explode (generator), ONE groupBy on the shingle hash (distinct-doc
+    count), a join back on the SAME key (co-partitioned — no extra
+    exchange of the gram stream), and ONE per-doc groupBy.  Key space
+    is the distinct shingle universe; at 100 TB both shuffles carry
+    (hash, count) pairs, never text."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    grams = docs.select(
+        F.col("doc_id"), F.explode(D.shingle_hashes(F.col("text"))).alias("h")
+    )
+    counts = grams.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
+    return (
+        grams.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0)).cast("long").alias("n_shared"),
+            F.round(
+                F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("shared_frac"),
+        )
+        .orderBy("doc_id")
+    )
