@@ -1044,3 +1044,70 @@ def test_subquery_matches_model(spark, data):
             f"{expr} at {t_ms}: engine={got_val} model={want}\n"
             f"samples={samples}\ngrid={win}"
         )
+
+
+# ------------------ storage-path differential (parquet-backed engine)
+
+_STORAGE_EXAMPLES = int(os.environ.get("PROMQL_DIFF_STORAGE_EXAMPLES", "10"))
+
+
+@pytest.mark.parametrize("t_ms", [15 * 60 * 1000])
+@settings(
+    max_examples=_STORAGE_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(data=st.data())
+def test_engine_matches_model_parquet_backed(spark, t_ms, data):
+    """The same engine-vs-model differential with the STORAGE layer in
+    the loop: every load block is written through convert() to parquet
+    shards and served back through the queryable (the reference's
+    promqltest-over-storage acceptance shape).  Small example count —
+    each draw costs a real shard write — randomized over the same
+    series/expression grammars, so convert/read round-trip defects
+    (label NULLs, timestamp precision, sort order) surface as
+    divergences the in-memory probe cannot see."""
+    from parquet_common_spark.promqltest import PromQLEngine
+    from parquet_common_spark.promqltest.scriptparse import LoadCmd, Sample
+
+    series = data.draw(series_sets())
+    expr_text = data.draw(exprs())
+    ast_node = parse_promql(expr_text)
+
+    try:
+        want = model_eval(ast_node, [(l, s) for l, s in series], t_ms)
+    except ValueError:
+        want = ("error", None)
+
+    engine = PromQLEngine(spark, parquet_backed=True)
+    engine.clear()
+    engine.load(
+        LoadCmd(
+            300_000,
+            [
+                (labels, [Sample(ts, v) for ts, v in samples])
+                for labels, samples in series
+            ],
+        )
+    )
+    try:
+        kind, got = engine.eval_instant(ast_node, t_ms)
+    except Exception:
+        assert want[0] == "error", (
+            f"storage-backed engine raised but model succeeded for "
+            f"{expr_text!r}\nseries={series}\nmodel={want}"
+        )
+        return
+    assert want[0] != "error", (expr_text, series, got)
+    if kind == "scalar":
+        assert want[0] == "scalar"
+        assert _close(got[t_ms], want[1]), (expr_text, got, want)
+        return
+    assert want[0] == "vector", (expr_text, want, got)
+    got_map = {
+        frozenset(labels.items()): vals.get(t_ms) for labels, vals in got
+    }
+    got_map = {k: v for k, v in got_map.items() if v is not None}
+    assert set(got_map) == set(want[1]), (expr_text, series, got_map, want[1])
+    for k, v in want[1].items():
+        assert _close(got_map[k], v), (expr_text, dict(k), got_map[k], v, series)
