@@ -435,3 +435,93 @@ def convert_bucketed(
         f"ALTER TABLE {table_prefix}_series SET TBLPROPERTIES ('pcs.meta' = '{esc}')"
     )
     return meta
+
+
+# ------------------------------------------------ streaming ingest
+
+
+def convert_streaming(
+    stream_df: DataFrame,
+    out_root: str,
+    checkpoint_dir: str,
+    trigger: dict | None = None,
+    **convert_kwargs,
+):
+    """Continuous ingest into the shard layout (Structured Streaming):
+    each micro-batch becomes ONE shard directory
+    (``out_root/batch=<epoch_id>``) written by the exact ``convert()``
+    plan — per-batch global label sort, bloom filters, time-bucket
+    partitioning — so the multi-shard read side
+    (``ParquetQueryable.from_paths`` over the batch dirs) serves every
+    committed batch with the usual k-way merge.  This is the live-ingest
+    story the reference's offline TSDB-block converter doesn't have:
+    Spark ingests the stream AND maintains the same queryable layout.
+
+    Exactly-once: foreachBatch + the checkpoint gives at-least-once
+    batch replay, and ``convert()`` writes with mode=overwrite into the
+    epoch-keyed directory, so a replayed batch overwrites its own shard
+    (idempotent), never duplicates it.
+
+    Small per-batch shards are the expected streaming cost;
+    :func:`compact_shards` folds them into archival shards offline —
+    the standard small-files lifecycle.  Returns the started
+    StreamingQuery; caller owns awaitTermination/stop."""
+
+    def _write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        convert(batch_df, os.path.join(out_root, f"batch={epoch_id}"), **convert_kwargs)
+
+    writer = (
+        stream_df.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    trigger = trigger or {"availableNow": True}
+    return writer.trigger(**trigger).start()
+
+
+def compact_shards(
+    spark,
+    shard_dirs: list[str],
+    out_dir: str,
+    **convert_kwargs,
+) -> S.ShardMeta:
+    """Merge many shards into one: reconstruct the wide frame from each
+    shard (samples ⋈ broadcast series on the hash — the series side is
+    small by construction), union across shards (schemas may differ —
+    label columns fill with NULL), and re-run the ``convert()`` plan.
+    The result is plan-equivalent to a single batch convert of the
+    union: global re-sort, fresh row groups, one bloom filter per
+    column — the small-files compaction step for streaming ingest.
+    Time bounds come from the input metas (no extra scan)."""
+    frames = []
+    mint, maxt = None, None
+    for d in shard_dirs:
+        meta = S.ShardMeta.read(d)
+        mint = meta.mint_ms if mint is None else min(mint, meta.mint_ms)
+        maxt = meta.maxt_ms if maxt is None else max(maxt, meta.maxt_ms)
+        series = spark.read.parquet(os.path.join(d, "series.parquet"))
+        samples = spark.read.parquet(os.path.join(d, "samples.parquet"))
+        frames.append(
+            samples.drop(S.TIME_BUCKET_COLUMN).join(
+                F.broadcast(series), S.SERIES_HASH_COLUMN
+            ).drop(S.SERIES_HASH_COLUMN)
+        )
+    wide = frames[0]
+    for f in frames[1:]:
+        wide = wide.unionByName(f, allowMissingColumns=True)
+    extra = [
+        c for c in wide.columns
+        if c not in (S.TS_COLUMN, S.VALUE_COLUMN) and not c.startswith("l_")
+    ]
+    return convert(
+        wide,
+        out_dir,
+        ts_col=S.TS_COLUMN,
+        value_col=S.VALUE_COLUMN if S.VALUE_COLUMN in wide.columns else None,
+        labels_col=None,
+        mint_ms=mint,
+        maxt_ms=maxt,
+        extra_value_cols=extra or None,
+        **convert_kwargs,
+    )

@@ -463,3 +463,50 @@ def test_bucketed_tables_carry_extra_value_cols(spark, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_series")
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_samples")
+
+
+def test_streaming_convert_and_compaction(spark, tmp_path):
+    """Live-ingest lifecycle: stream -> per-batch shards (queryable
+    immediately) -> compaction -> one shard, all three views returning
+    the same samples as a single batch convert."""
+    import glob
+
+    src = str(tmp_path / "src")
+    df = make_long_df(spark, n_series=12, samples=6)
+    # wide form on disk so the file source can stream it (maps aren't a
+    # natural file-source schema; production streams arrive wide anyway)
+    wide = C.wide_from_label_map(df, "labels")
+    wide.repartition(4).write.parquet(src)  # several files -> several batches
+
+    batch_dir = str(tmp_path / "batch")
+    C.convert(wide.orderBy("ts"), batch_dir, labels_col=None)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out_root = str(tmp_path / "stream")
+    q = C.convert_streaming(
+        stream, out_root, checkpoint_dir=str(tmp_path / "ckpt"), labels_col=None
+    )
+    q.awaitTermination(300)
+    shard_dirs = sorted(glob.glob(out_root + "/batch=*"))
+    assert len(shard_dirs) > 1  # maxFilesPerTrigger forced multiple shards
+
+    def all_rows(qy):
+        sel = qy.select(0, 10**15, [Matcher("__name__", "=", "foo")])
+        return sorted(
+            (r["l_bar"], r[S.TS_COLUMN], r[S.VALUE_COLUMN]) for r in sel.collect()
+        )
+
+    ref = all_rows(ParquetQueryable.from_paths(spark, [batch_dir]))
+    assert all_rows(ParquetQueryable.from_paths(spark, shard_dirs)) == ref
+
+    compact_dir = str(tmp_path / "compacted")
+    meta = C.compact_shards(spark, shard_dirs, compact_dir)
+    assert all_rows(ParquetQueryable.from_paths(spark, [compact_dir])) == ref
+    # compaction preserves the time bounds and shrinks the file count
+    assert meta.mint_ms == 0
+    n_files = lambda d: len(glob.glob(d + "/samples.parquet/**/*.parquet", recursive=True))
+    assert n_files(compact_dir) <= n_files(shard_dirs[0]) * len(shard_dirs)
