@@ -78,6 +78,10 @@ _CHECK_WINDOW = [
     # code) — sim2 yields; the sim family keeps sim3/sim4 in the
     # window and sim2 was driver-checked green this round (r6 gate).
     "x5_interdoc_dup_ngrams",
+    # continuation batch 6: the streaming-ingest lifecycle
+    # (convert_streaming -> compact_shards -> queryable, new code) —
+    # p1 yields; pivot stays oracle-swept and p4/p5 hold the family.
+    "pq5_streaming_ingest",
 ]
 _CHECK_WINDOW.remove("x1_token_frequencies")
 _CHECK_WINDOW.remove("m5_label_values")
@@ -87,6 +91,7 @@ _CHECK_WINDOW.remove("m13_chunk_roundtrip")
 _CHECK_WINDOW.remove("m6_time_range_pruning")
 _CHECK_WINDOW.remove("q6_forecast_revenue")
 _CHECK_WINDOW.remove("sim2_lsh_topk")
+_CHECK_WINDOW.remove("p1_pivot_event_counts")
 
 
 def _registry():

@@ -745,3 +745,63 @@ def e6(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+@query(
+    "pq5_streaming_ingest",
+    """
+    SELECT lpad(CAST(i.range AS VARCHAR), 2, '0') AS bar,
+           CAST(s.range * 1000 AS BIGINT) AS ts,
+           CAST(i.range AS DOUBLE) AS value
+    FROM range(6) i, range(4) s
+    ORDER BY bar, ts
+    """,
+)
+def pq5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming-ingest lifecycle through the driver gate: a
+    deterministic fixture streams through convert_streaming (one shard
+    per micro-batch, idempotent epoch dirs), the batch shards compact
+    into one archival shard, and the queryable serves the samples back
+    — the oracle regenerates the fixture arithmetically, so any loss or
+    duplication in stream->shard->compact->read hashes red."""
+    import tempfile
+
+    from parquet_common_spark import convert as C
+    from parquet_common_spark.matchers import Matcher
+    from parquet_common_spark.queryable import ParquetQueryable
+    from parquet_common_spark import schema as S
+    from parquet_common_spark.plans.common import ensure_session_env
+
+    ensure_session_env(spark)
+    rows = [
+        (f"{i:02d}", "pcs_stream_fixture", s * 1000, float(i))
+        for i in range(6)
+        for s in range(4)
+    ]
+    wide = spark.createDataFrame(
+        rows, "l_bar string, l___name__ string, ts long, value double"
+    )
+    root = tempfile.mkdtemp(prefix="pcs_pq5_")
+    src = f"{root}/src"
+    wide.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = C.convert_streaming(
+        stream, f"{root}/shards", checkpoint_dir=f"{root}/ckpt", labels_col=None
+    )
+    q.awaitTermination(300)
+    import glob
+
+    shard_dirs = sorted(glob.glob(f"{root}/shards/batch=*"))
+    C.compact_shards(spark, shard_dirs, f"{root}/compacted")
+    sel = ParquetQueryable.from_paths(spark, [f"{root}/compacted"]).select(
+        0, 10**15, [Matcher("__name__", "=", "pcs_stream_fixture")]
+    )
+    return sel.select(
+        F.col("l_bar").alias("bar"),
+        F.col(S.TS_COLUMN).alias("ts"),
+        F.col(S.VALUE_COLUMN).alias("value"),
+    ).orderBy("bar", "ts")
