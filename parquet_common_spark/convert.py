@@ -525,3 +525,124 @@ def compact_shards(
         extra_value_cols=extra or None,
         **convert_kwargs,
     )
+
+
+# -------------------------------------------- retention / deletion
+
+
+def delete_series(
+    spark,
+    shard_dir: str,
+    matchers,
+    out_dir: str,
+    row_group_size: int = S.DEFAULT_ROW_GROUP_SIZE,
+    compression: str = "zstd",
+) -> S.ShardMeta:
+    """Rewrite a shard WITHOUT the series matching ``matchers`` (the
+    tombstone-apply/deletion step of a storage lifecycle — GDPR
+    erasure, bad-exporter cleanup).  Matching uses the same compiled
+    predicate layer as the query path (NULL≡"" semantics, regex
+    rewrites), so exactly the series a query would select are the
+    series a deletion removes.
+
+    Plan: the series file is filtered with the compiled predicate
+    (pushdown-friendly); the samples prune by anti-joining the
+    REMOVED hashes — broadcast when the deletion is selective, which
+    is the operational case; a deletion that removes most of a shard
+    should be expressed as retention (drop the shard) instead.  Sort
+    order is preserved from the source files, so the rewrite is
+    map-only: no global re-sort, no shuffle of the samples."""
+    from parquet_common_spark.matchers import matchers_to_predicate
+
+    meta = S.ShardMeta.read(shard_dir)
+    series = spark.read.parquet(os.path.join(shard_dir, "series.parquet"))
+    samples = spark.read.parquet(os.path.join(shard_dir, "samples.parquet"))
+    pred = matchers_to_predicate(matchers, series.columns)
+    removed = series.where(pred).select(S.SERIES_HASH_COLUMN)
+    kept_series = series.where(~pred)
+    kept_samples = samples.join(
+        F.broadcast(removed), S.SERIES_HASH_COLUMN, "left_anti"
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    (
+        kept_series.write.mode("overwrite")
+        .option("compression", compression)
+        .option("maxRecordsPerFile", row_group_size)
+        .option("parquet.bloom.filter.enabled#" + S.label_to_column(S.METRIC_NAME_LABEL), "true")
+        .option("parquet.bloom.filter.enabled#" + S.SERIES_HASH_COLUMN, "true")
+        .parquet(os.path.join(out_dir, "series.parquet"))
+    )
+    (
+        kept_samples.write.mode("overwrite")
+        .option("compression", compression)
+        .partitionBy(S.TIME_BUCKET_COLUMN)
+        .option("maxRecordsPerFile", row_group_size)
+        .option("parquet.bloom.filter.enabled#" + S.SERIES_HASH_COLUMN, "true")
+        .parquet(os.path.join(out_dir, "samples.parquet"))
+    )
+    meta.write(out_dir)
+    return meta
+
+
+def downsample_shard(
+    spark,
+    shard_dir: str,
+    out_dir: str,
+    resolution_ms: int,
+    row_group_size: int = S.DEFAULT_ROW_GROUP_SIZE,
+    compression: str = "zstd",
+) -> S.ShardMeta:
+    """Thanos-style downsampling: per (series, aligned window) emit ONE
+    sample row carrying the aggregate bundle (count/sum/min/max/last)
+    as extra value columns next to ``s_value`` (= last, so existing
+    readers keep working).  Long-horizon range queries then scan
+    ~window/resolution fewer rows; rate() uses sum/count, min/max keep
+    extremes honest — the aggregate set Thanos downsampling persists.
+
+    ONE shuffle (the window groupBy); output keeps the shard layout
+    (time buckets recomputed at the coarser grain, blooms, meta), so
+    the same queryable opens raw and downsampled shards alike."""
+    meta = S.ShardMeta.read(shard_dir)
+    samples = spark.read.parquet(os.path.join(shard_dir, "samples.parquet"))
+    win = (F.floor(F.col(S.TS_COLUMN) / F.lit(resolution_ms)) * F.lit(resolution_ms)).cast("long")
+    last_struct = F.max(F.struct(F.col(S.TS_COLUMN), F.col(S.VALUE_COLUMN)))
+    agg = (
+        samples.groupBy(F.col(S.SERIES_HASH_COLUMN), win.alias("_w"))
+        .agg(
+            F.count(F.lit(1)).alias("ds_count"),
+            F.sum(S.VALUE_COLUMN).alias("ds_sum"),
+            F.min(S.VALUE_COLUMN).alias("ds_min"),
+            F.max(S.VALUE_COLUMN).alias("ds_max"),
+            last_struct.alias("_last"),
+        )
+        .select(
+            S.SERIES_HASH_COLUMN,
+            S.data_col_idx(F.col("_w"), meta.mint_ms, meta.col_duration_ms).alias(
+                S.TIME_BUCKET_COLUMN
+            ),
+            F.col("_w").alias(S.TS_COLUMN),
+            F.col("_last")[S.VALUE_COLUMN].alias(S.VALUE_COLUMN),
+            "ds_count", "ds_sum", "ds_min", "ds_max",
+        )
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    import shutil
+
+    # series table unchanged — copy it verbatim (label sort preserved)
+    src_series = os.path.join(shard_dir, "series.parquet")
+    dst_series = os.path.join(out_dir, "series.parquet")
+    if os.path.exists(dst_series):
+        shutil.rmtree(dst_series)
+    shutil.copytree(src_series, dst_series)
+    (
+        agg.repartition(F.col(S.SERIES_HASH_COLUMN))
+        .sortWithinPartitions(S.SERIES_HASH_COLUMN, S.TS_COLUMN)
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .partitionBy(S.TIME_BUCKET_COLUMN)
+        .option("maxRecordsPerFile", row_group_size)
+        .option("parquet.bloom.filter.enabled#" + S.SERIES_HASH_COLUMN, "true")
+        .parquet(os.path.join(out_dir, "samples.parquet"))
+    )
+    meta.write(out_dir)
+    return meta

@@ -510,3 +510,51 @@ def test_streaming_convert_and_compaction(spark, tmp_path):
     assert meta.mint_ms == 0
     n_files = lambda d: len(glob.glob(d + "/samples.parquet/**/*.parquet", recursive=True))
     assert n_files(compact_dir) <= n_files(shard_dirs[0]) * len(shard_dirs)
+
+
+def test_delete_series_rewrite(spark, shard, tmp_path):
+    src, _ = shard
+    out = str(tmp_path / "deleted")
+    C.delete_series(spark, src, [Matcher("env", "=", "dev")], out)
+    q = ParquetQueryable.from_paths(spark, [out])
+    # the dev series are gone, matcher-compiled exactly like the query path
+    assert q.select(0, 10**15, [Matcher("env", "=", "dev")]).count() == 0
+    kept = q.select(0, 10**15, [Matcher("__name__", "=", "foo")])
+    orig = ParquetQueryable.from_paths(spark, [src]).select(
+        0, 10**15, [Matcher("env", "=", "prod")]
+    )
+    assert sorted(
+        (r["l_bar"], r[S.TS_COLUMN], r[S.VALUE_COLUMN]) for r in kept.collect()
+    ) == sorted((r["l_bar"], r[S.TS_COLUMN], r[S.VALUE_COLUMN]) for r in orig.collect())
+
+
+def test_downsample_shard_aggregates(spark, shard, tmp_path):
+    src, _ = shard
+    out = str(tmp_path / "ds")
+    res = 2 * 3600 * 1000  # 2h windows over 30m samples -> 4 raw rows/window
+    C.downsample_shard(spark, src, out, resolution_ms=res)
+    raw = spark.read.parquet(src + "/samples.parquet")
+    ds = spark.read.parquet(out + "/samples.parquet")
+    want = (
+        raw.groupBy(
+            "s_series_hash",
+            (F.floor(F.col(S.TS_COLUMN) / res) * res).cast("long").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("ds_count"),
+            F.sum(S.VALUE_COLUMN).alias("ds_sum"),
+            F.max(F.struct(S.TS_COLUMN, S.VALUE_COLUMN))[S.VALUE_COLUMN].alias("last"),
+        )
+    )
+    got = ds.select(
+        "s_series_hash", F.col(S.TS_COLUMN).alias("w"), "ds_count", "ds_sum",
+        F.col(S.VALUE_COLUMN).alias("last"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # the downsampled shard opens through the ordinary queryable, extra
+    # aggregate columns served next to s_value
+    q = ParquetQueryable.from_paths(spark, [out])
+    rows = q.select(0, 10**15, [Matcher("env", "=", "prod")]).collect()
+    assert rows and {"ds_count", "ds_sum", "ds_min", "ds_max"} <= set(rows[0].asDict())
+    # row count shrinks by the window/step factor (8 samples -> 2 windows)
+    assert ds.count() * 4 == raw.count()
