@@ -82,6 +82,10 @@ _CHECK_WINDOW = [
     # (convert_streaming -> compact_shards -> queryable, new code) —
     # p1 yields; pivot stays oracle-swept and p4/p5 hold the family.
     "pq5_streaming_ingest",
+    # continuation batch 7: the retention lifecycle (delete_series +
+    # downsample_shard, new code) — sql1 yields; the spark.sql surface
+    # is a thin registry pass-through whose oracle IS the query text.
+    "pq6_retention_lifecycle",
 ]
 _CHECK_WINDOW.remove("x1_token_frequencies")
 _CHECK_WINDOW.remove("m5_label_values")
@@ -92,6 +96,7 @@ _CHECK_WINDOW.remove("m6_time_range_pruning")
 _CHECK_WINDOW.remove("q6_forecast_revenue")
 _CHECK_WINDOW.remove("sim2_lsh_topk")
 _CHECK_WINDOW.remove("p1_pivot_event_counts")
+_CHECK_WINDOW.remove("sql1_revenue_by_segment")
 
 
 def _registry():

@@ -805,3 +805,57 @@ def pq5(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col(S.TS_COLUMN).alias("ts"),
         F.col(S.VALUE_COLUMN).alias("value"),
     ).orderBy("bar", "ts")
+
+
+@query(
+    "pq6_retention_lifecycle",
+    """
+    SELECT lpad(CAST(i.range AS VARCHAR), 2, '0') AS bar,
+           CAST(w.range * 2000 AS BIGINT) AS ts,
+           CAST(2 AS BIGINT) AS ds_count,
+           CAST(2 * i.range AS DOUBLE) AS ds_sum,
+           CAST(i.range AS DOUBLE) AS ds_min,
+           CAST(i.range AS DOUBLE) AS ds_max,
+           CAST(i.range AS DOUBLE) AS value
+    FROM range(3) i, range(2) w
+    ORDER BY bar, ts
+    """,
+)
+def pq6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention lifecycle through the driver gate: fixture shard ->
+    delete_series(bar=~"0[3-5]") -> downsample to 2s windows -> read
+    back through the ordinary queryable.  The oracle regenerates the
+    surviving series' window aggregates arithmetically, so a matcher
+    compiled too wide/narrow, a lost window, or a wrong aggregate
+    hashes red."""
+    import tempfile
+
+    from parquet_common_spark import convert as C
+    from parquet_common_spark.matchers import Matcher
+    from parquet_common_spark.queryable import ParquetQueryable
+    from parquet_common_spark import schema as S
+    from parquet_common_spark.plans.common import ensure_session_env
+
+    ensure_session_env(spark)
+    rows = [
+        (f"{i:02d}", "pcs_lifecycle_fixture", s * 1000, float(i))
+        for i in range(6)
+        for s in range(4)
+    ]
+    wide = spark.createDataFrame(
+        rows, "l_bar string, l___name__ string, ts long, value double"
+    )
+    root = tempfile.mkdtemp(prefix="pcs_pq6_")
+    C.convert(wide, f"{root}/raw", labels_col=None)
+    C.delete_series(spark, f"{root}/raw", [Matcher("bar", "=~", "0[3-5]")], f"{root}/kept")
+    C.downsample_shard(spark, f"{root}/kept", f"{root}/ds", resolution_ms=2000)
+    sel = ParquetQueryable.from_paths(spark, [f"{root}/ds"]).select(
+        0, 10**15, [Matcher("__name__", "=", "pcs_lifecycle_fixture")]
+    )
+    return sel.select(
+        F.col("l_bar").alias("bar"),
+        F.col(S.TS_COLUMN).alias("ts"),
+        F.col("ds_count").cast("long").alias("ds_count"),
+        "ds_sum", "ds_min", "ds_max",
+        F.col(S.VALUE_COLUMN).alias("value"),
+    ).orderBy("bar", "ts")
