@@ -86,6 +86,10 @@ _CHECK_WINDOW = [
     # downsample_shard, new code) — sql1 yields; the spark.sql surface
     # is a thin registry pass-through whose oracle IS the query text.
     "pq6_retention_lifecycle",
+    # continuation batch 8: product-quantization ANN (new code) —
+    # e4 yields; the asof-join family stays oracle-swept and e1/e6
+    # hold the family in the window.
+    "sim5_pq_topk",
 ]
 _CHECK_WINDOW.remove("x1_token_frequencies")
 _CHECK_WINDOW.remove("m5_label_values")
@@ -97,6 +101,7 @@ _CHECK_WINDOW.remove("q6_forecast_revenue")
 _CHECK_WINDOW.remove("sim2_lsh_topk")
 _CHECK_WINDOW.remove("p1_pivot_event_counts")
 _CHECK_WINDOW.remove("sql1_revenue_by_segment")
+_CHECK_WINDOW.remove("e4_asof_last_click_before_purchase")
 
 
 def _registry():

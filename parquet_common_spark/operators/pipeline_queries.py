@@ -1412,3 +1412,47 @@ def x5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ------------------------------------------- sim5: product quantization
+
+def _sim5_sql(n_sub: int = 8, n_codes: int = 8, sd: int = 8) -> str:
+    # Replays pq_topk exactly: portable-mix codebook rows sliced per
+    # subspace, L2 argmin via |c|^2 - 2 x.c (sequential dot folds both
+    # engines), decode-then-fold-dot ADC scoring, (score DESC, id)
+    # rank.  list(c ORDER BY m) + flatten rebuilds the decoded vector
+    # in subspace order.
+    return f"""
+    WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    samp AS (SELECT id, e FROM v
+             ORDER BY (id * 2654435761 + 40503) % 999999937, id LIMIT {n_codes}),
+    cent AS (SELECT ROW_NUMBER() OVER (ORDER BY id) AS cid, e FROM samp),
+    sub AS (SELECT cid, m.range AS m, e[m.range*{sd}+1 : m.range*{sd}+{sd}] AS c
+            FROM cent, range({n_sub}) m),
+    xs AS (SELECT id, m.range AS m, e[m.range*{sd}+1 : m.range*{sd}+{sd}] AS x
+           FROM v, range({n_sub}) m),
+    enc AS (SELECT id, m, cid, c,
+              ROW_NUMBER() OVER (PARTITION BY id, m
+                ORDER BY list_dot_product(c, c) - 2*list_dot_product(x, c) ASC, cid) AS rk
+            FROM xs JOIN sub USING (m)),
+    dec AS (SELECT id, flatten(list(c ORDER BY m)) AS xhat
+            FROM enc WHERE rk = 1 GROUP BY id),
+    q AS (SELECT id AS query_id, e AS qe FROM v WHERE id < 5),
+    scored AS (SELECT query_id, dec.id AS neighbor_id,
+                      list_dot_product(qe, xhat) AS score
+               FROM q, dec WHERE dec.id <> query_id),
+    ranked AS (SELECT query_id, neighbor_id, score,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY score DESC, neighbor_id) AS rn
+               FROM scored)
+    SELECT query_id, neighbor_id, ROUND(score, 5) AS score, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= 5 ORDER BY query_id, rank
+    """
+
+
+@query("sim5_pq_topk", _sim5_sql())
+def sim5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    return SIM.pq_topk(emb, emb.where(F.col("vec_id") < 5), k=5).orderBy(
+        "query_id", "rank"
+    )

@@ -499,3 +499,160 @@ def refine_centroids(
             )
         )
     return cur
+
+
+# ------------------------------------------- product quantization (PQ)
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_sub: int = 8,
+    n_codes: int = 8,
+    rerank: int | None = None,
+) -> DataFrame:
+    """Product-quantization ADC top-k — the memory-compression ANN
+    variant completing the family (brute sim1 / LSH sim2 / IVF sim3 /
+    int8 sim4): each vector is stored as ``n_sub`` one-byte codes
+    (here 64 dims -> 8 codes, an 8x compression over float64), and
+    queries score against DECODED vectors, never the originals.
+
+    Codebooks are deterministic: the portable-mix centroid sample
+    (:func:`sample_centroids`) sliced per subspace — so the DuckDB
+    oracle reproduces them exactly; encoding is the L2 argmin via
+    ``|c|^2 - 2 x·c`` with SEQUENTIAL left-to-right dot folds
+    (tie-break on code id), and the ADC score is the sequential fold
+    ``dot(q, decode(x))`` — bit-identical on both engines because
+    every float operation has a pinned order.
+
+    100 TB shape: codebooks (n_sub × n_codes × sub_dim doubles) and the
+    query batch broadcast; encode+score is ONE Arrow map stage over the
+    corpus (per-partition, no shuffle) emitting (query, neighbor,
+    score); the only shuffle is the final per-query top-k window over
+    |Q|·k-bounded... |Q|·N rows — at scale, cap with a per-partition
+    pre-top-k exactly like cosine_topk.  The Python fold inside the
+    batch is the oracle-exactness trade; swap faiss's ADC kernels when
+    bit-parity with a SQL oracle is not required."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import (
+        DoubleType, LongType, StructField, StructType, IntegerType,
+    )
+
+    cents = sample_centroids(corpus, id_col, vec_col, n_codes)
+    cent_rows = sorted(
+        (int(r["centroid_id"]), [float(x) for x in r["cvec"]]) for r in cents.collect()
+    )
+    q_rows = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in queries.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>")
+        ).collect()
+    ]
+
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+
+    def batches(it):
+        import pandas as pd
+
+        def fold_dot(a, b):
+            s = 0.0
+            for x, y in zip(a, b):
+                s += x * y
+            return s
+
+        dim = len(cent_rows[0][1])
+        sd = dim // n_sub
+        # per-subspace codebook: list of (cid, subvector, |c|^2-fold)
+        books = []
+        for m in range(n_sub):
+            entries = []
+            for cid, cv in cent_rows:
+                c = cv[m * sd:(m + 1) * sd]
+                entries.append((cid, c, fold_dot(c, c)))
+            books.append(entries)
+
+        for pdf in it:
+            qid_out, nid_out, sc_out = [], [], []
+            for nid, vec in zip(pdf[pdf.columns[0]], pdf[pdf.columns[1]]):
+                x = [float(v) for v in vec]
+                xhat = []
+                for m in range(n_sub):
+                    xm = x[m * sd:(m + 1) * sd]
+                    best = None
+                    for cid, c, cc in books[m]:
+                        d = cc - 2.0 * fold_dot(xm, c)
+                        if best is None or d < best[0] or (d == best[0] and cid < best[1]):
+                            best = (d, cid, c)
+                    xhat.extend(best[2])
+                for qid, qv in q_rows:
+                    if qid == int(nid):
+                        continue
+                    qid_out.append(qid)
+                    nid_out.append(int(nid))
+                    sc_out.append(fold_dot(qv, xhat))
+            yield pd.DataFrame(
+                {"query_id": qid_out, "neighbor_id": nid_out, "score": sc_out}
+            )
+
+    scored = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>")
+    ).mapInPandas(batches, schema=out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "neighbor_id")
+    if rerank is not None:
+        # the standard PQ recipe: ADC shortlists `rerank` candidates
+        # per query, then the TRUE vectors rescore just those — exact
+        # top-k quality at shortlist cost.  Untrained sampled codebooks
+        # preserve cluster-level structure but tie within clusters;
+        # the re-rank restores the fine ordering (pinned in
+        # tests/test_ann_recall.py).
+        short = (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= rerank)
+            .select("query_id", "neighbor_id")
+        )
+        cand = short.join(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).cast("array<double>").alias("_nv"),
+            ),
+            "neighbor_id",
+        )
+        qmap = dict(q_rows)
+
+        def rescore(it):
+            import pandas as pd
+
+            from parquet_common_spark.operators.dedup import _fold_cos
+
+            for pdf in it:
+                out_q, out_n, out_s = [], [], []
+                for qid, nid, nv in zip(
+                    pdf["query_id"], pdf["neighbor_id"], pdf["_nv"]
+                ):
+                    out_q.append(int(qid))
+                    out_n.append(int(nid))
+                    out_s.append(_fold_cos(qmap[int(qid)], [float(x) for x in nv]))
+                yield pd.DataFrame(
+                    {"query_id": out_q, "neighbor_id": out_n, "score": out_s}
+                )
+
+        scored = cand.mapInPandas(rescore, schema=out_schema)
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("score", 5).alias("score"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -110,3 +110,37 @@ def test_lsh_recall_gate_clustered(spark):
     got = SIM.lsh_topk(emb, queries, k=5).collect()
     r = _recall(got, exact_set)
     assert r >= 0.9, f"clustered LSH recall@5 {r} < 0.9"
+
+
+def _clustered_corpus(spark):
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(100, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows, vid = [], 0
+    for c in centers:
+        for _ in range(20):
+            v = c + 0.04 * rng.normal(size=64)
+            rows.append((vid, [float(x) for x in v], 0))
+            vid += 1
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_pq_cluster_precision_and_rerank(spark):
+    """PQ with untrained (sampled) codebooks preserves CLUSTER-level
+    structure under 8x compression — all retrieved neighbours come from
+    the query's true cluster (measured 0.99-1.0) — but ties within a
+    cluster, so exact recall needs the standard ADC-shortlist + true-
+    vector re-rank, which restores ≥0.9 recall@5 (measured 1.0)."""
+    emb = _clustered_corpus(spark)
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    got = SIM.pq_topk(emb, queries, k=5, n_codes=64).collect()
+    same = sum(1 for r in got if r["neighbor_id"] // 20 == r["query_id"] // 20)
+    assert same / len(got) >= 0.95, f"cluster precision {same/len(got)}"
+
+    exact_set = {
+        (r["query_id"], r["neighbor_id"])
+        for r in SIM.brute_force_topk(emb, queries, k=5).collect()
+    }
+    rr = SIM.pq_topk(emb, queries, k=5, n_codes=64, rerank=40).collect()
+    r = _recall(rr, exact_set)
+    assert r >= 0.9, f"PQ+rerank recall@5 {r} < 0.9"
