@@ -601,7 +601,12 @@ def downsample_shard(
 
     ONE shuffle (the window groupBy); output keeps the shard layout
     (time buckets recomputed at the coarser grain, blooms, meta), so
-    the same queryable opens raw and downsampled shards alike."""
+    the same queryable opens raw and downsampled shards alike.
+
+    Scope: float samples (``s_value``).  Native-histogram columns would
+    need the sparse-bucket merge the acceptance engine implements for
+    ``sum()`` (promqltest/engine.py _hist_sum/_merge_sparse) — a
+    documented slice; the reference has no downsampling at all."""
     meta = S.ShardMeta.read(shard_dir)
     samples = spark.read.parquet(os.path.join(shard_dir, "samples.parquet"))
     win = (F.floor(F.col(S.TS_COLUMN) / F.lit(resolution_ms)) * F.lit(resolution_ms)).cast("long")
