@@ -18,9 +18,13 @@ Layers (see SURVEY.md):
 # would shadow the `parquet_common_spark.convert` submodule attribute
 # (callers do `from parquet_common_spark import convert as C`).
 from parquet_common_spark.convert import (
+    compact_shards,
     convert_bucketed,
     convert_merged,
     convert_sharded,
+    convert_streaming,
+    delete_series,
+    downsample_shard,
 )
 from parquet_common_spark.limits import Quota, ResourceExhausted
 from parquet_common_spark.matchers import Matcher, matchers_to_predicate
@@ -37,6 +41,10 @@ __all__ = [
     "convert_bucketed",
     "convert_merged",
     "convert_sharded",
+    "convert_streaming",
+    "compact_shards",
+    "delete_series",
+    "downsample_shard",
     "get_spark",
 ]
 
