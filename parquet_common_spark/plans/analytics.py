@@ -174,6 +174,32 @@ def g2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "g4_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def g4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the explicit-sets member completing the
+    rollup/cube trio; one expand + one shuffle, same as rollup."""
+    t = load(spark, sf_dir, "orders")
+    t["orders"].createOrReplaceTempView("g4_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(27,2))) AS DOUBLE) AS revenue
+        FROM g4_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """
+    )
+
+
+@query(
     "s1_nation_setops",
     """
     WITH cn AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
