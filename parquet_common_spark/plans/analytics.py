@@ -2012,3 +2012,43 @@ def st5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["id_a", "id_b"])
         .orderBy("id_a", "id_b")
     )
+
+
+@query(
+    "w7_rank_functions",
+    """
+    SELECT c_mktsegment, c_custkey,
+           CAST(RANK() OVER w AS INT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+           CAST(NTILE(4) OVER w AS INT) AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS prank,
+           ROUND(CUME_DIST() OVER w, 6) AS cdist
+    FROM customer
+    WHERE c_custkey <= 400
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+    ORDER BY c_mktsegment, rnk, c_custkey
+    """,
+)
+def w7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ranking-function window family (rank/dense_rank/ntile/
+    percent_rank/cume_dist) — one window spec, ONE shuffle on the
+    partition key; the deterministic (acctbal DESC, custkey) order
+    makes every rank oracle-exact."""
+    t = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        t["customer"]
+        .where(F.col("c_custkey") <= 400)
+        .select(
+            "c_mktsegment",
+            "c_custkey",
+            F.rank().over(w).cast("int").alias("rnk"),
+            F.dense_rank().over(w).cast("int").alias("drnk"),
+            F.ntile(4).over(w).cast("int").alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("prank"),
+            F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        )
+        .orderBy("c_mktsegment", "rnk", "c_custkey")
+    )
