@@ -859,3 +859,44 @@ def pq6(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ds_sum", "ds_min", "ds_max",
         F.col(S.VALUE_COLUMN).alias("value"),
     ).orderBy("bar", "ts")
+
+
+@query(
+    "f4_conditional_null",
+    """
+    SELECT s_suppkey,
+           CASE WHEN s_acctbal < 0 THEN 'debt'
+                WHEN s_acctbal < 5000 THEN 'mid'
+                ELSE 'high' END AS bal_band,
+           COALESCE(NULLIF(s_name, ''), '<empty>') AS name_nz,
+           ROUND(GREATEST(s_acctbal, 0.0), 2) AS bal_floor0,
+           ROUND(LEAST(s_acctbal, 1000.0), 2) AS bal_cap1k,
+           CAST(s_acctbal IS NULL AS BOOLEAN) AS bal_null,
+           IFNULL(CAST(NULL AS DOUBLE), ROUND(s_acctbal, 2)) AS bal_if
+    FROM supplier
+    WHERE s_suppkey <= 200
+    ORDER BY s_suppkey
+    """,
+)
+def f4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/null-handling function breadth: CASE bands,
+    COALESCE/NULLIF, GREATEST/LEAST, IS NULL, IFNULL — all map-only
+    Column expressions inside whole-stage codegen."""
+    from parquet_common_spark.plans.common import load as _load
+
+    t = _load(spark, sf_dir, "supplier")
+    bal = F.col("s_acctbal")
+    return (
+        t["supplier"]
+        .where(F.col("s_suppkey") <= 200)
+        .select(
+            "s_suppkey",
+            F.when(bal < 0, "debt").when(bal < 5000, "mid").otherwise("high").alias("bal_band"),
+            F.coalesce(F.nullif(F.col("s_name"), F.lit("")), F.lit("<empty>")).alias("name_nz"),
+            F.round(F.greatest(bal, F.lit(0.0)), 2).alias("bal_floor0"),
+            F.round(F.least(bal, F.lit(1000.0)), 2).alias("bal_cap1k"),
+            bal.isNull().alias("bal_null"),
+            F.ifnull(F.lit(None).cast("double"), F.round(bal, 2)).alias("bal_if"),
+        )
+        .orderBy("s_suppkey")
+    )
