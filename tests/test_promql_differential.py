@@ -305,6 +305,18 @@ def model_eval(node, series, t_ms):
             # generated only with k >= series count, so the result is
             # the full input vector (order-free set comparison)
             return ("vector", dict(vec))
+        if node.op == "count_values":
+            # grammar wraps the argument in floor(), so every value is
+            # integral or NaN — the two cases where Go strconv, Java
+            # Double.toString (the engine's cast) and this model agree
+            dst = node.param.value
+            out = {}
+            for gk, vals in groups.items():
+                for v in vals:
+                    fmt = "NaN" if math.isnan(v) else str(int(v))
+                    nk = frozenset({**dict(gk), dst: fmt}.items())
+                    out[nk] = out.get(nk, 0.0) + 1.0
+            return ("vector", out)
         agg = {}
         for gk, vals in groups.items():
             if node.op == "sum":
@@ -630,7 +642,7 @@ def exprs(draw, depth=2):
         op = draw(
             st.sampled_from(
                 ["sum", "min", "max", "count", "avg", "topk", "bottomk",
-                 "group", "stddev", "stdvar", "quantile"]
+                 "group", "stddev", "stdvar", "quantile", "count_values"]
             )
         )
         if op in ("topk", "bottomk"):
@@ -638,6 +650,10 @@ def exprs(draw, depth=2):
             # sidestepping upstream's unspecified tie order
             return f"{op}(9, {draw(exprs(depth=depth - 1))})"
         grouping = draw(st.sampled_from(["", " by (job)", " without (instance)"]))
+        if op == "count_values":
+            # floor() keeps every value integral-or-NaN so the label
+            # formatting agrees across Go/Java/Python (see model)
+            return f'count_values{grouping} ("vl", floor({draw(exprs(depth=depth - 1))}))'
         if op == "quantile":
             phi = draw(st.sampled_from(["0", "0.25", "0.5", "1", "-0.5", "1.5"]))
             return f"{op}{grouping} ({phi}, {draw(exprs(depth=depth - 1))})"
