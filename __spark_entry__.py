@@ -90,6 +90,11 @@ _CHECK_WINDOW = [
     # e4 yields; the asof-join family stays oracle-swept and e1/e6
     # hold the family in the window.
     "sim5_pq_topk",
+    # continuation batch 9: grouping-sets, ranking windows, and the
+    # conditional/null function sweep (new code) — m14/m16/q8a yield
+    # (codec round-trips stay hypothesis-pinned in pytest, the m-family
+    # keeps 9 members, TPC-H keeps 5).
+    "g4_grouping_sets", "w7_rank_functions", "f4_conditional_null",
 ]
 _CHECK_WINDOW.remove("x1_token_frequencies")
 _CHECK_WINDOW.remove("m5_label_values")
@@ -102,6 +107,9 @@ _CHECK_WINDOW.remove("sim2_lsh_topk")
 _CHECK_WINDOW.remove("p1_pivot_event_counts")
 _CHECK_WINDOW.remove("sql1_revenue_by_segment")
 _CHECK_WINDOW.remove("e4_asof_last_click_before_purchase")
+_CHECK_WINDOW.remove("m14_histogram_chunk_roundtrip")
+_CHECK_WINDOW.remove("m16_histogram_functions")
+_CHECK_WINDOW.remove("q8a_market_share")
 
 
 def _registry():
