@@ -558,3 +558,26 @@ def test_downsample_shard_aggregates(spark, shard, tmp_path):
     assert rows and {"ds_count", "ds_sum", "ds_min", "ds_max"} <= set(rows[0].asDict())
     # row count shrinks by the window/step factor (8 samples -> 2 windows)
     assert ds.count() * 4 == raw.count()
+
+
+def test_compact_preserves_extra_value_cols(spark, tmp_path):
+    """Compaction must carry the extra sample columns (the histogram
+    slot) verbatim — a compacted shard serves the same nh_*/h_* data
+    the originals did."""
+    def mk(path, ids):
+        df = spark.createDataFrame(
+            [({"__name__": "m", "i": str(i)}, t * 1000, float(i), float(i * 10))
+             for i in ids for t in range(3)],
+            "labels map<string,string>, ts long, value double, nh_sum double",
+        )
+        C.convert(df, path, extra_value_cols=["nh_sum"])
+
+    d1, d2 = str(tmp_path / "a"), str(tmp_path / "b")
+    mk(d1, [0, 1])
+    mk(d2, [2])
+    out = str(tmp_path / "c")
+    C.compact_shards(spark, [d1, d2], out)
+    q = ParquetQueryable.from_paths(spark, [out])
+    rows = q.select(0, 10**15, [Matcher("__name__", "=", "m")]).collect()
+    assert len(rows) == 9
+    assert all(r["nh_sum"] == float(r["l_i"]) * 10 for r in rows)
