@@ -95,6 +95,10 @@ _CHECK_WINDOW = [
     # (codec round-trips stay hypothesis-pinned in pytest, the m-family
     # keeps 9 members, TPC-H keeps 5).
     "g4_grouping_sets", "w7_rank_functions", "f4_conditional_null",
+    # continuation batch 10: span-level decontamination (new code) —
+    # m9 yields; the m-family keeps 8 members and the extrapolated-rate
+    # family stays pinned by the promqltest corpus + w-family evals.
+    "d9_span_decontam",
 ]
 _CHECK_WINDOW.remove("x1_token_frequencies")
 _CHECK_WINDOW.remove("m5_label_values")
@@ -110,6 +114,7 @@ _CHECK_WINDOW.remove("e4_asof_last_click_before_purchase")
 _CHECK_WINDOW.remove("m14_histogram_chunk_roundtrip")
 _CHECK_WINDOW.remove("m16_histogram_functions")
 _CHECK_WINDOW.remove("q8a_market_share")
+_CHECK_WINDOW.remove("m9_extrapolated_rate")
 
 
 def _registry():

@@ -114,3 +114,75 @@ def decontaminate(
         .select(id_col)
     )
     return corpus.join(bad, on=id_col, how="left_anti")
+
+
+def mask_contaminated_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    mask_token: str = "__MASK__",
+) -> DataFrame:
+    """Span-level decontamination: instead of dropping a contaminated
+    document (``decontaminate``), replace every token covered by a
+    benchmark-overlapping n-gram with ``mask_token`` — the masking
+    variant real pipelines use when documents are too valuable to drop
+    wholesale.  Output: (id, n_tokens, n_masked, cleaned_text) over the
+    NORMALIZED token stream (the hash family's canonical form).
+
+    100 TB shape: the benchmark n-gram set is packed into ONE broadcast
+    array row and attached with a lit-key equi join (same spelling as
+    the streaming probe st4 — no nested-loop join); hit positions,
+    coverage, and the rewrite are pure Column expressions (sequence /
+    filter / exists / transform) — map-only, zero shuffles.  Documents
+    shorter than ``n`` tokens have no n-gram span and pass unmasked."""
+    from pyspark.sql import functions as F
+
+    from parquet_common_spark.operators import text as T
+    from parquet_common_spark.operators.dedup import HASH_P, TOKEN_COMBINE
+
+    bench_arr = (
+        benchmark_ngram_set(benchmark, id_col, text_col, n)
+        .agg(F.sort_array(F.collect_list("h")).alias("_bench"))
+        .withColumn("_k", F.lit(1))
+    )
+    toks = T.tokens(T.normalize_text(F.col(text_col)))
+    staged = corpus.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.transform(toks, lambda t: T.char_poly_hash(t)).alias("_th"),
+        F.lit(1).alias("_k"),
+    ).join(F.broadcast(bench_arr), "_k")
+
+    th, nn = F.col("_th"), F.size(F.col("_th"))
+
+    def sh_at(i):
+        a = F.element_at(th, i)
+        b = F.element_at(th, i + 1)
+        c = F.element_at(th, i + 2)
+        return ((a * TOKEN_COMBINE + b) % HASH_P * TOKEN_COMBINE + c) % HASH_P
+
+    hits = F.when(
+        nn >= n,
+        F.filter(
+            F.sequence(F.lit(1), nn - (n - 1)),
+            lambda i: F.array_contains(F.col("_bench"), sh_at(i)),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    staged = staged.withColumn("_hits", hits)
+    covered = lambda j: F.exists(  # noqa: E731
+        F.col("_hits"), lambda h: (j >= h) & (j <= h + (n - 1))
+    )
+    cleaned = F.transform(
+        F.sequence(F.lit(1), nn),
+        lambda j: F.when(covered(j), F.lit(mask_token)).otherwise(
+            F.element_at(F.col("_toks"), j)
+        ),
+    )
+    return staged.select(
+        F.col(id_col),
+        nn.cast("long").alias("n_tokens"),
+        F.size(F.filter(F.sequence(F.lit(1), nn), covered)).cast("long").alias("n_masked"),
+        F.array_join(cleaned, " ").alias("cleaned_text"),
+    )

@@ -1456,3 +1456,58 @@ def sim5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.pq_topk(emb, emb.where(F.col("vec_id") < 5), k=5).orderBy(
         "query_id", "rank"
     )
+
+
+# ----------------------------------------- d9: span-level decontamination
+
+def _d9_sql() -> str:
+    # hits = 1-based shingle positions whose 3-gram hash is in the bench
+    # set; token j is masked when a hit h covers it (h <= j <= h+2)
+    return f"""
+    WITH t0 AS (SELECT doc_id AS id, source, {_TOKS.format(c='text')} AS toks
+                FROM documents),
+    t1 AS (SELECT id, source, toks,
+                  list_transform(toks, t -> {_phash('t')}) AS th
+           FROM t0),
+    bench0 AS (SELECT id, th FROM t1 WHERE source = '{_DC_BENCH_SRC}'),
+    benchsh AS (SELECT DISTINCT unnest(
+                  CASE WHEN len(th) >= 3
+                  THEN list_transform(generate_series(1, len(th) - 2),
+                        i -> (((th[i] * {_K} + th[i+1]) % {_P}) * {_K} + th[i+2]) % {_P})
+                  ELSE [list_reduce(list_prepend(CAST(0 AS BIGINT), th), (a, b) -> (a * {_K} + b) % {_P})]
+                  END) AS h
+                FROM bench0),
+    barr AS (SELECT list(h) AS bh FROM benchsh),
+    c AS (SELECT id, toks, th FROM t1 WHERE source <> '{_DC_BENCH_SRC}'),
+    h AS (SELECT id, toks,
+                 CASE WHEN len(th) >= 3 THEN
+                   list_filter(generate_series(1, len(th) - 2),
+                     i -> list_contains(bh, (((th[i] * {_K} + th[i+1]) % {_P}) * {_K} + th[i+2]) % {_P}))
+                 ELSE [] END AS hits
+          FROM c, barr)
+    SELECT id AS doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(generate_series(1, len(toks)),
+                j -> len(list_filter(hits, hh -> j >= hh AND j <= hh + 2)) > 0))
+             AS BIGINT) AS n_masked,
+           array_to_string(list_transform(generate_series(1, len(toks)),
+                j -> CASE WHEN len(list_filter(hits, hh -> j >= hh AND j <= hh + 2)) > 0
+                          THEN '__MASK__' ELSE toks[j] END), ' ') AS cleaned_text
+    FROM h ORDER BY doc_id
+    """
+
+
+@query("d9_span_decontam", _d9_sql())
+def d9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level decontamination (the masking variant of d7): tokens
+    covered by a benchmark-overlapping 3-gram are replaced, the rest of
+    the document survives.  Map-only Column expressions after a one-row
+    broadcast of the benchmark n-gram array."""
+    from parquet_common_spark.operators.decontam import mask_contaminated_spans
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    bench = docs.where(F.col("source") == _DC_BENCH_SRC)
+    corpus = docs.where(F.col("source") != _DC_BENCH_SRC)
+    return mask_contaminated_spans(corpus, bench, "doc_id", "text", n=_DC_N).orderBy(
+        "doc_id"
+    )

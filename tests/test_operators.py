@@ -858,3 +858,31 @@ def test_incremental_minhash_matches_batch(spark, tmp_path):
     # the increment partition the full pair set
     assert batch1 | inc == full
     assert batch1.isdisjoint(inc)
+
+
+def test_mask_contaminated_spans(spark):
+    from parquet_common_spark.operators.decontam import mask_contaminated_spans
+
+    bench = spark.createDataFrame(
+        [(100, "secret eval answer key")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (0, "clean text with nothing shared here at all"),
+            (1, "prefix words secret eval answer key suffix words"),
+            (2, "xy"),  # < n tokens: no span, passes unmasked
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r[0]: tuple(r)[1:]
+        for r in mask_contaminated_spans(corpus, bench, "doc_id", "text").collect()
+    }
+    assert rows[0][1] == 0  # no overlap -> untouched
+    assert rows[0][2] == "clean text with nothing shared here at all"
+    # doc 1 shares the 4-token benchmark run: its two 3-gram hits cover
+    # exactly the 4 benchmark tokens, neighbours survive
+    n_tokens, n_masked, cleaned = rows[1]
+    assert (n_tokens, n_masked) == (8, 4)
+    assert cleaned == "prefix words __MASK__ __MASK__ __MASK__ __MASK__ suffix words"
+    assert rows[2] == (1, 0, "xy")
