@@ -227,6 +227,7 @@ def test_registry_wide_no_unplanned_cartesians(spark):
         "q11a_important_parts", "q20a_active_part_suppliers", "q22_inactive_customers",
         "p4_mixture_sample",  # 1-row total-weight scalar attached to the tiny rates frame
         "t8_unigram_ppl",  # 1-row corpus-total scalar attached to the tiny vocab frame
+        "d9_span_decontam",  # 1-row benchmark-ngram array attach (lit-key folds to true)
         "pq1_promql_engine", "pq2_promql_parquet_storage",
         "pq3_promql_native_histograms",
         "pq4_promql_range_api",  # same bounded-step broadcast as pq1-pq3
