@@ -722,7 +722,7 @@ def _close(a, b):
 
 
 _EXAMPLES = int(os.environ.get("PROMQL_DIFF_EXAMPLES", "40"))
-
+_STORAGE_EXAMPLES = int(os.environ.get("PROMQL_DIFF_STORAGE_EXAMPLES", "10"))
 
 @pytest.mark.parametrize("t_ms", [15 * 60 * 1000])
 @settings(
@@ -961,6 +961,24 @@ def range_series(draw):
 )
 @given(data=st.data())
 def test_range_functions_match_model(spark, data):
+    _range_case(spark, data, backed=False)
+
+
+@settings(
+    max_examples=_STORAGE_EXAMPLES,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(data=st.data())
+def test_range_functions_match_model_parquet_backed(spark, data):
+    """The same extrapolation/window differential with every load block
+    written through convert() and read back — irregular timestamps and
+    window-boundary samples exercise the storage layer's time pruning
+    and sort exactly where the extrapolation branches live."""
+    _range_case(spark, data, backed=True)
+
+
+def _range_case(spark, data, backed):
     from parquet_common_spark.promqltest import PromQLEngine
     from parquet_common_spark.promqltest.scriptparse import LoadCmd, Sample
 
@@ -971,7 +989,7 @@ def test_range_functions_match_model(spark, data):
 
     want = _model_range(fn, samples, t_ms, range_ms)
 
-    engine = PromQLEngine(spark)
+    engine = PromQLEngine(spark, parquet_backed=backed)
     engine.clear()
     engine.load(
         LoadCmd(60_000, [({"__name__": "rsvc"}, [Sample(ts, v) for ts, v in samples])])
@@ -1063,8 +1081,6 @@ def test_subquery_matches_model(spark, data):
 
 
 # ------------------ storage-path differential (parquet-backed engine)
-
-_STORAGE_EXAMPLES = int(os.environ.get("PROMQL_DIFF_STORAGE_EXAMPLES", "10"))
 
 
 @pytest.mark.parametrize("t_ms", [15 * 60 * 1000])
