@@ -886,3 +886,42 @@ def test_mask_contaminated_spans(spark):
     assert (n_tokens, n_masked) == (8, 4)
     assert cleaned == "prefix words __MASK__ __MASK__ __MASK__ __MASK__ suffix words"
     assert rows[2] == (1, 0, "xy")
+
+
+def test_phash_image_dedup(spark):
+    import numpy as np
+
+    from parquet_common_spark.functions import mediacodec as MC
+    from parquet_common_spark.functions.jpegcodec import encode_jpeg
+    from parquet_common_spark.operators.phash import image_phash, phash_pairs
+
+    y, x = np.mgrid[0:96, 0:96]
+    img_a = np.stack([(x * 2 + y) % 256, (x + y * 3) % 256, (255 - x) % 256], -1).astype(np.uint8)
+    # smooth content (blobs): pHash is a LOW-frequency signature, so the
+    # stability-under-reencode property holds for natural-image-like
+    # inputs, not for aliasing sawtooth patterns
+    img_b = np.stack(
+        [
+            255 * np.exp(-((x - 30) ** 2 + (y - 40) ** 2) / 800.0),
+            255 * np.exp(-((x - 70) ** 2 + (y - 20) ** 2) / 500.0),
+            255 * np.exp(-((x - 50) ** 2 + (y - 70) ** 2) / 1200.0),
+        ],
+        -1,
+    ).astype(np.uint8)
+    rng = np.random.default_rng(7)
+    img_c = rng.integers(0, 256, img_a.shape).astype(np.uint8)
+    rows = [
+        (0, bytearray(MC.encode_png(img_a))),
+        (1, bytearray(encode_jpeg(img_a, quality=85))),   # same picture, lossy re-encode
+        (2, bytearray(MC.encode_png(img_b))),
+        (3, bytearray(encode_jpeg(img_b, quality=60))),   # same picture, low quality
+        (4, bytearray(MC.encode_png(img_c))),             # unrelated
+        (5, bytearray(b"not an image at all")),           # quarantine -> NULL hash
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    hashes = {r[0]: r[1] for r in image_phash(df, "doc_id", "payload").collect()}
+    assert hashes[5] is None
+    assert hashes[0] == hashes[1]  # format/quality invariant
+    pairs = {(r[0], r[1]) for r in phash_pairs(df, "doc_id", "payload", max_hamming=6).collect()}
+    assert (0, 1) in pairs and (2, 3) in pairs
+    assert all(p in {(0, 1), (2, 3)} for p in pairs), pairs
