@@ -2052,3 +2052,43 @@ def w7(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", "rnk", "c_custkey")
     )
+
+
+@query(
+    "e7_cohort_retention",
+    """
+    WITH firstw AS (
+      SELECT user_id, MIN(date_trunc('week', ts)) AS cohort
+      FROM events GROUP BY user_id),
+    act AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+    SELECT CAST(cohort AS DATE) AS cohort_week,
+           CAST((epoch(wk) - epoch(cohort)) / 604800 AS INT) AS week_offset,
+           COUNT(*) AS n_users
+    FROM act JOIN firstw USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def e7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    counted per week-offset of subsequent activity — the standard
+    product-analytics query.  Two aggregations on user_id (the second
+    reuses the first's hash partitioning through the join) plus the
+    final (cohort, offset) count; all shuffles carry (user, week)
+    pairs, never events."""
+    t = load(spark, sf_dir, "events")
+    ev = t["events"].select("user_id", F.date_trunc("week", "ts").alias("wk"))
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    act = ev.distinct()
+    return (
+        act.join(first, "user_id")
+        .groupBy(
+            F.col("cohort").cast("date").alias("cohort_week"),
+            ((F.unix_timestamp("wk") - F.unix_timestamp("cohort")) / 604800)
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
