@@ -228,6 +228,7 @@ def test_registry_wide_no_unplanned_cartesians(spark):
         "p4_mixture_sample",  # 1-row total-weight scalar attached to the tiny rates frame
         "t8_unigram_ppl",  # 1-row corpus-total scalar attached to the tiny vocab frame
         "d9_span_decontam",  # 1-row benchmark-ngram array attach (lit-key folds to true)
+        "e8_funnel_conversion",  # three 1-row stage counts cross-joined into one row
         "pq1_promql_engine", "pq2_promql_parquet_storage",
         "pq3_promql_native_histograms",
         "pq4_promql_range_api",  # same bounded-step broadcast as pq1-pq3
