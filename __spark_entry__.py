@@ -99,6 +99,9 @@ _CHECK_WINDOW = [
     # m9 yields; the m-family keeps 8 members and the extrapolated-rate
     # family stays pinned by the promqltest corpus + w-family evals.
     "d9_span_decontam",
+    # continuation batch 11: cohort retention + ordered funnel (new
+    # code) — m8/w6 yield; m keeps 7 members, w keeps w5/w7.
+    "e7_cohort_retention", "e8_funnel_conversion",
 ]
 _CHECK_WINDOW.remove("x1_token_frequencies")
 _CHECK_WINDOW.remove("m5_label_values")
@@ -115,6 +118,8 @@ _CHECK_WINDOW.remove("m14_histogram_chunk_roundtrip")
 _CHECK_WINDOW.remove("m16_histogram_functions")
 _CHECK_WINDOW.remove("q8a_market_share")
 _CHECK_WINDOW.remove("m9_extrapolated_rate")
+_CHECK_WINDOW.remove("m8_daily_series_delta")
+_CHECK_WINDOW.remove("w6_sliding_windows")
 
 
 def _registry():
