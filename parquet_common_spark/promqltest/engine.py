@@ -828,9 +828,15 @@ class PromQLEngine:
         df = self._vec_arg(args[0], steps)
         labels = sorted(c for c in df.columns if c not in ("_ev", "value"))
         lead = F.desc("value") if desc else F.asc("value")
+        # upstream funcSort/funcSortDesc: NaN sorts to the bottom in BOTH
+        # directions (promql/functions.go), whereas Spark orders NaN as
+        # the largest double (first under desc) — force NaN last.
+        nan_last = F.asc(F.isnan(F.col("value")))
         return (
             "vector",
-            df.orderBy(F.asc("_ev"), lead, *[F.asc_nulls_first(c) for c in labels]),
+            df.orderBy(
+                F.asc("_ev"), nan_last, lead, *[F.asc_nulls_first(c) for c in labels]
+            ),
         )
 
     def _fn_sort(self, args, steps):
