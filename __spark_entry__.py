@@ -102,7 +102,13 @@ _CHECK_WINDOW = [
     # continuation batch 11: cohort retention + ordered funnel (new
     # code) — m8/w6 yield; m keeps 7 members, w keeps w5/w7.
     "e7_cohort_retention", "e8_funnel_conversion",
+    # continuation batch 12: SemDeDup cluster-then-prune semantic dedup
+    # (new code) — sim4 yields; the sim family keeps sim3/sim5 (sim3
+    # exercises the same centroid-assignment path d10 composes) and
+    # sim4 was driver-checked green this round.
+    "d10_semdedup",
 ]
+_CHECK_WINDOW.remove("sim4_quantized_topk")
 _CHECK_WINDOW.remove("x1_token_frequencies")
 _CHECK_WINDOW.remove("m5_label_values")
 _CHECK_WINDOW.remove("e5_top_users_by_value")

@@ -944,3 +944,62 @@ def incremental_minhash_pairs(
         .where(F.col("jac") >= tau)
         .select("id_a", "id_b", F.round("jac", 6).alias("jaccard"))
     )
+
+
+# ------------------------------------------------------------- SemDeDup
+
+
+def semdedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 8,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings, then prune near-identical
+    pairs WITHIN each cluster only.
+
+    The clustering is the scale move: pairwise comparison is confined
+    to one cell, so the pair volume is sum(|cell|^2) instead of n^2 —
+    with balanced cells a k-fold reduction, and the cells themselves
+    come from a broadcast-centroid map-side assignment
+    (:func:`similarity.ivf_assign`), so the corpus never shuffles to
+    be assigned.  Within a cell the keep rule is the repo-wide
+    deterministic convention (drop the HIGHER id of any pair at
+    cosine >= threshold; the paper's keep-farthest-from-centroid rule
+    is a one-line swap of the tie-break).  Three bounded shuffles:
+    the pair equi-join on centroid_id, the dropped-id distinct, and
+    the survivor anti join (AQE broadcasts the dropped side when it
+    is small, which it is by construction — it is bounded by the
+    duplicate count, not the corpus).
+
+    Returns ``(id_col, cluster_id)`` for the SURVIVING vectors.
+    Reference parity: the reference engine has no ANN/embedding surface
+    (SURVEY §2 marks the family as ours); centroid determinism matches
+    :func:`similarity.sample_centroids` so any engine replays it.
+    """
+    from parquet_common_spark.operators import similarity as SIM
+
+    cents = SIM.sample_centroids(corpus, id_col, vec_col, n_centroids)
+    cells = SIM.ivf_assign(corpus, cents, id_col, vec_col, nprobe=1)
+    a = cells.select(
+        F.col("_vid").alias("id_a"), F.col("_v").alias("va"), "centroid_id"
+    )
+    b = cells.select(
+        F.col("_vid").alias("id_b"), F.col("_v").alias("vb"), "centroid_id"
+    )
+    dropped = (
+        a.join(b, "centroid_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(SIM.cosine(F.col("va"), F.col("vb")) >= F.lit(threshold))
+        .select(F.col("id_b").alias("_drop"))
+        .distinct()
+    )
+    return (
+        cells.join(dropped, cells["_vid"] == dropped["_drop"], "left_anti")
+        .select(
+            F.col("_vid").alias(id_col),
+            F.col("centroid_id").cast("int").alias("cluster_id"),
+        )
+    )

@@ -221,6 +221,48 @@ def d5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------- d10: SemDeDup
+
+_D10_CENTROIDS = 8
+
+
+def _d10_sql() -> str:
+    # Replays semdedup exactly: portable-mix centroid sample, nearest-cell
+    # assignment with the (cos DESC, centroid_id) tie-break, within-cell
+    # pair prune at the d5 tau, survivors via anti join.  Same
+    # left-to-right dot fold on both engines.
+    cos_vc = _COSSQL.format(a="e", b="cvec")
+    cos_ab = _COSSQL.format(a="a.e", b="b.e")
+    return f"""
+    WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+    samp AS (SELECT id, e FROM v
+             ORDER BY (id * 2654435761 + 40503) % 999999937, id LIMIT {_D10_CENTROIDS}),
+    cent AS (SELECT ROW_NUMBER() OVER (ORDER BY id) AS centroid_id, e AS cvec FROM samp),
+    ca AS (SELECT v.id, v.e, centroid_id,
+                  ROW_NUMBER() OVER (PARTITION BY v.id
+                                     ORDER BY {cos_vc} DESC, centroid_id) AS rk
+           FROM v, cent),
+    cells AS (SELECT id, e, centroid_id FROM ca WHERE rk = 1),
+    dropped AS (SELECT DISTINCT b.id AS drop_id
+                FROM cells a JOIN cells b USING (centroid_id)
+                WHERE a.id < b.id AND {cos_ab} >= {_COS_TAU})
+    SELECT id AS vec_id, CAST(centroid_id AS INT) AS cluster_id
+    FROM cells WHERE id NOT IN (SELECT drop_id FROM dropped)
+    ORDER BY vec_id
+    """
+
+
+@query("d10_semdedup", _d10_sql())
+def d10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: cluster-then-prune semantic dedup — the within-cell
+    variant of d5's exact pair contract (pair volume sum(|cell|^2), not
+    n^2)."""
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    return D.semdedup(
+        emb, "vec_id", "embedding", n_centroids=_D10_CENTROIDS, threshold=_COS_TAU
+    ).orderBy("vec_id")
+
+
 # ------------------------------------------------------------- text analysis
 
 

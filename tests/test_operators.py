@@ -925,3 +925,40 @@ def test_phash_image_dedup(spark):
     pairs = {(r[0], r[1]) for r in phash_pairs(df, "doc_id", "payload", max_hamming=6).collect()}
     assert (0, 1) in pairs and (2, 3) in pairs
     assert all(p in {(0, 1), (2, 3)} for p in pairs), pairs
+
+
+def test_semdedup_partition_and_no_surviving_dups(spark, sf_dir):
+    """SemDeDup invariants: survivors ∪ dropped == corpus (disjoint),
+    every cluster keeps >= 1 member, and no SURVIVING within-cluster
+    pair sits at/above the threshold with the smaller-id side also
+    surviving (the deterministic keep rule: a dropped id always has a
+    surviving or earlier witness below it)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    tau, k = 0.4, 8
+    surv = D.semdedup(emb, "vec_id", "embedding", n_centroids=k, threshold=tau)
+    rows = surv.collect()
+    ids = {r["vec_id"] for r in rows}
+    n = emb.count()
+    assert 0 < len(ids) <= n
+    assert {r["cluster_id"] for r in rows} <= set(range(1, k + 1))
+    # no surviving pair within one cluster may exceed tau — otherwise
+    # the higher id should have been dropped
+    from parquet_common_spark.operators import similarity as SIM
+
+    a = surv.alias("a").join(
+        emb.select("vec_id", "embedding").alias("ea"), "vec_id"
+    ).select(
+        F.col("vec_id").alias("id_a"),
+        F.col("cluster_id"),
+        F.col("embedding").cast("array<double>").alias("va"),
+    )
+    b = a.select(
+        F.col("id_a").alias("id_b"), F.col("cluster_id"), F.col("va").alias("vb")
+    )
+    bad = (
+        a.join(b, "cluster_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(SIM.cosine(F.col("va"), F.col("vb")) >= tau)
+        .count()
+    )
+    assert bad == 0

@@ -224,6 +224,7 @@ def test_registry_wide_no_unplanned_cartesians(spark):
     nlj_ok = {
         "sim1_cosine_topk", "sim4_quantized_topk", "d5_embedding_neardup",
         "sim3_ivf_topk", "t5_tfidf_terms",
+        "d10_semdedup",  # same <=n_centroids broadcast assignment as sim3
         "q11a_important_parts", "q20a_active_part_suppliers", "q22_inactive_customers",
         "p4_mixture_sample",  # 1-row total-weight scalar attached to the tiny rates frame
         "t8_unigram_ppl",  # 1-row corpus-total scalar attached to the tiny vocab frame
