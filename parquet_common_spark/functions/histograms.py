@@ -48,9 +48,14 @@ def histogram_quantile(q: float | Column, bounds: Column, counts: Column) -> Col
     hi_cum = F.element_at(counts, idx).cast("double")
     interp = lo_bound + (hi_bound - lo_bound) * (target - lo_cum) / (hi_cum - lo_cum)
     highest_finite = F.element_at(bounds, n - 1)
+    first_bound = F.element_at(bounds, 1)
     return (
         F.when(total <= 0, F.lit(None).cast("double"))
         .when(idx >= n, highest_finite)  # quantile in the +Inf bucket
+        # upstream quantile.go: a first bucket with a non-positive bound
+        # has no natural 0 lower edge — return the bound itself instead
+        # of interpolating from 0 (if b == 0 && upperBound <= 0)
+        .when((idx == 1) & (first_bound <= 0), first_bound)
         .when(hi_cum == lo_cum, hi_bound)
         .otherwise(interp)
     )

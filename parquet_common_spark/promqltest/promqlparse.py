@@ -13,6 +13,7 @@ group_right() vector matching, aggregation operators with by()/without()
 
 from __future__ import annotations
 
+import math
 import re
 from dataclasses import dataclass, field
 
@@ -268,6 +269,72 @@ class _Parser:
             return inner
         return self.postfix(self.primary())
 
+    # ------------------------------------------- duration expressions
+    # Upstream's experimental promql-duration-expr feature: inside
+    # [range], [range:step] and after a parenthesized offset, durations
+    # and bare numbers (seconds) combine with + - * / % ^ and parens.
+    # Evaluated to milliseconds at parse time; precedence mirrors the
+    # expression grammar (^ right-assoc > * / % > + -).
+
+    def _dur_operand(self) -> float:
+        t = self.next()
+        if t.text == "(":
+            v = self._dur_addsub()
+            self.expect(")")
+            return v
+        if t.text == "-":
+            return -self._dur_operand()
+        if t.text == "+":
+            return self._dur_operand()
+        if t.kind == "duration":
+            return float(parse_duration_ms(t.text))
+        if t.kind == "number":
+            try:
+                return float(t.text) * 1000.0  # numbers are seconds
+            except ValueError as exc:
+                raise PromQLSyntaxError(f"bad duration operand {t.text!r}") from exc
+        raise PromQLSyntaxError(f"bad duration operand {t.text!r}")
+
+    def _dur_pow(self) -> float:
+        base = self._dur_operand()
+        if self.peek().text == "^":
+            self.next()
+            # right-associative; exponent is a plain number of "seconds"
+            # in upstream's evaluation, but ^ composes on the ms scale —
+            # follow upstream and exponentiate the SECOND values
+            exp = self._dur_pow() / 1000.0
+            return (base / 1000.0) ** exp * 1000.0
+        return base
+
+    def _dur_muldiv(self) -> float:
+        v = self._dur_pow()
+        while self.peek().text in ("*", "/", "%"):
+            op = self.next().text
+            rhs = self._dur_pow()
+            if op == "*":
+                # a duration*duration product stays on the seconds scale
+                v = v * rhs / 1000.0
+            elif op == "/":
+                if rhs == 0:
+                    raise PromQLSyntaxError("division by zero in duration")
+                v = v / rhs * 1000.0
+            else:
+                if rhs == 0:
+                    raise PromQLSyntaxError("modulo by zero in duration")
+                v = math.fmod(v, rhs)
+        return v
+
+    def _dur_addsub(self) -> float:
+        v = self._dur_muldiv()
+        while self.peek().text in ("+", "-"):
+            op = self.next().text
+            rhs = self._dur_muldiv()
+            v = v + rhs if op == "+" else v - rhs
+        return v
+
+    def _dur_expr_ms(self) -> int:
+        return int(self._dur_addsub())
+
     def postfix(self, e):
         """[range], [range:step] subquery, offset, @ — in any order after
         a primary, matching upstream's modifier grammar."""
@@ -275,24 +342,38 @@ class _Parser:
             t = self.peek()
             if t.text == "[":
                 self.next()
-                rng = parse_duration_ms(self.next().text)
+                rng = self._dur_expr_ms()
                 if self.accept(":"):
                     step = None
                     if self.peek().text != "]":
-                        step = parse_duration_ms(self.next().text)
+                        step = self._dur_expr_ms()
+                        if step <= 0:
+                            raise PromQLSyntaxError(
+                                "zero or negative subquery step"
+                            )
                     self.expect("]")
+                    if rng <= 0:
+                        raise PromQLSyntaxError("zero or negative range")
                     e = Subquery(e, rng, step)
                 else:
                     self.expect("]")
+                    if rng <= 0:
+                        raise PromQLSyntaxError("zero or negative range")
                     if not isinstance(e, VectorSelector):
                         raise PromQLSyntaxError("range on non-selector")
                     e = MatrixSelector(e, rng)
             elif t.text == "offset":
                 self.next()
-                neg = self.accept("-")
-                off = parse_duration_ms(self.next().text)
-                if neg:
-                    off = -off
+                if self.peek().text == "(":
+                    # parenthesized duration expression (experimental);
+                    # parens bound the expression, so `offset (1h) + 5`
+                    # stays a binary op on the selector as upstream
+                    off = int(self._dur_operand())
+                else:
+                    neg = self.accept("-")
+                    off = parse_duration_ms(self.next().text)
+                    if neg:
+                        off = -off
                 target = e.selector if isinstance(e, MatrixSelector) else e
                 if not isinstance(target, (VectorSelector, Subquery)):
                     raise PromQLSyntaxError("offset on non-selector")
