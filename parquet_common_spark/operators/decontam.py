@@ -186,3 +186,67 @@ def mask_contaminated_spans(
         F.size(F.filter(F.sequence(F.lit(1), nn), covered)).cast("long").alias("n_masked"),
         F.array_join(cleaned, " ").alias("cleaned_text"),
     )
+
+
+def assign_split(
+    df: DataFrame, id_col: str, val_permille: int = 100, seed: int = 0
+) -> DataFrame:
+    """Deterministic train/val split: ``mix(id + seed) % 1000 <
+    val_permille`` sends ~val_permille/1000 of documents to ``val``.
+    Partition-independent (pure function of the key), map-only."""
+    from parquet_common_spark.operators.sampling import key_mix
+
+    bucket = key_mix(F.col(id_col) + F.lit(int(seed))) % F.lit(1000)
+    return df.withColumn(
+        "split", F.when(bucket < val_permille, F.lit("val")).otherwise(F.lit("train"))
+    )
+
+
+def split_leakage(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    val_permille: int = 100,
+    seed: int = 0,
+) -> DataFrame:
+    """Train/val split hygiene: per VAL document, how many of its
+    distinct token ``n``-grams also occur in ANY train document —
+    the leakage a contamination-blind random split ships to eval.
+
+    ``(id_col, n_shingles, n_leaked, leaked)``, one row per val doc.
+
+    Scale shape: both sides shingle map-only (Arrow path); the train
+    side reduces to a DISTINCT shingle-hash set (one shuffle on ``h``,
+    map-side combined); the probe is a shuffled LEFT join on ``h`` —
+    neither side broadcasts (both scale with the corpus), and the join
+    keys are bounded-cardinality hashes, so AQE handles skew.  One
+    final groupBy(id) with partial aggregation."""
+    from parquet_common_spark.operators.sampling import key_mix
+
+    # the split is a pure function of the id, so it is re-derived from
+    # ``_id`` AFTER the shingle stage — no join back to the corpus
+    sh = shingle_hashes_arrow(corpus, id_col, text_col, n)
+    bucket = key_mix(F.col("_id") + F.lit(int(seed))) % F.lit(1000)
+    sh = sh.withColumn(
+        "split", F.when(bucket < val_permille, F.lit("val")).otherwise(F.lit("train"))
+    )
+    train_h = (
+        sh.where(F.col("split") == "train")
+        .select(F.explode("_sh").alias("h"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    probe = sh.where(F.col("split") == "val").select(
+        F.col("_id").alias(id_col), F.explode("_sh").alias("h")
+    )
+    tagged = probe.join(train_h, on="h", how="left")
+    return tagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.coalesce(F.sum("_hit"), F.lit(0)).cast("long").alias("n_leaked"),
+    ).select(
+        F.col(id_col),
+        F.col("n_shingles"),
+        F.col("n_leaked"),
+        (F.col("n_leaked") > 0).alias("leaked"),
+    )

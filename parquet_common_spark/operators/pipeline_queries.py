@@ -1553,3 +1553,107 @@ def d9(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mask_contaminated_spans(corpus, bench, "doc_id", "text", n=_DC_N).orderBy(
         "doc_id"
     )
+
+
+# ------------------------------------- d11: train/val split leakage audit
+
+# key_mix constants (operators/sampling.py) — the split is a pure
+# function of the id, reproduced verbatim in the oracle
+_MIX = "((({id}) * 2654435761 + 40503) % 999999937)"
+_D11_VAL_PERMILLE = 100
+
+_D11_SQL = f"""
+    WITH {_DC_CTES},
+    s AS (SELECT id, sh,
+             CASE WHEN {_MIX.format(id='id')} % 1000 < {_D11_VAL_PERMILLE}
+                  THEN 'val' ELSE 'train' END AS split
+          FROM d),
+    train_h AS (SELECT DISTINCT h
+                FROM (SELECT unnest(sh) AS h FROM s WHERE split = 'train')),
+    probe AS (SELECT id, unnest(sh) AS h FROM s WHERE split = 'val'),
+    agg AS (SELECT p.id, COUNT(*) AS n_shingles, COUNT(t.h) AS n_leaked
+            FROM probe p LEFT JOIN train_h t ON p.h = t.h
+            GROUP BY p.id)
+    SELECT id AS doc_id,
+           CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_leaked AS BIGINT) AS n_leaked,
+           n_leaked > 0 AS leaked
+    FROM agg ORDER BY doc_id
+    """
+
+
+@query("d11_split_leakage", _D11_SQL)
+def d11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split hygiene audit: deterministic ~10% val split, then per val
+    document the count of its distinct 3-gram hashes that also occur in
+    any train document (the leakage a contamination-blind random split
+    ships to eval)."""
+    from parquet_common_spark.operators.decontam import split_leakage
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return split_leakage(
+        docs, "doc_id", "text", n=_DC_N, val_permille=_D11_VAL_PERMILLE, seed=0
+    ).orderBy("doc_id")
+
+
+# -------------------------------------------- p6: deterministic epoch order
+
+_P6_SEED = 17
+_P6_TAKE = 200
+
+_P6_SQL = f"""
+    SELECT doc_id, pos FROM (
+        SELECT doc_id,
+               row_number() OVER (
+                   ORDER BY {_MIX.format(id=f'doc_id + {_P6_SEED}')}, doc_id
+               ) AS pos
+        FROM documents)
+    WHERE pos <= {_P6_TAKE} ORDER BY pos
+    """
+
+
+@query("p6_epoch_shuffle", _P6_SQL)
+def p6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle (epoch reshuffle by
+    seed): the first rows of the seed-17 epoch order.  The full-corpus
+    form is a range exchange + per-partition sort (sampling.shuffle_order);
+    the registry query takes the global head, which Catalyst plans as
+    TakeOrdered (per-partition heaps, no full sort).  The row_number
+    window runs AFTER the limit, over the already-tiny head."""
+    from pyspark.sql import Window
+    from parquet_common_spark.operators import sampling as S
+
+    docs = load(spark, sf_dir, "documents")["documents"].select("doc_id")
+    head = S.shuffle_order(docs, "doc_id", seed=_P6_SEED).limit(_P6_TAKE)
+    w = Window.orderBy("_pos", "doc_id")
+    return (
+        head.withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "pos")
+        .orderBy("pos")
+    )
+
+
+# ---------------------------------------- x6: cross-source overlap matrix
+
+_X6_SQL = f"""
+    WITH {_DC_CTES},
+    hs AS (SELECT DISTINCT h, source
+           FROM (SELECT unnest(sh) AS h, source FROM d)),
+    pairs AS (SELECT a.source AS src_a, b.source AS src_b
+              FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source)
+    SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM pairs GROUP BY src_a, src_b ORDER BY src_a, src_b
+    """
+
+
+@query("x6_source_overlap", _X6_SQL)
+def x6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: distinct 3-gram hashes shared by
+    each unordered source pair — the corpus-audit view for spotting
+    mirrored crawls before mixing sources into a run."""
+    from parquet_common_spark.operators.text import source_overlap
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return source_overlap(docs, "source", "text", "doc_id", n=_DC_N).orderBy(
+        "src_a", "src_b"
+    )

@@ -113,3 +113,31 @@ def mixture_sample(
         key_mix(F.col(key_col))
         < F.floor(F.col("_rate") * F.lit(MIX_MOD)).cast("long")
     )
+
+
+def shuffle_order(
+    df: DataFrame, key_col: str, seed: int = 0, num_partitions: int | None = None
+) -> DataFrame:
+    """Deterministic global training-order shuffle: every row gets a
+    pseudo-random but REPRODUCIBLE position given by ``mix(key + seed)``
+    (ties broken by the key itself), and the output is globally sorted
+    by that position.
+
+    ``df.orderBy(rand(seed))`` is partition-layout-dependent (same
+    problem as ``sample()`` above); hashing the key makes the epoch
+    order a pure function of (data, seed) — rerunning the epoch, or
+    running it on a different cluster size, yields byte-identical
+    shard contents.  Different seeds give independent epoch orders.
+
+    Scale shape: one range exchange (Spark samples the mix column to
+    pick balanced boundaries) followed by a per-partition sort — the
+    standard distributed total-order plan, no single-task collapse.
+    Writers consume it with ``df.write`` per partition; downstream
+    pack/batch operators see a stable order.
+    """
+    pos = key_mix(F.col(key_col) + F.lit(int(seed)))
+    out = df.withColumn("_pos", pos)
+    if num_partitions:
+        out = out.repartitionByRange(num_partitions, "_pos", key_col)
+        return out.sortWithinPartitions("_pos", key_col)
+    return out.orderBy("_pos", key_col)

@@ -368,3 +368,49 @@ def doc_perplexity(
         F.round(F.avg("logprob"), 6).alias("avg_logprob"),
         F.round(F.exp(-F.avg("logprob")), 6).alias("ppl"),
     )
+
+
+def source_overlap(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Cross-source duplication matrix: for each unordered pair of
+    sources, how many distinct token ``n``-gram hashes they share —
+    the standard corpus-audit view for spotting mirrored crawls /
+    re-hosted content before mixing sources into a training run.
+
+    ``(src_a, src_b, n_shared)`` with ``src_a < src_b``.
+
+    Scale shape: shingle map-only (Arrow path), one DISTINCT over
+    (h, source) pairs, then a self equi-join on ``h``.  Per-shingle
+    fan-out is bounded by the number of SOURCES sharing it (sources are
+    few — domains, dumps, crawls — a documented contract), so the join
+    output is at most |distinct h| * |sources|^2 / 2 and in practice
+    near-linear.  One final groupBy on the (src_a, src_b) pair."""
+    from parquet_common_spark.operators.dedup import shingle_hashes_arrow
+
+    hs = (
+        shingle_hashes_arrow(
+            df.select(F.col(id_col), F.col(text_col), F.col(source_col)),
+            id_col,
+            text_col,
+            n,
+        )
+        .join(
+            df.select(F.col(id_col).alias("_id"), F.col(source_col).alias("_src")),
+            on="_id",
+        )
+        .select(F.explode("_sh").alias("h"), F.col("_src"))
+        .distinct()
+    )
+    a = hs.select("h", F.col("_src").alias("src_a"))
+    b = hs.select("h", F.col("_src").alias("src_b"))
+    return (
+        a.join(b, on="h")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )

@@ -962,3 +962,79 @@ def test_semdedup_partition_and_no_surviving_dups(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+def test_shuffle_order_partition_independent(spark, sf_dir):
+    """The epoch order is a pure function of (data, seed): re-running on
+    a different partition layout yields the identical sequence, and a
+    different seed yields a different one."""
+    from parquet_common_spark.operators import sampling as S
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    a = [r["doc_id"] for r in S.shuffle_order(docs, "doc_id", seed=17).collect()]
+    b = [
+        r["doc_id"]
+        for r in S.shuffle_order(docs.repartition(3), "doc_id", seed=17).collect()
+    ]
+    c = [r["doc_id"] for r in S.shuffle_order(docs, "doc_id", seed=18).collect()]
+    assert a == b
+    assert a != c
+    assert sorted(a) == sorted(c)  # permutations of the same ids
+
+
+def test_shuffle_order_partitioned_form(spark, sf_dir):
+    """The range-partitioned form is a within- and across-partition
+    total order equal to the global orderBy form."""
+    from parquet_common_spark.operators import sampling as S
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    flat = [r["doc_id"] for r in S.shuffle_order(docs, "doc_id", seed=5).collect()]
+    part = [
+        r["doc_id"]
+        for r in S.shuffle_order(docs, "doc_id", seed=5, num_partitions=4)
+        .sortWithinPartitions("_pos", "doc_id")
+        .toLocalIterator()
+    ]
+    # toLocalIterator yields partitions in order; range partitioning
+    # makes partition i's keys all below partition i+1's
+    assert flat == part
+
+
+def test_split_leakage_contract(spark, sf_dir):
+    """Val docs only; leaked implies n_leaked>0; a val doc whose text
+    EXACTLY equals a train doc's text must be fully leaked."""
+    from parquet_common_spark.operators.decontam import assign_split, split_leakage
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = split_leakage(docs, "doc_id", "text", n=3, val_permille=100, seed=0)
+    rows = out.collect()
+    split = {r["doc_id"]: r["split"] for r in assign_split(docs, "doc_id", 100, 0).collect()}
+    assert all(split[r["doc_id"]] == "val" for r in rows)
+    assert all((r["n_leaked"] > 0) == r["leaked"] for r in rows)
+    assert all(0 <= r["n_leaked"] <= r["n_shingles"] for r in rows)
+
+
+def test_source_overlap_symmetric_bound(spark, sf_dir):
+    """Pairs are ordered src_a<src_b and n_shared is bounded by each
+    side's distinct shingle count."""
+    from parquet_common_spark.operators.text import source_overlap
+    from parquet_common_spark.operators.dedup import shingle_hashes_arrow
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = source_overlap(docs, "source", "text", "doc_id", n=3).collect()
+    assert all(r["src_a"] < r["src_b"] for r in out)
+    per_src = {
+        r["_src"]: r["nh"]
+        for r in shingle_hashes_arrow(docs, "doc_id", "text", 3)
+        .join(
+            docs.select(F.col("doc_id").alias("_id"), F.col("source").alias("_src")),
+            on="_id",
+        )
+        .select(F.explode("_sh").alias("h"), "_src")
+        .distinct()
+        .groupBy("_src")
+        .agg(F.count(F.lit(1)).alias("nh"))
+        .collect()
+    }
+    for r in out:
+        assert r["n_shared"] <= min(per_src[r["src_a"]], per_src[r["src_b"]])
