@@ -993,9 +993,11 @@ class PromQLEngine:
     def _hist_sum(self, node: ast.Aggregate, steps, mean: bool = False) -> DataFrame:
         """sum()/avg() (by/without) over a native-histogram vector
         (upstream promql/engine.go histogram aggregation; avg is the
-        bucket-wise sum scaled by 1/n).  Requires one bucketing schema
-        per group (upstream downscales mixed schemas; this engine
-        raises — documented slice)."""
+        bucket-wise sum scaled by 1/n).  Mixed bucketing schemas within
+        a group downscale to the group's COARSEST schema before the
+        bucket merge (model/histogram ReduceResolution: index k at
+        schema s lands at ceil(k / 2^(s-t)) at schema t), matching
+        upstream's histogram addition."""
         inner = self._hist_vec(node.expr, steps)
         if node.by is not None:
             keys = ["_ev"] + [c for c in _mangle(node.by) if c in inner.columns]
@@ -1007,8 +1009,21 @@ class PromQLEngine:
             ]
         else:
             keys = ["_ev"]
-        pair = lambda i, c: F.zip_with(  # noqa: E731
-            F.col(i), F.col(c), lambda k, v: F.struct(k.alias("idx"), v.cast("double").alias("cnt"))
+        # each pair carries its row's schema so the post-agg downscale
+        # can map it onto the group's coarsest schema
+        pair = lambda i, c: F.transform(  # noqa: E731
+            F.zip_with(
+                F.col(i),
+                F.col(c),
+                lambda k, v: F.struct(
+                    k.alias("idx"), v.cast("double").alias("cnt")
+                ),
+            ),
+            lambda p: F.struct(
+                p["idx"].alias("idx"),
+                p["cnt"].alias("cnt"),
+                F.col("nh_schema").alias("sch"),
+            ),
         )
         staged = inner.select(
             *keys,
@@ -1018,7 +1033,6 @@ class PromQLEngine:
         )
         agg = staged.groupBy(*keys).agg(
             F.min("nh_schema").alias("_smin"),
-            F.max("nh_schema").alias("nh_schema"),
             F.sum("nh_zero_count").alias("nh_zero_count"),
             F.sum("nh_count").alias("_count"),
             F.sum("nh_sum").alias("nh_sum"),
@@ -1031,30 +1045,37 @@ class PromQLEngine:
             if mean
             else (lambda c: c)
         )
-        # schema-equality guard folded into EVERY scalar output column a
-        # consumer might project (quantile reads schema, sum/avg read
-        # sum/count) — attaching it to one column lets Catalyst prune
-        # the assert away with that column (review-caught)
-        def checked(col):
-            return F.when(
-                F.assert_true(
-                    F.col("_smin") == F.col("nh_schema"),
-                    F.lit(
-                        "sum() over mixed native-histogram schemas is not supported"
-                    ),
-                ).isNull(),
-                col,
+        # downscale every pair onto the group's coarsest schema: index k
+        # at schema s covers (γ^(k-1), γ^k] with γ = 2^(2^-s); at schema
+        # t ≤ s the covering bucket is ceil(k / 2^(s-t)) (upstream
+        # model/histogram.go ReduceResolution) — F.ceil rounds toward
+        # +Inf, correct for negative indices too
+        def down(flat):
+            return F.transform(
+                F.col(flat),
+                lambda p: F.struct(
+                    F.ceil(
+                        p["idx"].cast("double")
+                        / F.pow(
+                            F.lit(2.0),
+                            (p["sch"] - F.col("_smin")).cast("double"),
+                        )
+                    )
+                    .cast("int")
+                    .alias("idx"),
+                    p["cnt"].alias("cnt"),
+                ),
             )
 
-        pos_idx, pos_counts = self._merge_sparse(F.col("_pflat"))
-        neg_idx, neg_counts = self._merge_sparse(F.col("_nflat"))
+        pos_idx, pos_counts = self._merge_sparse(down("_pflat"))
+        neg_idx, neg_counts = self._merge_sparse(down("_nflat"))
         return agg.select(
             *keys,
-            checked(F.col("nh_schema")).alias("nh_schema"),
-            checked(scale(F.col("nh_zero_count"))).alias("nh_zero_count"),
+            F.col("_smin").alias("nh_schema"),
+            scale(F.col("nh_zero_count")).alias("nh_zero_count"),
             F.lit(None).cast("double").alias("nh_zero_threshold"),
-            checked(scale(F.col("_count"))).alias("nh_count"),
-            checked(scale(F.col("nh_sum"))).alias("nh_sum"),
+            scale(F.col("_count")).alias("nh_count"),
+            scale(F.col("nh_sum")).alias("nh_sum"),
             pos_idx.alias("nh_pos_idx"),
             F.transform(pos_counts, lambda c: scale(c)).alias("nh_pos_counts"),
             neg_idx.alias("nh_neg_idx"),

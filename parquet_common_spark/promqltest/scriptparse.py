@@ -144,7 +144,13 @@ def _split_values(text: str) -> list[str]:
 
 # --------------------------------------------- native-histogram literals
 
-_SERIES_TOKEN_RE = re.compile(r"\{\{[^}]*\}\}(?:x\d+)?|\S+")
+_SERIES_TOKEN_RE = re.compile(
+    r"\{\{[^}]*\}\}(?:[+-]\{\{[^}]*\}\})?(?:x\d+)?|\S+"
+)
+_HIST_TOKEN_RE = re.compile(
+    r"^\{\{(?P<a>[^}]*)\}\}(?:(?P<sign>[+-])\{\{(?P<b>[^}]*)\}\})?"
+    r"(?:x(?P<reps>\d+))?$"
+)
 _HIST_FIELD_RE = re.compile(r"(\w+):(\[[^\]]*\]|\S+)")
 
 
@@ -173,18 +179,59 @@ def _parse_hist_literal(body: str) -> dict:
     return out
 
 
+def _hist_add(a: dict, b: dict, k: int) -> dict:
+    """``a + k*b`` component-wise — the incremental histogram series
+    notation ``{{A}}+{{B}}xN`` (upstream promqltest); schemas must
+    match, bucket arrays align by absolute index."""
+    if a["schema"] != b["schema"]:
+        raise ScriptParseError(
+            "incremental histogram series: schema mismatch "
+            f"({a['schema']} vs {b['schema']})"
+        )
+
+    def merge(ba, oa, bb, ob):
+        m: dict[int, float] = {}
+        for i, c in enumerate(ba):
+            m[oa + i] = m.get(oa + i, 0.0) + c
+        for i, c in enumerate(bb):
+            m[ob + i] = m.get(ob + i, 0.0) + k * c
+        if not m:
+            return [], 0
+        lo, hi = min(m), max(m)
+        return [m.get(j, 0.0) for j in range(lo, hi + 1)], lo
+
+    pb, po = merge(a["buckets"], a["offset"], b["buckets"], b["offset"])
+    nb, no = merge(a["n_buckets"], a["n_offset"], b["n_buckets"], b["n_offset"])
+    return {
+        "schema": a["schema"],
+        "sum": a["sum"] + k * b["sum"],
+        "count": a["count"] + k * b["count"],
+        "z_bucket": a["z_bucket"] + k * b["z_bucket"],
+        "z_bucket_w": max(a["z_bucket_w"], b["z_bucket_w"]),
+        "buckets": pb, "offset": po, "n_buckets": nb, "n_offset": no,
+    }
+
+
 def parse_series_values(text: str) -> list[tuple[float | None, bool, dict | None]]:
     """Load-line values: scalar tokens (with expansion) plus
-    ``{{...}}``/``{{...}}xN`` native-histogram literals ->
-    [(value|None, is_stale, hist|None)] per time slot."""
+    ``{{...}}``/``{{...}}xN``/``{{A}}+{{B}}xN`` native-histogram
+    literals -> [(value|None, is_stale, hist|None)] per time slot."""
     out: list[tuple[float | None, bool, dict | None]] = []
     for tok in _SERIES_TOKEN_RE.findall(text):
         if tok.startswith("{{"):
-            end = tok.rindex("}}")
-            hist = _parse_hist_literal(tok[2:end])
-            reps = int(tok[end + 3:]) if tok[end + 2:].startswith("x") else 0
-            for _ in range(reps + 1):
-                out.append((None, False, hist))
+            hm = _HIST_TOKEN_RE.match(tok)
+            if not hm:
+                raise ScriptParseError(f"bad histogram literal {tok!r}")
+            hist = _parse_hist_literal(hm.group("a"))
+            reps = int(hm.group("reps") or 0)
+            if hm.group("b") is not None:
+                inc = _parse_hist_literal(hm.group("b"))
+                sgn = -1 if hm.group("sign") == "-" else 1
+                for i in range(reps + 1):
+                    out.append((None, False, _hist_add(hist, inc, sgn * i)))
+            else:
+                for _ in range(reps + 1):
+                    out.append((None, False, hist))
             continue
         out.extend((v, s, None) for v, s in parse_values([tok]))
     return out
