@@ -107,6 +107,12 @@ _CHECK_WINDOW = [
     # exercises the same centroid-assignment path d10 composes) and
     # sim4 was driver-checked green this round.
     "d10_semdedup",
+    # continuation batch 13: split-leakage audit, epoch shuffle, and
+    # source-overlap matrix (new code) — t5/g1/m12 yield; TF-IDF stays
+    # oracle-swept (x-family supersets its explode+agg surface), g4
+    # holds the grouping family, and the PromQL function surface is
+    # pinned by the 37-file/839-eval script corpus + pq1/pq2/pq3.
+    "d11_split_leakage", "p6_epoch_shuffle", "x6_source_overlap",
 ]
 _CHECK_WINDOW.remove("sim4_quantized_topk")
 _CHECK_WINDOW.remove("x1_token_frequencies")
@@ -126,6 +132,9 @@ _CHECK_WINDOW.remove("q8a_market_share")
 _CHECK_WINDOW.remove("m9_extrapolated_rate")
 _CHECK_WINDOW.remove("m8_daily_series_delta")
 _CHECK_WINDOW.remove("w6_sliding_windows")
+_CHECK_WINDOW.remove("t5_tfidf_terms")
+_CHECK_WINDOW.remove("g1_rollup_revenue")
+_CHECK_WINDOW.remove("m12_promql_functions")
 
 
 def _registry():
