@@ -990,6 +990,29 @@ class PromQLEngine:
             F.transform(merged, lambda s: s["cnt"]),
         )
 
+    @staticmethod
+    def _downscale_pairs(pairs: F.Column) -> F.Column:
+        """Map (idx, cnt, sch) sparse-bucket pairs onto the group's
+        coarsest schema ``_smin``: index k at schema s covers
+        (γ^(k-1), γ^k] with γ = 2^(2^-s); at schema t ≤ s the covering
+        bucket is ceil(k / 2^(s-t)) (upstream model/histogram.go
+        ReduceResolution) — F.ceil rounds toward +Inf, correct for
+        negative indices too."""
+        return F.transform(
+            pairs,
+            lambda p: F.struct(
+                F.ceil(
+                    p["idx"].cast("double")
+                    / F.pow(
+                        F.lit(2.0), (p["sch"] - F.col("_smin")).cast("double")
+                    )
+                )
+                .cast("int")
+                .alias("idx"),
+                p["cnt"].alias("cnt"),
+            ),
+        )
+
     def _hist_sum(self, node: ast.Aggregate, steps, mean: bool = False) -> DataFrame:
         """sum()/avg() (by/without) over a native-histogram vector
         (upstream promql/engine.go histogram aggregation; avg is the
@@ -1045,30 +1068,12 @@ class PromQLEngine:
             if mean
             else (lambda c: c)
         )
-        # downscale every pair onto the group's coarsest schema: index k
-        # at schema s covers (γ^(k-1), γ^k] with γ = 2^(2^-s); at schema
-        # t ≤ s the covering bucket is ceil(k / 2^(s-t)) (upstream
-        # model/histogram.go ReduceResolution) — F.ceil rounds toward
-        # +Inf, correct for negative indices too
-        def down(flat):
-            return F.transform(
-                F.col(flat),
-                lambda p: F.struct(
-                    F.ceil(
-                        p["idx"].cast("double")
-                        / F.pow(
-                            F.lit(2.0),
-                            (p["sch"] - F.col("_smin")).cast("double"),
-                        )
-                    )
-                    .cast("int")
-                    .alias("idx"),
-                    p["cnt"].alias("cnt"),
-                ),
-            )
-
-        pos_idx, pos_counts = self._merge_sparse(down("_pflat"))
-        neg_idx, neg_counts = self._merge_sparse(down("_nflat"))
+        pos_idx, pos_counts = self._merge_sparse(
+            self._downscale_pairs(F.col("_pflat"))
+        )
+        neg_idx, neg_counts = self._merge_sparse(
+            self._downscale_pairs(F.col("_nflat"))
+        )
         return agg.select(
             *keys,
             F.col("_smin").alias("nh_schema"),
@@ -1088,10 +1093,13 @@ class PromQLEngine:
         (promql/functions.go histogramRate: each pre-reset histogram is
         ADDED back, a reset being a drop in total or zero-bucket count),
         scaled by the same boundary extrapolation as the float path
-        (the histogram branch applies NO counter zero clamp).  Bucket-
-        level-only resets (a bucket dropping while counts hold — only
-        possible with NaN observations) are not detected — documented
-        slice."""
+        (the histogram branch applies NO counter zero clamp).  A
+        bucketing-schema change inside the window downscales every
+        involved histogram to the window's COARSEST schema before
+        differencing (upstream tracks minSchema across ALL in-window
+        points and CopyToSchema's onto it).  Bucket-level-only resets
+        (a bucket dropping while counts hold — only possible with NaN
+        observations) are not detected — documented slice."""
         rdf, labels, range_ms = self._matrix_arg(node.args[0], steps)
         if "nh_schema" not in rdf.columns:
             empty = rdf.where(F.lit(False)).select("_ev", *labels)
@@ -1102,18 +1110,31 @@ class PromQLEngine:
             "nh_pos_idx", "nh_pos_counts", "nh_neg_idx", "nh_neg_counts",
         )
         wseries = Window.partitionBy("_ev", *labels).orderBy("ts")
-        _pair_t = "array<struct<idx:int,cnt:double>>"
+        _pair_t = "array<struct<idx:int,cnt:double,sch:int>>"
+
+        # every pair carries its source histogram's schema so the
+        # post-agg downscale can map it onto the window's coarsest
+        def tagged_pairs(prefix: str, which: str, negate: bool = False):
+            sgn = -1.0 if negate else 1.0
+            return F.transform(
+                F.zip_with(
+                    F.col(f"{prefix}.nh_{which}_idx"),
+                    F.col(f"{prefix}.nh_{which}_counts"),
+                    lambda k, v: F.struct(
+                        k.alias("idx"),
+                        (v.cast("double") * F.lit(sgn)).alias("cnt"),
+                    ),
+                ),
+                lambda p: F.struct(
+                    p["idx"].alias("idx"),
+                    p["cnt"].alias("cnt"),
+                    F.col(f"{prefix}.nh_schema").alias("sch"),
+                ),
+            )
 
         def prev_pairs(which: str):
             return F.when(
-                F.col("_reset"),
-                F.zip_with(
-                    F.col(f"_prevh.nh_{which}_idx"),
-                    F.col(f"_prevh.nh_{which}_counts"),
-                    lambda k, v: F.struct(
-                        k.alias("idx"), v.cast("double").alias("cnt")
-                    ),
-                ),
+                F.col("_reset"), tagged_pairs("_prevh", which)
             ).otherwise(F.array().cast(_pair_t))
 
         staged = rdf.withColumn("_prevh", F.lag(pick).over(wseries))
@@ -1150,7 +1171,6 @@ class PromQLEngine:
             F.flatten(F.collect_list("_comp_pp")).alias("_comp_pp"),
             F.flatten(F.collect_list("_comp_np")).alias("_comp_np"),
             F.min("nh_schema").alias("_smin"),
-            F.max("nh_schema").alias("_smax"),
         )
         to_start = (F.col("_first_ts") - F.col("_start")).cast("double") / 1e3
         to_end = (F.col("_end") - F.col("_last_ts")).cast("double") / 1e3
@@ -1165,62 +1185,38 @@ class PromQLEngine:
         ok = (F.col("_n") >= 2) & (sampled > 0)
 
         def flat_diff(which: str):
-            last = F.zip_with(
-                F.col(f"_l.nh_{which}_idx"),
-                F.col(f"_l.nh_{which}_counts"),
-                lambda k, v: F.struct(k.alias("idx"), v.cast("double").alias("cnt")),
+            # last − first + every pre-reset histogram (already
+            # positive), each pair tagged with its source schema and
+            # downscaled to the window's coarsest before the merge
+            return self._downscale_pairs(
+                F.concat(
+                    tagged_pairs("_l", which),
+                    tagged_pairs("_f", which, negate=True),
+                    F.col(f"_comp_{which[:1]}p"),
+                )
             )
-            first = F.zip_with(
-                F.col(f"_f.nh_{which}_idx"),
-                F.col(f"_f.nh_{which}_counts"),
-                lambda k, v: F.struct(k.alias("idx"), (-v.cast("double")).alias("cnt")),
-            )
-            # + every pre-reset histogram's buckets (already positive)
-            return F.concat(last, first, F.col(f"_comp_{which[:1]}p"))
 
         pos_idx, pos_counts = self._merge_sparse(flat_diff("pos"))
         neg_idx, neg_counts = self._merge_sparse(flat_diff("neg"))
         scale = lambda c: (c * factor).cast("double")  # noqa: E731
 
-        # bucket indexes are only comparable under ONE schema; a
-        # mid-window schema change (upstream downscaling) must refuse,
-        # not difference incompatible buckets (review-caught) — folded
-        # into the schema column every consumer reads
-        def schema_checked(col):
-            # min/max over EVERY in-window sample (not just first/last —
-            # a mid-window change must refuse too)
-            return F.when(
-                F.assert_true(
-                    F.col("_smin") == F.col("_smax"),
-                    F.lit(
-                        "rate() over a native histogram whose bucketing schema "
-                        "changed inside the window is not supported"
-                    ),
-                ).isNull(),
-                col,
-            )
-
         out = agg.where(ok).select(
             "_ev",
             *labels,
-            schema_checked(F.col("_l.nh_schema")).alias("nh_schema"),
-            schema_checked(
-                scale(
-                    F.col("_l.nh_zero_count").cast("double")
-                    - F.col("_f.nh_zero_count").cast("double")
-                    + F.col("_comp_zero")
-                )
+            F.col("_smin").alias("nh_schema"),
+            scale(
+                F.col("_l.nh_zero_count").cast("double")
+                - F.col("_f.nh_zero_count").cast("double")
+                + F.col("_comp_zero")
             ).alias("nh_zero_count"),
             F.lit(None).cast("double").alias("nh_zero_threshold"),
-            schema_checked(
-                scale(
-                    F.col("_l.nh_count").cast("double")
-                    - F.col("_f.nh_count").cast("double")
-                    + F.col("_comp_count")
-                )
+            scale(
+                F.col("_l.nh_count").cast("double")
+                - F.col("_f.nh_count").cast("double")
+                + F.col("_comp_count")
             ).alias("nh_count"),
-            schema_checked(
-                scale(F.col("_l.nh_sum") - F.col("_f.nh_sum") + F.col("_comp_sum"))
+            scale(
+                F.col("_l.nh_sum") - F.col("_f.nh_sum") + F.col("_comp_sum")
             ).alias("nh_sum"),
             pos_idx.alias("nh_pos_idx"),
             F.transform(pos_counts, lambda c: c * factor).alias("nh_pos_counts"),
