@@ -200,6 +200,45 @@ class PromQLEngine:
             raise PromQLEvalError("eval_instant_df requires a vector expression")
         return df.drop("_ev")
 
+    def eval_hist(self, expr, evs: list[int]):
+        """Histogram-valued evaluation for script expectations written
+        as ``{{...}}`` literals (upstream promqltest's native-histogram
+        output form): -> [(labels, {ev: hist})] where ``hist`` carries
+        schema/count/sum/z_bucket scalars and sparse ``pos``/``neg``
+        {idx: cnt} bucket maps.  Supports the engine's histogram-vector
+        surface (selector, sum()/avg(), rate()/increase())."""
+        if isinstance(expr, str):
+            expr = ast.parse_promql(expr)
+        self._qstart, self._qend = evs[0], evs[-1]
+        steps = self.spark.createDataFrame([(e,) for e in evs], "_ev long")
+        df = self._hist_vec(expr, steps)
+        out: list[tuple[dict, dict]] = []
+        index: dict = {}
+        for r in df.collect():
+            labels = {
+                c[len("l_"):]: r[c]
+                for c in df.columns
+                if c.startswith("l_") and r[c] is not None
+            }
+            key = tuple(sorted(labels.items()))
+            if key not in index:
+                index[key] = len(out)
+                out.append((labels, {}))
+            series_vals = out[index[key]][1]
+            if r["_ev"] in series_vals:
+                raise PromQLEvalError(
+                    f"vector cannot contain metrics with the same labelset: {labels}"
+                )
+            series_vals[r["_ev"]] = {
+                "schema": r["nh_schema"],
+                "count": r["nh_count"],
+                "sum": r["nh_sum"],
+                "z_bucket": r["nh_zero_count"],
+                "pos": dict(zip(r["nh_pos_idx"] or [], r["nh_pos_counts"] or [])),
+                "neg": dict(zip(r["nh_neg_idx"] or [], r["nh_neg_counts"] or [])),
+            }
+        return out
+
     @staticmethod
     def _range_steps(start_ms: int, end_ms: int, step_ms: int) -> list:
         """Validated step grid for the public range-query surface."""
@@ -946,15 +985,18 @@ class PromQLEngine:
 
     def _hist_vec(self, arg, steps) -> DataFrame:
         """A native-histogram instant vector: selector, sum()/avg()
-        aggregation, or rate()/increase() over a histogram range."""
+        aggregation, rate()/increase() over a histogram range, or
+        arithmetic (histogram ± histogram, histogram ×÷ scalar)."""
         if isinstance(arg, ast.Aggregate) and arg.op in ("sum", "avg"):
             return self._hist_sum(arg, steps, mean=arg.op == "avg")
         if isinstance(arg, ast.Call) and arg.func in ("rate", "increase"):
             return self._hist_rate(arg, steps, is_rate=arg.func == "rate")
+        if isinstance(arg, ast.Binary) and arg.op in ("+", "-", "*", "/"):
+            return self._hist_binary(arg, steps)
         if not isinstance(arg, ast.VectorSelector):
             raise PromQLEvalError(
-                "histogram functions need a selector, sum()/avg(), or "
-                "rate()/increase() argument here"
+                "histogram functions need a selector, sum()/avg(), "
+                "rate()/increase(), or histogram arithmetic here"
             )
         df = self._instant_select(arg, steps, with_hist=True)
         if "nh_schema" not in df.columns:
@@ -1224,6 +1266,127 @@ class PromQLEngine:
             F.transform(neg_counts, lambda c: c * factor).alias("nh_neg_counts"),
         )
         return self._drop_name(out)
+
+    def _hist_binary(self, node: ast.Binary, steps) -> DataFrame:
+        """Histogram arithmetic (upstream promql/engine.go
+        VectorscalarBinop / VectorVectorBinop histogram branches):
+        ``h ± h`` matches one-to-one on the full labelset (metric name
+        dropped) and merges bucket-wise after downscaling both sides to
+        the pair's coarser schema; ``h × s`` / ``h ÷ s`` scale every
+        component.  Scalar ÷ histogram and float-vector matching are
+        outside this slice and raise."""
+        op = node.op
+        if op in ("*", "/"):
+            # the scalar side is whichever subtree evaluates to scalar
+            # kind; histogram / anything-but-scalar is invalid upstream
+            def _try_scalar(sub):
+                try:
+                    kind, df = self._eval(sub, steps)
+                except PromQLEvalError:
+                    return None
+                return df if kind == "scalar" else None
+
+            sdf = _try_scalar(node.rhs)
+            hside = node.lhs
+            if sdf is None and op == "*":
+                sdf = _try_scalar(node.lhs)
+                hside = node.rhs
+            if sdf is None:
+                raise PromQLEvalError(
+                    f"histogram {op} needs one scalar operand "
+                    "(float-vector matching is not supported here)"
+                )
+            h = self._hist_vec(hside, steps)
+            j = h.join(
+                F.broadcast(sdf.withColumnRenamed("value", "_s")), on="_ev"
+            )
+            factor = (
+                F.col("_s") if op == "*" else F.lit(1.0) / F.col("_s")
+            ).cast("double")
+            scaled = j.withColumns(
+                {
+                    "nh_zero_count": F.col("nh_zero_count").cast("double") * factor,
+                    "nh_count": F.col("nh_count").cast("double") * factor,
+                    "nh_sum": F.col("nh_sum") * factor,
+                    "nh_pos_counts": F.transform(
+                        "nh_pos_counts", lambda c: c.cast("double") * factor
+                    ),
+                    "nh_neg_counts": F.transform(
+                        "nh_neg_counts", lambda c: c.cast("double") * factor
+                    ),
+                }
+            ).drop("_s")
+            return self._drop_name(scaled)
+
+        l = self._drop_name(self._norm_hist(self._hist_vec(node.lhs, steps)))
+        r = self._drop_name(self._norm_hist(self._hist_vec(node.rhs, steps)))
+        labs = sorted(
+            {c for c in l.columns if c.startswith("l_")}
+            | {c for c in r.columns if c.startswith("l_")}
+        )
+        for c in labs:
+            if c not in l.columns:
+                l = l.withColumn(c, F.lit(None).cast("string"))
+            if c not in r.columns:
+                r = r.withColumn(c, F.lit(None).cast("string"))
+        pack = F.struct(*[F.col(c) for c in _NH_COLS])
+        L = l.select("_ev", *labs, pack.alias("_lh")).alias("L")
+        R = r.select("_ev", *labs, pack.alias("_rh")).alias("R")
+        cond = F.col("L._ev") == F.col("R._ev")
+        for c in labs:
+            cond = cond & F.col(f"L.{c}").eqNullSafe(F.col(f"R.{c}"))
+        j = L.join(R, cond, "inner").select(
+            F.col("L._ev").alias("_ev"),
+            *[F.col(f"L.{c}").alias(c) for c in labs],
+            "_lh",
+            "_rh",
+        )
+        j = j.withColumn(
+            "_smin", F.least(F.col("_lh.nh_schema"), F.col("_rh.nh_schema"))
+        )
+        sgn = 1.0 if op == "+" else -1.0
+
+        def pairs(prefix: str, which: str, s: float):
+            return F.transform(
+                F.zip_with(
+                    F.col(f"{prefix}.nh_{which}_idx"),
+                    F.col(f"{prefix}.nh_{which}_counts"),
+                    lambda k, v: F.struct(
+                        k.alias("idx"),
+                        (v.cast("double") * F.lit(s)).alias("cnt"),
+                    ),
+                ),
+                lambda p: F.struct(
+                    p["idx"].alias("idx"),
+                    p["cnt"].alias("cnt"),
+                    F.col(f"{prefix}.nh_schema").alias("sch"),
+                ),
+            )
+
+        def merged(which: str):
+            return self._downscale_pairs(
+                F.concat(pairs("_lh", which, 1.0), pairs("_rh", which, sgn))
+            )
+
+        pos_idx, pos_counts = self._merge_sparse(merged("pos"))
+        neg_idx, neg_counts = self._merge_sparse(merged("neg"))
+        comb = lambda f: (  # noqa: E731
+            F.col(f"_lh.{f}").cast("double")
+            + F.col(f"_rh.{f}").cast("double") * F.lit(sgn)
+        )
+        return j.select(
+            "_ev",
+            *labs,
+            F.col("_smin").alias("nh_schema"),
+            comb("nh_zero_count").alias("nh_zero_count"),
+            F.lit(None).cast("double").alias("nh_zero_threshold"),
+            comb("nh_count").alias("nh_count"),
+            comb("nh_sum").alias("nh_sum"),
+            pos_idx.alias("nh_pos_idx"),
+            pos_counts.alias("nh_pos_counts"),
+            neg_idx.alias("nh_neg_idx"),
+            neg_counts.alias("nh_neg_counts"),
+        )
 
     def _hist_scalar_fn(self, args, steps, value: F.Column | None = None, fn=None):
         df = self._hist_vec(args[-1], steps)

@@ -68,6 +68,81 @@ def _fmt(labels: dict) -> str:
     return "{" + inner + "}"
 
 
+def _hist_mismatch(got: dict, want: dict) -> str | None:
+    """Compare an engine histogram against an expected {{...}} literal
+    (upstream promqltest compares every component with the epsilon;
+    z_bucket_w is not tracked through engine aggregation — not
+    compared).  None on match, else a component description."""
+    if int(got["schema"]) != int(want["schema"]):
+        return f"schema {got['schema']} != {want['schema']}"
+    for gk, wk in (("count", "count"), ("sum", "sum"), ("z_bucket", "z_bucket")):
+        if not almost_equal(got[gk], want[wk]):
+            return f"{wk} {got[gk]} != {want[wk]}"
+    for side, bk, ok in (("pos", "buckets", "offset"), ("neg", "n_buckets", "n_offset")):
+        wpairs = {
+            want[ok] + i: c for i, c in enumerate(want[bk]) if c != 0
+        }
+        gpairs = {k: c for k, c in got[side].items() if c != 0}
+        if set(wpairs) != set(gpairs):
+            return f"{side} bucket indexes {sorted(gpairs)} != {sorted(wpairs)}"
+        for k, c in wpairs.items():
+            if not almost_equal(gpairs[k], c):
+                return f"{side} bucket {k}: {gpairs[k]} != {c}"
+    return None
+
+
+def _check_hist_eval(engine: PromQLEngine, cmd: EvalCmd, expr, evs) -> str | None:
+    """Eval with native-histogram {{...}} expectations."""
+    try:
+        result = engine.eval_hist(expr, evs)
+    except Exception as e:
+        if cmd.fail:
+            return None
+        return f"eval error: {type(e).__name__}: {e}"
+    if cmd.fail:
+        return "expected the query to fail, but it succeeded"
+
+    got_by_labels = {tuple(sorted(ls.items())): vals for ls, vals in result}
+    exp_keys = set()
+    for exp in cmd.expected:
+        key = tuple(sorted(exp.labels.items()))
+        exp_keys.add(key)
+        if key not in got_by_labels:
+            return f"missing expected series {_fmt(exp.labels)} (got: " + (
+                ", ".join(_fmt(dict(k)) for k in got_by_labels) or "<empty>"
+            ) + ")"
+        got_vals = got_by_labels[key]
+        for i, ev in enumerate(evs):
+            want = exp.hists[i] if i < len(exp.hists) else None
+            wval = exp.values[i] if i < len(exp.values) else None
+            stale = exp.stale[i] if i < len(exp.stale) else False
+            got = got_vals.get(ev)
+            if want is None:
+                if wval is not None and not stale:
+                    return (
+                        f"series {_fmt(exp.labels)} step {ev}ms: mixed "
+                        "float/histogram expectations in one eval are not "
+                        "supported by this engine slice"
+                    )
+                if got is not None:
+                    return (
+                        f"series {_fmt(exp.labels)} step {ev}ms: "
+                        f"expected no value, got a histogram"
+                    )
+                continue
+            if got is None:
+                return f"series {_fmt(exp.labels)} step {ev}ms: expected a histogram, got none"
+            bad = _hist_mismatch(got, want)
+            if bad:
+                return f"series {_fmt(exp.labels)} step {ev}ms: {bad}"
+    extra = [k for k in got_by_labels if k not in exp_keys]
+    if extra:
+        return "unexpected series in result: " + ", ".join(
+            _fmt(dict(k)) for k in extra
+        )
+    return None
+
+
 def _check_eval(engine: PromQLEngine, cmd: EvalCmd) -> str | None:
     """None on pass, else a failure message."""
     try:
@@ -76,6 +151,14 @@ def _check_eval(engine: PromQLEngine, cmd: EvalCmd) -> str | None:
         if cmd.fail:
             return None
         return f"parse error: {e}"
+
+    if any(h is not None for exp in cmd.expected for h in exp.hists):
+        evs = (
+            [cmd.at_ms]
+            if cmd.kind == "instant"
+            else list(range(cmd.start_ms, cmd.end_ms + 1, cmd.step_ms))
+        )
+        return _check_hist_eval(engine, cmd, expr, evs)
 
     try:
         if cmd.kind == "instant":

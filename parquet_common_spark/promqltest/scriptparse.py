@@ -49,6 +49,9 @@ class ExpectedSeries:
     labels: dict[str, str]
     values: list[float | None]  # one per eval step (len 1 for instant)
     stale: list[bool] = field(default_factory=list)
+    # expected native-histogram literals, one per step (None = float /
+    # no-value slot) — upstream writes them as {{...}} in eval output
+    hists: list[dict | None] = field(default_factory=list)
 
 
 @dataclass
@@ -337,12 +340,17 @@ def parse_script(text: str, name: str = "<script>") -> Script:
                 # sequence (this must run before the series regex —
                 # "NaN"/"Inf" would otherwise parse as metric names)
                 try:
-                    vals = parse_values(_split_values(text_line))
+                    vals = parse_series_values(text_line)
                 except Exception:
                     vals = None
                 if vals is not None:
                     cmd.expected.append(
-                        ExpectedSeries({}, [v for v, _ in vals], [s for _, s in vals])
+                        ExpectedSeries(
+                            {},
+                            [v for v, _, _ in vals],
+                            [s for _, s, _ in vals],
+                            [h for _, _, h in vals],
+                        )
                     )
                     i += 1
                     continue
@@ -350,12 +358,13 @@ def parse_script(text: str, name: str = "<script>") -> Script:
                 if not sm or (not sm.group("name") and not sm.group("labels")):
                     raise ScriptParseError(f"{name}:{i + 1}: bad expected line {body!r}")
                 labels = _parse_labels(sm.group("name"), sm.group("labels"))
-                vals = parse_values(_split_values(sm.group("values")))
+                vals = parse_series_values(sm.group("values"))
                 cmd.expected.append(
                     ExpectedSeries(
                         labels,
-                        [v for v, _ in vals],
-                        [s for _, s in vals],
+                        [v for v, _, _ in vals],
+                        [s for _, s, _ in vals],
+                        [h for _, _, h in vals],
                     )
                 )
                 i += 1
