@@ -113,6 +113,10 @@ _CHECK_WINDOW = [
     # holds the grouping family, and the PromQL function surface is
     # pinned by the 37-file/839-eval script corpus + pq1/pq2/pq3.
     "d11_split_leakage", "p6_epoch_shuffle", "x6_source_overlap",
+    # continuation batch 14: streaming session windows (new code) —
+    # m17 yields; double-exponential smoothing stays pinned by the
+    # upstream-functions script corpus and the differential model.
+    "st6_streaming_sessions",
 ]
 _CHECK_WINDOW.remove("sim4_quantized_topk")
 _CHECK_WINDOW.remove("x1_token_frequencies")
@@ -135,6 +139,7 @@ _CHECK_WINDOW.remove("w6_sliding_windows")
 _CHECK_WINDOW.remove("t5_tfidf_terms")
 _CHECK_WINDOW.remove("g1_rollup_revenue")
 _CHECK_WINDOW.remove("m12_promql_functions")
+_CHECK_WINDOW.remove("m17_double_exponential_smoothing")
 
 
 def _registry():

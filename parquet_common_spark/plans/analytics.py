@@ -1773,6 +1773,110 @@ def w5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------- st6: streaming session windows through the gate
+
+# The SAME native gap sessionizer as w5, but run as a stateful
+# Structured Streaming aggregation: watermarked event time, session
+# state keyed by user and evicted once the watermark passes a session's
+# close (state is bounded by the lateness horizon × active users, not
+# the stream length).  The harness stages the events file plus two
+# far-future sentinel files processed as later micro-batches
+# (maxFilesPerTrigger=1), standing in for a live stream's continuing
+# flow so the final watermark crosses — and append mode emits — every
+# real session; the sentinel user is filtered from the output.  The
+# oracle is w5's relational LAG/SUM session rebuild — streaming must
+# reproduce the batch sessionization bit-for-bit.
+
+
+@query("st6_streaming_sessions", _W5_SQL)
+def st6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    from parquet_common_spark.plans.common import (
+        ensure_session_env,
+        event_ts_ltz_col,
+        read_events_raw,
+    )
+
+    ensure_session_env(spark)
+    raw = read_events_raw(spark, sf_dir)
+    ts_dt = dict(raw.dtypes)["ts"]
+    uid_dt = dict(raw.dtypes)["user_id"]
+
+    stage = tempfile.mkdtemp(prefix="st6_")
+    try:
+        shutil.copy(
+            os.path.join(sf_dir, "events.parquet"),
+            os.path.join(stage, "a_events.parquet"),
+        )
+        day_raw = (
+            86_400 * 1_000_000_000 if ts_dt in ("bigint", "long") else None
+        )
+        sent = raw.limit(1).withColumn("user_id", F.lit(-1).cast(uid_dt))
+        for name, days in (("b_sentinel1", 30), ("c_sentinel2", 31)):
+            if day_raw is not None:
+                s = sent.withColumn(
+                    "ts", (F.col("ts") + F.lit(days * day_raw)).cast("long")
+                )
+            else:
+                s = sent.withColumn(
+                    "ts", F.col("ts") + F.expr(f"INTERVAL {days} DAYS")
+                )
+            s.coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(stage, name)
+            )
+            time.sleep(1.1)  # distinct mtimes pin the micro-batch order
+
+        stream = (
+            spark.readStream.schema(raw.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(stage)
+            .withColumn("ts", event_ts_ltz_col(ts_dt))
+        )
+        sessions = (
+            stream.withWatermark("ts", "1 minute")
+            .groupBy(
+                "user_id", F.session_window(F.col("ts"), "1 hour").alias("w")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.min(F.unix_micros(F.col("ts"))).alias("session_start_us"),
+                F.max(F.unix_micros(F.col("ts"))).alias("session_end_us"),
+            )
+        )
+        sink = f"st6_{uuid.uuid4().hex[:8]}"
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            q = (
+                sessions.writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+    sw = Window.partitionBy("user_id").orderBy("session_start_us")
+    return (
+        spark.table(sink)
+        .where(F.col("user_id") >= 0)
+        .withColumn("sid", F.row_number().over(sw).cast("long"))
+        .select(
+            "user_id", "sid", "n_events", "session_start_us", "session_end_us"
+        )
+        .orderBy("user_id", "sid")
+    )
+
+
 # ------------------------------------- st2: stream-stream join through the gate
 
 # Two file-source streams over the same bounded events table (clicks and
