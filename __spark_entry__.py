@@ -117,6 +117,10 @@ _CHECK_WINDOW = [
     # m17 yields; double-exponential smoothing stays pinned by the
     # upstream-functions script corpus and the differential model.
     "st6_streaming_sessions",
+    # continuation batch 15: hashed linear quality classifier (new
+    # code) — e1 yields; the event-stats family keeps e6/e7/e8 and e1
+    # stays on the bench headline path every round.
+    "t9_quality_classifier",
 ]
 _CHECK_WINDOW.remove("sim4_quantized_topk")
 _CHECK_WINDOW.remove("x1_token_frequencies")
@@ -140,6 +144,7 @@ _CHECK_WINDOW.remove("t5_tfidf_terms")
 _CHECK_WINDOW.remove("g1_rollup_revenue")
 _CHECK_WINDOW.remove("m12_promql_functions")
 _CHECK_WINDOW.remove("m17_double_exponential_smoothing")
+_CHECK_WINDOW.remove("e1_event_type_stats")
 
 
 def _registry():

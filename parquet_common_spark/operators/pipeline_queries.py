@@ -1374,6 +1374,46 @@ def t8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.doc_perplexity(docs, "doc_id", "text", model).orderBy("doc_id")
 
 
+# ------------------------------------- t9: linear quality classifier
+
+
+@query(
+    "t9_quality_classifier",
+    f"""
+    WITH w AS (
+      SELECT doc_id,
+             list_transform(
+               string_split({_NORM.format(c='text')}, ' '),
+               t -> (({_phash('t')} % {T.CLS_DIM}) * {T.CLS_MULT} % {T.CLS_MOD})
+                    * 1.0 / {T.CLS_MOD} - 0.5) AS ws
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             len(ws) AS n_tokens,
+             list_reduce(list_prepend(0.0, ws), (a, b) -> a + b) / len(ws) AS raw
+      FROM w)
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(1.0 / (1.0 + EXP(-8.0 * raw)), 6) AS quality_prob,
+           raw >= 0 AS keep
+    FROM s ORDER BY doc_id
+    """,
+)
+def t9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear quality classifier (see
+    operators/text.py quality_classifier): map-only Column expressions,
+    zero shuffles, no Python in the hot path; the oracle replays the
+    hash, weight formula, fold order, and sigmoid exactly."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    s = docs.select("doc_id", T.quality_classifier(F.col("text")).alias("_s"))
+    return s.select(
+        "doc_id",
+        F.col("_s.n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.col("_s.prob"), 6).alias("quality_prob"),
+        (F.col("_s.raw") >= 0).alias("keep"),
+    ).orderBy("doc_id")
+
+
 # ------------------------------------------- d8: incremental MinHash
 
 _D8_SPLIT = 300

@@ -414,3 +414,51 @@ def source_overlap(
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
     )
+
+
+# ------------------------------------------ linear quality classifier
+
+# fastText-style hashed-bag-of-words linear scorer: each token hashes
+# into one of CLS_DIM feature buckets, each bucket carries a fixed
+# deterministic weight in [-0.5, 0.5), the document score is the mean
+# bucket weight squashed by a sigmoid.  The weight table is a FORMULA
+# (Knuth multiplicative hash of the bucket id), not a stored vector, so
+# the classifier is a pure map-only Column expression on both engines —
+# at 100 TB there is no model to broadcast and no shuffle at all.  A
+# real trained model swaps the formula for a broadcast weight array;
+# the plan shape is identical.
+CLS_DIM = 4096
+CLS_MULT = 2_654_435_761  # Knuth's 2^32 golden-ratio multiplier
+CLS_MOD = 1_000_003
+
+
+def quality_classifier(col: Column) -> Column:
+    """(n_tokens, raw mean weight, sigmoid probability) struct for the
+    hashed linear quality classifier over normalized tokens."""
+    toks = F.split(normalize_text(col), " ")
+    ws = F.transform(
+        toks,
+        lambda t: (
+            (
+                (
+                    F.aggregate(
+                        F.transform(F.split(t, ""), lambda c: F.ascii(c)),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: (acc * HASH_MULT + x) % HASH_P,
+                    )
+                    % CLS_DIM
+                )
+                * CLS_MULT
+                % CLS_MOD
+            ).cast("double")
+            / F.lit(float(CLS_MOD))
+            - F.lit(0.5)
+        ),
+    )
+    raw = F.aggregate(ws, F.lit(0.0), lambda a, x: a + x) / F.size(toks)
+    prob = F.lit(1.0) / (F.lit(1.0) + F.exp(F.lit(-8.0) * raw))
+    return F.struct(
+        F.size(toks).alias("n_tokens"),
+        raw.alias("raw"),
+        prob.alias("prob"),
+    )
