@@ -91,6 +91,10 @@ class PromQLEngine:
         self._samples: DataFrame | None = None
         self._label_cols: list[str] = []
         self._pending: list[DataFrame] = []
+        # metric names known (at load time) to carry native-histogram
+        # samples — lets binary × / ÷ pick the histogram side statically
+        self._hist_metrics: set[str] = set()
+        self._script_loaded = False  # storage came from load blocks
         self._qstart = self._qend = 0  # @ start()/end() bounds, set per run
 
     # ------------------------------------------------------------ storage
@@ -99,8 +103,11 @@ class PromQLEngine:
         self._samples = None
         self._label_cols = []
         self._pending = []
+        self._hist_metrics = set()
+        self._script_loaded = False
 
     def load(self, cmd: LoadCmd):
+        self._script_loaded = True
         rows = []
         label_names: dict[str, None] = {}
         for labels, _ in cmd.series:
@@ -125,6 +132,8 @@ class PromQLEngine:
             )
 
         for labels, samples in cmd.series:
+            if any(s.hist is not None for s in samples):
+                self._hist_metrics.add(labels.get("__name__"))
             for s in samples:
                 rows.append(
                     tuple(labels.get(n) for n in label_names)
@@ -989,8 +998,8 @@ class PromQLEngine:
         arithmetic (histogram ± histogram, histogram ×÷ scalar)."""
         if isinstance(arg, ast.Aggregate) and arg.op in ("sum", "avg"):
             return self._hist_sum(arg, steps, mean=arg.op == "avg")
-        if isinstance(arg, ast.Call) and arg.func in ("rate", "increase"):
-            return self._hist_rate(arg, steps, is_rate=arg.func == "rate")
+        if isinstance(arg, ast.Call) and arg.func in ("rate", "increase", "delta"):
+            return self._hist_rate(arg, steps, mode=arg.func)
         if isinstance(arg, ast.Binary) and arg.op in ("+", "-", "*", "/"):
             return self._hist_binary(arg, steps)
         if not isinstance(arg, ast.VectorSelector):
@@ -1129,8 +1138,12 @@ class PromQLEngine:
             F.transform(neg_counts, lambda c: scale(c)).alias("nh_neg_counts"),
         )
 
-    def _hist_rate(self, node: ast.Call, steps, is_rate: bool) -> DataFrame:
-        """rate()/increase() over a native-histogram range vector:
+    def _hist_rate(self, node: ast.Call, steps, mode: str) -> DataFrame:
+        """rate()/increase()/delta() over a native-histogram range
+        vector.  delta() is the gauge form: last-minus-first with the
+        same boundary extrapolation but NO counter-reset compensation
+        (upstream funcDelta's isCounter=false histogram branch).
+        rate()/increase():
         last-minus-first per bucket PLUS counter-reset compensation
         (promql/functions.go histogramRate: each pre-reset histogram is
         ADDED back, a reset being a drop in total or zero-bucket count),
@@ -1182,10 +1195,14 @@ class PromQLEngine:
         staged = rdf.withColumn("_prevh", F.lag(pick).over(wseries))
         staged = staged.withColumn(
             "_reset",
-            F.col("_prevh").isNotNull()
-            & (
-                (F.col("_prevh.nh_count") > F.col("nh_count"))
-                | (F.col("_prevh.nh_zero_count") > F.col("nh_zero_count"))
+            F.lit(False)
+            if mode == "delta"
+            else (
+                F.col("_prevh").isNotNull()
+                & (
+                    (F.col("_prevh.nh_count") > F.col("nh_count"))
+                    | (F.col("_prevh.nh_zero_count") > F.col("nh_zero_count"))
+                )
             ),
         )
         staged = staged.withColumn("_comp_pp", prev_pairs("pos")).withColumn(
@@ -1222,7 +1239,7 @@ class PromQLEngine:
         to_start = F.when(to_start >= threshold, avg_dur / 2).otherwise(to_start)
         to_end = F.when(to_end >= threshold, avg_dur / 2).otherwise(to_end)
         factor = (sampled + to_start + to_end) / sampled
-        if is_rate:
+        if mode == "rate":
             factor = factor / F.lit(range_ms / 1e3)
         ok = (F.col("_n") >= 2) & (sampled > 0)
 
@@ -1291,32 +1308,99 @@ class PromQLEngine:
             if sdf is None and op == "*":
                 sdf = _try_scalar(node.lhs)
                 hside = node.rhs
-            if sdf is None:
-                raise PromQLEvalError(
-                    f"histogram {op} needs one scalar operand "
-                    "(float-vector matching is not supported here)"
+            if sdf is not None:
+                h = self._hist_vec(hside, steps)
+                j = h.join(
+                    F.broadcast(sdf.withColumnRenamed("value", "_s")), on="_ev"
                 )
-            h = self._hist_vec(hside, steps)
-            j = h.join(
-                F.broadcast(sdf.withColumnRenamed("value", "_s")), on="_ev"
+                factor = (
+                    F.col("_s") if op == "*" else F.lit(1.0) / F.col("_s")
+                ).cast("double")
+                scaled = j.withColumns(
+                    {
+                        "nh_zero_count": F.col("nh_zero_count").cast("double")
+                        * factor,
+                        "nh_count": F.col("nh_count").cast("double") * factor,
+                        "nh_sum": F.col("nh_sum") * factor,
+                        "nh_pos_counts": F.transform(
+                            "nh_pos_counts", lambda c: c.cast("double") * factor
+                        ),
+                        "nh_neg_counts": F.transform(
+                            "nh_neg_counts", lambda c: c.cast("double") * factor
+                        ),
+                    }
+                ).drop("_s")
+                return self._drop_name(scaled)
+
+            # float-VECTOR matching (upstream VectorVectorBinop's
+            # histogram×float branch): exactly one side is
+            # histogram-capable; match one-to-one on the full labelset
+            # (names dropped) and scale by the float sample
+            lcap = self._hist_capable(node.lhs)
+            rcap = self._hist_capable(node.rhs)
+            if op == "/":
+                if not lcap:
+                    raise PromQLEvalError(
+                        "histogram division needs the histogram on the left"
+                    )
+                hside, fside = node.lhs, node.rhs
+            elif lcap == rcap:
+                raise PromQLEvalError(
+                    f"histogram {op}: exactly one operand must be "
+                    "histogram-valued"
+                )
+            else:
+                hside, fside = (
+                    (node.lhs, node.rhs) if lcap else (node.rhs, node.lhs)
+                )
+            fk, fdf = self._eval(fside, steps)
+            if fk != "vector":
+                raise PromQLEvalError(f"histogram {op} needs a vector operand")
+            h = self._drop_name(self._norm_hist(self._hist_vec(hside, steps)))
+            f = self._drop_name(fdf)
+            labs = sorted(
+                {c for c in h.columns if c.startswith("l_")}
+                | {c for c in f.columns if c.startswith("l_")}
+            )
+            for c in labs:
+                if c not in h.columns:
+                    h = h.withColumn(c, F.lit(None).cast("string"))
+                if c not in f.columns:
+                    f = f.withColumn(c, F.lit(None).cast("string"))
+            pack_h = F.struct(*[F.col(c) for c in _NH_COLS])
+            L = h.select("_ev", *labs, pack_h.alias("_h")).alias("L")
+            R = f.select("_ev", *labs, F.col("value").alias("_v")).alias("R")
+            cond = F.col("L._ev") == F.col("R._ev")
+            for c in labs:
+                cond = cond & F.col(f"L.{c}").eqNullSafe(F.col(f"R.{c}"))
+            j = L.join(R, cond, "inner").select(
+                F.col("L._ev").alias("_ev"),
+                *[F.col(f"L.{c}").alias(c) for c in labs],
+                "_h",
+                "_v",
             )
             factor = (
-                F.col("_s") if op == "*" else F.lit(1.0) / F.col("_s")
+                F.col("_v") if op == "*" else F.lit(1.0) / F.col("_v")
             ).cast("double")
-            scaled = j.withColumns(
-                {
-                    "nh_zero_count": F.col("nh_zero_count").cast("double") * factor,
-                    "nh_count": F.col("nh_count").cast("double") * factor,
-                    "nh_sum": F.col("nh_sum") * factor,
-                    "nh_pos_counts": F.transform(
-                        "nh_pos_counts", lambda c: c.cast("double") * factor
-                    ),
-                    "nh_neg_counts": F.transform(
-                        "nh_neg_counts", lambda c: c.cast("double") * factor
-                    ),
-                }
-            ).drop("_s")
-            return self._drop_name(scaled)
+            return j.select(
+                "_ev",
+                *labs,
+                F.col("_h.nh_schema").alias("nh_schema"),
+                (F.col("_h.nh_zero_count").cast("double") * factor).alias(
+                    "nh_zero_count"
+                ),
+                F.lit(None).cast("double").alias("nh_zero_threshold"),
+                (F.col("_h.nh_count").cast("double") * factor).alias("nh_count"),
+                (F.col("_h.nh_sum") * factor).alias("nh_sum"),
+                F.col("_h.nh_pos_idx").alias("nh_pos_idx"),
+                F.transform(
+                    F.col("_h.nh_pos_counts"), lambda c: c.cast("double") * factor
+                ).alias("nh_pos_counts"),
+                F.col("_h.nh_neg_idx").alias("nh_neg_idx"),
+                F.transform(
+                    F.col("_h.nh_neg_counts"), lambda c: c.cast("double") * factor
+                ).alias("nh_neg_counts"),
+            )
 
         l = self._drop_name(self._norm_hist(self._hist_vec(node.lhs, steps)))
         r = self._drop_name(self._norm_hist(self._hist_vec(node.rhs, steps)))
@@ -1501,7 +1585,7 @@ class PromQLEngine:
         evaluates natively)."""
         if isinstance(node, ast.Aggregate) and node.op in ("sum", "avg"):
             return self._hist_root_selector(node.expr)
-        if isinstance(node, ast.Call) and node.func in ("rate", "increase"):
+        if isinstance(node, ast.Call) and node.func in ("rate", "increase", "delta"):
             arg = node.args[0]
             if isinstance(arg, ast.MatrixSelector):
                 return arg.selector
@@ -1509,6 +1593,22 @@ class PromQLEngine:
         if isinstance(node, ast.VectorSelector):
             return node
         return None
+
+    def _hist_capable(self, node) -> bool:
+        """Whether a subtree can be histogram-valued — schema-only (the
+        selector it bottoms out in reads storage that HAS histogram
+        columns); used to pick the histogram side of × / ÷ vector
+        matching without running a job."""
+        if isinstance(node, ast.Binary) and node.op in ("+", "-", "*", "/"):
+            return self._hist_capable(node.lhs) or self._hist_capable(node.rhs)
+        root = self._hist_root_selector(node)
+        if root is None:
+            return False
+        if root.name is not None and self._script_loaded:
+            # script-loaded storage: histogram-carrying metric names are
+            # tracked at load time, so the decision is per-metric
+            return root.name in self._hist_metrics
+        return "nh_schema" in self._base(root).columns
 
     def _fn_histogram_quantile(self, args, steps):
         # native path when the argument (a selector, or a sum()/rate()
