@@ -1000,6 +1000,10 @@ class PromQLEngine:
             return self._hist_sum(arg, steps, mean=arg.op == "avg")
         if isinstance(arg, ast.Call) and arg.func in ("rate", "increase", "delta"):
             return self._hist_rate(arg, steps, mode=arg.func)
+        if isinstance(arg, ast.Call) and arg.func in (
+            "sum_over_time", "avg_over_time", "last_over_time"
+        ):
+            return self._hist_over_time(arg, steps)
         if isinstance(arg, ast.Binary) and arg.op in ("+", "-", "*", "/"):
             return self._hist_binary(arg, steps)
         if not isinstance(arg, ast.VectorSelector):
@@ -1281,6 +1285,81 @@ class PromQLEngine:
             F.transform(pos_counts, lambda c: c * factor).alias("nh_pos_counts"),
             neg_idx.alias("nh_neg_idx"),
             F.transform(neg_counts, lambda c: c * factor).alias("nh_neg_counts"),
+        )
+        return self._drop_name(out)
+
+    def _hist_over_time(self, node: ast.Call, steps) -> DataFrame:
+        """sum_over_time()/avg_over_time()/last_over_time() over a
+        native-histogram range vector (upstream funcSumOverTime /
+        funcAvgOverTime / funcLastOverTime histogram branches):
+        bucket-wise merge of every in-window histogram, downscaled to
+        the window's coarsest schema; avg scales by 1/n; last picks the
+        newest sample and (alone among the three) KEEPS the metric
+        name."""
+        fn = node.func
+        rdf, labels, _ = self._matrix_arg(node.args[0], steps)
+        if "nh_schema" not in rdf.columns:
+            empty = rdf.where(F.lit(False)).select("_ev", *labels)
+            return empty.withColumns({c: F.lit(None).cast(t) for c, t in _NH_SCHEMA})
+        rdf = self._norm_hist(rdf.where(F.col("nh_schema").isNotNull()))
+        if fn == "last_over_time":
+            pick = F.struct(*[F.col(c) for c in _NH_COLS])
+            agg = rdf.groupBy("_ev", *labels).agg(F.max_by(pick, "ts").alias("_h"))
+            return agg.select(
+                "_ev", *labels, *[F.col(f"_h.{c}").alias(c) for c in _NH_COLS]
+            )
+
+        pair = lambda i, c: F.transform(  # noqa: E731
+            F.zip_with(
+                F.col(i),
+                F.col(c),
+                lambda k, v: F.struct(k.alias("idx"), v.cast("double").alias("cnt")),
+            ),
+            lambda p: F.struct(
+                p["idx"].alias("idx"),
+                p["cnt"].alias("cnt"),
+                F.col("nh_schema").alias("sch"),
+            ),
+        )
+        staged = rdf.select(
+            "_ev",
+            *labels,
+            "nh_schema", "nh_zero_count", "nh_count", "nh_sum",
+            pair("nh_pos_idx", "nh_pos_counts").alias("_pflat"),
+            pair("nh_neg_idx", "nh_neg_counts").alias("_nflat"),
+        )
+        agg = staged.groupBy("_ev", *labels).agg(
+            F.min("nh_schema").alias("_smin"),
+            F.sum("nh_zero_count").alias("nh_zero_count"),
+            F.sum("nh_count").alias("_count"),
+            F.sum("nh_sum").alias("nh_sum"),
+            F.count(F.lit(1)).alias("_n"),
+            F.flatten(F.collect_list("_pflat")).alias("_pflat"),
+            F.flatten(F.collect_list("_nflat")).alias("_nflat"),
+        )
+        scale = (
+            (lambda c: (c / F.col("_n")).cast("double"))
+            if fn == "avg_over_time"
+            else (lambda c: c.cast("double"))
+        )
+        pos_idx, pos_counts = self._merge_sparse(
+            self._downscale_pairs(F.col("_pflat"))
+        )
+        neg_idx, neg_counts = self._merge_sparse(
+            self._downscale_pairs(F.col("_nflat"))
+        )
+        out = agg.select(
+            "_ev",
+            *labels,
+            F.col("_smin").alias("nh_schema"),
+            scale(F.col("nh_zero_count")).alias("nh_zero_count"),
+            F.lit(None).cast("double").alias("nh_zero_threshold"),
+            scale(F.col("_count")).alias("nh_count"),
+            scale(F.col("nh_sum")).alias("nh_sum"),
+            pos_idx.alias("nh_pos_idx"),
+            F.transform(pos_counts, lambda c: scale(c)).alias("nh_pos_counts"),
+            neg_idx.alias("nh_neg_idx"),
+            F.transform(neg_counts, lambda c: scale(c)).alias("nh_neg_counts"),
         )
         return self._drop_name(out)
 
@@ -1585,7 +1664,10 @@ class PromQLEngine:
         evaluates natively)."""
         if isinstance(node, ast.Aggregate) and node.op in ("sum", "avg"):
             return self._hist_root_selector(node.expr)
-        if isinstance(node, ast.Call) and node.func in ("rate", "increase", "delta"):
+        if isinstance(node, ast.Call) and node.func in (
+            "rate", "increase", "delta",
+            "sum_over_time", "avg_over_time", "last_over_time",
+        ):
             arg = node.args[0]
             if isinstance(arg, ast.MatrixSelector):
                 return arg.selector
