@@ -289,3 +289,120 @@ def test_schema_change_rate_differential(engine):
                     else float("nan")
                 )
                 assert _close(frac[g], exp), (g, smin, k, frac[g], exp)
+
+
+def _hist_of_row(h: dict) -> dict:
+    """engine eval_hist payload -> model shape."""
+    return {
+        "schema": int(h["schema"]),
+        "count": h["count"],
+        "sum": h["sum"],
+        "zero": h["z_bucket"],
+        "pos": dict(h["pos"]),
+        "neg": dict(h["neg"]),
+    }
+
+
+def _assert_hist_close(got: dict, want: dict, ctx):
+    assert int(got["schema"]) == want["schema"], (ctx, got, want)
+    for f in ("count", "sum", "zero"):
+        assert _close(got[f], want[f]), (ctx, f, got[f], want[f])
+    for side in ("pos", "neg"):
+        wp = {k: c for k, c in want[side].items() if c != 0}
+        gp = {k: c for k, c in got[side].items() if c != 0}
+        assert set(wp) == set(gp), (ctx, side, gp, wp)
+        for k in wp:
+            assert _close(gp[k], wp[k]), (ctx, side, k, gp[k], wp[k])
+
+
+def test_hist_arithmetic_differential(engine):
+    """h+h / h-h / h*scalar / h/scalar / h*float-vector over random
+    mixed-schema pairs: the full merged histogram (eval_hist payload)
+    matches the model."""
+    rnd = random.Random(777)
+    cases = {}
+    lines = []
+    for g in range(10):
+        h1 = _rand_hist(rnd, rnd.choice((0, 1, 2)), with_neg=True)
+        h2 = _rand_hist(rnd, rnd.choice((0, 1, 2)), with_neg=True)
+        v = float(rnd.randint(1, 5))
+        cases[str(g)] = (h1, h2, v)
+        lines.append(f'    ha{{g="{g}"}} {_literal(h1)}')
+        lines.append(f'    hb{{g="{g}"}} {_literal(h2)}')
+        lines.append(f'    fv{{g="{g}"}} {v!r}')
+    _load(engine, "load 1m\n" + "\n".join(lines) + "\n")
+
+    def by_g(expr):
+        return {
+            ls["g"]: vals[0]
+            for ls, vals in engine.eval_hist(expr, [0])
+        }
+
+    def scaled(h, f):
+        return {
+            "schema": h["schema"],
+            "count": h["count"] * f,
+            "sum": h["sum"] * f,
+            "zero": h["zero"] * f,
+            "pos": {k: c * f for k, c in h["pos"].items()},
+            "neg": {k: c * f for k, c in h["neg"].items()},
+        }
+
+    add = by_g("ha + hb")
+    sub = by_g("ha - hb")
+    mul3 = by_g("ha * 3")
+    div2 = by_g("ha / 2")
+    mulv = by_g("ha * fv")
+    divv = by_g("ha / fv")
+    for g, (h1, h2, v) in cases.items():
+        _assert_hist_close(_hist_of_row(add[g]), _merge([h1, h2]), (g, "+"))
+        _assert_hist_close(_hist_of_row(sub[g]), _sub(h1, h2), (g, "-"))
+        _assert_hist_close(_hist_of_row(mul3[g]), scaled(h1, 3.0), (g, "*3"))
+        _assert_hist_close(_hist_of_row(div2[g]), scaled(h1, 0.5), (g, "/2"))
+        _assert_hist_close(_hist_of_row(mulv[g]), scaled(h1, v), (g, "*v"))
+        _assert_hist_close(_hist_of_row(divv[g]), scaled(h1, 1.0 / v), (g, "/v"))
+
+
+def test_hist_over_time_differential(engine):
+    """sum/avg/last_over_time over random mixed-schema series: the full
+    merged histogram matches the window-merge model."""
+    rnd = random.Random(888)
+    step_ms = 60_000
+    cases = {}
+    lines = []
+    for g in range(10):
+        samples = [
+            _rand_hist(rnd, rnd.choice((0, 1, 2)), with_neg=True)
+            for _ in range(rnd.randint(2, 4))
+        ]
+        cases[str(g)] = samples
+        lines.append(
+            f'    ho{{g="{g}"}} ' + " ".join(_literal(h) for h in samples)
+        )
+    _load(engine, "load 1m\n" + "\n".join(lines) + "\n")
+    t_eval = 3 * step_ms  # window (-2m, 3m] below covers samples 0..3
+
+    def by_g(expr):
+        return {
+            ls["g"]: vals[t_eval]
+            for ls, vals in engine.eval_hist(expr, [t_eval])
+        }
+
+    sot = by_g("sum_over_time(ho[5m])")
+    aot = by_g("avg_over_time(ho[5m])")
+    lot = by_g("last_over_time(ho[5m])")
+    for g, samples in cases.items():
+        w = _merge(samples)
+        n = len(samples)
+        avg = {
+            "schema": w["schema"],
+            "count": w["count"] / n,
+            "sum": w["sum"] / n,
+            "zero": w["zero"] / n,
+            "pos": {k: c / n for k, c in w["pos"].items()},
+            "neg": {k: c / n for k, c in w["neg"].items()},
+        }
+        last = dict(samples[-1])
+        _assert_hist_close(_hist_of_row(sot[g]), w, (g, "sum_ot"))
+        _assert_hist_close(_hist_of_row(aot[g]), avg, (g, "avg_ot"))
+        _assert_hist_close(_hist_of_row(lot[g]), last, (g, "last_ot"))
