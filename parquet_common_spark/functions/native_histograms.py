@@ -371,6 +371,153 @@ def histogram_fraction(
     )
 
 
+# ------------------------------------------------- custom buckets (NHCB)
+# Upstream schema -53 (model/histogram CustomBucketsSchema): bucket
+# bounds come from an explicit sorted ``custom_values`` array instead of
+# the exponential γ^k grid.  Bucket index k (0-based) covers
+# (custom_values[k-1], custom_values[k]], with an implicit -Inf lower
+# bound before the first value and an implicit +Inf bucket at index
+# len(custom_values).  Only the positive bucket range is used; zero and
+# negative ranges are empty by construction.  Interpolation is LINEAR —
+# the same rules as classic le-bucket histograms (upstream
+# promql/quantile.go treats custom buckets exactly like classic
+# buckets: a quantile in the first bucket interpolates from lower
+# bound 0 when the bucket's upper bound is positive, and a quantile in
+# the +Inf overflow bucket returns the highest finite bound).
+
+
+def _custom_bounds(cv: Column, k: Column) -> tuple[Column, Column]:
+    """(lower, upper) of 0-based custom bucket ``k`` (1-based element_at)."""
+    lower = F.when(k > 0, F.try_element_at(cv, k.cast("int"))).otherwise(
+        F.lit(float("-inf"))
+    )
+    upper = F.coalesce(
+        F.try_element_at(cv, (k + 1).cast("int")), F.lit(float("inf"))
+    )
+    return lower, upper
+
+
+def custom_histogram_quantile(
+    q: float | Column,
+    custom_values: Column,
+    pos_idx: Column,
+    pos_counts: Column,
+) -> Column:
+    """Quantile from a custom-bucket (NHCB) histogram — classic-bucket
+    linear interpolation over the sparse (idx, count) pairs.  NULL when
+    empty.  Callers handle φ outside [0, 1] (same contract as
+    :func:`native_histogram_quantile`)."""
+    qc = F.lit(q) if isinstance(q, float) else q
+    total = F.aggregate(pos_counts, F.lit(0.0), lambda a, x: a + x.cast("double"))
+    rank = qc * total
+    cum = _cumulative(pos_counts)
+    pos = F.size(F.filter(cum, lambda c: c.cast("double") < rank)) + 1
+    # rank == 0 (φ = 0) still lands in the first occupied bucket
+    pos = F.greatest(F.least(pos, F.size(pos_idx)), F.lit(1))
+    k = F.element_at(pos_idx, pos)
+    lower, upper = _custom_bounds(custom_values, k)
+    cum_prev = F.when(pos == 1, F.lit(0.0)).otherwise(
+        F.element_at(cum, pos - 1).cast("double")
+    )
+    in_bucket = F.element_at(pos_counts, pos).cast("double")
+    frac = (rank - cum_prev) / in_bucket
+    # first-bucket rule: (-Inf, u] interpolates from 0 when u > 0,
+    # else collapses to u; overflow bucket returns its finite lower
+    lower_eff = F.when(
+        lower == F.lit(float("-inf")),
+        F.when(upper > 0, F.lit(0.0)).otherwise(upper),
+    ).otherwise(lower)
+    interp = lower_eff + (upper - lower_eff) * frac
+    return (
+        F.when(total <= 0, F.lit(None).cast("double"))
+        .when(upper == F.lit(float("inf")), lower)
+        .otherwise(interp)
+    )
+
+
+def _custom_rank_below(
+    x: Column, cv: Column, pos_idx: Column, pos_counts: Column
+) -> Column:
+    """Estimated observations <= x in a custom-bucket histogram: full
+    buckets below x plus a linear share of the bucket containing x
+    (first-bucket lower bound treated as 0 when its upper bound is
+    positive, mirroring the quantile rule; infinite-width buckets
+    contribute nothing partial)."""
+
+    def part(k, c):
+        lower, upper = _custom_bounds(cv, k)
+        lower_eff = F.when(
+            lower == F.lit(float("-inf")),
+            F.when(upper > 0, F.lit(0.0)).otherwise(x),  # full once x >= upper
+        ).otherwise(lower)
+        width = upper - lower_eff
+        return c.cast("double") * (
+            F.when(x >= upper, F.lit(1.0))
+            .when(x <= lower_eff, F.lit(0.0))
+            .when(width > 0, (x - lower_eff) / width)
+            .otherwise(F.lit(0.0))
+        )
+
+    return F.aggregate(
+        F.zip_with(pos_idx, pos_counts, part), F.lit(0.0), lambda a, v: a + v
+    )
+
+
+def custom_histogram_fraction(
+    lower: float | Column,
+    upper: float | Column,
+    custom_values: Column,
+    count: Column,
+    pos_idx: Column,
+    pos_counts: Column,
+) -> Column:
+    """Fraction of observations in [lower, upper] for a custom-bucket
+    histogram (linear in-bucket interpolation; NULL on empty)."""
+    lo = F.lit(lower) if isinstance(lower, (int, float)) else lower
+    up = F.lit(upper) if isinstance(upper, (int, float)) else upper
+    frac = (
+        _custom_rank_below(up, custom_values, pos_idx, pos_counts)
+        - _custom_rank_below(lo, custom_values, pos_idx, pos_counts)
+    ) / count.cast("double")
+    return F.when(count <= 0, F.lit(None).cast("double")).otherwise(
+        F.least(F.greatest(frac, F.lit(0.0)), F.lit(1.0))
+    )
+
+
+def custom_histogram_stdvar(
+    custom_values: Column,
+    count: Column,
+    hsum: Column,
+    pos_idx: Column,
+    pos_counts: Column,
+) -> Column:
+    """Estimated population variance of a custom-bucket histogram:
+    each bucket contributes at its ARITHMETIC midpoint (upstream's
+    custom-bucket branch of funcHistogramStdVar), a zero-crossing
+    bucket (the implicit (-Inf, u>=0] first bucket) at 0, and the +Inf
+    overflow bucket at its finite lower bound."""
+    cnt = count.cast("double")
+    mean = hsum.cast("double") / cnt
+
+    def term(k, c):
+        lower, upper = _custom_bounds(custom_values, k)
+        val = (
+            F.when((lower <= 0) & (upper >= 0), F.lit(0.0))
+            .when(upper == F.lit(float("inf")), lower)
+            .when(lower == F.lit(float("-inf")), upper)
+            .otherwise((lower + upper) / 2)
+        )
+        return c.cast("double") * F.pow(val - mean, F.lit(2.0))
+
+    total = F.coalesce(
+        F.aggregate(
+            F.zip_with(pos_idx, pos_counts, term), F.lit(0.0), lambda a, x: a + x
+        ),
+        F.lit(0.0),
+    )
+    return F.when(count > 0, total / cnt).otherwise(F.lit(float("nan")))
+
+
 def histogram_stdvar(
     schema: Column,
     zero_count: Column,

@@ -62,8 +62,24 @@ _NH_SCHEMA = [
     ("nh_pos_counts", "array<long>"),
     ("nh_neg_idx", "array<int>"),
     ("nh_neg_counts", "array<long>"),
+    # custom-bucket histograms (NHCB, upstream schema -53,
+    # model/histogram CustomBucketsSchema): the positive-range bucket
+    # index k covers (custom_values[k-1], custom_values[k]] with an
+    # implicit -Inf lower bound before the first value and an implicit
+    # +Inf bucket after the last; NULL for exponential histograms
+    ("nh_custom_values", "array<double>"),
 ]
 _NH_COLS = [c for c, _ in _NH_SCHEMA]
+CUSTOM_BUCKETS_SCHEMA = -53
+
+# distinctness key for custom-bucket bounds: NHCB histograms merge only
+# when their custom_values match exactly; exponential histograms all map
+# to the same "exp" key (they merge via schema downscale instead)
+def _cv_key(col: F.Column) -> F.Column:
+    return F.coalesce(
+        F.array_join(F.transform(col, lambda x: x.cast("string")), ","),
+        F.lit("exp"),
+    )
 
 
 class PromQLEvalError(ValueError):
@@ -116,9 +132,10 @@ class PromQLEngine:
 
         def hist_fields(h):
             if h is None:
-                return (None,) * 9
+                return (None,) * 10
             pos_idx = [int(h["offset"]) + i for i in range(len(h["buckets"]))]
             neg_idx = [int(h["n_offset"]) + i for i in range(len(h["n_buckets"]))]
+            cv = h.get("custom_values")
             return (
                 int(h["schema"]),
                 int(h["z_bucket"]),
@@ -129,6 +146,7 @@ class PromQLEngine:
                 [int(c) for c in h["buckets"]],
                 neg_idx,
                 [int(c) for c in h["n_buckets"]],
+                None if cv is None else [float(x) for x in cv],
             )
 
         for labels, samples in cmd.series:
@@ -245,6 +263,11 @@ class PromQLEngine:
                 "z_bucket": r["nh_zero_count"],
                 "pos": dict(zip(r["nh_pos_idx"] or [], r["nh_pos_counts"] or [])),
                 "neg": dict(zip(r["nh_neg_idx"] or [], r["nh_neg_counts"] or [])),
+                "custom_values": (
+                    None
+                    if r["nh_custom_values"] is None
+                    else list(r["nh_custom_values"])
+                ),
             }
         return out
 
@@ -1106,6 +1129,8 @@ class PromQLEngine:
         staged = inner.select(
             *keys,
             "nh_schema", "nh_zero_count", "nh_count", "nh_sum",
+            "nh_custom_values",
+            _cv_key(F.col("nh_custom_values")).alias("_cvk"),
             pair("nh_pos_idx", "nh_pos_counts").alias("_pp"),
             pair("nh_neg_idx", "nh_neg_counts").alias("_np"),
         )
@@ -1117,7 +1142,15 @@ class PromQLEngine:
             F.flatten(F.collect_list("_pp")).alias("_pflat"),
             F.flatten(F.collect_list("_np")).alias("_nflat"),
             F.count(F.lit(1)).alias("_gn"),
+            # custom-bucket compatibility: a group mixing exponential and
+            # custom histograms, or custom histograms with different
+            # bounds, cannot merge — upstream drops the group with a
+            # warning annotation (histograms are only addable when their
+            # custom bounds match)
+            F.count_distinct(F.col("_cvk")).alias("_ncv"),
+            F.first("nh_custom_values").alias("nh_custom_values"),
         )
+        agg = agg.where(F.col("_ncv") == 1)
         scale = (
             (lambda c: c.cast("double") / F.col("_gn").cast("double"))
             if mean
@@ -1140,6 +1173,7 @@ class PromQLEngine:
             F.transform(pos_counts, lambda c: scale(c)).alias("nh_pos_counts"),
             neg_idx.alias("nh_neg_idx"),
             F.transform(neg_counts, lambda c: scale(c)).alias("nh_neg_counts"),
+            "nh_custom_values",
         )
 
     def _hist_rate(self, node: ast.Call, steps, mode: str) -> DataFrame:
@@ -1167,6 +1201,7 @@ class PromQLEngine:
         pick = F.struct(
             "nh_schema", "nh_zero_count", "nh_count", "nh_sum",
             "nh_pos_idx", "nh_pos_counts", "nh_neg_idx", "nh_neg_counts",
+            "nh_custom_values",
         )
         wseries = Window.partitionBy("_ev", *labels).orderBy("ts")
         _pair_t = "array<struct<idx:int,cnt:double,sch:int>>"
@@ -1234,6 +1269,10 @@ class PromQLEngine:
             F.flatten(F.collect_list("_comp_pp")).alias("_comp_pp"),
             F.flatten(F.collect_list("_comp_np")).alias("_comp_np"),
             F.min("nh_schema").alias("_smin"),
+            # a custom-bounds change (or an exponential↔custom switch)
+            # inside the window makes the difference undefined — upstream
+            # drops the point with an incompatible-bounds warning
+            F.count_distinct(_cv_key(F.col("nh_custom_values"))).alias("_ncv"),
         )
         to_start = (F.col("_first_ts") - F.col("_start")).cast("double") / 1e3
         to_end = (F.col("_end") - F.col("_last_ts")).cast("double") / 1e3
@@ -1245,7 +1284,7 @@ class PromQLEngine:
         factor = (sampled + to_start + to_end) / sampled
         if mode == "rate":
             factor = factor / F.lit(range_ms / 1e3)
-        ok = (F.col("_n") >= 2) & (sampled > 0)
+        ok = (F.col("_n") >= 2) & (sampled > 0) & (F.col("_ncv") == 1)
 
         def flat_diff(which: str):
             # last − first + every pre-reset histogram (already
@@ -1285,6 +1324,7 @@ class PromQLEngine:
             F.transform(pos_counts, lambda c: c * factor).alias("nh_pos_counts"),
             neg_idx.alias("nh_neg_idx"),
             F.transform(neg_counts, lambda c: c * factor).alias("nh_neg_counts"),
+            F.col("_l.nh_custom_values").alias("nh_custom_values"),
         )
         return self._drop_name(out)
 
@@ -1325,6 +1365,7 @@ class PromQLEngine:
             "_ev",
             *labels,
             "nh_schema", "nh_zero_count", "nh_count", "nh_sum",
+            "nh_custom_values",
             pair("nh_pos_idx", "nh_pos_counts").alias("_pflat"),
             pair("nh_neg_idx", "nh_neg_counts").alias("_nflat"),
         )
@@ -1336,7 +1377,11 @@ class PromQLEngine:
             F.count(F.lit(1)).alias("_n"),
             F.flatten(F.collect_list("_pflat")).alias("_pflat"),
             F.flatten(F.collect_list("_nflat")).alias("_nflat"),
+            # in-window custom-bounds changes cannot merge (see _hist_rate)
+            F.count_distinct(_cv_key(F.col("nh_custom_values"))).alias("_ncv"),
+            F.first("nh_custom_values").alias("nh_custom_values"),
         )
+        agg = agg.where(F.col("_ncv") == 1)
         scale = (
             (lambda c: (c / F.col("_n")).cast("double"))
             if fn == "avg_over_time"
@@ -1360,6 +1405,7 @@ class PromQLEngine:
             F.transform(pos_counts, lambda c: scale(c)).alias("nh_pos_counts"),
             neg_idx.alias("nh_neg_idx"),
             F.transform(neg_counts, lambda c: scale(c)).alias("nh_neg_counts"),
+            "nh_custom_values",
         )
         return self._drop_name(out)
 
@@ -1479,6 +1525,7 @@ class PromQLEngine:
                 F.transform(
                     F.col("_h.nh_neg_counts"), lambda c: c.cast("double") * factor
                 ).alias("nh_neg_counts"),
+                F.col("_h.nh_custom_values").alias("nh_custom_values"),
             )
 
         l = self._drop_name(self._norm_hist(self._hist_vec(node.lhs, steps)))
@@ -1506,6 +1553,14 @@ class PromQLEngine:
         )
         j = j.withColumn(
             "_smin", F.least(F.col("_lh.nh_schema"), F.col("_rh.nh_schema"))
+        )
+        # custom-bucket compatibility: both sides must agree on bounds
+        # (both exponential, or both custom with identical custom_values)
+        # — upstream drops incompatible pairs with a warning annotation
+        j = j.where(
+            _cv_key(F.col("_lh.nh_custom_values")).eqNullSafe(
+                _cv_key(F.col("_rh.nh_custom_values"))
+            )
         )
         sgn = 1.0 if op == "+" else -1.0
 
@@ -1549,6 +1604,7 @@ class PromQLEngine:
             pos_counts.alias("nh_pos_counts"),
             neg_idx.alias("nh_neg_idx"),
             neg_counts.alias("nh_neg_counts"),
+            F.col("_lh.nh_custom_values").alias("nh_custom_values"),
         )
 
     def _hist_scalar_fn(self, args, steps, value: F.Column | None = None, fn=None):
@@ -1591,43 +1647,70 @@ class PromQLEngine:
             F.col("nh_neg_counts"),
         ]
 
-    def _fn_histogram_stddev(self, args, steps):
-        from parquet_common_spark.functions.native_histograms import histogram_stddev
+    def _stdvar_col(self) -> F.Column:
+        from parquet_common_spark.functions.native_histograms import (
+            custom_histogram_stdvar,
+            histogram_stdvar,
+        )
 
+        return F.when(
+            F.col("nh_schema") == CUSTOM_BUCKETS_SCHEMA,
+            custom_histogram_stdvar(
+                F.col("nh_custom_values"),
+                F.col("nh_count"),
+                F.col("nh_sum"),
+                F.col("nh_pos_idx"),
+                F.col("nh_pos_counts"),
+            ),
+        ).otherwise(histogram_stdvar(*self._hist_moment_cols()))
+
+    def _fn_histogram_stddev(self, args, steps):
         return self._hist_scalar_fn(
-            args, steps, fn=lambda df: histogram_stddev(*self._hist_moment_cols())
+            args, steps, fn=lambda df: F.sqrt(self._stdvar_col())
         )
 
     def _fn_histogram_stdvar(self, args, steps):
-        from parquet_common_spark.functions.native_histograms import histogram_stdvar
-
-        return self._hist_scalar_fn(
-            args, steps, fn=lambda df: histogram_stdvar(*self._hist_moment_cols())
-        )
+        return self._hist_scalar_fn(args, steps, fn=lambda df: self._stdvar_col())
 
     def _fn_histogram_fraction(self, args, steps):
-        from parquet_common_spark.functions.native_histograms import histogram_fraction
+        from parquet_common_spark.functions.native_histograms import (
+            custom_histogram_fraction,
+            histogram_fraction,
+        )
 
         lo = self._static_number(args[0], "lower")
         hi = self._static_number(args[1], "upper")
         return self._hist_scalar_fn(
             args,
             steps,
-            fn=lambda df: histogram_fraction(
-                lo,
-                hi,
-                F.col("nh_schema"),
-                F.col("nh_zero_count"),
-                F.col("nh_count"),
-                F.col("nh_pos_idx"),
-                F.col("nh_pos_counts"),
-                F.col("nh_neg_idx"),
-                F.col("nh_neg_counts"),
+            fn=lambda df: F.when(
+                F.col("nh_schema") == CUSTOM_BUCKETS_SCHEMA,
+                custom_histogram_fraction(
+                    lo,
+                    hi,
+                    F.col("nh_custom_values"),
+                    F.col("nh_count"),
+                    F.col("nh_pos_idx"),
+                    F.col("nh_pos_counts"),
+                ),
+            ).otherwise(
+                histogram_fraction(
+                    lo,
+                    hi,
+                    F.col("nh_schema"),
+                    F.col("nh_zero_count"),
+                    F.col("nh_count"),
+                    F.col("nh_pos_idx"),
+                    F.col("nh_pos_counts"),
+                    F.col("nh_neg_idx"),
+                    F.col("nh_neg_counts"),
+                )
             ),
         )
 
     def _native_histogram_quantile(self, args, steps):
         from parquet_common_spark.functions.native_histograms import (
+            custom_histogram_quantile,
             native_histogram_quantile,
         )
 
@@ -1635,7 +1718,7 @@ class PromQLEngine:
         df = self._hist_vec(args[1], steps)
         labels = [c for c in df.columns if c.startswith("l_") and c != NAME_COL]
         j = self._scalar_join(df, phi, "_phi")
-        q = native_histogram_quantile(
+        q_exp = native_histogram_quantile(
             F.col("_phi"),
             F.col("nh_schema"),
             F.col("nh_zero_count"),
@@ -1645,6 +1728,15 @@ class PromQLEngine:
             F.col("nh_neg_counts"),
             interpolation="exponential",  # upstream ≥2.50 log-axis rule
         )
+        q_custom = custom_histogram_quantile(
+            F.col("_phi"),
+            F.col("nh_custom_values"),
+            F.col("nh_pos_idx"),
+            F.col("nh_pos_counts"),
+        )
+        q = F.when(
+            F.col("nh_schema") == CUSTOM_BUCKETS_SCHEMA, q_custom
+        ).otherwise(q_exp)
         val = (
             F.when(F.isnan(F.col("_phi")), F.lit(float("nan")))
             .when(F.col("_phi") < 0, F.lit(float("-inf")))
@@ -1660,10 +1752,14 @@ class PromQLEngine:
 
     def _hist_root_selector(self, node):
         """The selector a histogram-capable expression bottoms out in:
-        unwraps sum()/rate()/increase() chains (the shapes _hist_vec
-        evaluates natively)."""
+        unwraps sum()/rate()/increase() chains and histogram
+        arithmetic (the shapes _hist_vec evaluates natively)."""
         if isinstance(node, ast.Aggregate) and node.op in ("sum", "avg"):
             return self._hist_root_selector(node.expr)
+        if isinstance(node, ast.Binary) and node.op in ("+", "-", "*", "/"):
+            return self._hist_root_selector(node.lhs) or self._hist_root_selector(
+                node.rhs
+            )
         if isinstance(node, ast.Call) and node.func in (
             "rate", "increase", "delta",
             "sum_over_time", "avg_over_time", "last_over_time",

@@ -75,6 +75,16 @@ def _hist_mismatch(got: dict, want: dict) -> str | None:
     compared).  None on match, else a component description."""
     if int(got["schema"]) != int(want["schema"]):
         return f"schema {got['schema']} != {want['schema']}"
+    gcv = got.get("custom_values") or None
+    wcv = want.get("custom_values") or None
+    if (gcv is None) != (wcv is None) or (
+        gcv is not None
+        and (
+            len(gcv) != len(wcv)
+            or any(not almost_equal(g, w) for g, w in zip(gcv, wcv))
+        )
+    ):
+        return f"custom_values {gcv} != {wcv}"
     for gk, wk in (("count", "count"), ("sum", "sum"), ("z_bucket", "z_bucket")):
         if not almost_equal(got[gk], want[wk]):
             return f"{wk} {got[gk]} != {want[wk]}"

@@ -166,10 +166,13 @@ def _parse_hist_literal(body: str) -> dict:
         "schema": 0, "sum": 0.0, "count": 0.0,
         "z_bucket": 0.0, "z_bucket_w": 0.0,
         "buckets": [], "offset": 0, "n_buckets": [], "n_offset": 0,
+        "custom_values": None,
     }
     for m in _HIST_FIELD_RE.finditer(body):
         key, val = m.group(1), m.group(2)
         if key in ("buckets", "n_buckets"):
+            out[key] = [float(x) for x in val.strip("[]").split()]
+        elif key == "custom_values":
             out[key] = [float(x) for x in val.strip("[]").split()]
         elif key in ("schema", "offset", "n_offset"):
             out[key] = int(val)
@@ -179,6 +182,24 @@ def _parse_hist_literal(body: str) -> dict:
             pass  # accepted, unused by the engine slice
         else:
             raise ScriptParseError(f"unknown histogram field {key!r}")
+    # custom-bucket histograms (NHCB, upstream histogram.CustomBucketsSchema
+    # = -53): custom_values are the bucket upper bounds; only the positive
+    # bucket range is used and the zero/negative ranges must stay empty
+    if (out["custom_values"] is not None) != (out["schema"] == -53):
+        raise ScriptParseError(
+            "custom_values requires schema:-53 and vice versa"
+        )
+    if out["custom_values"] is not None:
+        if sorted(out["custom_values"]) != out["custom_values"]:
+            raise ScriptParseError("custom_values must be sorted ascending")
+        if out["n_buckets"] or out["z_bucket"] or out["z_bucket_w"]:
+            raise ScriptParseError(
+                "custom-bucket histograms cannot have negative or zero buckets"
+            )
+        if out["offset"] + len(out["buckets"]) > len(out["custom_values"]) + 1:
+            raise ScriptParseError(
+                "custom-bucket histogram buckets overflow custom_values"
+            )
     return out
 
 
@@ -190,6 +211,10 @@ def _hist_add(a: dict, b: dict, k: int) -> dict:
         raise ScriptParseError(
             "incremental histogram series: schema mismatch "
             f"({a['schema']} vs {b['schema']})"
+        )
+    if a.get("custom_values") != b.get("custom_values"):
+        raise ScriptParseError(
+            "incremental histogram series: custom_values mismatch"
         )
 
     def merge(ba, oa, bb, ob):
@@ -212,6 +237,7 @@ def _hist_add(a: dict, b: dict, k: int) -> dict:
         "z_bucket": a["z_bucket"] + k * b["z_bucket"],
         "z_bucket_w": max(a["z_bucket_w"], b["z_bucket_w"]),
         "buckets": pb, "offset": po, "n_buckets": nb, "n_offset": no,
+        "custom_values": a.get("custom_values"),
     }
 
 
