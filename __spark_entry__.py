@@ -121,6 +121,13 @@ _CHECK_WINDOW = [
     # code) — e1 yields; the event-stats family keeps e6/e7/e8 and e1
     # stays on the bench headline path every round.
     "t9_quality_classifier",
+    # continuation batch 16: custom-bucket native histograms (NHCB,
+    # schema -53 — new code: custom_histogram_quantile/fraction through
+    # a convert()-written shard carrying nh_custom_values) — m10
+    # yields; the classic le-bucket walk stays pinned by the script
+    # corpus (histograms.test both storage paths) and e6, and m19's
+    # oracle replays the same classic interpolation arithmetic.
+    "m19_custom_bucket_histograms",
 ]
 _CHECK_WINDOW.remove("sim4_quantized_topk")
 _CHECK_WINDOW.remove("x1_token_frequencies")
@@ -145,6 +152,7 @@ _CHECK_WINDOW.remove("g1_rollup_revenue")
 _CHECK_WINDOW.remove("m12_promql_functions")
 _CHECK_WINDOW.remove("m17_double_exponential_smoothing")
 _CHECK_WINDOW.remove("e1_event_type_stats")
+_CHECK_WINDOW.remove("m10_histogram_quantile")
 
 
 def _registry():

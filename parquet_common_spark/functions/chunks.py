@@ -357,6 +357,10 @@ def unpack_chunks(buf: bytes, mint: int | None = None, maxt: int | None = None) 
 #     2-byte big-endian sample count
 #     raw 64-bit zero_threshold (constant within a chunk, as in chunkenc
 #         — a threshold change must cut a new chunk)
+#     uvarint custom-value count, then per value raw 64 bits — the
+#         NHCB (schema -53) bucket bounds, constant within a chunk like
+#         the zero threshold (chunkenc cuts a new chunk when the custom
+#         bounds change); 0 for exponential-schema chunks
 #     per sample:
 #         ts       : zigzag varint (sample 0 absolute, sample 1 delta,
 #                    sample 2+ delta-of-delta)
@@ -387,6 +391,8 @@ class HistogramSample(NamedTuple):
     pos_counts: tuple
     neg_idx: tuple
     neg_counts: tuple
+    # NHCB (schema -53) bucket upper bounds; () for exponential schemas
+    custom_values: tuple = ()
 
 
 def _idx_to_spans(idx) -> list[tuple[int, int]]:
@@ -469,6 +475,17 @@ def encode_histogram_chunk(samples: list[HistogramSample], float_counts: bool) -
         if any(s.zero_threshold != zt for s in samples):
             raise ValueError("zero_threshold must be constant within a chunk")
         w.write_bits(_f2bits(zt), 64)
+        cv = tuple(samples[0].custom_values)
+        if any(tuple(s.custom_values) != cv for s in samples):
+            raise ValueError("custom_values must be constant within a chunk")
+        for s in samples:
+            if (s.schema == -53) != bool(cv):
+                raise ValueError(
+                    "schema -53 requires custom_values and vice versa"
+                )
+        _w_uvarint(w, len(cv))
+        for v in cv:
+            w.write_bits(_f2bits(float(v)), 64)
     prev_ts = prev_delta = 0
     prev_count = prev_zero = 0
     # per-field XOR window state (float chunks): (prev_bits, leading, trailing)
@@ -526,6 +543,7 @@ def decode_histogram_chunk(buf: bytes, float_counts: bool) -> list[HistogramSamp
     if n == 0:
         return []
     zt = _bits2f(r.read_bits(64))
+    cv = tuple(_bits2f(r.read_bits(64)) for _ in range(_r_uvarint(r)))
     out: list[HistogramSample] = []
     ts = delta = 0
     count = zero = 0
@@ -580,6 +598,7 @@ def decode_histogram_chunk(buf: bytes, float_counts: bool) -> list[HistogramSamp
             HistogramSample(
                 ts, schema, zt, zero, count, ssum,
                 ranges[0][0], ranges[0][1], ranges[1][0], ranges[1][1],
+                cv,
             )
         )
     return out

@@ -58,6 +58,7 @@ def build_histograms(
     schema: int = 3,
     zero_threshold: float = 1e-9,
     engine: str = "native",
+    custom_bounds: list[float] | None = None,
 ) -> DataFrame:
     """Aggregate raw observations into one native histogram per group.
 
@@ -69,7 +70,45 @@ def build_histograms(
     ``engine="pandas"``: the original Arrow applyInPandas fold, kept as
     the cross-engine parity reference (tests/test_native_histograms.py).
     nh_sum summation order differs between engines by float rounding only.
+
+    ``custom_bounds`` switches to a custom-bucket (NHCB, schema -53)
+    build: sorted upper bounds; observation v lands in bucket
+    k = |{b : b < v}| (so bucket k covers (bounds[k-1], bounds[k]],
+    with the implicit overflow bucket at k = len(bounds)).  The output
+    carries the bounds in ``nh_custom_values``; zero/negative ranges
+    are empty by construction.  Same two-JVM-aggregation shape.
     """
+    if custom_bounds is not None:
+        bounds = [float(b) for b in custom_bounds]
+        if sorted(bounds) != bounds:
+            raise ValueError("custom_bounds must be sorted ascending")
+        barr = F.array(*[F.lit(b) for b in bounds])
+        v = F.col(value_col).cast("double")
+        k = F.size(F.filter(barr, lambda b: b < v)).cast("int")
+        counts = (
+            df.select(*group_cols, k.alias("_k"), v.alias("_v"))
+            .groupBy(*group_cols, "_k")
+            .agg(F.count(F.lit(1)).alias("_c"), F.sum("_v").alias("_s"))
+        )
+        agged = counts.groupBy(*group_cols).agg(
+            F.sum("_c").alias("nh_count"),
+            F.sum("_s").cast("double").alias("nh_sum"),
+            F.sort_array(
+                F.collect_list(F.struct(F.col("_k"), F.col("_c")))
+            ).alias("_pos"),
+        )
+        return agged.select(
+            *group_cols,
+            F.lit(-53).cast("int").alias("nh_schema"),
+            F.lit(0).cast("long").alias("nh_zero_count"),
+            "nh_count",
+            "nh_sum",
+            F.transform(F.col("_pos"), lambda p: p._k).alias("nh_pos_idx"),
+            F.transform(F.col("_pos"), lambda p: p._c).alias("nh_pos_counts"),
+            F.array().cast("array<int>").alias("nh_neg_idx"),
+            F.array().cast("array<long>").alias("nh_neg_counts"),
+            barr.alias("nh_custom_values"),
+        )
     if engine == "native":
         ln_gamma = math.log(2.0 ** (2.0 ** -schema))
         v = F.col(value_col).cast("double")

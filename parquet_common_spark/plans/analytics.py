@@ -944,6 +944,178 @@ def m11(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type", "day")
 
 
+_NHCB_BOUNDS = [5.0, 20.0, 50.0, 150.0, 300.0]
+_NHCB_SHARD_CACHE: dict = {}
+
+
+def _nhcb_shard(spark: SparkSession, sf_dir: str):
+    """Custom-bucket (NHCB, schema -53) histogram shard through
+    convert(): one histogram per (event_type, day) over the raw
+    observation value with fixed bounds _NHCB_BOUNDS, the bounds stored
+    in nh_custom_values and round-tripped through the parquet shard
+    (upstream model/histogram CustomBucketsSchema; chunk-layer slot in
+    functions/chunks.py)."""
+    import tempfile
+
+    from parquet_common_spark.convert import convert
+    from parquet_common_spark.functions.native_histograms import build_histograms
+    from parquet_common_spark.queryable import ShardDataset
+
+    key = (id(spark), sf_dir)
+    if key in _NHCB_SHARD_CACHE:
+        return _NHCB_SHARD_CACHE[key]
+    ev = load(spark, sf_dir, "events")["events"]
+    day = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000)
+    ).cast("long")
+    base = ev.select("event_type", day.alias("day"), F.col("value").alias("obs"))
+    h = build_histograms(
+        base, ["event_type", "day"], "obs", custom_bounds=_NHCB_BOUNDS
+    )
+    cols = _NH_COLS + ["nh_custom_values"]
+    rows = h.select(
+        F.create_map(
+            F.lit("__name__"), F.lit("events_nhcb"),
+            F.lit("event_type"), F.col("event_type"),
+        ).alias("labels"),
+        (F.col("day") * F.lit(86_400_000_000)).alias("ts"),
+        *cols,
+    ).persist()
+    out_dir = tempfile.mkdtemp(prefix="nhcb_shard_")
+    convert(
+        rows,
+        out_dir,
+        value_col=None,
+        extra_value_cols=cols,
+        col_duration_ms=30 * 24 * 3600 * 1_000_000,
+    )
+    rows.unpersist()
+    _NHCB_SHARD_CACHE[key] = ShardDataset.read(spark, out_dir)
+    return _NHCB_SHARD_CACHE[key]
+
+
+# DuckDB oracle for m19: the classic-equivalent quantile walk over the
+# custom bounds (linear interpolation, first bucket from 0, overflow
+# bucket collapsing to the top bound) — the same arithmetic shapes as
+# custom_histogram_quantile so both engines round identically at 6dp,
+# and an exact integer-ratio fraction over the [20, 150] bound-aligned
+# window.
+_M19_SQL = """
+    WITH base AS (
+      SELECT event_type,
+             CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+             value AS v
+      FROM events),
+    bucketed AS (
+      SELECT event_type, day,
+             (CASE WHEN v > 5.0 THEN 1 ELSE 0 END
+              + CASE WHEN v > 20.0 THEN 1 ELSE 0 END
+              + CASE WHEN v > 50.0 THEN 1 ELSE 0 END
+              + CASE WHEN v > 150.0 THEN 1 ELSE 0 END
+              + CASE WHEN v > 300.0 THEN 1 ELSE 0 END) AS k
+      FROM base),
+    counts AS (
+      SELECT event_type, day, k, COUNT(*) AS c
+      FROM bucketed GROUP BY event_type, day, k),
+    bounds(k, lo, hi) AS (VALUES
+      (0, 0.0, 5.0), (1, 5.0, 20.0), (2, 20.0, 50.0),
+      (3, 50.0, 150.0), (4, 150.0, 300.0), (5, 300.0, CAST(NULL AS DOUBLE))),
+    walk AS (
+      SELECT c.event_type, c.day, c.k, c.c,
+             SUM(c.c) OVER w AS cum,
+             SUM(c.c) OVER w - c.c AS prev_cum,
+             SUM(c.c) OVER (PARTITION BY c.event_type, c.day) AS total
+      FROM counts c
+      WINDOW w AS (PARTITION BY c.event_type, c.day ORDER BY c.k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    hits AS (
+      SELECT w.event_type, w.day, t.q,
+             CASE WHEN w.k = 5 THEN 300.0
+                  ELSE b.lo + (b.hi - b.lo)
+                       * ((CAST(t.q AS DOUBLE) * CAST(w.total AS DOUBLE)
+                           - CAST(w.prev_cum AS DOUBLE))
+                          / CAST(w.c AS DOUBLE))
+             END AS phi
+      FROM walk w
+      JOIN bounds b ON b.k = w.k
+      CROSS JOIN (VALUES (0.25), (0.5), (0.9)) t(q)
+      WHERE CAST(w.prev_cum AS DOUBLE)
+              < CAST(t.q AS DOUBLE) * CAST(w.total AS DOUBLE)
+        AND CAST(w.cum AS DOUBLE)
+              >= CAST(t.q AS DOUBLE) * CAST(w.total AS DOUBLE)),
+    frac AS (
+      SELECT event_type, day,
+             CAST(SUM(CASE WHEN k IN (2, 3) THEN c ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(c) AS DOUBLE) AS f
+      FROM counts GROUP BY event_type, day),
+    stats AS (
+      SELECT event_type, day,
+             CAST(SUM(c) AS BIGINT) AS nh_count,
+             CAST(COUNT(*) AS INT) AS n_buckets
+      FROM counts GROUP BY event_type, day)
+    SELECT s.event_type, s.day, s.nh_count, s.n_buckets,
+           ROUND(MAX(CASE WHEN h.q = 0.25 THEN h.phi END), 6) AS phi_25,
+           ROUND(MAX(CASE WHEN h.q = 0.5  THEN h.phi END), 6) AS phi_50,
+           ROUND(MAX(CASE WHEN h.q = 0.9  THEN h.phi END), 6) AS phi_90,
+           ROUND(MAX(f.f), 6) AS frac_20_150
+    FROM stats s
+    JOIN hits h ON s.event_type = h.event_type AND s.day = h.day
+    JOIN frac f ON s.event_type = f.event_type AND s.day = f.day
+    GROUP BY s.event_type, s.day, s.nh_count, s.n_buckets
+    ORDER BY s.event_type, s.day
+"""
+
+
+@query("m19_custom_bucket_histograms", _M19_SQL)
+def m19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom-bucket native histograms (NHCB, schema -53) through
+    convert -> parquet -> matcher select -> custom_histogram_quantile /
+    custom_histogram_fraction.  The reference stores whatever chunkenc
+    encodes — custom-bucket histogram chunks included (schema/encoder.go:75
+    EncHistogram); the PromQL semantics mirror upstream promql/quantile.go
+    custom-bucket (classic-equivalent) interpolation."""
+    from parquet_common_spark import Matcher, ParquetQueryable
+    from parquet_common_spark.functions.native_histograms import (
+        custom_histogram_fraction,
+        custom_histogram_quantile,
+    )
+
+    q = ParquetQueryable([_nhcb_shard(spark, sf_dir)])
+    sel = q.select(0, 2**62, [Matcher("__name__", "=", "events_nhcb")])
+
+    def phi(qq: float):
+        return F.round(
+            custom_histogram_quantile(
+                qq,
+                F.col("nh_custom_values"),
+                F.col("nh_pos_idx"),
+                F.col("nh_pos_counts"),
+            ),
+            6,
+        )
+
+    return sel.select(
+        F.col("l_event_type").alias("event_type"),
+        F.floor(F.col("s_ts") / F.lit(86_400_000_000)).cast("long").alias("day"),
+        F.col("nh_count"),
+        F.size("nh_pos_idx").alias("n_buckets"),
+        phi(0.25).alias("phi_25"),
+        phi(0.5).alias("phi_50"),
+        phi(0.9).alias("phi_90"),
+        F.round(
+            custom_histogram_fraction(
+                20.0,
+                150.0,
+                F.col("nh_custom_values"),
+                F.col("nh_count"),
+                F.col("nh_pos_idx"),
+                F.col("nh_pos_counts"),
+            ),
+            6,
+        ).alias("frac_20_150"),
+    ).orderBy("event_type", "day")
+
+
 # DuckDB oracle for the PromQL function family: resets/changes via LAG,
 # idelta/irate from the last two samples, deriv/predict_linear from
 # DECIMAL-exact regression sums (the double expression over those sums is

@@ -385,3 +385,33 @@ def test_encoders_reject_oversized_sample_count():
     )
     with pytest.raises(ValueError, match="65535"):
         CK.encode_histogram_chunk([hs] * 65_536, float_counts=False)
+
+
+def test_nhcb_chunk_roundtrip():
+    """Custom-bucket (NHCB, schema -53) histogram chunks round-trip the
+    custom_values header; a bounds change inside one chunk is rejected
+    (chunkenc cuts a new chunk on a custom-values change)."""
+    cv = (0.5, 2.0, 10.0)
+    samples = [
+        CK.HistogramSample(
+            1000 * i, -53, 0.0, 0, 4 * (i + 1), 10.0 * (i + 1),
+            (0, 1, 2), (i + 1, 2 * (i + 1), i + 1), (), (), cv,
+        )
+        for i in range(5)
+    ]
+    buf = CK.pack_histogram_chunks(samples, samples_per_chunk=3)
+    assert CK.unpack_histogram_chunks(buf) == samples
+    # time-pruned read keeps the bounds
+    mid = CK.unpack_histogram_chunks(buf, mint=1000, maxt=3000)
+    assert [s.ts for s in mid] == [1000, 2000, 3000]
+    assert all(s.custom_values == cv for s in mid)
+
+    with pytest.raises(ValueError, match="constant within a chunk"):
+        CK.encode_histogram_chunk(
+            [samples[0], samples[1]._replace(custom_values=(1.0, 2.0, 3.0))],
+            float_counts=False,
+        )
+    with pytest.raises(ValueError, match="custom_values and vice versa"):
+        CK.encode_histogram_chunk(
+            [samples[0]._replace(schema=0)], float_counts=False
+        )
