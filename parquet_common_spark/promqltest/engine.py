@@ -1409,14 +1409,40 @@ class PromQLEngine:
         )
         return self._drop_name(out)
 
+    @staticmethod
+    def _hist_match_keep(node: ast.Binary, l_labs, r_labs):
+        """(match, keep) label columns for one-to-one histogram vector
+        matching (engine.go resultMetric rules): match on on() labels,
+        else the union of both sides' labels minus ignoring(); result
+        labels are the on() labels when on() is given, else the
+        expression-LHS labels minus ignoring.  ``l_labs`` must be the
+        expression LHS side's label columns."""
+        if node.group != "one":
+            raise PromQLEvalError(
+                "histogram vector matching supports one-to-one only "
+                "(group_left/group_right with histogram values is "
+                "outside this slice)"
+            )
+        if node.on is not None:
+            match = list(dict.fromkeys(_mangle(node.on)))
+            keep = list(match)
+        else:
+            ign = set(_mangle(node.ignoring or []))
+            match = [c for c in dict.fromkeys([*l_labs, *r_labs]) if c not in ign]
+            keep = [c for c in l_labs if c not in ign]
+        return match, keep
+
     def _hist_binary(self, node: ast.Binary, steps) -> DataFrame:
         """Histogram arithmetic (upstream promql/engine.go
         VectorscalarBinop / VectorVectorBinop histogram branches):
-        ``h ± h`` matches one-to-one on the full labelset (metric name
-        dropped) and merges bucket-wise after downscaling both sides to
-        the pair's coarser schema; ``h × s`` / ``h ÷ s`` scale every
-        component.  Scalar ÷ histogram and float-vector matching are
-        outside this slice and raise."""
+        ``h ± h`` and ``h ×÷ float-vector`` match one-to-one with
+        on()/ignoring() support (metric name dropped; result labels per
+        engine.go resultMetric — the on() labels, else the LHS labels
+        minus ignoring); ``h ± h`` merges bucket-wise after downscaling
+        both sides to the pair's coarser schema; ``h × s`` / ``h ÷ s``
+        scale every component.  Scalar ÷ histogram and
+        group_left/group_right with histogram values are outside this
+        slice and raise."""
         op = node.op
         if op in ("*", "/"):
             # the scalar side is whichever subtree evaluates to scalar
@@ -1483,24 +1509,25 @@ class PromQLEngine:
                 raise PromQLEvalError(f"histogram {op} needs a vector operand")
             h = self._drop_name(self._norm_hist(self._hist_vec(hside, steps)))
             f = self._drop_name(fdf)
-            labs = sorted(
-                {c for c in h.columns if c.startswith("l_")}
-                | {c for c in f.columns if c.startswith("l_")}
-            )
-            for c in labs:
+            h_labs = [c for c in h.columns if c.startswith("l_")]
+            f_labs = [c for c in f.columns if c.startswith("l_")]
+            lhs_labs = h_labs if hside is node.lhs else f_labs
+            rhs_labs = f_labs if hside is node.lhs else h_labs
+            match, keep = self._hist_match_keep(node, lhs_labs, rhs_labs)
+            for c in match:
                 if c not in h.columns:
                     h = h.withColumn(c, F.lit(None).cast("string"))
                 if c not in f.columns:
                     f = f.withColumn(c, F.lit(None).cast("string"))
             pack_h = F.struct(*[F.col(c) for c in _NH_COLS])
-            L = h.select("_ev", *labs, pack_h.alias("_h")).alias("L")
-            R = f.select("_ev", *labs, F.col("value").alias("_v")).alias("R")
+            L = h.select("_ev", *match, pack_h.alias("_h")).alias("L")
+            R = f.select("_ev", *match, F.col("value").alias("_v")).alias("R")
             cond = F.col("L._ev") == F.col("R._ev")
-            for c in labs:
+            for c in match:
                 cond = cond & F.col(f"L.{c}").eqNullSafe(F.col(f"R.{c}"))
             j = L.join(R, cond, "inner").select(
                 F.col("L._ev").alias("_ev"),
-                *[F.col(f"L.{c}").alias(c) for c in labs],
+                *[F.col(f"L.{c}").alias(c) for c in keep],
                 "_h",
                 "_v",
             )
@@ -1509,7 +1536,7 @@ class PromQLEngine:
             ).cast("double")
             return j.select(
                 "_ev",
-                *labs,
+                *keep,
                 F.col("_h.nh_schema").alias("nh_schema"),
                 (F.col("_h.nh_zero_count").cast("double") * factor).alias(
                     "nh_zero_count"
@@ -1530,24 +1557,23 @@ class PromQLEngine:
 
         l = self._drop_name(self._norm_hist(self._hist_vec(node.lhs, steps)))
         r = self._drop_name(self._norm_hist(self._hist_vec(node.rhs, steps)))
-        labs = sorted(
-            {c for c in l.columns if c.startswith("l_")}
-            | {c for c in r.columns if c.startswith("l_")}
-        )
-        for c in labs:
+        l_labs = [c for c in l.columns if c.startswith("l_")]
+        r_labs = [c for c in r.columns if c.startswith("l_")]
+        match, keep = self._hist_match_keep(node, l_labs, r_labs)
+        for c in match:
             if c not in l.columns:
                 l = l.withColumn(c, F.lit(None).cast("string"))
             if c not in r.columns:
                 r = r.withColumn(c, F.lit(None).cast("string"))
         pack = F.struct(*[F.col(c) for c in _NH_COLS])
-        L = l.select("_ev", *labs, pack.alias("_lh")).alias("L")
-        R = r.select("_ev", *labs, pack.alias("_rh")).alias("R")
+        L = l.select("_ev", *match, pack.alias("_lh")).alias("L")
+        R = r.select("_ev", *match, pack.alias("_rh")).alias("R")
         cond = F.col("L._ev") == F.col("R._ev")
-        for c in labs:
+        for c in match:
             cond = cond & F.col(f"L.{c}").eqNullSafe(F.col(f"R.{c}"))
         j = L.join(R, cond, "inner").select(
             F.col("L._ev").alias("_ev"),
-            *[F.col(f"L.{c}").alias(c) for c in labs],
+            *[F.col(f"L.{c}").alias(c) for c in keep],
             "_lh",
             "_rh",
         )
@@ -1594,7 +1620,7 @@ class PromQLEngine:
         )
         return j.select(
             "_ev",
-            *labs,
+            *keep,
             F.col("_smin").alias("nh_schema"),
             comb("nh_zero_count").alias("nh_zero_count"),
             F.lit(None).cast("double").alias("nh_zero_threshold"),
