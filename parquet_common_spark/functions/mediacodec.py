@@ -20,7 +20,12 @@ structure; WAV: RIFF/WAVE chunk layout) using only ``zlib`` + ``struct``
   - :func:`wav_info` / :func:`wav_samples` — RIFF chunk parse and full
     PCM sample decode (int 8/16/24/32, IEEE-float 32/64).
   - :func:`mp4_info` — ISO-BMFF box walk -> (width, height, duration,
-    n_video_frames); frame DECODE needs codecs and stays out of scope.
+    n_video_frames).
+  - :func:`mp4_demux` — FULL video-track demux from the sample tables
+    (stsz/stsc/stco|co64/stts/ctts/stss, ISO/IEC 14496-12 §8.5-8.7):
+    per-frame (offset, size, dts, pts, keyframe) and the exact access-
+    unit bytes out of ``mdat``.  Frame PIXEL decode needs a video codec
+    (H.264 etc.) and stays out of scope.
   - :func:`sniff_media` — magic-byte detection.
 
 Production deployments with Pillow/libav available can swap these for
@@ -529,3 +534,179 @@ def mp4_info(data: bytes) -> tuple[int, int, float, int]:
 
     walk(0, len(data), [False])
     return width, height, duration, n_frames
+
+
+def mp4_demux(data: bytes) -> list[dict]:
+    """Demux the first video track of an ISO-BMFF file into per-frame
+    records ``{"idx", "offset", "size", "dts", "pts", "keyframe"}``
+    (timestamps in seconds, media timescale) WITHOUT decoding pixels.
+
+    Pure sample-table reconstruction per ISO/IEC 14496-12:
+      - ``stsz``/``stz2`` sample sizes (§8.7.3)
+      - ``stsc`` sample-to-chunk runs (§8.7.4): entry k applies from its
+        first_chunk until the next entry's first_chunk
+      - ``stco``/``co64`` chunk file offsets (§8.7.5); samples within a
+        chunk are contiguous
+      - ``stts`` decode-time deltas (§8.6.1.2) -> cumulative DTS
+      - ``ctts`` composition offsets (§8.6.1.3) -> PTS = DTS + offset
+        (version-1 signed offsets honored)
+      - ``stss`` sync-sample table (§8.6.2); absent table = every frame
+        is a keyframe
+
+    Mirrors what the reference's production stack delegates to a demuxer
+    library for; frame-payload slicing (``data[offset:offset+size]``)
+    yields the exact access unit (e.g. AVCC length-prefixed NALs) for a
+    downstream codec.
+    """
+    if data[4:8] != b"ftyp":
+        raise ValueError("not an MP4: missing ftyp")
+
+    state: dict = {}
+
+    def read_stbl(start: int, end: int):
+        for btype, b0, b1 in _mp4_boxes(data, start, end):
+            if btype in (b"stsz", b"stz2"):
+                if btype == b"stsz":
+                    uniform, n = struct.unpack(">II", data[b0 + 4 : b0 + 12])
+                    if uniform:
+                        state["sizes"] = [uniform] * n
+                    else:
+                        state["sizes"] = list(
+                            struct.unpack(f">{n}I", data[b0 + 12 : b0 + 12 + 4 * n])
+                        )
+                else:  # stz2: compact 4/8/16-bit field sizes
+                    field = data[b0 + 7]
+                    (n,) = struct.unpack(">I", data[b0 + 8 : b0 + 12])
+                    body = data[b0 + 12 :]
+                    if field == 4:
+                        state["sizes"] = [
+                            (body[i // 2] >> (4 * (1 - i % 2))) & 0xF for i in range(n)
+                        ]
+                    elif field == 8:
+                        state["sizes"] = list(body[:n])
+                    else:
+                        state["sizes"] = list(struct.unpack(f">{n}H", body[: 2 * n]))
+            elif btype == b"stsc":
+                (n,) = struct.unpack(">I", data[b0 + 4 : b0 + 8])
+                state["stsc"] = [
+                    struct.unpack(">III", data[b0 + 8 + 12 * k : b0 + 20 + 12 * k])
+                    for k in range(n)
+                ]
+            elif btype in (b"stco", b"co64"):
+                (n,) = struct.unpack(">I", data[b0 + 4 : b0 + 8])
+                fmt, w = (">Q", 8) if btype == b"co64" else (">I", 4)
+                state["chunk_offsets"] = [
+                    struct.unpack(fmt, data[b0 + 8 + w * k : b0 + 8 + w * (k + 1)])[0]
+                    for k in range(n)
+                ]
+            elif btype == b"stts":
+                (n,) = struct.unpack(">I", data[b0 + 4 : b0 + 8])
+                state["stts"] = [
+                    struct.unpack(">II", data[b0 + 8 + 8 * k : b0 + 16 + 8 * k])
+                    for k in range(n)
+                ]
+            elif btype == b"ctts":
+                ver = data[b0]
+                (n,) = struct.unpack(">I", data[b0 + 4 : b0 + 8])
+                ofmt = ">Ii" if ver == 1 else ">II"
+                state["ctts"] = [
+                    struct.unpack(ofmt, data[b0 + 8 + 8 * k : b0 + 16 + 8 * k])
+                    for k in range(n)
+                ]
+            elif btype == b"stss":
+                (n,) = struct.unpack(">I", data[b0 + 4 : b0 + 8])
+                state["sync"] = {
+                    struct.unpack(">I", data[b0 + 8 + 4 * k : b0 + 12 + 4 * k])[0]
+                    for k in range(n)
+                }
+
+    def walk(start: int, end: int, in_video: list):
+        for btype, b0, b1 in _mp4_boxes(data, start, end):
+            if "sizes" in state:
+                return  # first video track wins
+            if btype == b"hdlr":
+                in_video[0] = data[b0 + 8 : b0 + 12] == b"vide"
+            elif btype == b"mdhd":
+                ver = data[b0]
+                (ts,) = struct.unpack(
+                    ">I", data[b0 + 20 : b0 + 24] if ver == 1 else data[b0 + 12 : b0 + 16]
+                )
+                in_video.append(ts)  # candidate timescale, committed on stbl
+            elif btype == b"stbl":
+                if in_video[0]:
+                    state["timescale"] = in_video[-1] if len(in_video) > 1 else 0
+                    read_stbl(b0, b1)
+            elif btype == b"trak":
+                walk(b0, b1, [False])
+            elif btype in _MP4_CONTAINERS:
+                walk(b0, b1, in_video)
+
+    walk(0, len(data), [False])
+    sizes = state.get("sizes")
+    if not sizes:
+        return []
+    n = len(sizes)
+
+    # per-sample chunk assignment -> file offsets
+    chunk_offsets = state.get("chunk_offsets", [])
+    stsc = state.get("stsc", [])
+    offsets: list[int] = []
+    if chunk_offsets and stsc:
+        si = 0
+        for k, (first_chunk, per_chunk, _desc) in enumerate(stsc):
+            last_chunk = (
+                stsc[k + 1][0] - 1 if k + 1 < len(stsc) else len(chunk_offsets)
+            )
+            for chunk in range(first_chunk, last_chunk + 1):
+                if si >= n or chunk > len(chunk_offsets):
+                    break
+                pos = chunk_offsets[chunk - 1]
+                for _ in range(per_chunk):
+                    if si >= n:
+                        break
+                    offsets.append(pos)
+                    pos += sizes[si]
+                    si += 1
+    while len(offsets) < n:  # degenerate tables: keep records, offset unknown
+        offsets.append(-1)
+
+    # DTS from stts, PTS from ctts
+    tscale = state.get("timescale") or 1
+    dts_ticks: list[int] = []
+    t = 0
+    for cnt, delta in state.get("stts", []):
+        for _ in range(cnt):
+            if len(dts_ticks) >= n:
+                break
+            dts_ticks.append(t)
+            t += delta
+    while len(dts_ticks) < n:
+        dts_ticks.append(t)
+    pts_ticks = list(dts_ticks)
+    i = 0
+    for cnt, off in state.get("ctts", []):
+        for _ in range(cnt):
+            if i >= n:
+                break
+            pts_ticks[i] = dts_ticks[i] + off
+            i += 1
+
+    sync = state.get("sync")
+    return [
+        {
+            "idx": i,
+            "offset": offsets[i],
+            "size": sizes[i],
+            "dts": dts_ticks[i] / tscale,
+            "pts": pts_ticks[i] / tscale,
+            "keyframe": True if sync is None else (i + 1) in sync,
+        }
+        for i in range(n)
+    ]
+
+
+def mp4_frame_bytes(data: bytes, frame: dict) -> bytes:
+    """The exact demuxed access unit for one :func:`mp4_demux` record."""
+    if frame["offset"] < 0:
+        return b""
+    return data[frame["offset"] : frame["offset"] + frame["size"]]

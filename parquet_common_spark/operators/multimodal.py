@@ -4,11 +4,14 @@ The decode step is REAL for the formats a stdlib-only container can
 honestly decode: PNG full pixel decode at every bit depth incl. Adam7
 (functions/mediacodec.py), JPEG full pixel decode — baseline AND
 progressive (functions/jpegcodec.py), WAV PCM sample decode, MP4
-ISO-BMFF metadata (geometry/duration/frame counts) — detected by magic
+ISO-BMFF metadata (geometry/duration/frame counts) AND full video-track
+DEMUX (per-frame byte ranges/timestamps/keyframes from the sample
+tables; sample_frames emits the exact access units) — detected by magic
 bytes.  Payloads with no known container magic (the synthetic corpus
 attach_fake_media builds) fall back to a deterministic synthetic
-decode so the plumbing tests stay closed-form; video FRAME decode
-still needs codecs (libav/PyAV in production) and stays a stub.  The
+decode so the plumbing tests stay closed-form; only PIXEL decode of a
+demuxed video access unit still needs codecs (libav/PyAV in
+production).  The
 Spark-side shape is the part that matters at 100 TB and is final
 either way: binary columns, typed metadata structs, Arrow-batched
 mapInPandas with an explicit output schema, batch-shape control via
@@ -160,12 +163,18 @@ FRAME_SCHEMA = StructType(
 )
 
 
-def sample_frames(df: DataFrame, every_k: int = 10) -> DataFrame:
+def sample_frames(
+    df: DataFrame, every_k: int = 10, keyframes_only: bool = False
+) -> DataFrame:
     """Frame sampling for video rows: one output row per sampled frame —
     the row-exploding mapInPandas shape (variable fan-out per input row).
-    Frame extraction itself is the documented STUB (deterministic payload
-    slices); the plumbing — binary in, multiple binary rows out, Arrow
-    batches both ways — is the real scale path."""
+    MP4 payloads take the REAL path: ``mp4_demux`` reconstructs the
+    sample tables (ISO/IEC 14496-12) and ``frame_payload`` is the exact
+    demuxed access unit sliced out of ``mdat`` (PIXEL decode of that
+    unit still needs a video codec downstream).  ``keyframes_only``
+    restricts to sync samples (stss).  Magic-less synthetic payloads
+    keep the deterministic slice fallback so the plumbing tests stay
+    closed-form."""
 
     def explode_frames(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:
         import pandas as pd
@@ -179,18 +188,31 @@ def sample_frames(df: DataFrame, every_k: int = 10) -> DataFrame:
                     continue
                 raw = bytes(payload)
                 if MC.sniff_media(raw) == "mp4":
-                    # real frame count from the box walk (frame PAYLOAD
-                    # extraction still needs codecs — stub slices)
-                    n_frames = MC.mp4_info(raw)[3]
+                    frames = MC.mp4_demux(raw)
+                    if frames:
+                        if keyframes_only:
+                            frames = [fr for fr in frames if fr["keyframe"]]
+                        for fr in frames[::every_k]:
+                            out["doc_id"].append(int(doc_id))
+                            out["frame_idx"].append(fr["idx"])
+                            out["frame_payload"].append(MC.mp4_frame_bytes(raw, fr))
+                    else:
+                        # metadata-only mp4 (no stsz sample table): frame
+                        # GRID from the stts count, stub payload slices
+                        for idx in range(0, MC.mp4_info(raw)[3], every_k):
+                            lo = idx % max(len(raw), 1)
+                            out["doc_id"].append(int(doc_id))
+                            out["frame_idx"].append(idx)
+                            out["frame_payload"].append(raw[lo : lo + 16])
                 else:
                     n_frames = len(raw) % 300 + 1  # matches _decode_stub
-                for idx in range(0, n_frames, every_k):
-                    # STUB frame: a deterministic slice standing in for a
-                    # decoded frame buffer
-                    lo = idx % max(len(raw), 1)
-                    out["doc_id"].append(int(doc_id))
-                    out["frame_idx"].append(idx)
-                    out["frame_payload"].append(raw[lo : lo + 16])
+                    for idx in range(0, n_frames, every_k):
+                        # synthetic frame: a deterministic slice standing
+                        # in for a demuxed access unit
+                        lo = idx % max(len(raw), 1)
+                        out["doc_id"].append(int(doc_id))
+                        out["frame_idx"].append(idx)
+                        out["frame_payload"].append(raw[lo : lo + 16])
             yield pd.DataFrame(out)
 
     return df.mapInPandas(explode_frames, schema=FRAME_SCHEMA)

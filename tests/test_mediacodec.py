@@ -467,3 +467,89 @@ def test_sample_frames_uses_real_mp4_count(spark):
     assert sorted(got[1]) == [0, 10, 20, 30, 40]
     synth_frames = len(b"plain-synthetic") % 300 + 1
     assert sorted(got[2]) == list(range(0, synth_frames, 10))
+
+
+def _demuxable_mp4(use_co64: bool = False, with_stss: bool = True) -> bytes:
+    """A fully-demuxable ISO-BMFF file: 6 video access units in mdat,
+    3 chunks x 2 samples, stts(6x100@600), ctts v1 (+0 / +50 split),
+    stss sync at samples 1 and 4."""
+    ftyp = _mp4_box(b"ftyp", b"mp42\x00\x00\x00\x00")
+    frames = [bytes([0x40 + i]) * (5 + i) for i in range(6)]  # sizes 5..10
+    mdat = _mp4_box(b"mdat", b"".join(frames))
+    base = len(ftyp) + 8  # first payload byte inside mdat
+    c1, c2, c3 = base, base + 5 + 6, base + 5 + 6 + 7 + 8
+
+    mvhd = _mp4_box(b"mvhd", b"\x00" * 4 + struct.pack(">IIII", 0, 0, 600, 600))
+    tkhd = _mp4_box(b"tkhd", b"\x00" * 72 + struct.pack(">II", 64 << 16, 48 << 16))
+    mdhd = _mp4_box(b"mdhd", b"\x00" * 4 + struct.pack(">IIII", 0, 0, 600, 600))
+    hdlr = _mp4_box(b"hdlr", b"\x00" * 8 + b"vide" + b"\x00" * 12)
+    stts = _mp4_box(b"stts", b"\x00" * 4 + struct.pack(">III", 1, 6, 100))
+    ctts = _mp4_box(
+        b"ctts",
+        b"\x01" + b"\x00" * 3 + struct.pack(">I", 2)
+        + struct.pack(">II", 3, 0)
+        + struct.pack(">Ii", 3, 50),
+    )
+    stsc = _mp4_box(b"stsc", b"\x00" * 4 + struct.pack(">I", 1) + struct.pack(">III", 1, 2, 1))
+    stsz = _mp4_box(
+        b"stsz",
+        b"\x00" * 4 + struct.pack(">II", 0, 6) + struct.pack(">6I", *[len(f) for f in frames]),
+    )
+    if use_co64:
+        stco = _mp4_box(b"co64", b"\x00" * 4 + struct.pack(">I", 3) + struct.pack(">3Q", c1, c2, c3))
+    else:
+        stco = _mp4_box(b"stco", b"\x00" * 4 + struct.pack(">I", 3) + struct.pack(">3I", c1, c2, c3))
+    boxes = stts + ctts + stsc + stsz + stco
+    if with_stss:
+        boxes += _mp4_box(b"stss", b"\x00" * 4 + struct.pack(">I", 2) + struct.pack(">2I", 1, 4))
+    stbl = _mp4_box(b"stbl", boxes)
+    minf = _mp4_box(b"minf", stbl)
+    mdia = _mp4_box(b"mdia", mdhd + hdlr + minf)
+    trak = _mp4_box(b"trak", tkhd + mdia)
+    moov = _mp4_box(b"moov", mvhd + trak)
+    return ftyp + mdat + moov
+
+
+@pytest.mark.parametrize("use_co64", [False, True])
+def test_mp4_demux_sample_tables(use_co64):
+    data = _demuxable_mp4(use_co64=use_co64)
+    frames = MC.mp4_demux(data)
+    assert len(frames) == 6
+    assert [f["size"] for f in frames] == [5, 6, 7, 8, 9, 10]
+    # exact access-unit bytes out of mdat
+    for i, f in enumerate(frames):
+        assert MC.mp4_frame_bytes(data, f) == bytes([0x40 + i]) * (5 + i)
+    # DTS from stts (delta 100 @ timescale 600); PTS adds ctts v1 offsets
+    for i, f in enumerate(frames):
+        assert abs(f["dts"] - i * 100 / 600) < 1e-12
+        want_pts = f["dts"] + (50 / 600 if i >= 3 else 0.0)
+        assert abs(f["pts"] - want_pts) < 1e-12
+    # stss: samples 1 and 4 (1-based) are sync
+    assert [f["keyframe"] for f in frames] == [True, False, False, True, False, False]
+
+
+def test_mp4_demux_no_stss_all_keyframes():
+    frames = MC.mp4_demux(_demuxable_mp4(with_stss=False))
+    assert all(f["keyframe"] for f in frames)
+
+
+def test_mp4_demux_metadata_only_returns_empty():
+    assert MC.mp4_demux(_hand_mp4()) == []
+
+
+def test_sample_frames_real_demux(spark):
+    """sample_frames on a demuxable mp4 emits the REAL access units;
+    keyframes_only restricts to stss sync samples."""
+    from parquet_common_spark.operators.multimodal import sample_frames
+
+    data = _demuxable_mp4()
+    df = spark.createDataFrame(
+        [(7, "video", bytearray(data))], "doc_id long, media_type string, payload binary"
+    )
+    rows = {r["frame_idx"]: bytes(r["frame_payload"]) for r in sample_frames(df, every_k=2).collect()}
+    assert sorted(rows) == [0, 2, 4]
+    assert rows[2] == b"\x42" * 7
+    key = sorted(
+        r["frame_idx"] for r in sample_frames(df, every_k=1, keyframes_only=True).collect()
+    )
+    assert key == [0, 3]
