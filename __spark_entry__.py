@@ -128,7 +128,16 @@ _CHECK_WINDOW = [
     # corpus (histograms.test both storage paths) and e6, and m19's
     # oracle replays the same classic interpolation arithmetic.
     "m19_custom_bucket_histograms",
+    # continuation batch 17: temperature mixture, PSI split-drift, and
+    # contrastive hard-negative mining (new code) — d7/p5 yield (both
+    # driver-checked green in r5, and c2 composes both operators
+    # end-to-end so the code paths stay in the window via c2); q21a
+    # yields (judge-verified r5; the TPC-H slice keeps q3/q5/q18/q20a).
+    "p7_temperature_mixture", "x7_split_drift", "sim6_hard_negatives",
 ]
+_CHECK_WINDOW.remove("d7_benchmark_decontam")
+_CHECK_WINDOW.remove("p5_sequence_packing")
+_CHECK_WINDOW.remove("q21a_late_sole_suppliers")
 _CHECK_WINDOW.remove("sim4_quantized_topk")
 _CHECK_WINDOW.remove("x1_token_frequencies")
 _CHECK_WINDOW.remove("m5_label_values")

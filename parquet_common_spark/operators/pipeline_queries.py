@@ -1697,3 +1697,116 @@ def x6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_overlap(docs, "source", "text", "doc_id", n=_DC_N).orderBy(
         "src_a", "src_b"
     )
+
+
+# ------------------------- p7: temperature-based mixture (alpha = 0.5)
+
+_P7_BUDGET = 200
+_P7_SCALE = 1000
+
+_P7_SQL = f"""
+    WITH per AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    w AS (SELECT source, n,
+                 CAST(floor(sqrt(CAST(n AS DOUBLE)) * {_P7_SCALE}) AS BIGINT) AS w
+          FROM per),
+    tot AS (SELECT SUM(w) AS sw FROM w),
+    r AS (SELECT source,
+                 LEAST(1.0, CAST(w * {_P7_BUDGET} AS DOUBLE)
+                            / CAST(sw * n AS DOUBLE)) AS rate
+          FROM w, tot)
+    SELECT d.doc_id, d.source, ROUND(r.rate, 6) AS rate
+    FROM documents d JOIN r ON d.source = r.source
+    WHERE (d.doc_id * {SMP.MIX_MULT} + {SMP.MIX_ADD}) % {SMP.MIX_MOD}
+          < CAST(floor(r.rate * {SMP.MIX_MOD}) AS BIGINT)
+    ORDER BY d.doc_id
+"""
+
+
+@query("p7_temperature_mixture", _P7_SQL)
+def p7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mT5/XLM-R-style temperature upsampling (p_d proportional to
+    n_d^0.5): the mixture weight is a deterministic function of the
+    OBSERVED domain sizes instead of p4's supplied targets — the other
+    half of the mixture-construction surface."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    out = SMP.temperature_mixture(
+        docs, "source", "doc_id", budget=_P7_BUDGET, weight_scale=_P7_SCALE
+    )
+    return out.select(
+        "doc_id", "source", F.round(F.col("_rate"), 6).alias("rate")
+    ).orderBy("doc_id")
+
+
+# --------------------------- x7: train/val split drift report (PSI)
+
+_X7_FRAC = 0.8
+_X7_THR = int(_X7_FRAC * SMP.MIX_MOD)
+
+_X7_SQL = f"""
+    WITH s AS (SELECT source,
+                      CASE WHEN (doc_id * {SMP.MIX_MULT} + {SMP.MIX_ADD})
+                                % {SMP.MIX_MOD} < {_X7_THR}
+                           THEN 1 ELSE 0 END AS it
+               FROM documents),
+    per AS (SELECT source,
+                   CAST(SUM(it) AS BIGINT) AS n_train,
+                   CAST(SUM(1 - it) AS BIGINT) AS n_val
+            FROM s GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_train) AS BIGINT) AS nt,
+                   CAST(SUM(n_val) AS BIGINT) AS nv,
+                   CAST(COUNT(*) AS BIGINT) AS s
+            FROM per)
+    SELECT source, n_train, n_val,
+           ROUND(CAST(2 * n_train + 1 AS DOUBLE) / CAST(2 * nt + s AS DOUBLE), 6)
+             AS p_train,
+           ROUND(CAST(2 * n_val + 1 AS DOUBLE) / CAST(2 * nv + s AS DOUBLE), 6)
+             AS p_val,
+           ROUND((CAST(2 * n_train + 1 AS DOUBLE) / CAST(2 * nt + s AS DOUBLE)
+                  - CAST(2 * n_val + 1 AS DOUBLE) / CAST(2 * nv + s AS DOUBLE))
+                 * ln(CAST((2 * n_train + 1) * (2 * nv + s) AS DOUBLE)
+                      / CAST((2 * n_val + 1) * (2 * nt + s) AS DOUBLE)), 6)
+             AS psi_term
+    FROM per, tot ORDER BY source
+"""
+
+
+@query("x7_split_drift", _X7_SQL)
+def x7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-Stability-Index drift report between the deterministic
+    hash-split train/val halves — the pre-training sanity check that the
+    split did not skew the domain mixture."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return SMP.split_psi(docs, "source", "doc_id", train_frac=_X7_FRAC).orderBy(
+        "source"
+    )
+
+
+# ------------------------ sim6: contrastive hard-negative mining
+
+_SIM6_SQL = f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+                      label AS ql
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv,
+                 label AS cl
+          FROM embeddings),
+    scored AS (SELECT query_id, neighbor_id, {{cos}} AS cos
+               FROM q, c WHERE query_id <> neighbor_id AND ql <> cl),
+    ranked AS (SELECT query_id, neighbor_id, cos,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id) AS rn
+               FROM scored)
+    SELECT query_id, neighbor_id, ROUND(cos, 5) AS cos, CAST(rn AS INT) AS rank
+    FROM ranked WHERE rn <= 5 ORDER BY query_id, rank
+""".format(cos=_COSSQL.format(a="qv", b="cv"))
+
+
+@query("sim6_hard_negatives", _SIM6_SQL)
+def sim6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: the k nearest corpus vectors with a label
+    DIFFERENT from the query's — the contrastive-training batch
+    construction step (triplet / InfoNCE)."""
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    return SIM.hard_negatives(
+        emb, emb.where(F.col("vec_id") < 5), label_col="label", k=5
+    ).orderBy("query_id", "rank")

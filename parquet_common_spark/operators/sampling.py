@@ -141,3 +141,107 @@ def shuffle_order(
         out = out.repartitionByRange(num_partitions, "_pos", key_col)
         return out.sortWithinPartitions("_pos", key_col)
     return out.orderBy("_pos", key_col)
+
+def temperature_mixture(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    budget: int,
+    weight_scale: int = 1000,
+) -> DataFrame:
+    """Temperature-based mixture sampling (the mT5/XLM-R upsampling
+    rule, alpha = 0.5): domain d is drawn with probability
+    ``p_d ∝ n_d^alpha``, so low-resource domains are boosted relative
+    to proportional sampling while huge domains are tempered.
+
+    Unlike :func:`mixture_sample` (explicit target weights), the weight
+    here is a function of the OBSERVED domain size: ``w_d =
+    floor(sqrt(n_d) * weight_scale)`` — sqrt is the alpha=0.5
+    temperature, quantized to an integer so the weight total is exact
+    integer arithmetic in any engine (IEEE sqrt is correctly rounded,
+    so both sides compute the identical double before the floor).
+    Keep-rate then follows the proportional-allocation form
+    ``min(1, w_d * budget / (sum_w * n_d))`` with integer products and
+    ONE division — bitwise reproducible, and monotone in budget
+    (larger budget keeps a superset of rows).
+
+    Plan at 100 TB: one low-cardinality map-side-combined groupBy for
+    the counts, a broadcast of the tiny rates frame, then a map-only
+    hash-threshold filter — the corpus never shuffles.
+    """
+    per = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_n"))
+    per = per.withColumn(
+        "_w", F.floor(F.sqrt(F.col("_n")) * F.lit(int(weight_scale))).cast("long")
+    )
+    tot = per.agg(F.sum("_w").alias("_sw"))
+    rates = per.crossJoin(F.broadcast(tot)).select(
+        domain_col,
+        F.least(
+            F.lit(1.0),
+            (F.col("_w") * F.lit(int(budget))).cast("double")
+            / (F.col("_sw") * F.col("_n")).cast("double"),
+        ).alias("_rate"),
+    )
+    joined = df.join(F.broadcast(rates), on=domain_col)
+    return joined.where(
+        key_mix(F.col(key_col))
+        < F.floor(F.col("_rate") * F.lit(MIX_MOD)).cast("long")
+    )
+
+
+def split_psi(
+    df: DataFrame,
+    domain_col: str,
+    key_col: str,
+    train_frac: float = 0.8,
+) -> DataFrame:
+    """Population Stability Index between a deterministic train/val
+    split: the standard drift check that a hash-split did not skew the
+    domain mixture (run before training; PSI > 0.2 on any domain is the
+    classic "investigate" threshold).
+
+    The split is the same partition-independent ``mix(key) <
+    train_frac * M`` rule as :func:`sample_fraction`, so the report is
+    reproducible anywhere.  Smoothing: add-half on counts with the
+    domain cardinality in the denominator (``p = (2n+1) / (2N+S)``),
+    which keeps every probability positive when a domain misses one
+    side AND keeps the arithmetic integer-exact up to the final
+    division: the log argument is a ratio of two integer products, so
+    both engines take ``ln`` of the identical double.
+
+    Returns one row per domain: counts on each side and the domain's
+    PSI term ``(p_t - p_v) * ln(p_t / p_v)`` (rounded; callers sum for
+    the scalar index).  Plan: one map-side-combined groupBy over the
+    tiny domain key set plus a broadcast of the two totals — the corpus
+    is scanned once, map-only.
+    """
+    thr = int(train_frac * MIX_MOD)
+    is_train = (key_mix(F.col(key_col)) < F.lit(thr)).cast("long")
+    per = df.groupBy(domain_col).agg(
+        F.sum(is_train).alias("n_train"),
+        F.sum(F.lit(1) - is_train).alias("n_val"),
+    )
+    tot = per.agg(
+        F.sum("n_train").alias("_nt"),
+        F.sum("n_val").alias("_nv"),
+        F.count(F.lit(1)).alias("_s"),
+    )
+    j = per.crossJoin(F.broadcast(tot))
+    # p_t = (2*n_train+1)/(2*N_t+S); p_v likewise.  All-integer numerators
+    # and denominators; each probability and the log ratio are ONE double
+    # division of exact integer products.
+    num_t = 2 * F.col("n_train") + 1
+    num_v = 2 * F.col("n_val") + 1
+    den_t = 2 * F.col("_nt") + F.col("_s")
+    den_v = 2 * F.col("_nv") + F.col("_s")
+    p_t = num_t.cast("double") / den_t.cast("double")
+    p_v = num_v.cast("double") / den_v.cast("double")
+    ratio = (num_t * den_v).cast("double") / (num_v * den_t).cast("double")
+    return j.select(
+        domain_col,
+        F.col("n_train"),
+        F.col("n_val"),
+        F.round(p_t, 6).alias("p_train"),
+        F.round(p_v, 6).alias("p_val"),
+        F.round((p_t - p_v) * F.log(ratio), 6).alias("psi_term"),
+    )

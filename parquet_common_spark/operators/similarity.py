@@ -41,7 +41,12 @@ def cosine(a, b):
 
 
 def _brute_force_topk_arrow(
-    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str, k: int
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    negative_label_col: str | None = None,
 ) -> DataFrame:
     """numpy engine for brute_force_topk: bit-identical cosines to the
     JVM fold — ``np.cumsum(axis=1)[:, -1]`` accumulates strictly left to
@@ -52,11 +57,13 @@ def _brute_force_topk_arrow(
     top-k of those."""
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-    q_rows = queries.select(
-        F.col(id_col).cast("long"), F.col(vec_col).cast("array<double>")
-    ).collect()
+    q_cols = [F.col(id_col).cast("long"), F.col(vec_col).cast("array<double>")]
+    if negative_label_col:
+        q_cols.append(F.col(negative_label_col).cast("long"))
+    q_rows = queries.select(*q_cols).collect()
     qids = [r[0] for r in q_rows]
     qvecs = [list(r[1]) for r in q_rows]
+    qlabels = [r[2] for r in q_rows] if negative_label_col else None
     out_schema = StructType(
         [
             StructField("query_id", LongType()),
@@ -76,12 +83,17 @@ def _brute_force_topk_arrow(
                 continue
             ids = pdf.iloc[:, 0].to_numpy()
             C = np.stack(pdf.iloc[:, 1].to_numpy()).astype(np.float64)
+            labels = pdf.iloc[:, 2].to_numpy() if qlabels is not None else None
             cn = np.sqrt(np.cumsum(C * C, axis=1)[:, -1])
             rq, rn, rc = [], [], []
             for qi, qid in enumerate(qids):
                 dots = np.cumsum(C * Q[qi][None, :], axis=1)[:, -1]
                 cos = dots / (qn[qi] * cn)
                 mask = ids != qid
+                if labels is not None:
+                    # hard-negative mode: candidates must carry a
+                    # DIFFERENT label than the query
+                    mask &= labels != qlabels[qi]
                 mids, mcos = ids[mask], cos[mask]
                 top = np.lexsort((mids, -mcos))[:k]
                 rq.extend([qid] * len(top))
@@ -89,9 +101,10 @@ def _brute_force_topk_arrow(
                 rc.extend(mcos[top].tolist())
             yield pd.DataFrame({"query_id": rq, "neighbor_id": rn, "cos": rc})
 
-    scored = corpus.select(
-        F.col(id_col).cast("long"), F.col(vec_col).cast("array<double>")
-    ).mapInPandas(batches, schema=out_schema)
+    c_cols = [F.col(id_col).cast("long"), F.col(vec_col).cast("array<double>")]
+    if negative_label_col:
+        c_cols.append(F.col(negative_label_col).cast("long"))
+    scored = corpus.select(*c_cols).mapInPandas(batches, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -135,6 +148,31 @@ def brute_force_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cos", 5).alias("cos"), F.col("rank").cast("int"))
+    )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query,
+    the k corpus vectors MOST similar to it that carry a DIFFERENT
+    label — the classic "hardest negatives" batch-construction step for
+    embedding-model training (triplet / InfoNCE), where random
+    negatives are too easy to produce gradient signal.
+
+    Same engine and exactness contract as :func:`brute_force_topk`
+    (left-to-right IEEE fold, self-exclusion, id tie-break) with one
+    extra map-side mask on the label column — the corpus is still
+    scanned once, map-only, with per-batch local top-k before the
+    single bounded window; queries (the small side, by contract)
+    ride along as a closure, never a shuffle."""
+    return _brute_force_topk_arrow(
+        corpus, queries, id_col, vec_col, k, negative_label_col=label_col
     )
 
 

@@ -1038,3 +1038,85 @@ def test_source_overlap_symmetric_bound(spark, sf_dir):
     }
     for r in out:
         assert r["n_shared"] <= min(per_src[r["src_a"]], per_src[r["src_b"]])
+
+
+# --------------------- temperature mixture / PSI drift / hard negatives
+
+
+def test_temperature_mixture_boosts_low_resource(spark):
+    from parquet_common_spark.operators import sampling as SMP
+
+    # 900 rows in dom0, 100 in dom1: proportional sampling keeps 9:1,
+    # alpha=0.5 temperature keeps 3:1 (sqrt(900):sqrt(100) = 30:10)
+    df = spark.createDataFrame(
+        [(i, "dom0" if i < 900 else "dom1") for i in range(1000)],
+        "doc_id long, source string",
+    )
+    out = SMP.temperature_mixture(df, "source", "doc_id", budget=200)
+    rates = {
+        r["source"]: r["_rate"]
+        for r in out.select("source", "_rate").distinct().collect()
+    }
+    # rate ratio == (w0/n0)/(w1/n1) == sqrt(n1/n0) == 1/3
+    assert abs(rates["dom0"] / rates["dom1"] - 1.0 / 3.0) < 1e-9
+    # partition-independent and budget-monotone
+    a = {r["doc_id"] for r in out.select("doc_id").collect()}
+    b = {
+        r["doc_id"]
+        for r in SMP.temperature_mixture(
+            df.repartition(7), "source", "doc_id", budget=200
+        ).select("doc_id").collect()
+    }
+    assert a == b
+    big = {
+        r["doc_id"]
+        for r in SMP.temperature_mixture(df, "source", "doc_id", budget=600)
+        .select("doc_id").collect()
+    }
+    assert a <= big
+
+
+def test_split_psi_balanced_split_near_zero(spark, sf_dir):
+    from parquet_common_spark.operators import sampling as SMP
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = SMP.split_psi(docs, "source", "doc_id", train_frac=0.8).collect()
+    # every domain appears once, probabilities positive, counts sane
+    assert len(rows) == docs.select("source").distinct().count()
+    for r in rows:
+        assert r["p_train"] > 0 and r["p_val"] > 0
+        assert r["n_train"] + r["n_val"] > 0
+        # hash split is uniform: no domain drifts beyond the classic
+        # 0.2 "investigate" threshold on this data
+        assert abs(r["psi_term"]) < 0.2
+    # PSI terms are sign-correct: term >= 0 always (x-y and ln(x/y)
+    # share sign)
+    assert all(r["psi_term"] >= 0 for r in rows)
+
+
+def test_hard_negatives_excludes_same_label(spark, sf_dir):
+    from parquet_common_spark.operators import similarity as SIM
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5)
+    out = SIM.hard_negatives(emb, queries, label_col="label", k=5)
+    qlab = {r["vec_id"]: r["label"] for r in queries.collect()}
+    nlab = {r["vec_id"]: r["label"] for r in emb.collect()}
+    got = out.collect()
+    assert {r["query_id"] for r in got} == set(qlab)
+    for r in got:
+        assert nlab[r["neighbor_id"]] != qlab[r["query_id"]]
+        assert r["neighbor_id"] != r["query_id"]
+    # hard negatives are a filtered subsequence of the unrestricted
+    # ranking: every (query, neighbor) pair with cos >= the hard-neg
+    # top-1 and a different label must BE the top-1
+    brute = SIM.brute_force_topk(emb, queries, k=50).collect()
+    for qid in qlab:
+        hn = sorted(
+            (r for r in got if r["query_id"] == qid), key=lambda r: r["rank"]
+        )
+        cross = [
+            r for r in brute
+            if r["query_id"] == qid and nlab[r["neighbor_id"]] != qlab[qid]
+        ][: len(hn)]
+        assert [r["neighbor_id"] for r in hn] == [r["neighbor_id"] for r in cross]
