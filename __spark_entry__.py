@@ -134,10 +134,20 @@ _CHECK_WINDOW = [
     # end-to-end so the code paths stay in the window via c2); q21a
     # yields (judge-verified r5; the TPC-H slice keeps q3/q5/q18/q20a).
     "p7_temperature_mixture", "x7_split_drift", "sim6_hard_negatives",
+    # continuation batch 18: bigram-LM perplexity and length-bucketed
+    # batch construction (new code) — t8 yields (t10 supersets the
+    # unigram model's code path: same tokens/explode/broadcast-join
+    # shape plus the bigram stage; t8 was driver-checked green in the
+    # r6 local sweep); x4 yields (its vocab-broadcast probe is the
+    # same surface t10's unigram lookups exercise, and the x-family
+    # keeps x2/x3/x5/x6/x7 in the window).
+    "t10_bigram_ppl", "p8_length_buckets",
 ]
 _CHECK_WINDOW.remove("d7_benchmark_decontam")
 _CHECK_WINDOW.remove("p5_sequence_packing")
 _CHECK_WINDOW.remove("q21a_late_sole_suppliers")
+_CHECK_WINDOW.remove("t8_unigram_ppl")
+_CHECK_WINDOW.remove("x4_oov_rate")
 _CHECK_WINDOW.remove("sim4_quantized_topk")
 _CHECK_WINDOW.remove("x1_token_frequencies")
 _CHECK_WINDOW.remove("m5_label_values")

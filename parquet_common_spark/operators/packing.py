@@ -29,7 +29,7 @@ the driver-side offsets stay aligned with the executor-side partitions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
 # Frames pinned by global_cumsum, released via release_cached().  The
@@ -147,4 +147,85 @@ def pack_sequences(
         "pack_id", F.floor(start / F.lit(int(budget))).cast("long")
     ).withColumn(
         "pack_offset", (start % F.lit(int(budget))).cast("long")
+    )
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    key_col: str,
+    token_col: str,
+    bucket_width: int = 16,
+    max_bucket: int = 15,
+    batch_size: int = 8,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Length-bucketed batch construction — the padding-efficiency
+    alternative to greedy packing: documents are grouped into
+    fixed-width length buckets (``bucket = min(floor(tokens /
+    bucket_width), max_bucket)``), ordered deterministically by key
+    within each bucket, and cut into fixed-size training batches; each
+    batch pads to its own max length, so mixing only similar lengths
+    keeps the pad waste small.  Returns one row per batch:
+
+      ``(bucket, batch_id, n_docs, max_len, sum_tokens,
+      pad_efficiency)`` with efficiency = sum / (n_docs * max_len).
+
+    ``bucket_width`` and ``batch_size`` must be powers of two so the
+    division-then-floor arithmetic is exact in ANY engine (a power-of-2
+    divisor makes the double quotient exact below 2^52).
+
+    Scale shape: the within-bucket row index is NOT a per-bucket window
+    (a handful of buckets over 100 TB = a handful of giant tasks) — it
+    reuses the distributed prefix-sum (:func:`global_cumsum`, ordered by
+    (bucket, key)) minus a broadcast per-bucket offset computed from the
+    tiny bucket-count frame, so the heavy scan stays fully parallel; the
+    only other shuffle is the final bounded (bucket, batch) groupBy."""
+    bkt = F.least(
+        F.floor(F.col(token_col).cast("double") / F.lit(int(bucket_width))),
+        F.lit(int(max_bucket)),
+    ).cast("long")
+    d = df.select(
+        F.col(key_col), F.col(token_col), bkt.alias("bucket"), F.lit(1).alias("_one")
+    )
+    idx = global_cumsum(
+        d, ["bucket", key_col], "_one", out_col="_gidx", num_partitions=num_partitions
+    )
+    # per-bucket start offsets: cumulative counts over the tiny bucket
+    # frame (rows == bucket count, so the keyless window is fine)
+    counts = d.groupBy("bucket").agg(F.count(F.lit(1)).alias("_bn"))
+    off = counts.select(
+        "bucket",
+        (
+            F.sum("_bn").over(
+                Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+            )
+            - F.col("_bn")
+        ).alias("_off"),
+    )
+    per_doc = idx.join(F.broadcast(off), "bucket").select(
+        "bucket",
+        F.col(key_col),
+        F.col(token_col),
+        F.floor(
+            ((F.col("_gidx") - F.col("_off") - 1).cast("double"))
+            / F.lit(int(batch_size))
+        )
+        .cast("long")
+        .alias("batch_id"),
+    )
+    n_docs = F.count(F.lit(1)).alias("n_docs")
+    mx = F.max(token_col).alias("max_len")
+    sm = F.sum(token_col).alias("sum_tokens")
+    out = per_doc.groupBy("bucket", "batch_id").agg(n_docs, mx, sm)
+    return out.select(
+        "bucket",
+        "batch_id",
+        "n_docs",
+        F.col("max_len").cast("long").alias("max_len"),
+        F.col("sum_tokens").cast("long").alias("sum_tokens"),
+        F.round(
+            F.col("sum_tokens").cast("double")
+            / (F.col("n_docs") * F.col("max_len")).cast("double"),
+            6,
+        ).alias("pad_efficiency"),
     )

@@ -1810,3 +1810,103 @@ def sim6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.hard_negatives(
         emb, emb.where(F.col("vec_id") < 5), label_col="label", k=5
     ).orderBy("query_id", "rank")
+
+
+# --------------------- t10: interpolated bigram LM perplexity filter
+
+_T10_SQL = r"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents),
+    e AS (
+      SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS i
+      FROM t),
+    p AS (
+      SELECT a.doc_id, a.tok AS ta, b.tok AS tb
+      FROM e a JOIN e b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+    bc AS (SELECT ta, tb, COUNT(*) AS cab FROM p GROUP BY ta, tb),
+    uni AS (SELECT tok AS token, COUNT(*) AS cnt FROM e GROUP BY tok),
+    tot AS (SELECT SUM(cnt) AS n FROM uni),
+    m AS (
+      SELECT bc.ta, bc.tb,
+             ln(0.75 * (CAST(cab AS DOUBLE) / CAST(ua.cnt AS DOUBLE))
+                + 0.25 * (CAST(ub.cnt AS DOUBLE) / CAST(tot.n AS DOUBLE))) AS lp
+      FROM bc
+      JOIN uni ua ON bc.ta = ua.token
+      JOIN uni ub ON bc.tb = ub.token
+      CROSS JOIN tot),
+    j AS (SELECT p.doc_id, m.lp
+          FROM p JOIN m ON p.ta = m.ta AND p.tb = m.tb)
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(AVG(lp), 6) AS avg_logprob,
+           ROUND(EXP(-AVG(lp)), 6) AS ppl
+    FROM j GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query("t10_bigram_ppl", _T10_SQL)
+def t10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer-interpolated bigram-LM perplexity per document —
+    the next rung of the CCNet LM-filter ladder above t8's unigram
+    model.  Model = two map-side-combined groupBys + broadcast unigram
+    lookups; scoring = broadcast model join + ONE per-doc groupBy."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    model = T.bigram_model(docs, "text")
+    return T.doc_bigram_perplexity(docs, "doc_id", "text", model).orderBy("doc_id")
+
+
+# --------------------- p8: length-bucketed batch construction
+
+_P8_WIDTH = 16
+_P8_MAXB = 15
+_P8_BATCH = 8
+
+_P8_SQL = rf"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+      FROM documents),
+    b AS (
+      SELECT doc_id, n_tok,
+             LEAST(CAST(floor(CAST(n_tok AS DOUBLE) / {_P8_WIDTH}) AS BIGINT),
+                   {_P8_MAXB}) AS bucket
+      FROM t),
+    r AS (
+      SELECT bucket, n_tok,
+             ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) AS idx
+      FROM b),
+    g AS (
+      SELECT bucket,
+             CAST(floor(CAST(idx - 1 AS DOUBLE) / {_P8_BATCH}) AS BIGINT)
+               AS batch_id,
+             n_tok
+      FROM r)
+    SELECT bucket, batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(n_tok) AS BIGINT) AS max_len,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+           ROUND(CAST(SUM(n_tok) AS DOUBLE)
+                 / CAST(COUNT(*) * MAX(n_tok) AS DOUBLE), 6) AS pad_efficiency
+    FROM g GROUP BY bucket, batch_id ORDER BY bucket, batch_id
+"""
+
+
+@query("p8_length_buckets", _P8_SQL)
+def p8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch construction with per-batch padding
+    efficiency — the packing alternative for padded (non-concatenated)
+    training.  The within-bucket row index reuses the distributed
+    prefix sum (packing.global_cumsum) instead of a per-bucket window,
+    so the scan stays fully parallel at 100 TB."""
+    from parquet_common_spark.operators import packing as PK
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    with_tokens = docs.select(
+        "doc_id", T.token_count(F.col("text")).cast("long").alias("n_tok")
+    )
+    out = PK.length_bucketed_batches(
+        with_tokens, "doc_id", "n_tok",
+        bucket_width=_P8_WIDTH, max_bucket=_P8_MAXB, batch_size=_P8_BATCH,
+    )
+    return out.orderBy("bucket", "batch_id")

@@ -370,6 +370,64 @@ def doc_perplexity(
     )
 
 
+def bigram_model(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Interpolated bigram language model over the corpus:
+    ``(pair, logprob)`` with
+
+        p(b | a) = 0.75 * c(a b)/c(a)  +  0.25 * c(b)/N
+
+    — MLE bigram interpolated with the unigram distribution (the
+    Jelinek-Mercer smoothing that makes every SEEN transition scoreable
+    without Katz backoff machinery), the next step up from
+    :func:`unigram_model` in the CCNet-style LM-filter ladder.
+
+    Scale shape: pair counts and token counts are each ONE
+    map-side-combined groupBy over the exploded corpus; the two unigram
+    lookups joining the bigram frame are broadcast (vocab is a model
+    constant); the total is an aggregate of the tiny vocab frame.  Every
+    arithmetic step is a single IEEE op with pinned operand order, so a
+    SQL engine replays the exact doubles."""
+    pairs = df.select(F.explode(adjacent_pairs(F.col(text_col))).alias("pair"))
+    bc = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cab"))
+    tok = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    uni = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = uni.agg(F.sum("cnt").alias("_n"))
+    split = F.split(F.col("pair"), " ")
+    j = (
+        bc.withColumn("_a", split.getItem(0))
+        .withColumn("_b", split.getItem(1))
+        .join(F.broadcast(uni.select(F.col("token").alias("_a"), F.col("cnt").alias("ca"))), "_a")
+        .join(F.broadcast(uni.select(F.col("token").alias("_b"), F.col("cnt").alias("cb"))), "_b")
+        .crossJoin(F.broadcast(total))
+    )
+    lp = F.log(
+        F.lit(0.75) * (F.col("cab").cast("double") / F.col("ca").cast("double"))
+        + F.lit(0.25) * (F.col("cb").cast("double") / F.col("_n").cast("double"))
+    )
+    return j.select("pair", lp.alias("logprob"))
+
+
+def doc_bigram_perplexity(
+    df: DataFrame, id_col: str, text_col: str, model: DataFrame
+) -> DataFrame:
+    """Per-document pseudo-perplexity under a broadcast bigram model:
+    ``ppl = exp(-mean(log p(b|a)))`` over the document's adjacent-pair
+    transitions.  Documents with fewer than 2 tokens have no transitions
+    and drop out (same convention both engines).
+
+    Same 100 TB shape as :func:`doc_perplexity`: broadcast model
+    lookup, corpus never shuffles until the ONE per-document groupBy."""
+    prs = df.select(
+        F.col(id_col), F.explode(adjacent_pairs(F.col(text_col))).alias("pair")
+    )
+    j = prs.join(F.broadcast(model), "pair")
+    return j.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("logprob"), 6).alias("avg_logprob"),
+        F.round(F.exp(-F.avg("logprob")), 6).alias("ppl"),
+    )
+
+
 def source_overlap(
     df: DataFrame,
     source_col: str = "source",

@@ -1120,3 +1120,58 @@ def test_hard_negatives_excludes_same_label(spark, sf_dir):
             if r["query_id"] == qid and nlab[r["neighbor_id"]] != qlab[qid]
         ][: len(hn)]
         assert [r["neighbor_id"] for r in hn] == [r["neighbor_id"] for r in cross]
+
+
+def test_bigram_perplexity_scores_corpus_like_docs_lower(spark):
+    from parquet_common_spark.operators import text as T2
+
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the mat"),
+        (3, "mat the on sat cat the"),   # same unigrams, scrambled transitions
+        (4, "single"),                   # no bigrams -> absent from output
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    model = T2.bigram_model(docs, "text")
+    out = {r["doc_id"]: r for r in T2.doc_bigram_perplexity(docs, "doc_id", "text", model).collect()}
+    assert 4 not in out
+    assert out[0]["n_bigrams"] == 5
+    # identical docs score identically; the scrambled doc's transitions
+    # are rarer, so its perplexity is strictly higher
+    assert out[0]["ppl"] == out[1]["ppl"] == out[2]["ppl"]
+    assert out[3]["ppl"] > out[0]["ppl"]
+
+
+def test_length_bucketed_batches_shape_and_determinism(spark):
+    from parquet_common_spark.operators import packing as PK
+
+    # 40 docs with token counts 1..40: buckets 0 (1-15... width 16 -> n//16),
+    # exercised across 3 buckets with ragged final batches
+    df = spark.createDataFrame(
+        [(i, (i % 40) + 1) for i in range(100)], "doc_id long, n_tok long"
+    )
+    out = PK.length_bucketed_batches(
+        df, "doc_id", "n_tok", bucket_width=16, max_bucket=15, batch_size=8
+    ).collect()
+    PK.release_cached()
+    by_bucket = {}
+    for r in out:
+        assert 1 <= r["n_docs"] <= 8
+        assert r["sum_tokens"] <= r["n_docs"] * r["max_len"]
+        assert abs(r["pad_efficiency"] - round(r["sum_tokens"] / (r["n_docs"] * r["max_len"]), 6)) < 1e-12
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    # per bucket: batch ids dense from 0, only the LAST batch is ragged
+    total = 0
+    for b, rows in by_bucket.items():
+        rows.sort(key=lambda r: r["batch_id"])
+        assert [r["batch_id"] for r in rows] == list(range(len(rows)))
+        assert all(r["n_docs"] == 8 for r in rows[:-1])
+        total += sum(r["n_docs"] for r in rows)
+    assert total == 100
+    # partition-independent
+    again = PK.length_bucketed_batches(
+        df.repartition(17), "doc_id", "n_tok", bucket_width=16, max_bucket=15, batch_size=8
+    ).collect()
+    PK.release_cached()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
