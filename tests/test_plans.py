@@ -228,6 +228,9 @@ def test_registry_wide_no_unplanned_cartesians(spark):
         "q11a_important_parts", "q20a_active_part_suppliers", "q22_inactive_customers",
         "p4_mixture_sample",  # 1-row total-weight scalar attached to the tiny rates frame
         "t8_unigram_ppl",  # 1-row corpus-total scalar attached to the tiny vocab frame
+        "t10_bigram_ppl",  # same 1-row corpus-total attach (bigram model build)
+        "p7_temperature_mixture",  # 1-row weight-total scalar on the tiny rates frame
+        "x7_split_drift",  # 1-row (n_train, n_val, S) totals on the tiny domain frame
         "d9_span_decontam",  # 1-row benchmark-ngram array attach (lit-key folds to true)
         "e8_funnel_conversion",  # three 1-row stage counts cross-joined into one row
         "pq1_promql_engine", "pq2_promql_parquet_storage",
