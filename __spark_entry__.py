@@ -142,7 +142,13 @@ _CHECK_WINDOW = [
     # same surface t10's unigram lookups exercise, and the x-family
     # keeps x2/x3/x5/x6/x7 in the window).
     "t10_bigram_ppl", "p8_length_buckets",
+    # continuation batch 19: MMR diversified re-rank (new code) — pq1
+    # yields (driver-checked green in r5; the engine is pinned by the
+    # 904-eval promqltest corpus in pytest, and pq2-pq6 keep the
+    # engine-through-parquet-storage surface in the window).
+    "sim7_mmr_rerank",
 ]
+_CHECK_WINDOW.remove("pq1_promql_engine")
 _CHECK_WINDOW.remove("d7_benchmark_decontam")
 _CHECK_WINDOW.remove("p5_sequence_packing")
 _CHECK_WINDOW.remove("q21a_late_sole_suppliers")

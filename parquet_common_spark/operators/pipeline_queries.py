@@ -1910,3 +1910,74 @@ def p8(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket_width=_P8_WIDTH, max_bucket=_P8_MAXB, batch_size=_P8_BATCH,
     )
     return out.orderBy("bucket", "batch_id")
+
+
+# ------------------------ sim7: MMR-diversified re-rank
+
+_SIM7_K = 3
+_SIM7_POOL = 20
+_SIM7_LAM = 0.7
+# the kernel computes (1 - lam) in float arithmetic; repr() round-trips
+# the exact double so the SQL literal matches bit-for-bit
+_SIM7_OML = repr(1.0 - _SIM7_LAM)
+
+
+def _sim7_sql() -> str:
+    cos_qc = _COSSQL.format(a="qv", b="cv")
+    cos_c1 = _COSSQL.format(a="p.cv", b="s1.v1")
+    cos_c2 = _COSSQL.format(a="p.cv", b="s2.v2")
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 3),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings),
+    scored AS (SELECT query_id, neighbor_id, cv, {cos_qc} AS cos
+               FROM q, c WHERE query_id <> neighbor_id),
+    pool AS (SELECT * FROM (
+        SELECT query_id, neighbor_id, cv, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rn
+        FROM scored) WHERE rn <= {_SIM7_POOL}),
+    s1 AS (SELECT query_id, neighbor_id AS n1, cv AS v1, cos AS sc1
+           FROM pool WHERE rn = 1),
+    r2 AS (SELECT p.query_id, p.neighbor_id, p.cv, p.cos,
+                  {_SIM7_LAM} * p.cos - {_SIM7_OML} * ({cos_c1}) AS score
+           FROM pool p JOIN s1 ON p.query_id = s1.query_id
+           WHERE p.neighbor_id <> s1.n1),
+    s2 AS (SELECT query_id, neighbor_id AS n2, cv AS v2, score AS sc2 FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY score DESC, neighbor_id) AS rr
+            FROM r2) WHERE rr = 1),
+    r3 AS (SELECT p.query_id, p.neighbor_id, p.cos,
+                  {_SIM7_LAM} * p.cos
+                  - {_SIM7_OML} * GREATEST({cos_c1}, {cos_c2}) AS score
+           FROM pool p
+           JOIN s1 ON p.query_id = s1.query_id
+           JOIN s2 ON p.query_id = s2.query_id
+           WHERE p.neighbor_id <> s1.n1 AND p.neighbor_id <> s2.n2),
+    s3 AS (SELECT query_id, neighbor_id AS n3, score AS sc3 FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY score DESC, neighbor_id) AS rr
+            FROM r3) WHERE rr = 1)
+    SELECT query_id, neighbor_id, CAST(mmr_rank AS INT) AS mmr_rank,
+           ROUND(score, 5) AS score
+    FROM (
+      SELECT query_id, n1 AS neighbor_id, 1 AS mmr_rank, sc1 AS score FROM s1
+      UNION ALL SELECT query_id, n2, 2, sc2 FROM s2
+      UNION ALL SELECT query_id, n3, 3, sc3 FROM s3)
+    ORDER BY query_id, mmr_rank
+    """
+
+
+@query("sim7_mmr_rerank", _sim7_sql())
+def sim7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k over the brute-force
+    candidate pool — greedy selection unrolled step-by-step in the
+    oracle (rank 1 = pure-relevance argmax; later ranks maximize
+    lam*cos - (1-lam)*max-sim-to-selected).  The quadratic part is
+    pool^2 inside a per-query applyInPandas group, never corpus^2."""
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    return SIM.mmr_topk(
+        emb, emb.where(F.col("vec_id") < 3),
+        k=_SIM7_K, pool=_SIM7_POOL, lam=_SIM7_LAM,
+    ).orderBy("query_id", "mmr_rank")

@@ -47,6 +47,7 @@ def _brute_force_topk_arrow(
     vec_col: str,
     k: int,
     negative_label_col: str | None = None,
+    round_cos: bool = True,
 ) -> DataFrame:
     """numpy engine for brute_force_topk: bit-identical cosines to the
     JVM fold — ``np.cumsum(axis=1)[:, -1]`` accumulates strictly left to
@@ -106,12 +107,11 @@ def _brute_force_topk_arrow(
         c_cols.append(F.col(negative_label_col).cast("long"))
     scored = corpus.select(*c_cols).mapInPandas(batches, schema=out_schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    out_cos = F.round("cos", 5).alias("cos") if round_cos else F.col("cos")
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select(
-            "query_id", "neighbor_id", F.round("cos", 5).alias("cos"), F.col("rank").cast("int")
-        )
+        .select("query_id", "neighbor_id", out_cos, F.col("rank").cast("int"))
     )
 
 
@@ -537,6 +537,95 @@ def refine_centroids(
             )
         )
     return cur
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    pool: int = 20,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k: greedy selection of
+    ``k`` results from the per-query ``pool`` best candidates, each step
+    maximizing ``lam * cos(q, c) - (1 - lam) * max_{s in selected}
+    cos(c, s)`` — the standard redundancy-penalized re-rank for
+    retrieval-augmented pipelines (rank 1 is the pure-relevance argmax;
+    ties break on neighbor id at every step).
+
+    Scale shape: stage 1 is the brute-force scan (queries broadcast,
+    corpus map-only, per-batch local top-pool before one bounded
+    window); stage 2 re-attaches the pool's vectors via ONE equi-join
+    on neighbor id, then the greedy loop runs per query group over
+    pool-bounded rows in ``applyInPandas`` — the quadratic part is
+    pool², never corpus².  All cosines use the same left-to-right IEEE
+    fold as sim1, so a SQL oracle unrolling the greedy steps replays
+    the exact doubles."""
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, LongType, StructField, StructType,
+    )
+
+    cand = _brute_force_topk_arrow(
+        corpus, queries, id_col, vec_col, k=pool, round_cos=False
+    )
+    withv = cand.join(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("_cv"),
+        ),
+        "neighbor_id",
+    )
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("mmr_rank", IntegerType()),
+            StructField("score", DoubleType()),
+        ]
+    )
+
+    def greedy(pdf):
+        import numpy as np
+        import pandas as pd
+
+        qid = int(pdf["query_id"].iloc[0])
+        nids = pdf["neighbor_id"].to_numpy()
+        cos = pdf["cos"].to_numpy(dtype=np.float64)
+        C = np.stack(pdf["_cv"].to_numpy()).astype(np.float64)
+        cn = np.sqrt(np.cumsum(C * C, axis=1)[:, -1])
+        alive = np.ones(len(nids), dtype=bool)
+        maxsim = None
+        out_n, out_r, out_s = [], [], []
+        for step in range(min(k, len(nids))):
+            if step == 0:
+                scores = cos.copy()
+            else:
+                scores = lam * cos - (1.0 - lam) * maxsim
+            scores_m = np.where(alive, scores, -np.inf)
+            order = np.lexsort((nids, -scores_m))
+            pick = order[0]
+            out_n.append(int(nids[pick]))
+            out_r.append(step + 1)
+            out_s.append(float(scores[pick]))
+            alive[pick] = False
+            sv = C[pick]
+            sims = np.cumsum(C * sv[None, :], axis=1)[:, -1] / (cn * cn[pick])
+            maxsim = sims if maxsim is None else np.maximum(maxsim, sims)
+        return pd.DataFrame(
+            {
+                "query_id": [qid] * len(out_n),
+                "neighbor_id": out_n,
+                "mmr_rank": out_r,
+                "score": out_s,
+            }
+        )
+
+    out = withv.groupBy("query_id").applyInPandas(greedy, schema=out_schema)
+    return out.select(
+        "query_id", "neighbor_id", "mmr_rank", F.round("score", 5).alias("score")
+    )
 
 
 # ------------------------------------------- product quantization (PQ)

@@ -1175,3 +1175,29 @@ def test_length_bucketed_batches_shape_and_determinism(spark):
     ).collect()
     PK.release_cached()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_mmr_rerank_promotes_diversity(spark):
+    from parquet_common_spark.operators import similarity as SIM2
+
+    # c11/c12 are near-duplicates highly relevant to q; c13 is less
+    # relevant but diverse.  Pure top-3 = [11, 12, 13]; MMR demotes the
+    # near-dup 12 below the diverse 13.
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),        # query
+        (11, [0.95, 0.30, 0.0, 0.0]),
+        (12, [0.94, 0.31, 0.0, 0.0]),     # near-dup of 11
+        (13, [0.75, 0.0, 0.66, 0.0]),     # diverse
+        (14, [0.0, 0.1, 0.0, 0.99]),      # irrelevant
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = emb.where(F.col("vec_id") == 0)
+    brute = [r["neighbor_id"] for r in SIM2.brute_force_topk(emb, q, k=3).orderBy("rank").collect()]
+    assert brute == [11, 12, 13]
+    mmr = [r["neighbor_id"] for r in SIM2.mmr_topk(emb, q, k=3, pool=4, lam=0.5).orderBy("mmr_rank").collect()]
+    # the near-dup 12 is demoted out of the top-3 entirely: after 11 is
+    # selected its max-sim penalty (~1.0) outweighs its relevance, and
+    # even the orthogonal low-relevance 14 scores higher at lam=0.5
+    assert mmr == [11, 13, 14]
+    # rank-1 is always the pure-relevance argmax
+    assert mmr[0] == brute[0]
