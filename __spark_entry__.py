@@ -147,8 +147,15 @@ _CHECK_WINDOW = [
     # 904-eval promqltest corpus in pytest, and pq2-pq6 keep the
     # engine-through-parquet-storage surface in the window).
     "sim7_mmr_rerank",
+    # continuation batch 20: Flesch readability + Zipf-fit corpus
+    # health (new code) — q5/q18 yield (both are bench headliners
+    # measured every round, locally oracle-swept this round, and the
+    # TPC-H slice keeps q3/q20a in the window).
+    "t11_readability", "x9_zipf_fit",
 ]
 _CHECK_WINDOW.remove("pq1_promql_engine")
+_CHECK_WINDOW.remove("q5_local_supplier_volume")
+_CHECK_WINDOW.remove("q18_large_volume_customer")
 _CHECK_WINDOW.remove("d7_benchmark_decontam")
 _CHECK_WINDOW.remove("p5_sequence_packing")
 _CHECK_WINDOW.remove("q21a_late_sole_suppliers")

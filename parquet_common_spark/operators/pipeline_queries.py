@@ -1981,3 +1981,77 @@ def sim7(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, emb.where(F.col("vec_id") < 3),
         k=_SIM7_K, pool=_SIM7_POOL, lam=_SIM7_LAM,
     ).orderBy("query_id", "mmr_rank")
+
+
+# --------------------------- t11: Flesch reading-ease readability
+
+_T11_SQL = r"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(GREATEST(len(string_split_regex(trim(text), '\s+')), 1)
+                  AS DOUBLE) AS w,
+             CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+                  AS DOUBLE) AS sn,
+             CAST(GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+                  AS DOUBLE) AS sy
+      FROM documents)
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS n_words,
+           CAST(sn AS BIGINT) AS n_sentences,
+           CAST(sy AS BIGINT) AS n_syllables,
+           ROUND(206.835 - 1.015 * (w / sn) - 84.6 * (sy / w), 6) AS flesch
+    FROM s ORDER BY doc_id
+"""
+
+
+@query("t11_readability", _T11_SQL)
+def t11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document from three JVM regexp counts —
+    map-only Column expressions, zero shuffles, zero Python (see
+    text.readability)."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    words = F.greatest(F.size(T.tokens(F.col("text"))), F.lit(1))
+    sents = F.greatest(F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1))
+    sylls = F.greatest(
+        F.regexp_count(F.lower(F.col("text")), F.lit(r"[aeiouy]+")), F.lit(1)
+    )
+    return docs.select(
+        "doc_id",
+        words.cast("long").alias("n_words"),
+        sents.cast("long").alias("n_sentences"),
+        sylls.cast("long").alias("n_syllables"),
+        F.round(T.readability(F.col("text")), 6).alias("flesch"),
+    ).orderBy("doc_id")
+
+
+# ------------------------------- x9: Zipf-exponent corpus health
+
+_X9_TOP = 20
+
+_X9_SQL = rf"""
+    WITH t AS (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents),
+    c AS (SELECT token, COUNT(*) AS freq FROM t GROUP BY token),
+    r AS (SELECT ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rank, freq
+          FROM c ORDER BY freq DESC, token LIMIT {_X9_TOP}),
+    xy AS (SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(freq AS DOUBLE)) AS y
+           FROM r),
+    s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * y) AS sxy, SUM(x * x) AS sx2
+          FROM xy)
+    SELECT CAST(n AS BIGINT) AS n_tokens_ranked,
+           ROUND((n * sxy - sx * sy) / (n * sx2 - sx * sx), 6) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sx2 - sx * sx) * sx) / n, 6)
+             AS intercept
+    FROM s
+"""
+
+
+@query("x9_zipf_fit", _X9_SQL)
+def x9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law OLS fit over the top-20 token frequencies — the
+    corpus-health profile check (see text.zipf_fit): one token groupBy,
+    a TakeOrdered head, closed-form regression over the tiny frame."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return T.zipf_fit(docs, "text", top_n=_X9_TOP)

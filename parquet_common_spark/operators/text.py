@@ -15,7 +15,7 @@ engine can compute it too.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 HASH_P = 1_000_000_007
@@ -367,6 +367,78 @@ def doc_perplexity(
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(F.avg("logprob"), 6).alias("avg_logprob"),
         F.round(F.exp(-F.avg("logprob")), 6).alias("ppl"),
+    )
+
+
+def readability(col: Column) -> Column:
+    """Flesch reading-ease score from three regexp counts — the classic
+    readability signal used alongside perplexity in corpus quality
+    filtering.  Heuristics (documented contract, identical in any
+    regexp engine):
+
+      - words      = whitespace token count (min 1)
+      - sentences  = runs of sentence-ending punctuation ``[.!?]+``
+                     (min 1)
+      - syllables  = vowel-group runs ``[aeiouy]+`` over the lowercased
+                     text (min 1) — the standard cheap approximation
+
+    ``206.835 - 1.015 * words/sentences - 84.6 * syllables/words``,
+    every operation a single pinned-order IEEE op.  Map-only: three
+    JVM regexp scans per row, zero shuffles, zero Python."""
+    words = F.greatest(F.size(tokens(col)), F.lit(1)).cast("double")
+    sents = F.greatest(
+        F.regexp_count(col, F.lit(r"[.!?]+")), F.lit(1)
+    ).cast("double")
+    sylls = F.greatest(
+        F.regexp_count(F.lower(col), F.lit(r"[aeiouy]+")), F.lit(1)
+    ).cast("double")
+    return (
+        F.lit(206.835) - F.lit(1.015) * (words / sents) - F.lit(84.6) * (sylls / words)
+    )
+
+
+def zipf_fit(df: DataFrame, text_col: str = "text", top_n: int = 20) -> DataFrame:
+    """Zipf-law fit over the corpus token distribution: OLS slope of
+    ``ln(freq)`` on ``ln(rank)`` for the ``top_n`` most frequent tokens
+    — the corpus-health check that a scraped/filtered corpus still has
+    a natural-language frequency profile (healthy text ≈ -1; token
+    soup or boilerplate floods flatten or steepen it).
+
+    Returns ONE row: ``(n_tokens_ranked, slope, intercept)``.  Plan:
+    one map-side-combined token groupBy, a TakeOrdered top_n (bounded),
+    then the closed-form OLS over the tiny ranked frame — the corpus is
+    scanned once."""
+    tok = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    ranked = (
+        counts.orderBy(F.desc("freq"), F.asc("token"))
+        .limit(top_n)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.desc("freq"), F.asc("token")))
+            .alias("rank"),
+            "freq",
+        )
+    )
+    xy = ranked.select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sx2"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx")
+    )
+    intercept = (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    return s.select(
+        F.col("n").cast("long").alias("n_tokens_ranked"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
     )
 
 

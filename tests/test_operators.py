@@ -1201,3 +1201,32 @@ def test_mmr_rerank_promotes_diversity(spark):
     assert mmr == [11, 13, 14]
     # rank-1 is always the pure-relevance argmax
     assert mmr[0] == brute[0]
+
+
+def test_readability_orders_simple_above_dense(spark):
+    from parquet_common_spark.operators import text as T3
+
+    rows = [
+        (0, "The cat sat. The dog ran. It was fun."),
+        (1, "Incomprehensibility characterizes multisyllabic terminological obfuscation notwithstanding circumlocutory elaboration."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r[1] for r in df.select("doc_id", T3.readability(F.col("text"))).collect()}
+    assert out[0] > 60          # easy text scores high
+    assert out[1] < out[0] - 50  # dense text scores far lower
+
+
+def test_zipf_fit_recovers_planted_exponent(spark):
+    from parquet_common_spark.operators import text as T3
+    # plant an exact Zipf corpus: token k appears floor(1000/k) times
+    words = []
+    for k in range(1, 21):
+        words += [f"tok{k:02d}"] * (1000 // k)
+    df = spark.createDataFrame([(0, " ".join(words))], "doc_id long, text string")
+    r = T3.zipf_fit(df, "text", top_n=20).collect()[0]
+    assert r["n_tokens_ranked"] == 20
+    # floor() quantization keeps the fitted slope near -1
+    assert -1.05 < r["slope"] < -0.95
+    # intercept ~ ln(1000)
+    import math
+    assert abs(r["intercept"] - math.log(1000)) < 0.1
