@@ -152,7 +152,13 @@ _CHECK_WINDOW = [
     # measured every round, locally oracle-swept this round, and the
     # TPC-H slice keeps q3/q20a in the window).
     "t11_readability", "x9_zipf_fit",
+    # continuation batch 21: exact-substring (character-run) dedup
+    # (new code) — d9 yields (judge-re-runnable; the decontam family
+    # keeps d7-composing c2 plus st4, and d12 now exercises the same
+    # char-gram join surface at the character level).
+    "d12_substring_dedup",
 ]
+_CHECK_WINDOW.remove("d9_span_decontam")
 _CHECK_WINDOW.remove("pq1_promql_engine")
 _CHECK_WINDOW.remove("q5_local_supplier_volume")
 _CHECK_WINDOW.remove("q18_large_volume_customer")

@@ -1003,3 +1003,50 @@ def semdedup(
             F.col("centroid_id").cast("int").alias("cluster_id"),
         )
     )
+
+
+# ------------------------------------------- exact-substring dedup (char)
+
+
+def substring_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_len: int = 32,
+) -> DataFrame:
+    """Character-level exact-substring duplicate pairs: documents that
+    share at least one exact run of ``min_len`` normalized characters —
+    the "deduplicating training data" (exact-substring) method, which
+    catches boilerplate headers, license blocks and quoted passages
+    that token-level Jaccard dilutes away.  Returns ``(id_a, id_b,
+    n_shared)`` with ``id_a < id_b``; ``n_shared`` counts the DISTINCT
+    shared ``min_len``-grams (a single contiguous shared run of length
+    R contributes R - min_len + 1).
+
+    Exactness: a pair shares a >= min_len-char substring IFF it shares
+    at least one char ``min_len``-gram, so enumerating every position's
+    gram (not a stride sample) makes recall 1.0 by construction; hash
+    collisions across 61-bit polynomial hashes are the only (measure
+    zero, oracle-shared) approximation.  Docs shorter than ``min_len``
+    normalized chars cannot contain such a run and are excluded.
+
+    Scale shape: the gram stage is the Arrow char-shingle scan
+    (map-only, np.unique per doc); the candidate generator is a self
+    equi-join on the gram hash where per-hash fan-out is bounded by the
+    number of docs sharing that exact substring (the duplication being
+    measured); one final groupBy on the pair.  Same posture as the
+    token-level x5/x6 audits — for pathological boilerplate floods, cap
+    hot hashes by frequency before the join."""
+    d0 = df.select(
+        F.col(id_col), F.lit("all").alias("_blk"), F.col(text_col)
+    ).where(F.length(normalize_text(F.col(text_col))) >= min_len)
+    s = _char_shingles_arrow(d0, id_col, text_col, "_blk", min_len)
+    hs = s.select(F.col("_id"), F.explode("_sh").alias("h"))
+    a = hs.select("h", F.col("_id").alias("id_a"))
+    b = hs.select("h", F.col("_id").alias("id_b"))
+    return (
+        a.join(b, "h")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

@@ -2055,3 +2055,33 @@ def x9(spark: SparkSession, sf_dir: str) -> DataFrame:
     a TakeOrdered head, closed-form regression over the tiny frame."""
     docs = load(spark, sf_dir, "documents")["documents"]
     return T.zipf_fit(docs, "text", top_n=_X9_TOP)
+
+
+# -------------------- d12: exact-substring (character-run) dedup
+
+_D12_LEN = 32
+
+_D12_SQL = f"""
+    WITH t0 AS (SELECT doc_id AS id, {_NORM.format(c='text')} AS s FROM documents),
+    t1 AS (SELECT id,
+                  list_distinct(list_transform(
+                      generate_series(1, length(s) - {_D12_LEN - 1}),
+                      i -> {_phash(f'substr(s, i, {_D12_LEN})')})) AS sh
+           FROM t0 WHERE length(s) >= {_D12_LEN}),
+    e AS (SELECT id, unnest(sh) AS h FROM t1)
+    SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM e a JOIN e b ON a.h = b.h AND a.id < b.id
+    GROUP BY id_a, id_b ORDER BY id_a, id_b
+"""
+
+
+@query("d12_substring_dedup", _D12_SQL)
+def d12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate pairs (shared 32-char normalized runs)
+    — the character-level dedup the token-family (d1-d4) can't express;
+    see dedup.substring_dup_pairs for the recall-1.0 argument and the
+    100 TB join posture."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return D.substring_dup_pairs(docs, "doc_id", "text", min_len=_D12_LEN).orderBy(
+        "id_a", "id_b"
+    )

@@ -1230,3 +1230,20 @@ def test_zipf_fit_recovers_planted_exponent(spark):
     # intercept ~ ln(1000)
     import math
     assert abs(r["intercept"] - math.log(1000)) < 0.1
+
+
+def test_substring_dedup_planted_runs(spark):
+    shared = "this exact boilerplate license header appears verbatim in both documents"
+    rows = [
+        (0, "alpha intro. " + shared + " trailing alpha content here."),
+        (1, "totally different beginning. " + shared),
+        (2, "no overlap with anything else at all, unique content entirely."),
+        (3, "short"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {(r["id_a"], r["id_b"]): r["n_shared"] for r in D.substring_dup_pairs(df, "doc_id", "text", min_len=32).collect()}
+    assert (0, 1) in out
+    # a shared run of length R contributes R - L + 1 grams; the run
+    # includes the ". " boundary both docs place before the header
+    assert out[(0, 1)] == len(". " + shared) - 32 + 1
+    assert not any(2 in p or 3 in p for p in out)
