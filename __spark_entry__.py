@@ -157,8 +157,15 @@ _CHECK_WINDOW = [
     # keeps d7-composing c2 plus st4, and d12 now exercises the same
     # char-gram join surface at the character level).
     "d12_substring_dedup",
+    # continuation batch 22: count-min frequency sketch (new code —
+    # the deterministic plain-aggregation CMS with estimate-exact
+    # oracle parity) — a2 yields (r6-early code, locally swept; the
+    # approximate family keeps a3 in the window and a1/a2's bound
+    # checks are pytest-pinned).
+    "a3_count_min_heavy_hitters",
 ]
 _CHECK_WINDOW.remove("d9_span_decontam")
+_CHECK_WINDOW.remove("a2_approx_quantile")
 _CHECK_WINDOW.remove("pq1_promql_engine")
 _CHECK_WINDOW.remove("q5_local_supplier_volume")
 _CHECK_WINDOW.remove("q18_large_volume_customer")

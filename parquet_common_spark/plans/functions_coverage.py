@@ -900,3 +900,66 @@ def f4(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("s_suppkey")
     )
+
+
+# ------------------- a3: count-min frequency sketch (heavy hitters)
+
+def _a3_sql() -> str:
+    from parquet_common_spark.operators import sketch as SK
+    from parquet_common_spark.operators.pipeline_queries import _phash
+
+    return rf"""
+    WITH t AS (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents),
+    th AS (SELECT {_phash('token')} AS h FROM t),
+    cells AS (
+      SELECT r,
+             ((h * (37 + 101 * r) + (91 + 57 * r)) % {SK.HASH_P}) % {SK.CMS_W} AS c,
+             COUNT(*) AS cnt
+      FROM th, generate_series(0, {SK.CMS_D - 1}) AS g(r)
+      GROUP BY r, c),
+    top AS (
+      SELECT token, COUNT(*) AS exact_cnt FROM t GROUP BY token
+      ORDER BY exact_cnt DESC, token LIMIT 10),
+    probe AS (SELECT token, exact_cnt, {_phash('token')} AS h FROM top),
+    est AS (
+      SELECT p.token, p.exact_cnt, MIN(cl.cnt) AS est_cnt
+      FROM probe p JOIN cells cl
+        ON cl.c = ((p.h * (37 + 101 * cl.r) + (91 + 57 * cl.r))
+                   % {SK.HASH_P}) % {SK.CMS_W}
+      GROUP BY p.token, p.exact_cnt)
+    SELECT token, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(est_cnt AS BIGINT) AS est_cnt,
+           est_cnt >= exact_cnt AS never_undercounts
+    FROM est ORDER BY exact_cnt DESC, token
+    """
+
+
+@query("a3_count_min_heavy_hitters", _a3_sql())
+def a3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch probed at the exact top-10 tokens —
+    the frequency member of the approximate-aggregation family (a1 HLL
+    distinct, a2 GK quantiles).  Unlike those, the sketch here is a
+    deterministic plain aggregation (operators/sketch.py), so the
+    ESTIMATES themselves hash-match the oracle, not just a bound; the
+    never_undercounts column pins the one-sided CMS guarantee."""
+    from parquet_common_spark.operators import sketch as SK
+    from parquet_common_spark.operators.text import tokens
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    table = SK.count_min_table(docs, "text")
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    top = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "token")
+        .limit(10)
+    )
+    est = SK.cms_estimates(top, table, "token")
+    return est.select(
+        "token",
+        "exact_cnt",
+        F.col("est_cnt").cast("long").alias("est_cnt"),
+        (F.col("est_cnt") >= F.col("exact_cnt")).alias("never_undercounts"),
+    ).orderBy(F.desc("exact_cnt"), "token")

@@ -1247,3 +1247,26 @@ def test_substring_dedup_planted_runs(spark):
     # includes the ". " boundary both docs place before the header
     assert out[(0, 1)] == len(". " + shared) - 32 + 1
     assert not any(2 in p or 3 in p for p in out)
+
+
+def test_count_min_sketch_never_undercounts(spark):
+    from parquet_common_spark.operators import sketch as SK
+
+    rows = [(0, "alpha alpha alpha beta beta gamma " * 3), (1, "alpha delta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    table = SK.count_min_table(df, "text")
+    # table cells bounded by D*W and by D*|vocab|
+    cells = table.collect()
+    assert len(cells) <= SK.CMS_D * SK.CMS_W
+    probes = spark.createDataFrame(
+        [("alpha", 10), ("beta", 6), ("gamma", 3), ("delta", 1), ("absent", 0)],
+        "token string, exact long",
+    )
+    out = {r["token"]: r["est_cnt"] for r in SK.cms_estimates(probes, table).collect()}
+    for tok, exact in [("alpha", 10), ("beta", 6), ("gamma", 3), ("delta", 1)]:
+        assert out[tok] >= exact
+        # 4-token vocab in a 4x256 table: collisions are absent, so the
+        # estimate is exact
+        assert out[tok] == exact
+    # absent token estimates only collision mass (here zero)
+    assert out["absent"] == 0
