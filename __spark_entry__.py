@@ -163,7 +163,13 @@ _CHECK_WINDOW = [
     # approximate family keeps a3 in the window and a1/a2's bound
     # checks are pytest-pinned).
     "a3_count_min_heavy_hitters",
+    # continuation batch 23: the streaming arm of the count-min sketch
+    # (new code; complete-mode stateful groupBy bounded by D*W cells) —
+    # st2 yields (stream-stream joins stay pinned by st5's
+    # streaming-neardup join and the pytest streaming suite).
+    "st7_streaming_heavy_hitters",
 ]
+_CHECK_WINDOW.remove("st2_stream_stream_join")
 _CHECK_WINDOW.remove("d9_span_decontam")
 _CHECK_WINDOW.remove("a2_approx_quantile")
 _CHECK_WINDOW.remove("pq1_promql_engine")

@@ -963,3 +963,60 @@ def a3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est_cnt").cast("long").alias("est_cnt"),
         (F.col("est_cnt") >= F.col("exact_cnt")).alias("never_undercounts"),
     ).orderBy(F.desc("exact_cnt"), "token")
+
+
+@query("st7_streaming_heavy_hitters", _a3_sql())
+def st7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min table maintained as a STREAMING aggregation: the
+    documents table is consumed as a file-source stream, the sketch
+    cells accumulate in a complete-mode stateful groupBy (state bounded
+    by D*W cells — a sketch IS bounded streaming state, which is why
+    heavy-hitter monitoring is the canonical streaming-sketch workload),
+    and the drained table must produce byte-identical estimates to the
+    batch a3 oracle.  At scale this is the shape of a live
+    token-frequency monitor over an ingest firehose: per-micro-batch
+    map-side partials merge into D*W counters, never per-token state."""
+    import uuid
+
+    from parquet_common_spark.operators import sketch as SK
+    from parquet_common_spark.operators.text import tokens
+    from parquet_common_spark.plans.common import ensure_session_env
+
+    ensure_session_env(spark)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    table_stream = SK.count_min_table(stream, "text")
+    sink = f"st7_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            table_stream.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    table = spark.table(sink)
+    docs = load(spark, sf_dir, "documents")["documents"]
+    tok = docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+    top = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), "token")
+        .limit(10)
+    )
+    est = SK.cms_estimates(top, table, "token")
+    return est.select(
+        "token",
+        "exact_cnt",
+        F.col("est_cnt").cast("long").alias("est_cnt"),
+        (F.col("est_cnt") >= F.col("exact_cnt")).alias("never_undercounts"),
+    ).orderBy(F.desc("exact_cnt"), "token")
