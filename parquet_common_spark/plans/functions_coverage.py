@@ -1020,3 +1020,82 @@ def st7(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est_cnt").cast("long").alias("est_cnt"),
         (F.col("est_cnt") >= F.col("exact_cnt")).alias("never_undercounts"),
     ).orderBy(F.desc("exact_cnt"), "token")
+
+
+@query(
+    "pq7_recording_rule",
+    # identical analytic oracle to pq4: the recording rule materializes
+    # exactly the range-eval frame, and the read-back selector returns
+    # the recorded samples at the recorded timestamps
+    """
+    SELECT grp, ev, r FROM (VALUES
+        ('canary',     CAST(1200000 AS BIGINT), CAST(0.233333 AS DOUBLE)),
+        ('canary',     CAST(1800000 AS BIGINT), CAST(0.233333 AS DOUBLE)),
+        ('canary',     CAST(2400000 AS BIGINT), CAST(0.233333 AS DOUBLE)),
+        ('production', CAST(1200000 AS BIGINT), CAST(0.1 AS DOUBLE)),
+        ('production', CAST(1800000 AS BIGINT), CAST(0.1 AS DOUBLE)),
+        ('production', CAST(2400000 AS BIGINT), CAST(0.1 AS DOUBLE))) AS t(grp, ev, r)
+    ORDER BY grp, ev
+    """,
+)
+def pq7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recording-rule lifecycle: evaluate a range expression, write the
+    result back through convert() as a NEW metric
+    (``group:http_requests:rate10m`` — the upstream recording-rule
+    naming convention), then answer a plain selector over the derived
+    metric from the materialized shard.  This is Prometheus's rule
+    evaluation loop re-expressed as a batch pipeline: the eval frame
+    stays a lazy DataFrame end-to-end (no driver materialization — the
+    rule output is map-transformed into (labels, ts, value) rows and
+    convert() writes it with the standard dual-projection sort), so at
+    100 TB a rule over billions of series is one distributed
+    eval+write.  (Reference: rule materialization is exactly the
+    write path of convert.go applied to engine output.)"""
+    import tempfile
+
+    from parquet_common_spark.convert import convert
+    from parquet_common_spark.promqltest import PromQLEngine
+
+    rows = []
+    for inst, group, slope in (
+        ("0", "production", 10.0),
+        ("1", "production", 20.0),
+        ("0", "canary", 30.0),
+        ("1", "canary", 40.0),
+    ):
+        labels = {
+            "__name__": "http_requests",
+            "job": "api-server",
+            "instance": inst,
+            "group": group,
+        }
+        for k in range(11):
+            rows.append((labels, k * 5 * 60 * 1000 * 1000, slope * k))  # µs
+    df = spark.createDataFrame(rows, "labels map<string,string>, ts long, value double")
+    raw_dir = tempfile.mkdtemp(prefix="pq7_raw_")
+    convert(df, raw_dir)
+    eng = PromQLEngine.from_shards(spark, [raw_dir])
+    vec = eng.eval_range_df(
+        "sum by (group) (rate(http_requests[10m]))",
+        20 * 60 * 1000,
+        40 * 60 * 1000,
+        10 * 60 * 1000,
+    )
+    rule = "group:http_requests:rate10m"
+    rec = vec.select(
+        F.create_map(
+            F.lit("__name__"), F.lit(rule), F.lit("group"), F.col("l_group")
+        ).alias("labels"),
+        (F.col("_ev") * F.lit(1000)).cast("long").alias("ts"),  # ms -> µs
+        F.col("value"),
+    )
+    rule_dir = tempfile.mkdtemp(prefix="pq7_rule_")
+    convert(rec, rule_dir)
+    out = PromQLEngine.from_shards(spark, [rule_dir]).eval_range_df(
+        rule, 20 * 60 * 1000, 40 * 60 * 1000, 10 * 60 * 1000
+    )
+    return out.select(
+        F.col("l_group").alias("grp"),
+        F.col("_ev").alias("ev"),
+        F.round(F.col("value"), 6).alias("r"),
+    ).orderBy("grp", "ev")
