@@ -1763,8 +1763,8 @@ _X7_SQL = f"""
              AS p_val,
            ROUND((CAST(2 * n_train + 1 AS DOUBLE) / CAST(2 * nt + s AS DOUBLE)
                   - CAST(2 * n_val + 1 AS DOUBLE) / CAST(2 * nv + s AS DOUBLE))
-                 * ln(CAST((2 * n_train + 1) * (2 * nv + s) AS DOUBLE)
-                      / CAST((2 * n_val + 1) * (2 * nt + s) AS DOUBLE)), 6)
+                 * ln((CAST(2 * n_train + 1 AS DOUBLE) * CAST(2 * nv + s AS DOUBLE))
+                      / (CAST(2 * n_val + 1 AS DOUBLE) * CAST(2 * nt + s AS DOUBLE))), 6)
              AS psi_term
     FROM per, tot ORDER BY source
 """

@@ -205,9 +205,12 @@ def split_psi(
     reproducible anywhere.  Smoothing: add-half on counts with the
     domain cardinality in the denominator (``p = (2n+1) / (2N+S)``),
     which keeps every probability positive when a domain misses one
-    side AND keeps the arithmetic integer-exact up to the final
-    division: the log argument is a ratio of two integer products, so
-    both engines take ``ln`` of the identical double.
+    side AND keeps the arithmetic engine-exact: every product and
+    division is a single pinned-order IEEE double op, so both engines
+    take ``ln`` of the identical double.  (The cross products are
+    computed in DOUBLES, not int64 — ``(2n+1)*(2N+S)`` would overflow
+    long at ~1e12-row domains; the double form is safe at any scale
+    and loses exactness only above 2^53, identically on both sides.)
 
     Returns one row per domain: counts on each side and the domain's
     PSI term ``(p_t - p_v) * ln(p_t / p_v)`` (rounded; callers sum for
@@ -227,16 +230,17 @@ def split_psi(
         F.count(F.lit(1)).alias("_s"),
     )
     j = per.crossJoin(F.broadcast(tot))
-    # p_t = (2*n_train+1)/(2*N_t+S); p_v likewise.  All-integer numerators
-    # and denominators; each probability and the log ratio are ONE double
-    # division of exact integer products.
-    num_t = 2 * F.col("n_train") + 1
-    num_v = 2 * F.col("n_val") + 1
-    den_t = 2 * F.col("_nt") + F.col("_s")
-    den_v = 2 * F.col("_nv") + F.col("_s")
-    p_t = num_t.cast("double") / den_t.cast("double")
-    p_v = num_v.cast("double") / den_v.cast("double")
-    ratio = (num_t * den_v).cast("double") / (num_v * den_t).cast("double")
+    # p_t = (2*n_train+1)/(2*N_t+S); p_v likewise.  Integer-exact
+    # numerators/denominators cast to double BEFORE the cross products
+    # (int64 products overflow at ~1e12-row domains; the double form is
+    # scale-safe and bit-identical across engines).
+    num_t = (2 * F.col("n_train") + 1).cast("double")
+    num_v = (2 * F.col("n_val") + 1).cast("double")
+    den_t = (2 * F.col("_nt") + F.col("_s")).cast("double")
+    den_v = (2 * F.col("_nv") + F.col("_s")).cast("double")
+    p_t = num_t / den_t
+    p_v = num_v / den_v
+    ratio = (num_t * den_v) / (num_v * den_t)
     return j.select(
         domain_col,
         F.col("n_train"),
