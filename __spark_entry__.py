@@ -174,7 +174,16 @@ _CHECK_WINDOW = [
     # session_window operator in the window, and w5 was green in this
     # round's full local sweep).
     "pq7_recording_rule",
+    # continuation batch 25: quality-budget selection and the vocab
+    # coverage curve (new code; both reuse the distributed prefix sum)
+    # — t2/mm2 yield (t2 is a bench headliner measured every round and
+    # p9 composes its exact quality-score fragment through the gate;
+    # mm2's frame-sampling surface stays pinned by the mediacodec
+    # pytest suite and mm1/mm3/mm4/mm5 family checks in pytest).
+    "p9_quality_budget_selection", "x10_vocab_coverage",
 ]
+_CHECK_WINDOW.remove("t2_quality_scores")
+_CHECK_WINDOW.remove("mm2_frame_sampling")
 _CHECK_WINDOW.remove("st2_stream_stream_join")
 _CHECK_WINDOW.remove("w5_session_windows")
 _CHECK_WINDOW.remove("d9_span_decontam")

@@ -229,3 +229,33 @@ def length_bucketed_batches(
             6,
         ).alias("pad_efficiency"),
     )
+
+
+def select_best_within_budget(
+    df: DataFrame,
+    key_col: str,
+    token_col: str,
+    score_col: str,
+    budget: int,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Greedy highest-score-first subset selection under a global token
+    budget — "give me the best N tokens of this corpus", the standard
+    budgeted curation step after quality scoring: documents are ranked
+    by (score desc, key), laid out end-to-end, and a document is kept
+    iff it STARTS inside the budget (the same straddler rule as
+    :func:`pack_sequences`, so the kept set is deterministic and
+    budget-monotone).
+
+    Scale shape: the ranking+cumsum is the distributed prefix sum
+    (:func:`global_cumsum` over (-score, key)) — no single-task global
+    window; the keep test is then a map-only comparison.  Returns the
+    kept rows with ``cum_tokens``."""
+    d = df.withColumn("_neg", -F.col(score_col))
+    out = global_cumsum(
+        d, ["_neg", key_col], token_col, out_col="cum_tokens",
+        num_partitions=num_partitions,
+    )
+    return out.where(
+        (F.col("cum_tokens") - F.col(token_col)) < F.lit(int(budget))
+    ).drop("_neg")

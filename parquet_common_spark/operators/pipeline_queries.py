@@ -2085,3 +2085,80 @@ def d12(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.substring_dup_pairs(docs, "doc_id", "text", min_len=_D12_LEN).orderBy(
         "id_a", "id_b"
     )
+
+
+# ------------------- p9: best-within-token-budget curation selection
+
+_P9_BUDGET = 2000
+
+_P9_SQL = rf"""
+    WITH q AS (
+      SELECT doc_id, {_QUALITY_SQL} AS quality,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, quality, n_tokens,
+             SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM q)
+    SELECT doc_id, quality, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens - n_tokens < {_P9_BUDGET}
+    ORDER BY doc_id
+"""
+
+
+@query("p9_quality_budget_selection", _P9_SQL)
+def p9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy highest-quality-first selection under a global token
+    budget — "the best 2000 tokens of the corpus" (see
+    packing.select_best_within_budget): the ranking+cumsum is the
+    distributed prefix sum over (quality desc, doc_id), the keep test a
+    map-only comparison; deterministic and budget-monotone."""
+    from parquet_common_spark.operators import packing as PK
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    scored = docs.select(
+        "doc_id",
+        T.quality_score(F.col("text")).alias("quality"),
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    out = PK.select_best_within_budget(
+        scored, "doc_id", "n_tokens", "quality", budget=_P9_BUDGET
+    )
+    return out.select("doc_id", "quality", "n_tokens", "cum_tokens").orderBy("doc_id")
+
+
+# ----------------------- x10: vocabulary coverage curve
+
+_X10_SQL = r"""
+    WITH t AS (
+      SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+      FROM documents),
+    c AS (SELECT token, COUNT(*) AS cnt FROM t GROUP BY token),
+    cu AS (SELECT token, cnt,
+                  SUM(cnt) OVER (ORDER BY cnt DESC, token
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+           FROM c),
+    tot AS (SELECT SUM(cnt) AS t FROM c)
+    SELECT CAST(MAX(tot.t) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN CAST(cum AS DOUBLE) < 0.5 * CAST(tot.t AS DOUBLE)
+                    THEN 1 ELSE 0 END) + 1 AS BIGINT) AS v_50,
+           CAST(SUM(CASE WHEN CAST(cum AS DOUBLE) < 0.75 * CAST(tot.t AS DOUBLE)
+                    THEN 1 ELSE 0 END) + 1 AS BIGINT) AS v_75,
+           CAST(SUM(CASE WHEN CAST(cum AS DOUBLE) < 0.9 * CAST(tot.t AS DOUBLE)
+                    THEN 1 ELSE 0 END) + 1 AS BIGINT) AS v_90,
+           CAST(SUM(CASE WHEN CAST(cum AS DOUBLE) < 0.99 * CAST(tot.t AS DOUBLE)
+                    THEN 1 ELSE 0 END) + 1 AS BIGINT) AS v_99
+    FROM cu, tot
+"""
+
+
+@query("x10_vocab_coverage", _X10_SQL)
+def x10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve (smallest vocab covering 50/75/90/99 %
+    of token occurrences) — the tokenizer-sizing metric; distributed
+    prefix sum over (freq desc, token), no single-task window (see
+    text.vocab_coverage)."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return T.vocab_coverage(docs, "text", thresholds=(0.5, 0.75, 0.9, 0.99))

@@ -592,3 +592,46 @@ def quality_classifier(col: Column) -> Column:
         raw.alias("raw"),
         prob.alias("prob"),
     )
+
+
+def vocab_coverage(
+    df: DataFrame, text_col: str = "text", thresholds: tuple = (0.5, 0.75, 0.9, 0.99)
+) -> DataFrame:
+    """Vocabulary coverage curve: for each coverage threshold, the
+    smallest vocabulary size v such that the v most frequent tokens
+    cover >= that fraction of all token occurrences — the
+    tokenizer-design metric behind "how big must the vocab be".
+
+    Returns ONE row: ``total_tokens`` plus one ``v_<pct>`` column per
+    threshold.  The needed size is ``#{tokens with inclusive-cumsum <
+    thr * total} + 1`` — an aggregation over the cumsum frame, no rank
+    column.  Scale shape: one map-side-combined token groupBy, then the
+    distributed prefix sum over (freq desc, token) — vocabulary-sized,
+    not corpus-sized, and no single-task window; the threshold probe is
+    one tiny aggregate."""
+    from parquet_common_spark.operators.packing import global_cumsum
+
+    tok = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    freqs = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    cum = global_cumsum(
+        freqs.withColumn("_neg", -F.col("cnt")), ["_neg", "token"], "cnt",
+        out_col="cum",
+    )
+    tot = freqs.agg(F.sum("cnt").alias("_t"))
+    j = cum.crossJoin(F.broadcast(tot))
+    aggs = [F.max("_t").cast("long").alias("total_tokens")]
+    for thr in thresholds:
+        name = f"v_{int(round(thr * 100))}"
+        aggs.append(
+            (
+                F.sum(
+                    F.when(
+                        F.col("cum").cast("double")
+                        < F.lit(float(thr)) * F.col("_t").cast("double"),
+                        1,
+                    ).otherwise(0)
+                )
+                + 1
+            ).cast("long").alias(name)
+        )
+    return j.agg(*aggs)

@@ -1270,3 +1270,37 @@ def test_count_min_sketch_never_undercounts(spark):
         assert out[tok] == exact
     # absent token estimates only collision mass (here zero)
     assert out["absent"] == 0
+
+
+def test_select_best_within_budget_monotone(spark):
+    from parquet_common_spark.operators import packing as PK
+
+    df = spark.createDataFrame(
+        [(i, 10, float((i * 7) % 5)) for i in range(50)],
+        "doc_id long, n_tok long, score double",
+    )
+    small = {r["doc_id"] for r in PK.select_best_within_budget(df, "doc_id", "n_tok", "score", budget=100).collect()}
+    big = {r["doc_id"] for r in PK.select_best_within_budget(df, "doc_id", "n_tok", "score", budget=300).collect()}
+    PK.release_cached()
+    # 10 tokens/doc: budget 100 keeps exactly the 10 best-scored docs
+    assert len(small) == 10
+    assert small <= big and len(big) == 30
+    # the kept set is the score-greedy prefix: every kept doc scores >=
+    # every dropped doc (ties broken by id, so compare keyed tuples)
+    ranked = sorted(((r["score"], r["doc_id"]) for r in df.collect()), key=lambda t: (-t[0], t[1]))
+    assert small == {d for _, d in ranked[:10]}
+
+
+def test_vocab_coverage_planted(spark):
+    from parquet_common_spark.operators import text as T4
+
+    # 'a' x 90, 'b' x 9, 'c' x 1: v_50 = 1, v_90 = 1 (a covers exactly
+    # 90% -> cum(a)=90 is NOT < 90, so +1 keeps it at 1), v_99 = 2
+    df = spark.createDataFrame(
+        [(0, " ".join(["a"] * 90 + ["b"] * 9 + ["c"]))], "doc_id long, text string"
+    )
+    r = T4.vocab_coverage(df, "text", thresholds=(0.5, 0.9, 0.99)).collect()[0]
+    from parquet_common_spark.operators.packing import release_cached
+    release_cached()
+    assert r["total_tokens"] == 100
+    assert r["v_50"] == 1 and r["v_90"] == 1 and r["v_99"] == 2
