@@ -229,6 +229,7 @@ def test_registry_wide_no_unplanned_cartesians(spark):
         "p4_mixture_sample",  # 1-row total-weight scalar attached to the tiny rates frame
         "t8_unigram_ppl",  # 1-row corpus-total scalar attached to the tiny vocab frame
         "t10_bigram_ppl",  # same 1-row corpus-total attach (bigram model build)
+        "x10_vocab_coverage",  # 1-row total-tokens scalar on the vocab cum frame
         "p7_temperature_mixture",  # 1-row weight-total scalar on the tiny rates frame
         "x7_split_drift",  # 1-row (n_train, n_val, S) totals on the tiny domain frame
         "d9_span_decontam",  # 1-row benchmark-ngram array attach (lit-key folds to true)
@@ -236,6 +237,7 @@ def test_registry_wide_no_unplanned_cartesians(spark):
         "pq1_promql_engine", "pq2_promql_parquet_storage",
         "pq3_promql_native_histograms",
         "pq4_promql_range_api",  # same bounded-step broadcast as pq1-pq3
+        "pq7_recording_rule",  # same bounded-step broadcast (rule eval + read-back)
     }
     sf_dir = "/root/testdata/sf0.001"
     failures = []
