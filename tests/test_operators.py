@@ -1304,3 +1304,57 @@ def test_vocab_coverage_planted(spark):
     release_cached()
     assert r["total_tokens"] == 100
     assert r["v_50"] == 1 and r["v_90"] == 1 and r["v_99"] == 2
+
+
+def test_prefix_sum_ops_match_python_reference(spark):
+    """Randomized differential: pack_sequences / select_best_within_budget
+    / length_bucketed_batches vs a sequential pure-Python model, across
+    adversarial partition counts.  The distributed prefix sum must be
+    indistinguishable from the single-threaded scan."""
+    import random
+
+    from parquet_common_spark.operators import packing as PK
+
+    rng = random.Random(20260815)
+    for trial in range(3):
+        n = rng.randint(1, 60)
+        rows = [(i, rng.randint(1, 40), float(rng.randint(0, 5))) for i in range(n)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, n_tok long, score double"
+        ).repartition(rng.choice([1, 3, 17]))
+        budget = rng.randint(8, 200)
+
+        # pack_sequences vs sequential scan ordered by doc_id
+        got = {
+            r["doc_id"]: (r["cum_tokens"], r["pack_id"], r["pack_offset"])
+            for r in PK.pack_sequences(df, ["doc_id"], "n_tok", budget=budget).collect()
+        }
+        cum = 0
+        for i, tok, _ in sorted(rows):
+            start = cum
+            cum += tok
+            assert got[i] == (cum, start // budget, start % budget), (trial, i)
+
+        # select_best_within_budget vs greedy python
+        kept = {
+            r["doc_id"]
+            for r in PK.select_best_within_budget(
+                df, "doc_id", "n_tok", "score", budget=budget
+            ).collect()
+        }
+        cum, ref = 0, set()
+        for sc, i, tok in sorted(((s, i, t) for i, t, s in rows), key=lambda x: (-x[0], x[1])):
+            if cum < budget:
+                ref.add(i)
+            cum += tok
+        assert kept == ref, (trial, budget)
+
+        # length buckets: totals and batch-size invariants
+        out = PK.length_bucketed_batches(
+            df, "doc_id", "n_tok", bucket_width=16, max_bucket=3, batch_size=4
+        ).collect()
+        assert sum(r["n_docs"] for r in out) == n
+        for r in out:
+            assert 1 <= r["n_docs"] <= 4
+            assert r["sum_tokens"] <= r["n_docs"] * r["max_len"]
+        PK.release_cached()
