@@ -181,7 +181,13 @@ _CHECK_WINDOW = [
     # mm2's frame-sampling surface stays pinned by the mediacodec
     # pytest suite and mm1/mm3/mm4/mm5 family checks in pytest).
     "p9_quality_budget_selection", "x10_vocab_coverage",
+    # continuation batch 26: navigation + value-range window frames
+    # (new code: lead/nth_value/RANGE — the §2.5 surface beyond w7's
+    # rank family) — w7 yields its slot to the new member; the rank
+    # family stays pinned by the TPC-H windows (w1/q2a) and pytest.
+    "w8_navigation_frames",
 ]
+_CHECK_WINDOW.remove("w7_rank_functions")
 _CHECK_WINDOW.remove("t2_quality_scores")
 _CHECK_WINDOW.remove("mm2_frame_sampling")
 _CHECK_WINDOW.remove("st2_stream_stream_join")

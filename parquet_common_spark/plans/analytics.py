@@ -2422,3 +2422,63 @@ def e8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
         .crossJoin(p.agg(F.count(F.lit(1)).alias("n_view_click_purchase")))
     )
+
+
+# ----------------- w8: navigation + value-range window frames
+
+_W8_SQL = """
+    WITH o AS (
+      SELECT o_orderkey, o_custkey,
+             date_diff('day', DATE '1992-01-01', o_orderdate) AS d,
+             o_totalprice AS price
+      FROM orders WHERE o_custkey < 100)
+    SELECT o_orderkey, o_custkey, CAST(d AS BIGINT) AS d, price,
+           lead(price, 1, 0.0) OVER (PARTITION BY o_custkey
+                                     ORDER BY d, o_orderkey) AS next_price,
+           nth_value(price, 2) OVER (PARTITION BY o_custkey
+                                     ORDER BY d, o_orderkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND UNBOUNDED FOLLOWING) AS second_price,
+           CAST(SUM(CAST(price AS DECIMAL(18,2))) OVER (
+                PARTITION BY o_custkey ORDER BY d
+                RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS sum_90d
+    FROM o ORDER BY o_custkey, d, o_orderkey
+"""
+
+
+@query("w8_navigation_frames", _W8_SQL)
+def w8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation + value-range window frames: lead-with-default,
+    nth_value over the full-partition frame, and a RANGE (value-offset)
+    frame summing the trailing 90 days — the §2.5 window surface beyond
+    the rank family (w7) and row frames (w3/w6).  RANGE peers include
+    ties on the order value in both engines; the frame sum is
+    decimal-exact so summation order inside the frame cannot flip
+    rounding.  One shuffle on the partition key."""
+    t = load(spark, sf_dir, "orders")
+    o = t["orders"].where(F.col("o_custkey") < 100).select(
+        "o_orderkey",
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+        F.col("o_totalprice").alias("price"),
+    )
+    wnav = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    wfull = wnav.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wrange = (
+        Window.partitionBy("o_custkey").orderBy("d").rangeBetween(-90, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "d",
+        "price",
+        F.lead("price", 1, 0.0).over(wnav).alias("next_price"),
+        F.nth_value("price", 2).over(wfull).alias("second_price"),
+        F.sum(F.col("price").cast("decimal(18,2)"))
+        .over(wrange)
+        .cast("double")
+        .alias("sum_90d"),
+    ).orderBy("o_custkey", "d", "o_orderkey")
