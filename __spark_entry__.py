@@ -186,8 +186,14 @@ _CHECK_WINDOW = [
     # rank family) — w7 yields its slot to the new member; the rank
     # family stays pinned by the TPC-H windows (w1/q2a) and pytest.
     "w8_navigation_frames",
+    # continuation batch 27: map built-ins (new code — §2.8's
+    # complex-type surface beyond f3's arrays) — f4 yields
+    # (conditional/null built-ins are corpus-trivial and locally swept;
+    # the f-family keeps f5 plus f1/f2/f3's pytest coverage).
+    "f5_map_functions",
 ]
 _CHECK_WINDOW.remove("w7_rank_functions")
+_CHECK_WINDOW.remove("f4_conditional_null")
 _CHECK_WINDOW.remove("t2_quality_scores")
 _CHECK_WINDOW.remove("mm2_frame_sampling")
 _CHECK_WINDOW.remove("st2_stream_stream_join")

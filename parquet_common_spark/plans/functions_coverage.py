@@ -1099,3 +1099,57 @@ def pq7(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_ev").alias("ev"),
         F.round(F.col("value"), 6).alias("r"),
     ).orderBy("grp", "ev")
+
+
+@query(
+    "f5_map_functions",
+    # the oracle validates the SEMANTICS map-free: per-region nation
+    # counts canonicalized as scalars/strings (the driver's hasher
+    # cannot hash raw map cells, same reason f3 string-joins arrays)
+    """
+    WITH c AS (
+      SELECT r_name, n_name, COUNT(*) AS cnt
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name)
+    SELECT r_name,
+           CAST(COUNT(*) AS INT) AS n_keys,
+           MIN(n_name) AS first_key,
+           CAST(MIN_BY(cnt, n_name) AS BIGINT) AS first_val,
+           string_agg(n_name || '=' || cnt, ',' ORDER BY n_name) AS entries
+    FROM c GROUP BY r_name ORDER BY r_name
+    """,
+)
+def f5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map built-ins (map_from_entries / map_keys / element_at /
+    map_entries) — §2.8's complex-type surface beyond arrays (f3):
+    per-region nation→customer-count maps, emitted canonically (sorted
+    "k=v" join) so the hash compare is dialect-free."""
+    t = load(spark, sf_dir, "customer", "nation", "region")
+    counts = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    m = counts.groupBy("r_name").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("n_name", "cnt")))
+        ).alias("m")
+    )
+    first_key = F.array_min(F.map_keys(F.col("m")))
+    return m.select(
+        "r_name",
+        F.size("m").cast("int").alias("n_keys"),
+        first_key.alias("first_key"),
+        F.element_at(F.col("m"), first_key).alias("first_val"),
+        F.array_join(
+            F.transform(
+                F.map_entries(F.col("m")),
+                lambda e: F.concat(e["key"], F.lit("="), e["value"].cast("string")),
+            ),
+            ",",
+        ).alias("entries"),
+    ).orderBy("r_name")
