@@ -191,9 +191,15 @@ _CHECK_WINDOW = [
     # (conditional/null built-ins are corpus-trivial and locally swept;
     # the f-family keeps f5 plus f1/f2/f3's pytest coverage).
     "f5_map_functions",
+    # continuation batch 28: forward as-of with tolerance (new code —
+    # e4's backward twin, attribution-window join) — e6 yields (the
+    # histogram binning agg is corpus-adjacent and locally swept; the
+    # e-family keeps e7/e8/e9 plus e1 on the bench headline path).
+    "e9_asof_next_purchase_within_1h",
 ]
 _CHECK_WINDOW.remove("w7_rank_functions")
 _CHECK_WINDOW.remove("f4_conditional_null")
+_CHECK_WINDOW.remove("e6_value_histogram")
 _CHECK_WINDOW.remove("t2_quality_scores")
 _CHECK_WINDOW.remove("mm2_frame_sampling")
 _CHECK_WINDOW.remove("st2_stream_stream_join")

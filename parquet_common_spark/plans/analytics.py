@@ -2482,3 +2482,59 @@ def w8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_90d"),
     ).orderBy("o_custkey", "d", "o_orderkey")
+
+
+# ---------------- e9: forward as-of with tolerance (attribution join)
+
+_E9_TOL_US = 3_600_000_000  # 1 hour
+
+_E9_SQL = f"""
+    SELECT c.event_id AS click_id, c.user_id,
+           (SELECT CAST(epoch_us(MIN(p.ts)) AS BIGINT) FROM events p
+            WHERE p.user_id = c.user_id AND p.event_type = 'purchase'
+              AND p.ts > c.ts
+              AND epoch_us(p.ts) - epoch_us(c.ts) <= {_E9_TOL_US})
+             AS next_purchase_us
+    FROM events c WHERE c.event_type = 'click'
+    ORDER BY click_id
+"""
+
+
+@query("e9_asof_next_purchase_within_1h", _E9_SQL)
+def e9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with tolerance: each click matched to the
+    user's FIRST purchase strictly after it, but only within one hour —
+    the attribution-window join (e4's backward twin).  Same scalable
+    shape: union-tagged events, ONE shuffle on user_id, a
+    forward-looking first(ignorenulls) window (purchases sort before
+    clicks at identical ts, so the strictly-after rule holds without a
+    range join), tolerance applied as a map-only comparison.  The
+    DuckDB oracle is the correlated MIN (ASOF JOIN ... TOLERANCE
+    semantics)."""
+    t = load(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ev = t["events"].select(
+        "event_id",
+        "user_id",
+        us.alias("us"),
+        F.col("event_type"),
+        F.when(F.col("event_type") == "purchase", us).alias("pus"),
+    )
+    tag = F.when(F.col("event_type") == "purchase", 0).otherwise(1)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", tag, "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = ev.withColumn("_np", F.first("pus", ignorenulls=True).over(w))
+    return (
+        nxt.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.when(
+                F.col("_np") - F.col("us") <= F.lit(_E9_TOL_US), F.col("_np")
+            ).alias("next_purchase_us"),
+        )
+        .orderBy("click_id")
+    )
