@@ -1153,3 +1153,44 @@ def f5(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("entries"),
     ).orderBy("r_name")
+
+
+@query(
+    "p10_unpivot_event_matrix",
+    """
+    WITH piv AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT)    AS click,
+             CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT)    AS error,
+             CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+             CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT)   AS signup,
+             CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT)     AS view
+      FROM events GROUP BY 1)
+    SELECT day, event_type, n FROM piv
+    UNPIVOT (n FOR event_type IN (click, error, purchase, signup, view))
+    WHERE n > 0
+    ORDER BY day, event_type
+    """,
+)
+def p10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) — the reshape inverse of p1's pivot, completing
+    the wide<->long pair: the day x event-type count matrix melted back
+    to long form with Spark's native unpivot (zero-count cells dropped,
+    matching UNPIVOT's NULL-exclusion convention when the wide frame
+    uses NULL for empty cells).  Map-only after p1's one aggregation
+    shuffle: unpivot is a generator projection, no extra exchange."""
+    from parquet_common_spark.plans.common import load as _load
+
+    cols = ["click", "error", "purchase", "signup", "view"]
+    t = _load(spark, sf_dir, "events")
+    piv = (
+        t["events"]
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .pivot("event_type", cols)
+        .count()
+    )
+    # keep empty cells NULL: unpivot drops NULLs, mirroring the
+    # oracle's UNPIVOT NULL-exclusion (we filter n > 0 on both sides
+    # anyway, so 0-vs-NULL representation cannot diverge)
+    out = piv.unpivot("day", cols, "event_type", "n")
+    return out.where(F.col("n") > 0).orderBy("day", "event_type")
