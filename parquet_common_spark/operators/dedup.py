@@ -1013,6 +1013,7 @@ def substring_dup_pairs(
     id_col: str,
     text_col: str,
     min_len: int = 32,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Character-level exact-substring duplicate pairs: documents that
     share at least one exact run of ``min_len`` normalized characters —
@@ -1034,14 +1035,35 @@ def substring_dup_pairs(
     (map-only, np.unique per doc); the candidate generator is a self
     equi-join on the gram hash where per-hash fan-out is bounded by the
     number of docs sharing that exact substring (the duplication being
-    measured); one final groupBy on the pair.  Same posture as the
-    token-level x5/x6 audits — for pathological boilerplate floods, cap
-    hot hashes by frequency before the join."""
+    measured); one final groupBy on the pair.
+
+    ``max_doc_freq`` is the hot-hash flood guard: a gram present in
+    more than ``max_doc_freq`` documents (the same license header in
+    10M docs) would alone emit ~freq²/2 join rows, so grams above the
+    cap are dropped BEFORE the self-join via one extra
+    ``groupBy(h).count()`` (a (hash, count) shuffle — never text) and
+    an equi-join filter.  Per-hash fan-out is then <= cap, so join
+    output is bounded by |grams| * cap instead of corpus².  Recall
+    bound: a pair is missed only when EVERY >=min_len run it shares
+    consists entirely of grams each hotter than the cap — i.e. pure
+    corpus-wide boilerplate, which is exactly the content a dedup pass
+    wants measured by the hot-gram report (the capped ``freq`` frame),
+    not enumerated pairwise.  ``None`` keeps the exact all-pairs
+    semantics.  Flood-tested in tests/test_operators.py."""
     d0 = df.select(
         F.col(id_col), F.lit("all").alias("_blk"), F.col(text_col)
     ).where(F.length(normalize_text(F.col(text_col))) >= min_len)
     s = _char_shingles_arrow(d0, id_col, text_col, "_blk", min_len)
     hs = s.select(F.col("_id"), F.explode("_sh").alias("h"))
+    if max_doc_freq is not None:
+        # _sh is np.unique'd per doc, so count(1) per h == doc frequency
+        ok = (
+            hs.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_doc_freq)
+            .select("h")
+        )
+        hs = hs.join(ok, "h")
     a = hs.select("h", F.col("_id").alias("id_a"))
     b = hs.select("h", F.col("_id").alias("id_b"))
     return (

@@ -1675,10 +1675,14 @@ def p6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------- x6: cross-source overlap matrix
 
+# hot-hash flood guard, mirrored in the oracle (see text.source_overlap)
+_X6_CAP = 64
+
 _X6_SQL = f"""
     WITH {_DC_CTES},
-    hs AS (SELECT DISTINCT h, source
-           FROM (SELECT unnest(sh) AS h, source FROM d)),
+    g AS (SELECT id, unnest(sh) AS h, source FROM d),
+    ok AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) <= {_X6_CAP}),
+    hs AS (SELECT DISTINCT h, source FROM g JOIN ok USING (h)),
     pairs AS (SELECT a.source AS src_a, b.source AS src_b
               FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source)
     SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_shared
@@ -1690,13 +1694,15 @@ _X6_SQL = f"""
 def x6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source duplication matrix: distinct 3-gram hashes shared by
     each unordered source pair — the corpus-audit view for spotting
-    mirrored crawls before mixing sources into a run."""
+    mirrored crawls before mixing sources into a run.  Runs WITH the
+    hot-hash flood guard (max_doc_freq) so the capped semantics are
+    what the oracle hash-checks."""
     from parquet_common_spark.operators.text import source_overlap
 
     docs = load(spark, sf_dir, "documents")["documents"]
-    return source_overlap(docs, "source", "text", "doc_id", n=_DC_N).orderBy(
-        "src_a", "src_b"
-    )
+    return source_overlap(
+        docs, "source", "text", "doc_id", n=_DC_N, max_doc_freq=_X6_CAP
+    ).orderBy("src_a", "src_b")
 
 
 # ------------------------- p7: temperature-based mixture (alpha = 0.5)
@@ -2060,6 +2066,10 @@ def x9(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -------------------- d12: exact-substring (character-run) dedup
 
 _D12_LEN = 32
+# hot-hash flood guard: grams in more docs than this are dropped before
+# the pair self-join (mirrored in the oracle — the CAPPED semantics are
+# what's hash-checked)
+_D12_CAP = 64
 
 _D12_SQL = f"""
     WITH t0 AS (SELECT doc_id AS id, {_NORM.format(c='text')} AS s FROM documents),
@@ -2068,9 +2078,11 @@ _D12_SQL = f"""
                       generate_series(1, length(s) - {_D12_LEN - 1}),
                       i -> {_phash(f'substr(s, i, {_D12_LEN})')})) AS sh
            FROM t0 WHERE length(s) >= {_D12_LEN}),
-    e AS (SELECT id, unnest(sh) AS h FROM t1)
+    e AS (SELECT id, unnest(sh) AS h FROM t1),
+    ok AS (SELECT h FROM e GROUP BY h HAVING COUNT(*) <= {_D12_CAP}),
+    e2 AS (SELECT e.id, e.h FROM e JOIN ok USING (h))
     SELECT a.id AS id_a, b.id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
-    FROM e a JOIN e b ON a.h = b.h AND a.id < b.id
+    FROM e2 a JOIN e2 b ON a.h = b.h AND a.id < b.id
     GROUP BY id_a, id_b ORDER BY id_a, id_b
 """
 
@@ -2080,11 +2092,13 @@ def d12(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplicate pairs (shared 32-char normalized runs)
     — the character-level dedup the token-family (d1-d4) can't express;
     see dedup.substring_dup_pairs for the recall-1.0 argument and the
-    100 TB join posture."""
+    100 TB join posture.  Runs WITH the hot-hash flood guard
+    (max_doc_freq) so the capped semantics — the shape that survives a
+    boilerplate flood — are what the oracle hash-checks."""
     docs = load(spark, sf_dir, "documents")["documents"]
-    return D.substring_dup_pairs(docs, "doc_id", "text", min_len=_D12_LEN).orderBy(
-        "id_a", "id_b"
-    )
+    return D.substring_dup_pairs(
+        docs, "doc_id", "text", min_len=_D12_LEN, max_doc_freq=_D12_CAP
+    ).orderBy("id_a", "id_b")
 
 
 # ------------------- p9: best-within-token-budget curation selection

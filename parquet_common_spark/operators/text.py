@@ -506,6 +506,7 @@ def source_overlap(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Cross-source duplication matrix: for each unordered pair of
     sources, how many distinct token ``n``-gram hashes they share —
@@ -519,10 +520,20 @@ def source_overlap(
     fan-out is bounded by the number of SOURCES sharing it (sources are
     few — domains, dumps, crawls — a documented contract), so the join
     output is at most |distinct h| * |sources|^2 / 2 and in practice
-    near-linear.  One final groupBy on the (src_a, src_b) pair."""
+    near-linear.  One final groupBy on the (src_a, src_b) pair.
+
+    ``max_doc_freq`` is the hot-hash flood guard (same posture as
+    substring_dup_pairs): a gram present in more than ``max_doc_freq``
+    documents is corpus-wide boilerplate (shared license text, site
+    chrome) that inflates the overlap matrix with signal about
+    BOILERPLATE, not mirrored content, and — more importantly at
+    100 TB — makes the pre-DISTINCT (h, source) stream and the skewed
+    join key hot.  Grams above the cap are dropped via one
+    ``groupBy(h).count()`` over the per-doc-unique gram stream before
+    the source projection.  ``None`` keeps exact semantics."""
     from parquet_common_spark.operators.dedup import shingle_hashes_arrow
 
-    hs = (
+    ex = (
         shingle_hashes_arrow(
             df.select(F.col(id_col), F.col(text_col), F.col(source_col)),
             id_col,
@@ -534,8 +545,17 @@ def source_overlap(
             on="_id",
         )
         .select(F.explode("_sh").alias("h"), F.col("_src"))
-        .distinct()
     )
+    if max_doc_freq is not None:
+        # _sh is np.unique'd per doc, so count(1) per h == doc frequency
+        ok = (
+            ex.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_doc_freq)
+            .select("h")
+        )
+        ex = ex.join(ok, "h")
+    hs = ex.distinct()
     a = hs.select("h", F.col("_src").alias("src_a"))
     b = hs.select("h", F.col("_src").alias("src_b"))
     return (

@@ -1249,6 +1249,67 @@ def test_substring_dedup_planted_runs(spark):
     assert not any(2 in p or 3 in p for p in out)
 
 
+def test_substring_dedup_hot_hash_flood_cap(spark):
+    """Adversarial boilerplate flood: the SAME >=32-char run (a license
+    header) in every one of n docs makes the uncapped gram self-join
+    emit n*(n-1)/2 pairs.  With max_doc_freq < n the hot grams are
+    dropped BEFORE the join, so output is bounded (here: zero pairs —
+    each doc is otherwise unique), while pairs whose shared runs sit
+    BELOW the cap are preserved exactly."""
+    n = 200
+    flood = "this exact license header boilerplate is stamped into every single document"
+    # per-doc tail: digits (prefix-grouped >cap by construction) then a
+    # pairwise-UNIQUE 32-char pad, so no two flood docs share any
+    # sub-cap 32-gram — the only shared runs are the flood itself
+    def pad(i):
+        return (chr(97 + i // 26) + chr(97 + i % 26)) * 16
+
+    rows = [(i, flood + f" {i:03d} " + pad(i)) for i in range(n)]
+    # one genuine (sub-cap) duplicate pair on a DIFFERENT shared run
+    priv = "a privately shared thirty-two-plus character run only these two contain"
+    rows += [(n, "doc n speaking: " + priv), (n + 1, "doc n+1 speaking: " + priv)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = D.substring_dup_pairs(df, "doc_id", "text", min_len=32, max_doc_freq=8)
+    pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # flood pairs suppressed: output far below the n^2/2 uncapped blowup
+    assert len(pairs) <= n, f"flood not capped: {len(pairs)} pairs"
+    assert not any(a < n and b < n for a, b in pairs), "flood pair leaked"
+    # sub-cap duplication still found exactly
+    assert (n, n + 1) in pairs
+
+    # uncapped control on a small slice: the flood really is quadratic
+    small = df.where(F.col("doc_id") < 20)
+    uncapped = D.substring_dup_pairs(small, "doc_id", "text", min_len=32)
+    assert uncapped.count() == 20 * 19 // 2
+
+
+def test_source_overlap_hot_hash_flood_cap(spark):
+    """x6 flood guard: a trigram present in every doc of both sources is
+    corpus-wide boilerplate; with max_doc_freq it no longer counts
+    toward the overlap matrix, while sub-cap shared grams still do."""
+    from parquet_common_spark.operators.text import source_overlap
+
+    flood = "identical boilerplate footer text"
+    rows = [(i, "a", f"source a doc {i} words. " + flood) for i in range(50)]
+    rows += [(100 + i, "b", f"source b doc {i} talks. " + flood) for i in range(50)]
+    # one genuinely mirrored doc pair across sources (sub-cap grams)
+    mirror = "mirrored crawl content only hosted twice"
+    rows += [(200, "a", mirror), (201, "b", mirror)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    capped = {
+        (r["src_a"], r["src_b"]): r["n_shared"]
+        for r in source_overlap(df, "source", "text", "doc_id", n=3, max_doc_freq=8).collect()
+    }
+    uncapped = {
+        (r["src_a"], r["src_b"]): r["n_shared"]
+        for r in source_overlap(df, "source", "text", "doc_id", n=3).collect()
+    }
+    # the mirrored doc's grams survive the cap; the flood grams don't
+    assert 0 < capped[("a", "b")] < uncapped[("a", "b")]
+
+
 def test_count_min_sketch_never_undercounts(spark):
     from parquet_common_spark.operators import sketch as SK
 
