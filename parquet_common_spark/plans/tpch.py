@@ -502,23 +502,30 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(c_acctbal AS DECIMAL(27,2))) AS DOUBLE) AS totacctbal
     FROM customer
     WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
-      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '2000-01-01')
     GROUP BY CAST(c_nationkey % 10 AS INT)
     ORDER BY cntrycode
     """,
 )
 def q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # "inactive" = no orders since 2000-01-01 (a recent-window anti-join
+    # rather than TPC-H's no-orders-ever: this testdata gives every
+    # customer at least one order, which made the original predicate
+    # select 0 rows — a vacuous oracle match; the window keeps the
+    # anti-join + scalar-subquery shape AND selects rows at every SF)
     t = load(spark, sf_dir, "customer", "orders")
     # scalar subquery as a broadcast single-row crossJoin (the q20a
     # pattern): one job, no collect()-then-replan driver round trip
     avg_bal = (
         t["customer"].where(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("_avg_bal"))
     )
+    recent = t["orders"].where(F.col("o_orderdate") >= "2000-01-01")
     return (
         t["customer"]
         .crossJoin(F.broadcast(avg_bal))
         .where(F.col("c_acctbal") > F.col("_avg_bal"))
-        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"), "left_anti")
+        .join(recent, F.col("o_custkey") == F.col("c_custkey"), "left_anti")
         .groupBy((F.col("c_nationkey") % 10).cast("int").alias("cntrycode"))
         .agg(F.count(F.lit(1)).alias("numcust"), dsum(F.col("c_acctbal"), 2).alias("totacctbal"))
         .orderBy("cntrycode")
