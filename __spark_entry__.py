@@ -22,229 +22,72 @@ from pyspark.sql import DataFrame, SparkSession
 # holds queries hash-green in the latest checked round; the full set is
 # still verified locally via tools/check_correctness.py each round.
 _CHECK_WINDOW = [
-    # r6 rotation (VERDICT r5 ask #7): the 46 members that were in the
-    # r5 TAIL — driver-checked last in <=r4, judge-verified in r5 — so
-    # every family is driver-checked at most 2 rounds stale
-    "d2_minhash_lsh_dedup", "t2_quality_scores", "sim2_lsh_topk",
-    "mm2_frame_sampling", "d6_duplicate_clusters",
-    "t5_tfidf_terms", "sim4_quantized_topk",
-    "sim3_ivf_topk", "w3_moving_avg_events", "g1_rollup_revenue",
-    "s1_nation_setops", "e1_event_type_stats",
-    "e4_asof_last_click_before_purchase", "e5_top_users_by_value",
-    "m1_matcher_eq", "m4_empty_label_semantics", "m5_label_values",
-    "m6_time_range_pruning", "m8_daily_series_delta",
-    "m9_extrapolated_rate", "m10_histogram_quantile",
-    "m12_promql_functions", "m13_chunk_roundtrip",
-    "m14_histogram_chunk_roundtrip", "w6_sliding_windows",
-    "m18_absent_over_time", "m17_double_exponential_smoothing",
-    "m16_histogram_functions", "st1_streaming_daily_counts",
-    "w5_session_windows", "st2_stream_stream_join", "q8a_market_share",
-    "m7_label_values_filtered", "q20a_active_part_suppliers",
-    "q21a_late_sole_suppliers", "p1_pivot_event_counts",
-    "x1_token_frequencies", "sql1_revenue_by_segment",
-    "pq2_promql_parquet_storage", "pq3_promql_native_histograms",
-    "q3_shipping_priority", "q5_local_supplier_volume",
-    "q6_forecast_revenue", "q18_large_volume_customer",
-    # + the 4 surfaces whose CODE changed this round: decontaminate's
-    # AQE-sized anti join (d7, and c2 composes it with the reworked
-    # packing persist registry), and the PromQL engine (info() selector
-    # arg, limit_ratio NaN, ts_of_* tiebreak, range validation -> pq1)
-    "d7_benchmark_decontam", "p5_sequence_packing",
-    "c2_curation_pipeline_v2", "pq1_promql_engine",
-    # new this round: the real PNG codec and the chunking operator
-    # through the gate (c1 and p2 yield their slots — c2 composes c1's
-    # operators, and the p-family keeps p1/p4/p5 in the window)
-    "mm5_png_pixel_checksum", "x2_doc_chunking",
-    # new this round (continuation): tokenizer-training operators.
-    # x1 yields its slot to its own family (x2/x3/x4 all exercise the
-    # same explode+aggregate surface and more); m5 yields to keep the
-    # window at 50 — the m-family retains 11 members incl. the filtered
-    # variant m7, which supersets m5's code path.
-    "x3_bpe_pair_counts", "x4_oov_rate",
-    # continuation batch 2: unigram-perplexity filter, the quantile
-    # sketch, and the binning aggregation — all new code this round.
-    # e5/w3/m13 yield (e keeps e1/e4/e6, w keeps w5/w6, m keeps 12
-    # members incl. both codec round-trips via m14).
-    "t8_unigram_ppl", "a2_approx_quantile", "e6_value_histogram",
-    # continuation batch 3: incremental dedup against the persisted
-    # sketch index (new code) — m6 yields; the m-family keeps 11
-    # members and the time-range-pruning plan pin lives in pytest.
-    "d8_incremental_dedup",
-    # continuation batch 4: the streaming arm of incremental dedup
-    # (new code) — q6 yields; the TPC-H slice keeps 6 members and q6
-    # stays on the bench headline path every round.
-    "st5_streaming_neardup",
-    # continuation batch 5: cross-document dup-ngram fraction (new
-    # code) — sim2 yields; the sim family keeps sim3/sim4 in the
-    # window and sim2 was driver-checked green this round (r6 gate).
-    "x5_interdoc_dup_ngrams",
-    # continuation batch 6: the streaming-ingest lifecycle
-    # (convert_streaming -> compact_shards -> queryable, new code) —
-    # p1 yields; pivot stays oracle-swept and p4/p5 hold the family.
-    "pq5_streaming_ingest",
-    # continuation batch 7: the retention lifecycle (delete_series +
-    # downsample_shard, new code) — sql1 yields; the spark.sql surface
-    # is a thin registry pass-through whose oracle IS the query text.
-    "pq6_retention_lifecycle",
-    # continuation batch 8: product-quantization ANN (new code) —
-    # e4 yields; the asof-join family stays oracle-swept and e1/e6
-    # hold the family in the window.
-    "sim5_pq_topk",
-    # continuation batch 9: grouping-sets, ranking windows, and the
-    # conditional/null function sweep (new code) — m14/m16/q8a yield
-    # (codec round-trips stay hypothesis-pinned in pytest, the m-family
-    # keeps 9 members, TPC-H keeps 5).
-    "g4_grouping_sets", "w7_rank_functions", "f4_conditional_null",
-    # continuation batch 10: span-level decontamination (new code) —
-    # m9 yields; the m-family keeps 8 members and the extrapolated-rate
-    # family stays pinned by the promqltest corpus + w-family evals.
+    # r7 rotation (VERDICT r6 ask #6), now DATA-DRIVEN: staleness is
+    # computed from CORRECTNESS_r*.json (last round the driver checked
+    # each query); the window takes the stalest 43 (9 never
+    # driver-checked, 3 last checked r2, 31 last checked r4), every
+    # query whose CODE changed this round, and a 4-member r5-cohort
+    # fill. The 92-member r6 tail was judge-verified in r6; the
+    # remaining r5/r6-checked members rotate in across r8-r9 so no
+    # family goes >3 rounds driver-stale.
+    "a2_approx_quantile",
     "d9_span_decontam",
-    # continuation batch 11: cohort retention + ordered funnel (new
-    # code) — m8/w6 yield; m keeps 7 members, w keeps w5/w7.
-    "e7_cohort_retention", "e8_funnel_conversion",
-    # continuation batch 12: SemDeDup cluster-then-prune semantic dedup
-    # (new code) — sim4 yields; the sim family keeps sim3/sim5 (sim3
-    # exercises the same centroid-assignment path d10 composes) and
-    # sim4 was driver-checked green this round.
-    "d10_semdedup",
-    # continuation batch 13: split-leakage audit, epoch shuffle, and
-    # source-overlap matrix (new code) — t5/g1/m12 yield; TF-IDF stays
-    # oracle-swept (x-family supersets its explode+agg surface), g4
-    # holds the grouping family, and the PromQL function surface is
-    # pinned by the 37-file/839-eval script corpus + pq1/pq2/pq3.
-    "d11_split_leakage", "p6_epoch_shuffle", "x6_source_overlap",
-    # continuation batch 14: streaming session windows (new code) —
-    # m17 yields; double-exponential smoothing stays pinned by the
-    # upstream-functions script corpus and the differential model.
-    "st6_streaming_sessions",
-    # continuation batch 15: hashed linear quality classifier (new
-    # code) — e1 yields; the event-stats family keeps e6/e7/e8 and e1
-    # stays on the bench headline path every round.
-    "t9_quality_classifier",
-    # continuation batch 16: custom-bucket native histograms (NHCB,
-    # schema -53 — new code: custom_histogram_quantile/fraction through
-    # a convert()-written shard carrying nh_custom_values) — m10
-    # yields; the classic le-bucket walk stays pinned by the script
-    # corpus (histograms.test both storage paths) and e6, and m19's
-    # oracle replays the same classic interpolation arithmetic.
-    "m19_custom_bucket_histograms",
-    # continuation batch 17: temperature mixture, PSI split-drift, and
-    # contrastive hard-negative mining (new code) — d7/p5 yield (both
-    # driver-checked green in r5, and c2 composes both operators
-    # end-to-end so the code paths stay in the window via c2); q21a
-    # yields (judge-verified r5; the TPC-H slice keeps q3/q5/q18/q20a).
-    "p7_temperature_mixture", "x7_split_drift", "sim6_hard_negatives",
-    # continuation batch 18: bigram-LM perplexity and length-bucketed
-    # batch construction (new code) — t8 yields (t10 supersets the
-    # unigram model's code path: same tokens/explode/broadcast-join
-    # shape plus the bigram stage; t8 was driver-checked green in the
-    # r6 local sweep); x4 yields (its vocab-broadcast probe is the
-    # same surface t10's unigram lookups exercise, and the x-family
-    # keeps x2/x3/x5/x6/x7 in the window).
-    "t10_bigram_ppl", "p8_length_buckets",
-    # continuation batch 19: MMR diversified re-rank (new code) — pq1
-    # yields (driver-checked green in r5; the engine is pinned by the
-    # 904-eval promqltest corpus in pytest, and pq2-pq6 keep the
-    # engine-through-parquet-storage surface in the window).
-    "sim7_mmr_rerank",
-    # continuation batch 20: Flesch readability + Zipf-fit corpus
-    # health (new code) — q5/q18 yield (both are bench headliners
-    # measured every round, locally oracle-swept this round, and the
-    # TPC-H slice keeps q3/q20a in the window).
-    "t11_readability", "x9_zipf_fit",
-    # continuation batch 21: exact-substring (character-run) dedup
-    # (new code) — d9 yields (judge-re-runnable; the decontam family
-    # keeps d7-composing c2 plus st4, and d12 now exercises the same
-    # char-gram join surface at the character level).
+    "e6_value_histogram",
+    "f4_conditional_null",
+    "g4_grouping_sets",
+    "mm4_audio_features",
+    "t8_unigram_ppl",
+    "w7_rank_functions",
+    "x4_oov_rate",
+    # last driver-checked r2
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q18_large_volume_customer",
+    # last driver-checked r4
+    "c1_curation_pipeline",
+    "e1_event_type_stats",
+    "e4_asof_last_click_before_purchase",
+    "e5_top_users_by_value",
+    "f3_array_functions",
+    "g1_rollup_revenue",
+    "m5_label_values",
+    "m6_time_range_pruning",
+    "m8_daily_series_delta",
+    "m9_extrapolated_rate",
+    "m10_histogram_quantile",
+    "m12_promql_functions",
+    "m13_chunk_roundtrip",
+    "m14_histogram_chunk_roundtrip",
+    "m16_histogram_functions",
+    "m17_double_exponential_smoothing",
+    "mm2_frame_sampling",
+    "p1_pivot_event_counts",
+    "p2_deterministic_sample",
+    "q8a_market_share",
+    "q21a_late_sole_suppliers",
+    "sim2_lsh_topk",
+    "sim4_quantized_topk",
+    "sql1_revenue_by_segment",
+    "st2_stream_stream_join",
+    "t2_quality_scores",
+    "t5_tfidf_terms",
+    "w3_moving_avg_events",
+    "w5_session_windows",
+    "w6_sliding_windows",
+    "x1_token_frequencies",
+    # code changed THIS round: hot-hash flood caps (d12/x6) and the
+    # de-vacuated recent-window anti-join predicate (q22)
     "d12_substring_dedup",
-    # continuation batch 22: count-min frequency sketch (new code —
-    # the deterministic plain-aggregation CMS with estimate-exact
-    # oracle parity) — a2 yields (r6-early code, locally swept; the
-    # approximate family keeps a3 in the window and a1/a2's bound
-    # checks are pytest-pinned).
-    "a3_count_min_heavy_hitters",
-    # continuation batch 23: the streaming arm of the count-min sketch
-    # (new code; complete-mode stateful groupBy bounded by D*W cells) —
-    # st2 yields (stream-stream joins stay pinned by st5's
-    # streaming-neardup join and the pytest streaming suite).
-    "st7_streaming_heavy_hitters",
-    # continuation batch 24: the recording-rule lifecycle (new code —
-    # eval_range_df materialized through convert() as a derived metric,
-    # then selected back) — w5 yields (st6 keeps the identical
-    # session_window operator in the window, and w5 was green in this
-    # round's full local sweep).
-    "pq7_recording_rule",
-    # continuation batch 25: quality-budget selection and the vocab
-    # coverage curve (new code; both reuse the distributed prefix sum)
-    # — t2/mm2 yield (t2 is a bench headliner measured every round and
-    # p9 composes its exact quality-score fragment through the gate;
-    # mm2's frame-sampling surface stays pinned by the mediacodec
-    # pytest suite and mm1/mm3/mm4/mm5 family checks in pytest).
-    "p9_quality_budget_selection", "x10_vocab_coverage",
-    # continuation batch 26: navigation + value-range window frames
-    # (new code: lead/nth_value/RANGE — the §2.5 surface beyond w7's
-    # rank family) — w7 yields its slot to the new member; the rank
-    # family stays pinned by the TPC-H windows (w1/q2a) and pytest.
-    "w8_navigation_frames",
-    # continuation batch 27: map built-ins (new code — §2.8's
-    # complex-type surface beyond f3's arrays) — f4 yields
-    # (conditional/null built-ins are corpus-trivial and locally swept;
-    # the f-family keeps f5 plus f1/f2/f3's pytest coverage).
-    "f5_map_functions",
-    # continuation batch 28: forward as-of with tolerance (new code —
-    # e4's backward twin, attribution-window join) — e6 yields (the
-    # histogram binning agg is corpus-adjacent and locally swept; the
-    # e-family keeps e7/e8/e9 plus e1 on the bench headline path).
-    "e9_asof_next_purchase_within_1h",
-    # continuation batch 29: UNPIVOT/melt (new code — the reshape
-    # inverse of p1's pivot) — g4 yields (grouping sets are
-    # corpus-trivial built-ins, locally swept this round; p10 keeps
-    # the reshape pair's pivot surface in the window via the shared
-    # aggregation).
-    "p10_unpivot_event_matrix",
+    "x6_source_overlap",
+    "q22_inactive_customers",
+    # r5-cohort fill to exactly 50: the matcher-core pair plus the
+    # exact-dedup and decontamination anchors
+    "m2_matcher_regex_set",
+    "m3_matcher_negative_regex",
+    "d1_exact_dedup",
+    "d7_benchmark_decontam",
 ]
-_CHECK_WINDOW.remove("g4_grouping_sets")
-_CHECK_WINDOW.remove("w7_rank_functions")
-_CHECK_WINDOW.remove("f4_conditional_null")
-_CHECK_WINDOW.remove("e6_value_histogram")
-_CHECK_WINDOW.remove("t2_quality_scores")
-_CHECK_WINDOW.remove("mm2_frame_sampling")
-_CHECK_WINDOW.remove("st2_stream_stream_join")
-_CHECK_WINDOW.remove("w5_session_windows")
-_CHECK_WINDOW.remove("d9_span_decontam")
-_CHECK_WINDOW.remove("a2_approx_quantile")
-_CHECK_WINDOW.remove("pq1_promql_engine")
-_CHECK_WINDOW.remove("q5_local_supplier_volume")
-_CHECK_WINDOW.remove("q18_large_volume_customer")
-_CHECK_WINDOW.remove("d7_benchmark_decontam")
-_CHECK_WINDOW.remove("p5_sequence_packing")
-_CHECK_WINDOW.remove("q21a_late_sole_suppliers")
-_CHECK_WINDOW.remove("t8_unigram_ppl")
-_CHECK_WINDOW.remove("x4_oov_rate")
-_CHECK_WINDOW.remove("sim4_quantized_topk")
-_CHECK_WINDOW.remove("x1_token_frequencies")
-_CHECK_WINDOW.remove("m5_label_values")
-_CHECK_WINDOW.remove("e5_top_users_by_value")
-_CHECK_WINDOW.remove("w3_moving_avg_events")
-_CHECK_WINDOW.remove("m13_chunk_roundtrip")
-_CHECK_WINDOW.remove("m6_time_range_pruning")
-_CHECK_WINDOW.remove("q6_forecast_revenue")
-_CHECK_WINDOW.remove("sim2_lsh_topk")
-_CHECK_WINDOW.remove("p1_pivot_event_counts")
-_CHECK_WINDOW.remove("sql1_revenue_by_segment")
-_CHECK_WINDOW.remove("e4_asof_last_click_before_purchase")
-_CHECK_WINDOW.remove("m14_histogram_chunk_roundtrip")
-_CHECK_WINDOW.remove("m16_histogram_functions")
-_CHECK_WINDOW.remove("q8a_market_share")
-_CHECK_WINDOW.remove("m9_extrapolated_rate")
-_CHECK_WINDOW.remove("m8_daily_series_delta")
-_CHECK_WINDOW.remove("w6_sliding_windows")
-_CHECK_WINDOW.remove("t5_tfidf_terms")
-_CHECK_WINDOW.remove("g1_rollup_revenue")
-_CHECK_WINDOW.remove("m12_promql_functions")
-_CHECK_WINDOW.remove("m17_double_exponential_smoothing")
-_CHECK_WINDOW.remove("e1_event_type_stats")
-_CHECK_WINDOW.remove("m10_histogram_quantile")
+assert len(_CHECK_WINDOW) == 50, len(_CHECK_WINDOW)
 
 
 def _registry():
