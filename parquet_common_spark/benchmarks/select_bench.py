@@ -137,7 +137,13 @@ def run(spark: SparkSession, out_dir: str = BENCH_DIR) -> dict:
     for name, matchers in WORKLOADS:
         sel = q.select(0, 120, matchers)
         best = None
-        for _ in range(3):  # min of 3 — local-mode GC/scheduling noise
+        # min-of-3 for the cheap workloads; min-of-5 for the two heavy
+        # collectors, whose larger result forcing (300k/1.2M rows) makes
+        # a single host-load spike visible in the round record (r6
+        # printed 0.79 s for a plan that measures 0.60-0.67 s
+        # interleaved at load-avg 5 — same code, same plan)
+        trials = 5 if name in BUCKETED_WORKLOADS else 3
+        for _ in range(trials):
             t0 = time.perf_counter()
             _force(sel)
             dt = time.perf_counter() - t0
@@ -170,9 +176,16 @@ def generate_bucketed_dataset(
     shuffle exchanges.  Cached in the warehouse across runs."""
     if spark.catalog.tableExists(f"{table_prefix}_series"):
         return table_prefix
-    # the session catalog is in-memory: a previous session's managed-table
-    # files may survive in the warehouse without catalog entries — clear
-    # them or saveAsTable fails with LOCATION_ALREADY_EXISTS
+    # the session catalog is in-memory: a previous session's table FILES
+    # survive in the warehouse without catalog entries.  Re-attach them
+    # (catalog-entry cost only) instead of regenerating 1.5M series —
+    # the regeneration's write-back I/O pressure inflated the very
+    # workloads this bench measures (r6: 5.66 s driver-recorded vs
+    # 0.80 s against a settled table).
+    if C.attach_bucketed(spark, table_prefix) is not None:
+        return table_prefix
+    # no re-attachable files — clear any partial leftovers or
+    # saveAsTable fails with LOCATION_ALREADY_EXISTS
     import shutil
     from urllib.parse import urlparse
 
@@ -227,7 +240,8 @@ def run_bucketed(
     for name in BUCKETED_WORKLOADS:
         sel = q.select(0, 120, by_name[name])
         best = None
-        for _ in range(3):
+        for _ in range(5):  # match run()'s trial count for these two —
+            # the A/B against the directory layout compares mins
             t0 = time.perf_counter()
             _force(sel)
             dt = time.perf_counter() - t0

@@ -434,6 +434,91 @@ def convert_bucketed(
     df.sparkSession.sql(
         f"ALTER TABLE {table_prefix}_series SET TBLPROPERTIES ('pcs.meta' = '{esc}')"
     )
+    # Re-attach sidecar: the session catalog is in-memory, so a fresh
+    # session sees the warehouse FILES but no table entries.  Persist
+    # everything attach_bucketed() needs to recreate the catalog entries
+    # without rewriting the data (underscore-prefixed files are ignored
+    # by parquet listing, like _SUCCESS).
+    import json as _json
+
+    loc = _table_location(df.sparkSession, f"{table_prefix}_series")
+    if loc is not None:
+        with open(os.path.join(loc, _BUCKETED_SIDECAR), "w") as f:
+            _json.dump({"meta": meta.to_json(), "n_buckets": n_buckets}, f)
+    return meta
+
+
+_BUCKETED_SIDECAR = "_pcs_bucketed_meta.json"
+
+
+def _table_location(spark: SparkSession, table: str) -> str | None:
+    """Local-filesystem path of a catalog table, or None if non-local."""
+    from urllib.parse import urlparse
+
+    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+        if r["col_name"] == "Location":
+            u = urlparse(r["data_type"])
+            return u.path if u.scheme in ("", "file") else None
+    return None
+
+
+def attach_bucketed(spark: SparkSession, table_prefix: str) -> S.ShardMeta | None:
+    """Re-attach bucketed-table shards written by :func:`convert_bucketed`
+    in a PREVIOUS session: recreate the ``<prefix>_series`` /
+    ``<prefix>_samples`` catalog entries over the existing warehouse
+    files — no data rewrite.  Returns the shard meta, or ``None`` when
+    the warehouse has no re-attachable files (caller then generates).
+
+    Why this exists: the default session catalog is in-memory, so
+    bucketed tables "vanish" between sessions even though their files
+    (and bucket-id file naming) survive in the warehouse.  Regenerating
+    1.5M+ series on every fresh session puts write-back I/O pressure on
+    whatever is measured next (the r6 bench recorded 5.66 s for a
+    workload that measures 0.80 s against a settled table).  A
+    ``CREATE TABLE ... CLUSTERED BY ... LOCATION`` over the existing
+    files restores the zero-exchange join plan (bucket ids ride in the
+    file names) at catalog-entry cost.  On a real deployment a
+    persistent metastore makes this a no-op; the sidecar written by
+    convert_bucketed carries (meta, n_buckets) so local mode can
+    self-heal."""
+    import json as _json
+    from urllib.parse import urlparse
+
+    if spark.catalog.tableExists(f"{table_prefix}_series"):
+        return None  # already attached — caller reads meta from props
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    series_loc = os.path.join(wh, f"{table_prefix}_series")
+    samples_loc = os.path.join(wh, f"{table_prefix}_samples")
+    sidecar = os.path.join(series_loc, _BUCKETED_SIDECAR)
+    if not (os.path.exists(sidecar) and os.path.isdir(samples_loc)):
+        return None
+    with open(sidecar) as f:
+        side = _json.load(f)
+    meta = S.ShardMeta.from_json(side["meta"])
+    n_buckets = int(side["n_buckets"])
+
+    def ddl(schema) -> str:
+        return ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+
+    series_schema = spark.read.parquet(series_loc).schema
+    esc = meta.to_json().replace("'", "''")
+    spark.sql(
+        f"CREATE TABLE {table_prefix}_series ({ddl(series_schema)}) USING parquet "
+        f"CLUSTERED BY ({S.SERIES_HASH_COLUMN}) SORTED BY ({S.SERIES_HASH_COLUMN}) "
+        f"INTO {n_buckets} BUCKETS LOCATION '{series_loc}' "
+        f"TBLPROPERTIES ('pcs.meta' = '{esc}')"
+    )
+    samples_schema = (
+        spark.read.option("basePath", samples_loc).parquet(samples_loc).schema
+    )
+    spark.sql(
+        f"CREATE TABLE {table_prefix}_samples ({ddl(samples_schema)}) USING parquet "
+        f"PARTITIONED BY ({S.TIME_BUCKET_COLUMN}) "
+        f"CLUSTERED BY ({S.SERIES_HASH_COLUMN}) "
+        f"SORTED BY ({S.SERIES_HASH_COLUMN}, {S.TS_COLUMN}) "
+        f"INTO {n_buckets} BUCKETS LOCATION '{samples_loc}'"
+    )
+    spark.sql(f"MSCK REPAIR TABLE {table_prefix}_samples")
     return meta
 
 

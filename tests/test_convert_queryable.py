@@ -446,6 +446,58 @@ def test_bucketed_tables_roundtrip_and_colocated_join(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_samples")
 
 
+def test_attach_bucketed_recreates_catalog_over_existing_files(spark):
+    """attach_bucketed recreates the catalog entries for bucketed tables
+    whose FILES survived a session (the in-memory catalog forgets them)
+    — identical rows AND the zero-exchange SortMergeJoin plan, with no
+    data rewrite.  This is what lets the select bench (and any fresh
+    session) reuse a previously written 1.5M-series table instead of
+    regenerating it under measurement."""
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    df = make_long_df(spark, n_series=16, samples=6)
+    prefix, copy = "pcs_test_attach_src", "pcs_test_attach_dst"
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    try:
+        C.convert_bucketed(df, prefix, n_buckets=4, col_duration_ms=8 * 3600 * 1000)
+        matchers = [Matcher("__name__", "=", "foo"), Matcher("env", "=", "dev")]
+        expect = sorted(
+            map(tuple, ParquetQueryable.from_tables(spark, [prefix]).select(0, 10**12, matchers).collect())
+        )
+        # simulate a fresh session: files exist, catalog entries don't
+        for sfx in ("_series", "_samples"):
+            shutil.copytree(os.path.join(wh, prefix + sfx), os.path.join(wh, copy + sfx))
+        meta = C.attach_bucketed(spark, copy)
+        assert meta is not None and meta.col_duration_ms == 8 * 3600 * 1000
+        # attach on an already-cataloged prefix is a no-op signal
+        assert C.attach_bucketed(spark, copy) is None
+
+        qt = ParquetQueryable.from_tables(spark, [copy])
+        assert qt.shards[0].meta.col_duration_ms == 8 * 3600 * 1000
+        got = qt.select(0, 10**12, matchers)
+        assert sorted(map(tuple, got.collect())) == expect
+
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = (
+                qt.select(0, 10**12, matchers)
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+    finally:
+        for p in (prefix, copy):
+            spark.sql(f"DROP TABLE IF EXISTS {p}_series")
+            spark.sql(f"DROP TABLE IF EXISTS {p}_samples")
+        for sfx in ("_series", "_samples"):
+            shutil.rmtree(os.path.join(wh, copy + sfx), ignore_errors=True)
+
+
 def test_bucketed_tables_carry_extra_value_cols(spark, tmp_path):
     """convert_bucketed keeps extra per-sample columns (the histogram
     slot) through the catalog round-trip, like directory convert()."""
