@@ -26,6 +26,7 @@ O(N^4) direct formula independently of the codec.
 from __future__ import annotations
 
 import math
+import os
 import struct
 
 import numpy as np
@@ -225,6 +226,7 @@ class _HuffTable:
                 code += 1
                 k += 1
             code <<= 1
+        self.lut_np = lut  # int32 form for the native (C) scan kernel
         self.lut = lut.tolist()
 
     def decode(self, br: _BitReader) -> int:
@@ -687,28 +689,40 @@ def encode_jpeg_progressive(
 
 def _read_entropy(data: bytes, start: int) -> tuple[list[bytes], int]:
     """Unstuff an entropy-coded segment: returns (segments split at
-    RSTn markers, position of the next real marker)."""
+    RSTn markers, position of the next real marker).
+
+    Vectorized: 0xFF positions come from ONE numpy scan and the Python
+    loop only visits those (~1/256 of bytes + stuffing), slice-copying
+    the runs between them — the old per-byte bytearray walk was ~20 %
+    of decode wall time.  Semantics preserved exactly: FF00 unstuffs
+    to FF, RSTn splits, any other FF-marker (including FF as the
+    stream's final byte, which stays data) ends the scan at the FF."""
+    n = len(data)
+    ffs = np.nonzero(np.frombuffer(data, np.uint8)[start:] == 0xFF)[0]
     segments: list[bytes] = []
-    cur = bytearray()
+    parts: list[bytes] = []
     p = start
-    while p < len(data):
-        byte = data[p]
-        if byte == 0xFF and p + 1 < len(data):
-            nxt = data[p + 1]
-            if nxt == 0x00:
-                cur.append(0xFF)
-                p += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                segments.append(bytes(cur))
-                cur = bytearray()
-                p += 2
-                continue
-            break  # EOI or next real marker
-        cur.append(byte)
-        p += 1
-    segments.append(bytes(cur))
-    return segments, p
+    for q in (int(i) + start for i in ffs):
+        if q < p:
+            continue  # inside a consumed FFxx pair
+        if q + 1 >= n:
+            break  # trailing FF with no marker byte: stays data
+        nxt = data[q + 1]
+        if nxt == 0x00:
+            parts.append(data[p : q + 1])  # keep the FF, drop the stuffing
+            p = q + 2
+        elif 0xD0 <= nxt <= 0xD7:
+            parts.append(data[p:q])
+            segments.append(b"".join(parts))
+            parts = []
+            p = q + 2
+        else:
+            parts.append(data[p:q])
+            segments.append(b"".join(parts))
+            return segments, q
+    parts.append(data[p:n])
+    segments.append(b"".join(parts))
+    return segments, n
 
 
 def _ac_first_block(z, br, ac_tab, Ss, Se, Al, eobrun):
@@ -809,11 +823,391 @@ def _scan_units(scan_comps, mcus_x, mcus_y, width, height, hmax, vmax):
                 yield [(c, by * c["bw"] + bx)]
 
 
-def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
+_BITMASK = tuple((1 << i) - 1 for i in range(64))
+
+# ------------------------------------------------ native scan kernel
+
+_NATIVE_LIB = None
+_NATIVE_TRIED = False
+_SCAN_ERRORS = {
+    1: "JPEG: invalid Huffman code",
+    2: "JPEG: entropy data exhausted",
+    3: "JPEG: AC coefficient overflow",
+    4: "JPEG: missing restart segment",
+    5: "JPEG: bad refinement symbol",
+    6: "JPEG: too many scan components",
+}
+
+
+def _native_kernel():
+    """Lazily compile jpeg_scan_kernel.c (cc -O2 -shared, cached by
+    source hash in the system temp dir) and load it via ctypes.
+    Returns the library, or None when no compiler / load failure —
+    callers fall back to the pure-Python tight loop.  This is the
+    documented libjpeg-turbo swap point realized without an external
+    dependency: the Huffman symbol walk is the one serial stage numpy
+    cannot express."""
+    global _NATIVE_LIB, _NATIVE_TRIED
+    if _NATIVE_TRIED:
+        return _NATIVE_LIB
+    _NATIVE_TRIED = True
+    try:
+        import ctypes
+        import hashlib
+        import shutil
+        import subprocess
+        import tempfile
+
+        src = os.path.join(os.path.dirname(__file__), "jpeg_scan_kernel.c")
+        with open(src, "rb") as f:
+            digest = hashlib.sha256(f.read()).hexdigest()[:16]
+        so = os.path.join(tempfile.gettempdir(), f"pcs_jpeg_scan_{digest}.so")
+        if not os.path.exists(so):
+            cc = shutil.which("cc") or shutil.which("gcc") or shutil.which("clang")
+            if cc is None:
+                return None
+            tmp = f"{so}.{os.getpid()}.tmp"
+            subprocess.run(
+                [cc, "-O2", "-fPIC", "-shared", "-o", tmp, src],
+                check=True,
+                capture_output=True,
+            )
+            os.replace(tmp, so)  # atomic: concurrent executors race safely
+        lib = ctypes.CDLL(so)
+        lib.decode_scan.restype = ctypes.c_int
+        _NATIVE_LIB = lib
+    except Exception:
+        _NATIVE_LIB = None
+    return _NATIVE_LIB
+
+
+def _decode_scan_native(lib, segments, restart_interval, unit_blocks, states, Ss, Se, Ah, Al):
+    """Marshal one scan to the C kernel.  ``states[ci]`` here carries
+    numpy buffers: (coef int64 ndarray, dc_lut_np|None, dc_maxlen,
+    ac_lut_np|None, ac_maxlen)."""
+    import ctypes
+
+    seg_data = b"".join(segments)
+    seg_off = np.zeros(len(segments) + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in segments], out=seg_off[1:])
+    n_units = len(unit_blocks)
+    unit_off = np.zeros(n_units + 1, dtype=np.int32)
+    np.cumsum([len(u) for u in unit_blocks], out=unit_off[1:])
+    flat = [t for unit in unit_blocks for t in unit]
+    blk_ci = np.array([t[0] for t in flat], dtype=np.int32)
+    blk_base = np.array([t[1] for t in flat], dtype=np.int64)
+
+    n = len(states)
+    I32P = ctypes.POINTER(ctypes.c_int32)
+    I64P = ctypes.POINTER(ctypes.c_int64)
+    _empty32 = np.zeros(1, dtype=np.int32)
+    coef_ptrs = (I64P * n)(*[s[0].ctypes.data_as(I64P) for s in states])
+    dc_ptrs = (I32P * n)(
+        *[(s[1] if s[1] is not None else _empty32).ctypes.data_as(I32P) for s in states]
+    )
+    ac_ptrs = (I32P * n)(
+        *[(s[3] if s[3] is not None else _empty32).ctypes.data_as(I32P) for s in states]
+    )
+    dc_maxlens = np.array([s[2] for s in states], dtype=np.int32)
+    ac_maxlens = np.array([s[4] for s in states], dtype=np.int32)
+
+    rc = lib.decode_scan(
+        ctypes.c_char_p(seg_data),
+        seg_off.ctypes.data_as(I64P),
+        ctypes.c_int(len(segments)),
+        ctypes.c_int(restart_interval),
+        unit_off.ctypes.data_as(I32P),
+        ctypes.c_int(n_units),
+        blk_ci.ctypes.data_as(I32P),
+        blk_base.ctypes.data_as(I64P),
+        ctypes.c_int(n),
+        coef_ptrs,
+        dc_ptrs,
+        dc_maxlens.ctypes.data_as(I32P),
+        ac_ptrs,
+        ac_maxlens.ctypes.data_as(I32P),
+        ctypes.c_int(Ss),
+        ctypes.c_int(Se),
+        ctypes.c_int(Ah),
+        ctypes.c_int(Al),
+    )
+    if rc != 0:
+        raise ValueError(_SCAN_ERRORS.get(rc, f"JPEG: scan kernel error {rc}"))
+
+
+def _decode_scan_fast(segments, restart_interval, unit_blocks, states, Ss, Se, Ah, Al):
+    """One entropy-coded scan, tight-loop form: the ``fast`` engine's
+    replacement for the reference per-block functions
+    (`_HuffTable.decode` / `_ac_first_block` / `_ac_refine_block`).
+
+    Same algorithm, same error behavior, bit-identical output (pinned
+    by test_fast_engine_matches_reference_*) — the speed comes purely
+    from Python-level mechanics: the bit accumulator lives in local
+    variables instead of a _BitReader object (no method calls or
+    attribute traffic per symbol), Huffman LUTs are resolved once per
+    scan instead of a dict lookup per block, and coefficients land in
+    a flat Python list (ndarray scalar get/set is ~10x a list index).
+    ~5x wall-clock on photographic 256x256 payloads; see PERF_NOTES.
+
+    ``states[ci]`` = (coef_list, dc_lut, dc_maxlen, ac_lut, ac_maxlen);
+    ``unit_blocks[ui]`` = [(ci, base_offset), ...] per entropy unit."""
+    M = _BITMASK
+    seg_idx = 0
+    data = segments[0]
+    end = len(data)
+    pos = 0
+    acc = 0
+    nbits = 0
+    npred = len(states)
+    preds = [0] * npred
+    eobrun = 0
+    p1 = 1 << Al
+    m1 = -p1
+    k0 = Ss if Ss else 1
+    do_dc = Ss == 0
+    do_ac = Se >= k0
+    dc_first = Ah == 0
+    for ui, unit in enumerate(unit_blocks):
+        if restart_interval and ui and ui % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("JPEG: missing restart segment")
+            data = segments[seg_idx]
+            end = len(data)
+            pos = 0
+            acc = 0
+            nbits = 0
+            preds = [0] * npred
+            eobrun = 0
+        for ci, base in unit:
+            coef, dc_lut, dc_maxlen, ac_lut, ac_maxlen = states[ci]
+            if do_dc:
+                if dc_first:  # DC first (or baseline full)
+                    if nbits < dc_maxlen:
+                        while nbits < 56 and pos < end:
+                            acc = (acc << 8) | data[pos]
+                            pos += 1
+                            nbits += 8
+                    if nbits < dc_maxlen:
+                        peek = (acc << (dc_maxlen - nbits)) & M[dc_maxlen]
+                    else:
+                        peek = (acc >> (nbits - dc_maxlen)) & M[dc_maxlen]
+                    entry = dc_lut[peek]
+                    if entry == 0:
+                        raise ValueError("JPEG: invalid Huffman code")
+                    ln = entry & 31
+                    if nbits < ln:
+                        raise ValueError("JPEG: entropy data exhausted")
+                    nbits -= ln
+                    acc &= M[nbits]
+                    size = entry >> 5
+                    if size:
+                        if nbits < size:
+                            while nbits < 56 and pos < end:
+                                acc = (acc << 8) | data[pos]
+                                pos += 1
+                                nbits += 8
+                            if nbits < size:
+                                raise ValueError("JPEG: entropy data exhausted")
+                        nbits -= size
+                        v = (acc >> nbits) & M[size]
+                        acc &= M[nbits]
+                        preds[ci] += v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+                    coef[base] = preds[ci] << Al
+                else:  # DC refinement: one raw bit
+                    if nbits < 1:
+                        while nbits < 56 and pos < end:
+                            acc = (acc << 8) | data[pos]
+                            pos += 1
+                            nbits += 8
+                        if nbits < 1:
+                            raise ValueError("JPEG: entropy data exhausted")
+                    nbits -= 1
+                    if (acc >> nbits) & 1:
+                        coef[base] |= p1
+                    acc &= M[nbits]
+            if not do_ac:
+                continue
+            if Ah == 0:  # AC first scan (also the baseline AC path)
+                if eobrun > 0:
+                    eobrun -= 1
+                    continue
+                k = k0
+                while k <= Se:
+                    if nbits < ac_maxlen:
+                        while nbits < 56 and pos < end:
+                            acc = (acc << 8) | data[pos]
+                            pos += 1
+                            nbits += 8
+                    if nbits < ac_maxlen:
+                        peek = (acc << (ac_maxlen - nbits)) & M[ac_maxlen]
+                    else:
+                        peek = (acc >> (nbits - ac_maxlen)) & M[ac_maxlen]
+                    entry = ac_lut[peek]
+                    if entry == 0:
+                        raise ValueError("JPEG: invalid Huffman code")
+                    ln = entry & 31
+                    if nbits < ln:
+                        raise ValueError("JPEG: entropy data exhausted")
+                    nbits -= ln
+                    acc &= M[nbits]
+                    sym = entry >> 5
+                    r = sym >> 4
+                    s = sym & 0x0F
+                    if s == 0:
+                        if r != 15:
+                            eobrun = (1 << r) - 1
+                            if r:
+                                if nbits < r:
+                                    while nbits < 56 and pos < end:
+                                        acc = (acc << 8) | data[pos]
+                                        pos += 1
+                                        nbits += 8
+                                    if nbits < r:
+                                        raise ValueError("JPEG: entropy data exhausted")
+                                nbits -= r
+                                eobrun += (acc >> nbits) & M[r]
+                                acc &= M[nbits]
+                            break
+                        k += 16  # ZRL
+                        continue
+                    k += r
+                    if k > Se:
+                        raise ValueError("JPEG: AC coefficient overflow")
+                    if nbits < s:
+                        while nbits < 56 and pos < end:
+                            acc = (acc << 8) | data[pos]
+                            pos += 1
+                            nbits += 8
+                        if nbits < s:
+                            raise ValueError("JPEG: entropy data exhausted")
+                    nbits -= s
+                    v = (acc >> nbits) & M[s]
+                    acc &= M[nbits]
+                    coef[base + k] = (v if v >= (1 << (s - 1)) else v - (1 << s) + 1) << Al
+                    k += 1
+            else:  # AC successive-approximation refinement
+                k = Ss
+                if eobrun == 0:
+                    while k <= Se:
+                        if nbits < ac_maxlen:
+                            while nbits < 56 and pos < end:
+                                acc = (acc << 8) | data[pos]
+                                pos += 1
+                                nbits += 8
+                        if nbits < ac_maxlen:
+                            peek = (acc << (ac_maxlen - nbits)) & M[ac_maxlen]
+                        else:
+                            peek = (acc >> (nbits - ac_maxlen)) & M[ac_maxlen]
+                        entry = ac_lut[peek]
+                        if entry == 0:
+                            raise ValueError("JPEG: invalid Huffman code")
+                        ln = entry & 31
+                        if nbits < ln:
+                            raise ValueError("JPEG: entropy data exhausted")
+                        nbits -= ln
+                        acc &= M[nbits]
+                        sym = entry >> 5
+                        r = sym >> 4
+                        s = sym & 0x0F
+                        sval = 0
+                        if s == 0:
+                            if r != 15:
+                                eobrun = 1 << r
+                                if r:
+                                    if nbits < r:
+                                        while nbits < 56 and pos < end:
+                                            acc = (acc << 8) | data[pos]
+                                            pos += 1
+                                            nbits += 8
+                                        if nbits < r:
+                                            raise ValueError("JPEG: entropy data exhausted")
+                                    nbits -= r
+                                    eobrun += (acc >> nbits) & M[r]
+                                    acc &= M[nbits]
+                                break
+                            # r == 15: skip 16 zero-HISTORY coefficients
+                        else:
+                            if s != 1:
+                                raise ValueError("JPEG: bad refinement symbol")
+                            if nbits < 1:
+                                while nbits < 56 and pos < end:
+                                    acc = (acc << 8) | data[pos]
+                                    pos += 1
+                                    nbits += 8
+                                if nbits < 1:
+                                    raise ValueError("JPEG: entropy data exhausted")
+                            nbits -= 1
+                            sval = p1 if (acc >> nbits) & 1 else m1
+                            acc &= M[nbits]
+                        while k <= Se:
+                            zk = coef[base + k]
+                            if zk != 0:
+                                if nbits < 1:
+                                    while nbits < 56 and pos < end:
+                                        acc = (acc << 8) | data[pos]
+                                        pos += 1
+                                        nbits += 8
+                                    if nbits < 1:
+                                        raise ValueError("JPEG: entropy data exhausted")
+                                nbits -= 1
+                                bit = (acc >> nbits) & 1
+                                acc &= M[nbits]
+                                if bit and (zk & p1) == 0:
+                                    coef[base + k] = zk + (p1 if zk >= 0 else m1)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if sval and k <= Se:
+                            coef[base + k] = sval
+                        k += 1
+                if eobrun > 0:
+                    while k <= Se:
+                        zk = coef[base + k]
+                        if zk != 0:
+                            if nbits < 1:
+                                while nbits < 56 and pos < end:
+                                    acc = (acc << 8) | data[pos]
+                                    pos += 1
+                                    nbits += 8
+                                if nbits < 1:
+                                    raise ValueError("JPEG: entropy data exhausted")
+                            nbits -= 1
+                            bit = (acc >> nbits) & 1
+                            acc &= M[nbits]
+                            if bit and (zk & p1) == 0:
+                                coef[base + k] = zk + (p1 if zk >= 0 else m1)
+                        k += 1
+                    eobrun -= 1
+
+
+def decode_jpeg(data: bytes, engine: str = "auto") -> tuple[int, int, np.ndarray]:
     """Decode a baseline (SOF0/SOF1) or progressive (SOF2) JPEG to
     (width, height, HxWxC uint8) — C is 1 for greyscale, 3 (RGB)
     otherwise.  Arithmetic coding and hierarchical modes raise
-    NotImplementedError."""
+    NotImplementedError.
+
+    ``engine`` selects the entropy-scan implementation — all three are
+    pinned bit-identical on every stream in pytest:
+
+    - ``"native"``: the lazily-compiled C kernel
+      (jpeg_scan_kernel.c via ctypes) — raises RuntimeError when no C
+      compiler is available;
+    - ``"fast"``: the inlined pure-Python tight loop
+      (:func:`_decode_scan_fast`) — always available;
+    - ``"reference"``: the readable per-block structure
+      (`_HuffTable.decode` / `_ac_*_block`) the others are pinned to;
+    - ``"auto"`` (default): native when compilable, else fast."""
+    lib = None
+    if engine == "auto":
+        lib = _native_kernel()
+        engine = "native" if lib is not None else "fast"
+    elif engine == "native":
+        lib = _native_kernel()
+        if lib is None:
+            raise RuntimeError("JPEG native kernel unavailable (no C compiler)")
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: bad SOI")
     pos = 2
@@ -879,7 +1273,12 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
             for c in comps:
                 c["bw"] = mcus_x * c["h"]
                 c["bh"] = mcus_y * c["v"]
-                c["zz"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
+                if engine == "fast":
+                    c["coef"] = [0] * (c["bh"] * c["bw"] * 64)
+                elif engine == "native":
+                    c["coef"] = np.zeros(c["bh"] * c["bw"] * 64, dtype=np.int64)
+                else:
+                    c["zz"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise NotImplementedError(
                 f"JPEG SOF{marker - 0xC0}: lossless/arithmetic/hierarchical "
@@ -904,6 +1303,39 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
             if not progressive:
                 Ss, Se, Ah, Al = 0, 63, 0, 0
             segments, pos = _read_entropy(data, pos + 2 + length)
+            if engine in ("fast", "native"):
+                idx = {id(c): i for i, c in enumerate(scan_comps)}
+                unit_blocks = [
+                    [(idx[id(c)], b * 64) for (c, b) in unit]
+                    for unit in _scan_units(
+                        scan_comps, mcus_x, mcus_y, width, height, hmax, vmax
+                    )
+                ]
+                # resolve tables once per scan; a missing NEEDED table
+                # raises KeyError exactly like the reference path
+                need_dc = Ss == 0 and Ah == 0
+                need_ac = Se >= (Ss if Ss else 1)
+                lut_attr = "lut" if engine == "fast" else "lut_np"
+                states = [
+                    (
+                        c["coef"],
+                        getattr(huff[(0, c["td"])], lut_attr) if need_dc else None,
+                        huff[(0, c["td"])].maxlen if need_dc else 1,
+                        getattr(huff[(1, c["ta"])], lut_attr) if need_ac else None,
+                        huff[(1, c["ta"])].maxlen if need_ac else 1,
+                    )
+                    for c in scan_comps
+                ]
+                if engine == "fast":
+                    _decode_scan_fast(
+                        segments, restart_interval, unit_blocks, states, Ss, Se, Ah, Al
+                    )
+                else:
+                    _decode_scan_native(
+                        lib, segments, restart_interval, unit_blocks, states, Ss, Se, Ah, Al
+                    )
+                saw_scan = True
+                continue
             seg_idx = 0
             br = _BitReader(segments[0])
             pred = {c["id"]: 0 for c in scan_comps}
@@ -945,6 +1377,12 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
         pos += 2 + length
     if height is None or not saw_scan:
         raise ValueError("JPEG: missing SOF or SOS")
+    if engine == "fast":
+        for c in comps:
+            c["zz"] = np.array(c["coef"], dtype=np.int64).reshape(-1, 64)
+    elif engine == "native":
+        for c in comps:
+            c["zz"] = c["coef"].reshape(-1, 64)
 
     # dequantize + batch IDCT per component
     A = _DCT_A
@@ -954,7 +1392,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
         coefs = np.zeros((c["zz"].shape[0], 8, 8), dtype=np.float64)
         coefs[:, ZIG_ROWS, ZIG_COLS] = c["zz"].astype(np.float64)
         coefs *= q[None, :, :]
-        blocks = np.einsum("ux,nuv,vy->nxy", A, coefs, A)
+        # == einsum("ux,nuv,vy->nxy", A, coefs, A) but BLAS-backed
+        blocks = A.T @ coefs @ A
         plane = (
             blocks.reshape(c["bh"], c["bw"], 8, 8)
             .swapaxes(1, 2)

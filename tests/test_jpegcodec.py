@@ -218,3 +218,69 @@ def test_corrupt_payloads_yield_null_metadata(spark):
     # truncated mp4 still yields the (0, 0, 0) metadata parse or NULLs -
     # either way no exception escapes
     assert got[4]["n_bytes"] == 8
+
+
+# ------------------------------------------------- engine identity pins
+
+
+def _photo(h, w, seed=7):
+    rng = np.random.default_rng(seed)
+    y, x = np.mgrid[0:h, 0:w]
+    base = (128 + 80 * np.sin(x / 17) * np.cos(y / 23)).astype(np.float64)
+    return np.clip(
+        base[:, :, None] + rng.normal(0, 18, (h, w, 3)), 0, 255
+    ).astype(np.uint8)
+
+
+def _engines():
+    engines = ["reference", "fast"]
+    if J._native_kernel() is not None:
+        engines.append("native")
+    return engines
+
+
+def test_decode_engines_bit_identical_across_layouts():
+    """The fast (pure-Python tight loop) and native (C kernel) scan
+    decoders must produce BIT-identical pixels to the readable
+    reference structure on every stream shape: baseline 444/420,
+    restart intervals, greyscale, progressive 444/420, odd
+    dimensions."""
+    img = _photo(96, 112)
+    cases = [
+        J.encode_jpeg(img, quality=85, subsampling="444"),
+        J.encode_jpeg(img, quality=85, subsampling="420"),
+        J.encode_jpeg(img, quality=85, restart_interval=3),
+        J.encode_jpeg(img[:, :, 0], quality=90),
+        J.encode_jpeg_progressive(img, quality=85),
+        J.encode_jpeg_progressive(_photo(56, 88), quality=80, subsampling="420"),
+        J.encode_jpeg(_photo(41, 27), quality=60, subsampling="420"),
+        J.encode_jpeg_progressive(_photo(33, 19), quality=30),  # long EOB runs
+    ]
+    engines = _engines()
+    assert "native" in engines, "C compiler expected in this environment"
+    for enc in cases:
+        ref = J.decode_jpeg(enc, engine="reference")
+        for eng in engines[1:]:
+            got = J.decode_jpeg(enc, engine=eng)
+            assert got[:2] == ref[:2]
+            assert np.array_equal(got[2], ref[2]), f"{eng} diverged"
+
+
+def test_decode_engines_agree_on_truncated_stream_errors():
+    """A truncated entropy stream raises ValueError in every engine
+    (same exhaustion semantics, not just the happy path)."""
+    enc = J.encode_jpeg(_photo(48, 48), quality=85)
+    # cut inside the entropy data (past the headers, before EOI)
+    cut = enc[: len(enc) // 2]
+    for eng in _engines():
+        with pytest.raises(ValueError):
+            J.decode_jpeg(cut, engine=eng)
+
+
+def test_decode_auto_engine_matches_reference():
+    """The default engine (auto: native when compilable, else fast)
+    is what multimodal mapInPandas callers get — pin it too."""
+    enc = J.encode_jpeg_progressive(_photo(64, 64), quality=75)
+    assert np.array_equal(
+        J.decode_jpeg(enc)[2], J.decode_jpeg(enc, engine="reference")[2]
+    )
