@@ -2176,3 +2176,100 @@ def x10(spark: SparkSession, sf_dir: str) -> DataFrame:
     text.vocab_coverage)."""
     docs = load(spark, sf_dir, "documents")["documents"]
     return T.vocab_coverage(docs, "text", thresholds=(0.5, 0.75, 0.9, 0.99))
+
+
+# ------------- p11: skew-proof fixed-k-per-group deterministic sample
+
+_P11_K = 20
+_P11_SALTS = 8
+
+_P11_SQL = f"""
+    WITH r AS (SELECT doc_id, source,
+                      ROW_NUMBER() OVER (PARTITION BY source
+                          ORDER BY (doc_id * {SMP.MIX_MULT} + {SMP.MIX_ADD})
+                                   % {SMP.MIX_MOD}, doc_id) AS rn
+               FROM documents)
+    SELECT doc_id, source, CAST(rn AS INT) AS rank
+    FROM r WHERE rn <= {_P11_K} ORDER BY source, rank
+"""
+
+
+@query("p11_per_group_sample", _P11_SQL)
+def p11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-source sample selected in TWO bounded phases
+    (salt-bucket top-k, then top-k of the ≤ salts*k survivors) — exactly
+    equal to the single-window ROW_NUMBER oracle, but no task ever sorts
+    more than |group|/salts rows, which is what survives a source owning
+    half a 100 TB corpus (see sampling.fixed_k_per_group)."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return SMP.fixed_k_per_group(
+        docs, "source", "doc_id", k=_P11_K, salts=_P11_SALTS
+    ).orderBy("source", "rank")
+
+
+# ------------- p12: curriculum ordering with source interleaving
+
+_P12_WIDTH = 100
+
+_P12_SQL = f"""
+    SELECT doc_id, source,
+           CAST(floor(n_chars / {_P12_WIDTH}) AS BIGINT) AS bucket,
+           CAST(ROW_NUMBER() OVER (PARTITION BY source, floor(n_chars / {_P12_WIDTH})
+                                   ORDER BY n_chars, doc_id) AS INT) AS slot
+    FROM documents
+    ORDER BY bucket, slot, source
+"""
+
+
+@query("p12_curriculum_order", _P12_SQL)
+def p12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: fixed-width difficulty buckets (length as
+    the difficulty proxy — data-independent, no global quantile pass)
+    ranked within (source, bucket); consuming by (bucket, slot, source)
+    yields easy→hard progression with round-robin source interleaving
+    and no global window anywhere (see sampling.curriculum_order)."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return SMP.curriculum_order(
+        docs, "source", "n_chars", "doc_id", bucket_width=_P12_WIDTH
+    ).orderBy("bucket", "slot", "source")
+
+
+# ------------- x8: held-out n-gram novelty per source
+
+_X8_FRAC = 0.8
+_X8_THR = int(_X8_FRAC * SMP.MIX_MOD)
+
+_X8_SQL = f"""
+    WITH {_DC_CTES},
+    g AS (SELECT id, source, unnest(sh) AS h,
+                 ((id * {SMP.MIX_MULT} + {SMP.MIX_ADD}) % {SMP.MIX_MOD})
+                   < {_X8_THR} AS tr
+          FROM d),
+    train AS (SELECT DISTINCT h FROM g WHERE tr),
+    val AS (SELECT DISTINCT source, h FROM g WHERE NOT tr),
+    novel AS (SELECT v.source, v.h
+              FROM val v LEFT JOIN train t USING (h) WHERE t.h IS NULL),
+    pv AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_val_grams
+           FROM val GROUP BY source),
+    pn AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_novel
+           FROM novel GROUP BY source)
+    SELECT pv.source, n_val_grams,
+           CAST(COALESCE(n_novel, 0) AS BIGINT) AS n_novel,
+           ROUND(CAST(COALESCE(n_novel, 0) AS DOUBLE) / n_val_grams, 6)
+             AS novelty_rate
+    FROM pv LEFT JOIN pn USING (source) ORDER BY source
+"""
+
+
+@query("x8_ngram_novelty", _X8_SQL)
+def x8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out 3-gram novelty per source: the fraction of the val
+    split's distinct gram hashes never seen in train — low novelty means
+    the split leaks train phrasing.  Train reduces to DISTINCT hashes
+    (vocabulary-bounded, not corpus-bounded); novelty is one left-anti
+    equi-join; no self-join, so no hot-hash flood surface (see
+    text.split_novelty)."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return T.split_novelty(
+        docs, "source", "text", "doc_id", n=_DC_N, train_frac=_X8_FRAC
+    ).orderBy("source")

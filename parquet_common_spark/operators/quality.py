@@ -1,0 +1,195 @@
+"""Data-quality, integrity-audit, and CDC operators.
+
+A 100 TB training-data pipeline needs deequ-style validation alongside
+the dedup/sampling surface: one-pass column profiling, foreign-key
+integrity audits, and type-2 (SCD2) history construction from an event
+log.  The reference's validation surface is storage-level only
+(schema-from-metadata + parquet stats, /root/reference/schema); this
+module is the dataset-level layer the assignment brief asks for on top.
+
+Scale posture (SCALE.md §quality):
+  - ``column_profile`` is ONE aggregate over the scan.  With exact
+    distinct counts Catalyst plans an Expand (k simultaneous
+    count-distincts = one input pass, k× intermediate rows, map-side
+    partial aggregation).  At petabyte scale pass ``approx=True``:
+    HLL±5% sketches collapse the Expand into a single combined pass
+    with bounded per-column state.  The melt to one-row-per-column is
+    driver-free Column algebra over the single aggregated row.
+  - ``key_integrity`` is one map-side-combined groupBy per declared
+    relationship plus a key-partitioned full-outer join — never a
+    row-level join, so the shuffled payload is |distinct keys|, not
+    |child rows|.
+  - ``scd2_history`` uses windows partitioned by the entity key only
+    (state bounded per key; skewed entities are bounded by per-key
+    event counts, the same contract as w4 sessionization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_NUMERIC = {"int", "bigint", "smallint", "tinyint", "double", "float", "decimal"}
+
+
+def _is_numeric(dtype: str) -> bool:
+    return dtype.split("(")[0] in _NUMERIC
+
+
+def column_profile(
+    df: DataFrame, columns: list[str], approx: bool = False, sum_scale: int = 4
+) -> DataFrame:
+    """One-pass per-column profile: row/non-null/distinct counts, numeric
+    min/max/mean, lexical min/max for strings.
+
+    Returns one row per profiled column:
+    ``(column, n_rows, n_nonnull, n_distinct, min_num, max_num, mean,
+    min_str, max_str)`` — numeric stats NULL for string columns and
+    vice versa.  ``mean`` is computed as an exact decimal sum divided by
+    the non-null count (same order-insensitivity trick as
+    ``plans.common.dsum``) so it hash-matches any oracle regardless of
+    partitioning.
+    """
+    dtypes = dict(df.dtypes)
+    aggs = [F.count(F.lit(1)).alias("_n_rows")]
+    for c in columns:
+        col = F.col(c)
+        aggs.append(F.count(col).alias(f"_nn_{c}"))
+        if approx:
+            aggs.append(F.approx_count_distinct(col).alias(f"_nd_{c}"))
+        else:
+            aggs.append(F.countDistinct(col).alias(f"_nd_{c}"))
+        if _is_numeric(dtypes[c]):
+            aggs.append(F.round(F.min(col).cast("double"), 6).alias(f"_min_{c}"))
+            aggs.append(F.round(F.max(col).cast("double"), 6).alias(f"_max_{c}"))
+            aggs.append(
+                F.sum(col.cast(f"decimal(18,{sum_scale})")).alias(f"_sum_{c}")
+            )
+        else:
+            aggs.append(F.min(col.cast("string")).alias(f"_mins_{c}"))
+            aggs.append(F.max(col.cast("string")).alias(f"_maxs_{c}"))
+    one = df.agg(*aggs)
+
+    rows = []
+    for c in columns:
+        if _is_numeric(dtypes[c]):
+            mean = F.round(
+                F.col(f"_sum_{c}").cast("double") / F.col(f"_nn_{c}"), 6
+            )
+            min_num, max_num = F.col(f"_min_{c}"), F.col(f"_max_{c}")
+            min_str = max_str = F.lit(None).cast("string")
+        else:
+            mean = F.lit(None).cast("double")
+            min_num = max_num = F.lit(None).cast("double")
+            min_str, max_str = F.col(f"_mins_{c}"), F.col(f"_maxs_{c}")
+        rows.append(
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("_n_rows").cast("long").alias("n_rows"),
+                F.col(f"_nn_{c}").cast("long").alias("n_nonnull"),
+                F.col(f"_nd_{c}").cast("long").alias("n_distinct"),
+                min_num.cast("double").alias("min_num"),
+                max_num.cast("double").alias("max_num"),
+                mean.cast("double").alias("mean"),
+                min_str.alias("min_str"),
+                max_str.alias("max_str"),
+            )
+        )
+    return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+def key_integrity(
+    relationships: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Foreign-key integrity audit across declared (child→parent)
+    relationships.
+
+    Each relationship is ``(name, child_df, child_key, parent_df,
+    parent_key)``; the report has one row per relationship:
+    ``(relationship, child_rows, child_keys, orphan_keys, orphan_rows,
+    unreferenced_parents)`` where *orphans* are child keys absent from
+    the parent and *unreferenced parents* are parent keys no child row
+    points at.  Counts (not row dumps) so a clean corpus still yields a
+    non-vacuous, hash-checkable report.
+    """
+    reports = []
+    for name, child, ck, parent, pk in relationships:
+        c = child.groupBy(F.col(ck).alias("_key")).agg(
+            F.count(F.lit(1)).alias("_c_rows")
+        )
+        p = (
+            parent.select(F.col(pk).alias("_key"))
+            .distinct()
+            .withColumn("_in_parent", F.lit(1))
+        )
+        j = c.join(p, "_key", "full_outer")
+        reports.append(
+            j.agg(
+                F.lit(name).alias("relationship"),
+                F.coalesce(F.sum("_c_rows"), F.lit(0)).cast("long").alias("child_rows"),
+                F.count("_c_rows").cast("long").alias("child_keys"),
+                F.count(F.when(F.col("_in_parent").isNull(), 1))
+                .cast("long")
+                .alias("orphan_keys"),
+                F.coalesce(
+                    F.sum(F.when(F.col("_in_parent").isNull(), F.col("_c_rows"))),
+                    F.lit(0),
+                )
+                .cast("long")
+                .alias("orphan_rows"),
+                F.count(F.when(F.col("_c_rows").isNull(), 1))
+                .cast("long")
+                .alias("unreferenced_parents"),
+            )
+        )
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from an event log:
+    collapse consecutive runs of an unchanged tracked value per entity
+    into ``[valid_from, valid_to)`` versions.
+
+    Returns ``(key, version, value, valid_from, valid_to, run_len,
+    is_current)`` with ``valid_to`` NULL on the open (current) version.
+    ``ts_col`` must be a BIGINT event time (µs); ``tiebreak_col`` makes
+    the within-key order total, so the run decomposition is
+    deterministic.
+
+    Two windows + one aggregate, all partitioned by the entity key:
+    per-key state only, no global ordering anywhere.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    runs = (
+        df.withColumn("_prev", F.lag(value_col).over(w))
+        .withColumn(
+            "_start",
+            (
+                F.col("_prev").isNull() | (F.col("_prev") != F.col(value_col))
+            ).cast("long"),
+        )
+        .withColumn("_run", F.sum("_start").over(w))
+    )
+    hist = runs.groupBy(key_col, "_run").agg(
+        F.min(value_col).alias("value"),
+        F.min(ts_col).alias("valid_from"),
+        F.count(F.lit(1)).cast("long").alias("run_len"),
+    )
+    w2 = Window.partitionBy(key_col).orderBy("valid_from")
+    return hist.select(
+        F.col(key_col),
+        F.row_number().over(w2).alias("version"),
+        F.col("value"),
+        F.col("valid_from"),
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.col("run_len"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    )

@@ -249,3 +249,75 @@ def split_psi(
         F.round(p_v, 6).alias("p_val"),
         F.round((p_t - p_v) * F.log(ratio), 6).alias("psi_term"),
     )
+
+
+def fixed_k_per_group(
+    df: DataFrame, group_col: str, key_col: str, k: int, salts: int = 8
+) -> DataFrame:
+    """Skew-proof deterministic k-per-group sample: the k smallest
+    ``key_mix`` values per group, selected in TWO bounded phases instead
+    of one window over the whole group.
+
+    Phase 1 ranks within ``(group, salt)`` where ``salt = key % salts``;
+    phase 2 re-ranks the ≤ ``salts * k`` survivors per group.  Any row in
+    a group's global top-k is also in its salt-bucket's top-k (fewer than
+    k rows of that bucket precede it), so the two-phase result equals the
+    single-window result exactly — but no task ever sorts more than
+    ``|group| / salts`` rows, which is what makes a 10-billion-row hot
+    group (one source owning half the corpus) survivable.  The oracle is
+    the single-window ROW_NUMBER form.
+
+    Returns ``(group, key, rank)`` with rank in [1, k].
+    """
+    mix = key_mix(F.col(key_col))
+    salted = df.select(
+        F.col(group_col), F.col(key_col), mix.alias("_mix")
+    ).withColumn("_salt", F.pmod(F.col(key_col).cast("long"), F.lit(salts)))
+    w1 = Window.partitionBy(group_col, "_salt").orderBy("_mix", key_col)
+    survivors = (
+        salted.withColumn("_rn1", F.row_number().over(w1))
+        .where(F.col("_rn1") <= k)
+        .drop("_rn1", "_salt")
+    )
+    w2 = Window.partitionBy(group_col).orderBy("_mix", key_col)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select(group_col, key_col, F.col("rank").cast("int").alias("rank"))
+    )
+
+
+def curriculum_order(
+    df: DataFrame,
+    group_col: str,
+    difficulty_col: str,
+    key_col: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Curriculum ordering with source interleaving: bucket documents by
+    a difficulty score (fixed-width buckets — data-independent, no
+    global quantile pass), rank within ``(group, bucket)``, and emit the
+    composite sort key ``(bucket, slot, group)`` that defines the
+    training order.
+
+    Consuming rows ordered by ``(bucket, slot, group, key)`` yields
+    easy→hard progression with round-robin interleaving across groups
+    inside each difficulty band — no long same-source runs.  All state
+    is per ``(group, bucket)`` partition; the total order is carried by
+    the composite key, NOT by a global window, so the plan has no
+    single-task stage at any scale.
+    """
+    bucket = F.floor(F.col(difficulty_col).cast("long") / F.lit(bucket_width)).cast(
+        "long"
+    )
+    w = Window.partitionBy(group_col, "_bucket").orderBy(difficulty_col, key_col)
+    return (
+        df.withColumn("_bucket", bucket)
+        .withColumn("slot", F.row_number().over(w))
+        .select(
+            F.col(key_col),
+            F.col(group_col),
+            F.col("_bucket").alias("bucket"),
+            F.col("slot").cast("int").alias("slot"),
+        )
+    )

@@ -655,3 +655,64 @@ def vocab_coverage(
             ).cast("long").alias(name)
         )
     return j.agg(*aggs)
+
+
+def split_novelty(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    train_frac: float = 0.8,
+) -> DataFrame:
+    """Held-out n-gram novelty per source: of the distinct token
+    ``n``-gram hashes appearing in the VAL half of the deterministic
+    hash split, what fraction never occurs anywhere in the TRAIN half?
+
+    Low novelty means the val split leaks train phrasing (memorization
+    risk inflates eval); per-source rates localize which domain leaks.
+    Returns ``(source, n_val_grams, n_novel, novelty_rate)``.
+
+    Scale shape: shingling is the map-only Arrow path; the train side
+    reduces to DISTINCT gram hashes (bounded by vocabulary^n, not corpus
+    rows); the val side is a DISTINCT over (source, h); novelty is ONE
+    left-anti equi-join on the hash followed by a sources-sized groupBy.
+    No self-join, so no hot-hash flood surface.
+    """
+    from parquet_common_spark.operators.dedup import shingle_hashes_arrow
+    from parquet_common_spark.operators.sampling import MIX_MOD, key_mix
+
+    thr = int(train_frac * MIX_MOD)
+    ex = (
+        shingle_hashes_arrow(
+            df.select(F.col(id_col), F.col(text_col), F.col(source_col)),
+            id_col,
+            text_col,
+            n,
+        )
+        .join(
+            df.select(F.col(id_col).alias("_id"), F.col(source_col).alias("_src")),
+            on="_id",
+        )
+        .withColumn("_train", key_mix(F.col("_id")) < F.lit(thr))
+        .select(F.explode("_sh").alias("h"), "_src", "_train")
+    )
+    train_g = ex.where(F.col("_train")).select("h").distinct()
+    val_g = ex.where(~F.col("_train")).select("h", "_src").distinct()
+    novel = val_g.join(train_g, "h", "left_anti")
+    per_val = val_g.groupBy(F.col("_src").alias("source")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_val_grams")
+    )
+    per_novel = novel.groupBy(F.col("_src").alias("source")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_novel")
+    )
+    return per_val.join(per_novel, "source", "left").select(
+        "source",
+        "n_val_grams",
+        F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
+        F.round(
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("double")
+            / F.col("n_val_grams").cast("double"),
+            6,
+        ).alias("novelty_rate"),
+    )

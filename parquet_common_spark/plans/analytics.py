@@ -2538,3 +2538,271 @@ def e9(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("click_id")
     )
+
+
+# ------------- dq1/dq2/cdc1: data-quality & CDC layer (operators/quality.py)
+
+_DQ1_NUM = ["l_discount", "l_extendedprice", "l_orderkey", "l_quantity"]
+_DQ1_STR = ["l_linestatus", "l_returnflag"]
+
+
+def _dq1_sql() -> str:
+    parts = []
+    for c in _DQ1_NUM:
+        parts.append(f"""
+        SELECT '{c}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT({c}) AS BIGINT) AS n_nonnull,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               ROUND(CAST(MIN({c}) AS DOUBLE), 6) AS min_num,
+               ROUND(CAST(MAX({c}) AS DOUBLE), 6) AS max_num,
+               ROUND(CAST(SUM(CAST({c} AS DECIMAL(27,4))) AS DOUBLE)
+                     / COUNT({c}), 6) AS mean,
+               CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        FROM lineitem""")
+    for c in _DQ1_STR:
+        parts.append(f"""
+        SELECT '{c}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT({c}) AS BIGINT) AS n_nonnull,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+               CAST(NULL AS DOUBLE) AS mean,
+               MIN({c}) AS min_str, MAX({c}) AS max_str
+        FROM lineitem""")
+    return " UNION ALL ".join(parts) + " ORDER BY col_name"
+
+
+@query("dq1_column_profile", _dq1_sql())
+def dq1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """deequ-style one-pass column profile of lineitem: per-column
+    row/non-null/exact-distinct counts, numeric min/max and an
+    order-insensitive exact-decimal mean, lexical min/max for strings.
+    ONE aggregate over the scan (Expand for the simultaneous
+    count-distincts); ``approx=True`` is the documented 100 TB switch
+    (HLL collapses the Expand into bounded per-column sketch state)."""
+    from parquet_common_spark.operators.quality import column_profile
+
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    return column_profile(li, _DQ1_NUM + _DQ1_STR).orderBy("col_name")
+
+
+_DQ2_RELS = [
+    ("events.user_id->customer.c_custkey", "events", "user_id", "customer", "c_custkey"),
+    ("lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part.p_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("orders.o_custkey->customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+]
+
+
+def _dq2_sql() -> str:
+    parts = []
+    for name, ctab, ck, ptab, pk in _DQ2_RELS:
+        parts.append(f"""
+        SELECT '{name}' AS relationship,
+               CAST(COALESCE(SUM(c_rows), 0) AS BIGINT) AS child_rows,
+               CAST(COUNT(c_rows) AS BIGINT) AS child_keys,
+               CAST(COUNT(CASE WHEN in_parent IS NULL THEN 1 END) AS BIGINT)
+                 AS orphan_keys,
+               CAST(COALESCE(SUM(CASE WHEN in_parent IS NULL THEN c_rows END), 0)
+                    AS BIGINT) AS orphan_rows,
+               CAST(COUNT(CASE WHEN c_rows IS NULL THEN 1 END) AS BIGINT)
+                 AS unreferenced_parents
+        FROM (SELECT {ck} AS key, COUNT(*) AS c_rows FROM {ctab} GROUP BY 1) c
+        FULL OUTER JOIN
+             (SELECT DISTINCT {pk} AS key, 1 AS in_parent FROM {ptab}) p
+        USING (key)""")
+    return " UNION ALL ".join(parts) + " ORDER BY relationship"
+
+
+@query("dq2_key_integrity", _dq2_sql())
+def dq2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key integrity audit over four declared relationships:
+    orphaned child keys/rows and unreferenced parents, as COUNTS (so a
+    clean corpus still hash-checks non-vacuously — unreferenced parents
+    ARE nonzero here: parts never ordered, customers without orders).
+    Per relationship: one map-side-combined groupBy on the child key +
+    a key-partitioned full-outer join — |distinct keys| shuffled, never
+    child rows."""
+    from parquet_common_spark.operators.quality import key_integrity
+
+    t = load(spark, sf_dir, "events", "lineitem", "orders", "part", "customer")
+    frames = {"events": t["events"], "lineitem": t["lineitem"],
+              "orders": t["orders"], "part": t["part"], "customer": t["customer"]}
+    rels = [
+        (name, frames[ctab], ck, frames[ptab], pk)
+        for name, ctab, ck, ptab, pk in _DQ2_RELS
+    ]
+    return key_integrity(rels).orderBy("relationship")
+
+
+_CDC1_SQL = """
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t, event_id
+               FROM events WHERE user_id < 5),
+    marks AS (SELECT user_id, event_type, t,
+                     CASE WHEN LAG(event_type) OVER w IS NULL
+                               OR LAG(event_type) OVER w <> event_type
+                          THEN 1 ELSE 0 END AS s
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+    r2 AS (SELECT user_id, event_type, t,
+                  SUM(s) OVER (PARTITION BY user_id ORDER BY t
+                               ROWS UNBOUNDED PRECEDING) AS run
+           FROM marks),
+    hist AS (SELECT user_id, run, MIN(event_type) AS event_type,
+                    MIN(t) AS valid_from, CAST(COUNT(*) AS BIGINT) AS run_len
+             FROM r2 GROUP BY user_id, run)
+    SELECT user_id, CAST(ROW_NUMBER() OVER w2 AS INT) AS version, event_type,
+           valid_from, LEAD(valid_from) OVER w2 AS valid_to, run_len,
+           LEAD(valid_from) OVER w2 IS NULL AS is_current
+    FROM hist WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)
+    ORDER BY user_id, version
+"""
+
+
+@query("cdc1_scd2_history", _CDC1_SQL)
+def cdc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (type-2) history construction from the event log: per user,
+    consecutive runs of an unchanged event_type collapse into
+    ``[valid_from, valid_to)`` versions with an open current row — the
+    CDC primitive for dimension snapshots.  Two windows + one aggregate,
+    all partitioned by user_id (per-key state only)."""
+    from parquet_common_spark.operators.quality import scd2_history
+
+    ev = load(spark, sf_dir, "events")["events"].where(F.col("user_id") < 5)
+    e = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("_tus"),
+        "event_id",
+    )
+    return (
+        scd2_history(e, "user_id", "event_type", "_tus", "event_id")
+        .select(
+            "user_id",
+            "version",
+            F.col("value").alias("event_type"),
+            "valid_from",
+            "valid_to",
+            "run_len",
+            "is_current",
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+# --------------- e10/st8: pure range join via temporal bucketing
+
+_E10_W_US = 300_000_000  # 5-minute blast-radius window
+
+
+_E10_SQL = f"""
+    WITH err AS (SELECT event_id AS err_id, epoch_us(ts) AS t0
+                 FROM events WHERE event_type = 'error'),
+    clk AS (SELECT event_id AS click_id, epoch_us(ts) AS tc
+            FROM events WHERE event_type = 'click')
+    SELECT err_id, CAST(COUNT(*) AS BIGINT) AS n_clicks,
+           MIN(click_id) AS first_click_id
+    FROM err JOIN clk ON tc >= t0 AND tc < t0 + {_E10_W_US}
+    GROUP BY err_id ORDER BY n_clicks DESC, err_id LIMIT 25
+"""
+
+
+@query("e10_interval_blast_radius", _E10_SQL)
+def e10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure range join (NO equality key): clicks landing inside the
+    5-minute window after each error event — incident blast radius.
+    Catalyst alone would plan this as a nested-loop; the operator
+    rewrites it as a temporal-bucket equi-join
+    (operators/intervals.py), so it hash-partitions, AQE-skew-splits,
+    and scales like any other join."""
+    from parquet_common_spark.operators.intervals import point_in_interval_join
+
+    ev = load(spark, sf_dir, "events")["events"]
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    err = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        us.alias("t0"),
+        (us + F.lit(_E10_W_US)).alias("t1"),
+    )
+    clk = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), us.alias("tc")
+    )
+    pairs = point_in_interval_join(clk, err, "tc", "t0", "t1", _E10_W_US)
+    return (
+        pairs.groupBy("err_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clicks"),
+            F.min("click_id").alias("first_click_id"),
+        )
+        .orderBy(F.desc("n_clicks"), "err_id")
+        .limit(25)
+    )
+
+
+_ST8_SQL = f"""
+    SELECT e.event_id AS err_id, c.event_id AS click_id
+    FROM events e JOIN events c
+      ON c.event_type = 'click' AND e.event_type = 'error'
+     AND epoch_us(c.ts) >= epoch_us(e.ts)
+     AND epoch_us(c.ts) < epoch_us(e.ts) + {_E10_W_US}
+    ORDER BY err_id, click_id
+"""
+
+
+@query("st8_streaming_interval_join", _ST8_SQL)
+def st8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming arm of e10: a CLICK STREAM range-joined to the static
+    error-interval table through the same temporal-bucket equi-join —
+    stream-static inner joins are stateless in Structured Streaming, so
+    this runs in append mode with zero state store rows; the exact
+    containment check is a map-only filter per micro-batch."""
+    import uuid
+
+    from parquet_common_spark.plans.common import (
+        ensure_session_env,
+        event_ts_ltz_col,
+        read_events_raw,
+    )
+
+    ensure_session_env(spark)
+    batch_raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = load(spark, sf_dir, "events")["events"]
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    err = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        us.alias("t0"),
+        (us + F.lit(_E10_W_US)).alias("t1"),
+    )
+    w = F.lit(_E10_W_US)
+    err_b = err.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("t0") / w).cast("long"),
+                F.floor((F.col("t1") - F.lit(1)) / w).cast("long"),
+            )
+        ),
+    )
+    raw_dt = dict(batch_raw.dtypes).get("ts")
+    sus = F.unix_micros(event_ts_ltz_col(raw_dt))
+    stream = (
+        spark.readStream.schema(batch_raw.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(F.col("event_id").alias("click_id"), sus.alias("tc"))
+        .withColumn("_bucket", F.floor(F.col("tc") / w).cast("long"))
+    )
+    matched = (
+        stream.join(err_b, "_bucket", "inner")
+        .where((F.col("tc") >= F.col("t0")) & (F.col("tc") < F.col("t1")))
+        .select("err_id", "click_id")
+    )
+    sink = f"st8_{uuid.uuid4().hex[:8]}"
+    q = (
+        matched.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink).orderBy("err_id", "click_id")

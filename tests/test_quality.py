@@ -1,0 +1,140 @@
+"""Data-quality / CDC / interval-join / bounded-sampling operators:
+semantic pins on hand-built frames (the registry oracle covers the
+driver tables; these cover nulls, orphans, multi-bucket intervals, and
+the skew-proof two-phase sample's exact equivalence)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window, functions as F
+
+from parquet_common_spark.operators.intervals import point_in_interval_join
+from parquet_common_spark.operators.quality import (
+    column_profile,
+    key_integrity,
+    scd2_history,
+)
+from parquet_common_spark.operators.sampling import fixed_k_per_group, key_mix
+
+
+def test_column_profile_nulls_and_types(spark):
+    df = spark.createDataFrame(
+        [(1, 2.5, "a"), (2, None, "b"), (3, 4.5, None), (3, 4.5, "a")],
+        "k long, v double, s string",
+    )
+    rows = {r["col_name"]: r for r in column_profile(df, ["k", "v", "s"]).collect()}
+    assert rows["k"]["n_rows"] == 4 and rows["k"]["n_nonnull"] == 4
+    assert rows["k"]["n_distinct"] == 3
+    assert rows["v"]["n_nonnull"] == 3 and rows["v"]["n_distinct"] == 2
+    assert rows["v"]["mean"] == pytest.approx((2.5 + 4.5 + 4.5) / 3, abs=1e-6)
+    assert rows["v"]["min_str"] is None and rows["s"]["min_num"] is None
+    assert rows["s"]["n_nonnull"] == 3
+    assert rows["s"]["min_str"] == "a" and rows["s"]["max_str"] == "b"
+
+
+def test_column_profile_approx_path(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    r = column_profile(df, ["k"], approx=True).collect()[0]
+    # HLL estimate within its documented ±5% envelope
+    assert abs(r["n_distinct"] - 100) <= 10
+
+
+def test_key_integrity_orphans_and_unreferenced(spark):
+    child = spark.createDataFrame(
+        [(1,), (1,), (2,), (99,), (99,), (99,)], "fk long"
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk long")
+    r = key_integrity([("c->p", child, "fk", parent, "pk")]).collect()[0]
+    assert r["child_rows"] == 6 and r["child_keys"] == 3
+    assert r["orphan_keys"] == 1 and r["orphan_rows"] == 3  # key 99
+    assert r["unreferenced_parents"] == 1  # key 3
+
+
+def test_scd2_history_runs_and_open_version(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10, 1), (1, "a", 20, 2), (1, "b", 30, 3), (1, "a", 40, 4),
+         (2, "x", 5, 5)],
+        "k long, v string, t long, id long",
+    )
+    out = {
+        (r["k"], r["version"]): r
+        for r in scd2_history(df, "k", "v", "t", "id").collect()
+    }
+    assert len(out) == 4
+    assert out[(1, 1)]["value"] == "a" and out[(1, 1)]["valid_from"] == 10
+    assert out[(1, 1)]["valid_to"] == 30 and out[(1, 1)]["run_len"] == 2
+    assert out[(1, 2)]["value"] == "b" and out[(1, 2)]["valid_to"] == 40
+    assert out[(1, 3)]["value"] == "a" and out[(1, 3)]["is_current"]
+    assert out[(2, 1)]["is_current"] and out[(2, 1)]["valid_to"] is None
+
+
+def test_interval_join_matches_naive_and_multi_bucket(spark):
+    # intervals LONGER than the bucket (fan-out >2) and points on every
+    # boundary; each containment pair must appear exactly once
+    points = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([0, 99, 100, 250, 999, 1000, 1500])],
+        "pid long, ts long",
+    )
+    ivals = spark.createDataFrame(
+        [(0, 0, 100), (1, 50, 1050), (2, 999, 1000), (3, 1000, 2000)],
+        "iid long, lo long, hi long",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in point_in_interval_join(
+            points, ivals, "ts", "lo", "hi", bucket_us=100
+        ).collect()
+    )
+    naive = sorted(
+        (p, i)
+        for p, t in [(r["pid"], r["ts"]) for r in points.collect()]
+        for i, lo, hi in [(r["iid"], r["lo"], r["hi"]) for r in ivals.collect()]
+        if lo <= t < hi
+    )
+    assert got == naive and len(got) == len(set(got))
+
+
+def test_interval_join_plans_as_equi_join(spark):
+    points = spark.range(100).select(
+        F.col("id").alias("pid"), (F.col("id") * 37).alias("ts")
+    )
+    ivals = spark.range(50).select(
+        F.col("id").alias("iid"),
+        (F.col("id") * 70).alias("lo"),
+        (F.col("id") * 70 + 35).alias("hi"),
+    )
+    plan = (
+        point_in_interval_join(points, ivals, "ts", "lo", "hi", bucket_us=64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_fixed_k_per_group_equals_single_window_under_skew(spark):
+    # one group owns 90% of rows; two-phase result must equal the
+    # single-window oracle exactly
+    rows = [(i, "hot" if i % 10 else "cold") for i in range(1000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = sorted(
+        (r["source"], r["rank"], r["doc_id"])
+        for r in fixed_k_per_group(df, "source", "doc_id", k=7, salts=4).collect()
+    )
+    w = Window.partitionBy("source").orderBy(key_mix(F.col("doc_id")), "doc_id")
+    want = sorted(
+        (r["source"], r["rn"], r["doc_id"])
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 7)
+        .collect()
+    )
+    assert got == want
+    # deterministic across partitionings
+    got2 = sorted(
+        (r["source"], r["rank"], r["doc_id"])
+        for r in fixed_k_per_group(
+            df.repartition(13), "source", "doc_id", k=7, salts=4
+        ).collect()
+    )
+    assert got2 == got
