@@ -22,14 +22,16 @@ from pyspark.sql import DataFrame, SparkSession
 # holds queries hash-green in the latest checked round; the full set is
 # still verified locally via tools/check_correctness.py each round.
 _CHECK_WINDOW = [
-    # r7 rotation (VERDICT r6 ask #6), now DATA-DRIVEN: staleness is
-    # computed from CORRECTNESS_r*.json (last round the driver checked
-    # each query); the window takes the stalest 43 (9 never
-    # driver-checked, 3 last checked r2, 31 last checked r4), every
-    # query whose CODE changed this round, and a 4-member r5-cohort
-    # fill. The 92-member r6 tail was judge-verified in r6; the
-    # remaining r5/r6-checked members rotate in across r8-r9 so no
-    # family goes >3 rounds driver-stale.
+    # r7 rotation (VERDICT r6 ask #6), DATA-DRIVEN: staleness from
+    # CORRECTNESS_r*.json (last round the driver checked each query).
+    # Window = the stalest cohorts (9 never driver-checked pre-r7,
+    # 3 last checked r2, 27 last checked r4), every query whose CODE
+    # changed this round, and the EIGHT queries ADDED this round
+    # (never driver-checked, so they outrank everything).  Displaced
+    # to make room: the 4-member r5 fill (m2/m3/d1/d7) and 4 r4
+    # members with in-window family representation (m8, w6, f3, p1) —
+    # all eight re-verified locally this round and first in line for
+    # the r8 rotation.
     "a2_approx_quantile",
     "d9_span_decontam",
     "e6_value_histogram",
@@ -48,11 +50,9 @@ _CHECK_WINDOW = [
     "e1_event_type_stats",
     "e4_asof_last_click_before_purchase",
     "e5_top_users_by_value",
-    "f3_array_functions",
     "g1_rollup_revenue",
     "m5_label_values",
     "m6_time_range_pruning",
-    "m8_daily_series_delta",
     "m9_extrapolated_rate",
     "m10_histogram_quantile",
     "m12_promql_functions",
@@ -61,7 +61,6 @@ _CHECK_WINDOW = [
     "m16_histogram_functions",
     "m17_double_exponential_smoothing",
     "mm2_frame_sampling",
-    "p1_pivot_event_counts",
     "p2_deterministic_sample",
     "q8a_market_share",
     "q21a_late_sole_suppliers",
@@ -73,19 +72,23 @@ _CHECK_WINDOW = [
     "t5_tfidf_terms",
     "w3_moving_avg_events",
     "w5_session_windows",
-    "w6_sliding_windows",
     "x1_token_frequencies",
     # code changed THIS round: hot-hash flood caps (d12/x6) and the
     # de-vacuated recent-window anti-join predicate (q22)
     "d12_substring_dedup",
     "x6_source_overlap",
     "q22_inactive_customers",
-    # r5-cohort fill to exactly 50: the matcher-core pair plus the
-    # exact-dedup and decontamination anchors
-    "m2_matcher_regex_set",
-    "m3_matcher_negative_regex",
-    "d1_exact_dedup",
-    "d7_benchmark_decontam",
+    # NEW this round (never driver-checked — outrank every stale cohort):
+    # the validation/CDC layer, the pure range join + streaming arm, the
+    # skew-proof sampler, curriculum order, and n-gram novelty
+    "dq1_column_profile",
+    "dq2_key_integrity",
+    "cdc1_scd2_history",
+    "e10_interval_blast_radius",
+    "st8_streaming_interval_join",
+    "p11_per_group_sample",
+    "p12_curriculum_order",
+    "x8_ngram_novelty",
 ]
 assert len(_CHECK_WINDOW) == 50, len(_CHECK_WINDOW)
 
