@@ -29,7 +29,7 @@ _CHECK_WINDOW = [
     # changed this round, and the EIGHT queries ADDED this round
     # (never driver-checked, so they outrank everything).  Displaced
     # to make room: the 4-member r5 fill (m2/m3/d1/d7) and 4 r4
-    # members with in-window family representation (m8, w6, f3, p1) —
+    # members with in-window family representation (m8, w6, f3, p1, m10) —
     # all eight re-verified locally this round and first in line for
     # the r8 rotation.
     "a2_approx_quantile",
@@ -54,7 +54,6 @@ _CHECK_WINDOW = [
     "m5_label_values",
     "m6_time_range_pruning",
     "m9_extrapolated_rate",
-    "m10_histogram_quantile",
     "m12_promql_functions",
     "m13_chunk_roundtrip",
     "m14_histogram_chunk_roundtrip",
@@ -89,6 +88,7 @@ _CHECK_WINDOW = [
     "p11_per_group_sample",
     "p12_curriculum_order",
     "x8_ngram_novelty",
+    "t13_bm25_retrieval",
 ]
 assert len(_CHECK_WINDOW) == 50, len(_CHECK_WINDOW)
 

@@ -2273,3 +2273,65 @@ def x8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.split_novelty(
         docs, "source", "text", "doc_id", n=_DC_N, train_frac=_X8_FRAC
     ).orderBy("source")
+
+
+# ------------- t13: BM25 retrieval top-k
+
+_T13_QUERIES = [(0, "table scan fast"), (1, "stream window agg"),
+                (2, "customer order value")]
+_T13_K = 10
+_T13_K1 = 1.2
+_T13_B = 0.75
+
+_T13_VALUES = ", ".join(
+    f"({qid}, '{tok}')"
+    for qid, qtext in _T13_QUERIES
+    for tok in dict.fromkeys(qtext.split())
+)
+
+# float discipline: the non-binary-exact constants (2.2, 1.2) are CAST
+# AS DOUBLE so DuckDB doesn't run them as DECIMALs; per-term scores are
+# rounded to 9dp and summed as exact decimals (order-insensitive), the
+# final 6dp round happens on the double cast (tie probability
+# measure-zero, unlike rounding the exact decimal — see dsum docstring).
+_T13_SQL = f"""
+    WITH q(query_id, tok) AS (VALUES {_T13_VALUES}),
+    toks AS (SELECT doc_id, unnest({_RAW_TOKS.format(c='text')}) AS tok
+             FROM documents),
+    dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+    tf AS (SELECT q.query_id, t.doc_id, q.tok, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks t JOIN q ON t.tok = q.tok GROUP BY 1, 2, 3),
+    dfreq AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+              FROM tf GROUP BY tok),
+    scored AS (SELECT tf.query_id, tf.doc_id,
+        ROUND(CAST(SUM(CAST(ROUND(
+            ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+            * (tf * CAST({_T13_K1 + 1.0} AS DOUBLE))
+            / (tf + CAST({_T13_K1} AS DOUBLE)
+                    * ({1.0 - _T13_B} + {_T13_B} * dl / avgdl)), 9)
+          AS DECIMAL(27,9))) AS DOUBLE), 6) AS score
+        FROM tf JOIN dfreq USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats
+        GROUP BY tf.query_id, tf.doc_id),
+    r AS (SELECT query_id, doc_id, score,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, doc_id) AS rn
+          FROM scored)
+    SELECT query_id, doc_id, score, CAST(rn AS INT) AS rank
+    FROM r WHERE rn <= {_T13_K} ORDER BY query_id, rank
+"""
+
+
+@query("t13_bm25_retrieval", _T13_SQL)
+def t13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k retrieval over the corpus for a literal query set —
+    the relevance scorer for topical data curation.  One corpus token
+    explode feeds doc lengths and the broadcast-term postings; document
+    frequencies and (n_docs, avgdl) are vocabulary-sized broadcasts;
+    the per-query top-k is the two-phase salted ranking (see
+    text.bm25_topk)."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return T.bm25_topk(
+        docs, _T13_QUERIES, "text", "doc_id", k=_T13_K, k1=_T13_K1, b=_T13_B
+    ).orderBy("query_id", "rank")

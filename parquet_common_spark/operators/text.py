@@ -716,3 +716,122 @@ def split_novelty(
             6,
         ).alias("novelty_rate"),
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: list[tuple[int, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    salts: int = 8,
+) -> DataFrame:
+    """BM25 retrieval: the top-``k`` corpus documents per query string —
+    the retrieval scorer a curation pipeline uses to pull topical data
+    (and the relevance arm of retrieval-augmented dataset construction).
+
+    ``queries`` is a small literal list of ``(query_id, text)``; the
+    corpus is ``df``.  Returns ``(query_id, doc_id, score, rank)`` with
+    ``score`` rounded to 6 (ranking uses the ROUNDED score + doc_id so
+    the order is float-tie-proof across engines).
+
+    Scale shape: ONE token explode over the corpus feeding (a) per-doc
+    lengths (map-side-combined groupBy) and (b) the term postings for
+    the ≤|query vocab| broadcast term set (semi-joined BEFORE the tf
+    groupBy, so the shuffle carries only matching tokens).  Document
+    frequencies and the (n_docs, avgdl) scalar are vocabulary-sized
+    broadcasts.  The final per-query top-k uses the same two-phase
+    salted ranking as ``sampling.fixed_k_per_group`` — exactly equal to
+    the single-window form, but a query matching a billion documents
+    never sorts more than 1/salts of them in one task.
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    qrows = [
+        (qid, tok)
+        for qid, qtext in queries
+        for tok in dict.fromkeys(qtext.lower().split())
+    ]
+    qterms = spark.createDataFrame(qrows, "query_id int, tok string")
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("tok"),
+    )
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("_dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("_n_docs"),
+        (F.sum("_dl").cast("double") / F.count(F.lit(1))).alias("_avgdl"),
+    )
+    tf = (
+        toks.join(F.broadcast(qterms), "tok")
+        .groupBy("query_id", id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    term_df = (
+        tf.select("tok", id_col)
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
+    scored = (
+        tf.join(F.broadcast(term_df), "tok")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("_n_docs") - F.col("_df") + F.lit(0.5))
+                / (F.col("_df") + F.lit(0.5))
+            ),
+        )
+        .withColumn(
+            "_term",
+            F.col("_idf")
+            * (F.col("_tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("_tf")
+                + F.lit(k1)
+                * (
+                    F.lit(1.0 - b)
+                    + F.lit(b) * F.col("_dl") / F.col("_avgdl")
+                )
+            ),
+        )
+        .groupBy("query_id", id_col)
+        # per-term 9dp round + exact decimal sum -> order-insensitive
+        # across partitionings/engines; final 6dp round on the DOUBLE
+        # cast (never on the exact decimal — .xx5 tie discipline, see
+        # plans.common.dsum)
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("_term"), 9).cast("decimal(18,9)")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+    # two-phase salted top-k on (score desc, doc) — equal to the single
+    # window, bounded per task (see sampling.fixed_k_per_group)
+    salted = scored.withColumn(
+        "_salt", F.pmod(F.col(id_col).cast("long"), F.lit(salts))
+    )
+    w1 = Window.partitionBy("query_id", "_salt").orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    survivors = (
+        salted.withColumn("_rn1", F.row_number().over(w1))
+        .where(F.col("_rn1") <= k)
+        .drop("_rn1", "_salt")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .where(F.col("rank") <= k)
+        .select("query_id", id_col, "score", F.col("rank").cast("int").alias("rank"))
+    )

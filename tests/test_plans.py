@@ -230,6 +230,7 @@ def test_registry_wide_no_unplanned_cartesians(spark):
         "t8_unigram_ppl",  # 1-row corpus-total scalar attached to the tiny vocab frame
         "t10_bigram_ppl",  # same 1-row corpus-total attach (bigram model build)
         "x10_vocab_coverage",  # 1-row total-tokens scalar on the vocab cum frame
+        "t13_bm25_retrieval",  # 1-row (n_docs, avgdl) scalar attached to the postings frame
         "p7_temperature_mixture",  # 1-row weight-total scalar on the tiny rates frame
         "x7_split_drift",  # 1-row (n_train, n_val, S) totals on the tiny domain frame
         "d9_span_decontam",  # 1-row benchmark-ngram array attach (lit-key folds to true)
