@@ -29,7 +29,7 @@ _CHECK_WINDOW = [
     # changed this round, and the EIGHT queries ADDED this round
     # (never driver-checked, so they outrank everything).  Displaced
     # to make room: the 4-member r5 fill (m2/m3/d1/d7) and 4 r4
-    # members with in-window family representation (m8, w6, f3, p1, m10) —
+    # members with in-window family representation (m8, w6, f3, p1, m10, sim4) —
     # all eight re-verified locally this round and first in line for
     # the r8 rotation.
     "a2_approx_quantile",
@@ -64,7 +64,6 @@ _CHECK_WINDOW = [
     "q8a_market_share",
     "q21a_late_sole_suppliers",
     "sim2_lsh_topk",
-    "sim4_quantized_topk",
     "sql1_revenue_by_segment",
     "st2_stream_stream_join",
     "t2_quality_scores",
@@ -89,6 +88,7 @@ _CHECK_WINDOW = [
     "p12_curriculum_order",
     "x8_ngram_novelty",
     "t13_bm25_retrieval",
+    "st9_streaming_scd2",
 ]
 assert len(_CHECK_WINDOW) == 50, len(_CHECK_WINDOW)
 

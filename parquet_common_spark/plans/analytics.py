@@ -2806,3 +2806,82 @@ def st8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(sink).orderBy("err_id", "click_id")
+
+
+# --------------- st9: streaming SCD2 (custom stateful operator)
+
+_ST9_SQL = """
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t, event_id
+               FROM events WHERE user_id < 5),
+    marks AS (SELECT user_id, event_type, t,
+                     CASE WHEN LAG(event_type) OVER w IS NULL
+                               OR LAG(event_type) OVER w <> event_type
+                          THEN 1 ELSE 0 END AS s
+              FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+    r2 AS (SELECT user_id, event_type, t,
+                  SUM(s) OVER (PARTITION BY user_id ORDER BY t
+                               ROWS UNBOUNDED PRECEDING) AS run
+           FROM marks),
+    hist AS (SELECT user_id, run, MIN(event_type) AS event_type,
+                    MIN(t) AS valid_from, CAST(COUNT(*) AS BIGINT) AS run_len
+             FROM r2 GROUP BY user_id, run),
+    v AS (SELECT user_id AS key, CAST(ROW_NUMBER() OVER w2 AS INT) AS version,
+                 event_type AS value, valid_from,
+                 LEAD(valid_from) OVER w2 AS valid_to, run_len
+          FROM hist WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from))
+    SELECT key, version, value, valid_from, valid_to, run_len
+    FROM v WHERE valid_to IS NOT NULL ORDER BY key, version
+"""
+
+
+@query("st9_streaming_scd2", _ST9_SQL)
+def st9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming arm of cdc1: the SCD2 fold as a CUSTOM STATEFUL
+    operator (applyInPandasWithState keyed on the entity, EventTimeTimeout
+    retention) — each micro-batch closes versions against the open run
+    carried in state and emits exactly the batch operator's
+    ``valid_to IS NOT NULL`` rows, which is the oracle here."""
+    import uuid
+
+    from parquet_common_spark.plans.common import (
+        ensure_session_env,
+        event_ts_ltz_col,
+        read_events_raw,
+    )
+    from parquet_common_spark.streaming.scd2 import streaming_scd2
+
+    ensure_session_env(spark)
+    raw = read_events_raw(spark, sf_dir)
+    ts_dt = dict(raw.dtypes)["ts"]
+    et = event_ts_ltz_col(ts_dt)
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .where(F.col("user_id") < 5)
+        .select(
+            F.col("user_id"),
+            F.col("event_type"),
+            F.unix_micros(et).alias("_tus"),
+            F.col("event_id"),
+            et.alias("_et"),
+        )
+    )
+    out = streaming_scd2(
+        stream, "user_id", "event_type", "_tus", "event_id", "_et"
+    )
+    sink = f"st9_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(sink).orderBy("key", "version")

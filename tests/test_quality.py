@@ -138,3 +138,71 @@ def test_fixed_k_per_group_equals_single_window_under_skew(spark):
         ).collect()
     )
     assert got2 == got
+
+
+def test_streaming_scd2_state_across_batches(spark, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1): runs CONTINUING across
+    the batch boundary must fold into state, value changes at the
+    boundary must close versions — output equals the batch operator's
+    closed versions."""
+    import os
+    import time
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from parquet_common_spark.operators.quality import scd2_history
+    from parquet_common_spark.streaming.scd2 import streaming_scd2
+
+    rows1 = [  # (key, value, ts_us, id)
+        (1, "a", 1_000_000, 1), (1, "a", 2_000_000, 2), (1, "b", 3_000_000, 3),
+        (2, "x", 1_000_000, 4),
+    ]
+    rows2 = [
+        (1, "b", 4_000_000, 5),   # continues the open 'b' run
+        (1, "c", 5_000_000, 6),   # closes 'b' at the boundary
+        (2, "y", 6_000_000, 7),   # closes 'x'
+    ]
+    schema = "key long, value string, ts long, id long"
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(str(src / "b1"))
+    time.sleep(1.1)  # FileStreamSource orders batches by mod time
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(str(src / "b2"))
+    for i, d in enumerate(["b1", "b2"]):
+        for f in os.listdir(src / d):
+            os.utime(src / d / f, (1_700_000_000 + i * 10,) * 2)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+        .withColumn("_et", F.timestamp_micros(F.col("ts")))
+    )
+    out = streaming_scd2(stream, "key", "value", "ts", "id", "_et")
+    sink = f"scd2t_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.table(sink).select(
+            "key", "version", "value", "valid_from", "valid_to", "run_len"
+        ).collect())
+    )
+
+    batch = spark.createDataFrame(rows1 + rows2, schema)
+    want = sorted(
+        map(tuple, scd2_history(batch, "key", "value", "ts", "id")
+            .where(F.col("valid_to").isNotNull())
+            .select("key", "version", "value", "valid_from", "valid_to", "run_len")
+            .collect())
+    )
+    assert got == want
+    # the boundary-crossing 'b' run must carry length 2 (one row per batch)
+    brun = [r for r in got if r[0] == 1 and r[2] == "b"]
+    assert brun and brun[0][5] == 2
