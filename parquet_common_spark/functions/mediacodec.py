@@ -417,16 +417,177 @@ def wav_info(data: bytes) -> tuple[int, int, int]:
     return channels, rate, frames
 
 
-def wav_samples(data: bytes) -> tuple[np.ndarray, int]:
-    """Decode WAV PCM to ((frames, channels) float64 in [-1, 1], rate).
+# --- G.711 companding (fmt tags 6 = A-law, 7 = µ-law): 256-entry LUTs
+# built once from the CCITT formulas, decode is a pure table gather.
 
-    Supports integer PCM 8 (unsigned) / 16 / 24 / 32-bit and IEEE-float
-    32/64 (fmt tags 1 and 3); anything else (ADPCM, µ-law...) raises
-    NotImplementedError."""
+
+def _g711_tables() -> tuple[np.ndarray, np.ndarray]:
+    b = np.arange(256, dtype=np.int32)
+    # µ-law: stored complemented; bias 0x84; MSB (after ~) is the sign
+    u = ~b & 0xFF
+    t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+    ulaw = np.where(u & 0x80, 0x84 - t, t - 0x84).astype(np.int16)
+    # A-law: stored XOR 0x55; MSB set means positive
+    a = b ^ 0x55
+    seg = (a & 0x70) >> 4
+    t = (a & 0x0F) << 4
+    t = np.where(seg == 0, t + 8, np.where(seg == 1, t + 0x108, 0))
+    t = np.where(seg >= 2, (((a & 0x0F) << 4) + 0x108) << (np.maximum(seg, 2) - 1), t)
+    alaw = np.where(a & 0x80, t, -t).astype(np.int16)
+    return ulaw, alaw
+
+
+_ULAW_DEC, _ALAW_DEC = _g711_tables()
+
+
+def g711_encode(x16: np.ndarray, law: str) -> np.ndarray:
+    """Compand int16 linear PCM to G.711 bytes (``law`` = 'ulaw'/'alaw').
+    Vectorized; the exact CCITT segment/mantissa quantizer, so
+    decode(encode(x)) is the canonical ±quant-step round trip."""
+    pcm = x16.astype(np.int32)
+    if law == "ulaw":
+        sign = np.where(pcm < 0, 0x80, 0)
+        mag = np.minimum(np.abs(pcm), 32635) + 0x84
+        exp = (np.floor(np.log2(mag)).astype(np.int32) - 7).clip(0, 7)
+        mant = (mag >> (exp + 3)) & 0x0F
+        return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+    if law == "alaw":
+        mask = np.where(pcm >= 0, 0xD5, 0x55)
+        mag = np.minimum(np.abs(pcm), 32767)
+        exp = (np.floor(np.log2(np.maximum(mag, 1))).astype(np.int32) - 7).clip(0, 7)
+        low = mag >> 4
+        high = (exp << 4) | ((mag >> (exp + 3)) & 0x0F)
+        return ((np.where(mag < 256, low, high)) ^ mask).astype(np.uint8)
+    raise ValueError(f"unknown companding law {law!r}")
+
+
+# --- IMA ADPCM (fmt tag 0x11): 4-bit differential coding in independent
+# blocks; the predictor recursion is serial WITHIN a block (decoded in
+# Python here — the documented envelope posture, same as the JPEG
+# reference engine), but blocks are independent, so the mapInPandas
+# layer still parallelizes per payload/block at scale.
+
+_IMA_STEPS = np.array(
+    [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+     41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+     190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+     724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+     2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+     6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+     16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767],
+    dtype=np.int32,
+)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], dtype=np.int32)
+
+
+def _ima_decode_channel(pred: int, idx: int, nibbles: np.ndarray) -> np.ndarray:
+    out = np.empty(len(nibbles), dtype=np.int16)
+    for i, nib in enumerate(nibbles):
+        step = int(_IMA_STEPS[idx])
+        diff = step >> 3
+        if nib & 1:
+            diff += step >> 2
+        if nib & 2:
+            diff += step >> 1
+        if nib & 4:
+            diff += step
+        pred = min(32767, max(-32768, pred - diff if nib & 8 else pred + diff))
+        idx = min(88, max(0, idx + int(_IMA_INDEX[nib & 7])))
+        out[i] = pred
+    return out
+
+
+def _ima_decode(payload: bytes, channels: int, block_align: int) -> np.ndarray:
+    """Decode IMA ADPCM data to (frames, channels) int16."""
+    chunks = []
+    for b0 in range(0, len(payload) - block_align + 1, block_align):
+        block = payload[b0 : b0 + block_align]
+        chans = []
+        for c in range(channels):
+            pred, idx = struct.unpack("<hB", block[4 * c : 4 * c + 3])
+            body = np.frombuffer(block[4 * channels :], dtype=np.uint8)
+            # data interleaves 4-byte words per channel
+            words = body.reshape(-1, channels, 4)[:, c, :].reshape(-1)
+            nibs = np.empty(len(words) * 2, dtype=np.uint8)
+            nibs[0::2] = words & 0x0F
+            nibs[1::2] = words >> 4
+            # the header predictor IS the first output sample
+            chans.append(
+                np.concatenate(
+                    ([np.int16(pred)], _ima_decode_channel(pred, idx, nibs))
+                )
+            )
+        chunks.append(np.stack(chans, axis=1))
+    if not chunks:
+        raise ValueError("IMA ADPCM: no complete block")
+    return np.concatenate(chunks, axis=0)
+
+
+def ima_adpcm_encode(
+    x16: np.ndarray, channels: int, samples_per_block: int = 505
+) -> tuple[bytes, int]:
+    """Encode (frames, channels) int16 to IMA ADPCM blocks; returns
+    (payload, block_align).  Reference encoder for round-trip pins."""
+    frames = x16.shape[0]
+    spb = samples_per_block
+    block_align = 4 * channels + (spb - 1) // 2 * channels
+    out = bytearray()
+    idx_state = [0] * channels  # step index carries across blocks
+    for f0 in range(0, frames - spb + 1, spb):
+        headers = bytearray()
+        bodies = []
+        for c in range(channels):
+            col = x16[f0 : f0 + spb, c].astype(np.int32)
+            pred, idx = int(col[0]), idx_state[c]
+            headers += struct.pack("<hBB", pred, idx, 0)
+            nibs = []
+            for s in col[1:]:
+                step = int(_IMA_STEPS[idx])
+                delta = int(s) - pred
+                nib = 8 if delta < 0 else 0
+                delta = abs(delta)
+                if delta >= step:
+                    nib |= 4
+                    delta -= step
+                if delta >= step >> 1:
+                    nib |= 2
+                    delta -= step >> 1
+                if delta >= step >> 2:
+                    nib |= 1
+                # reconstruct exactly like the decoder
+                diff = step >> 3
+                if nib & 1:
+                    diff += step >> 2
+                if nib & 2:
+                    diff += step >> 1
+                if nib & 4:
+                    diff += step
+                pred = min(32767, max(-32768, pred - diff if nib & 8 else pred + diff))
+                idx = min(88, max(0, idx + int(_IMA_INDEX[nib & 7])))
+                nibs.append(nib)
+            idx_state[c] = idx
+            if len(nibs) % 2:
+                nibs.append(0)
+            packed = np.array(nibs, dtype=np.uint8)
+            bodies.append(packed[0::2] | (packed[1::2] << 4))
+        interleaved = np.stack(
+            [b.reshape(-1, 4) for b in bodies], axis=1
+        ).reshape(-1)
+        out += bytes(headers) + interleaved.tobytes()
+    return bytes(out), block_align
+
+
+def wav_samples(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode WAV audio to ((frames, channels) float64 in [-1, 1], rate).
+
+    Supports integer PCM 8 (unsigned) / 16 / 24 / 32-bit, IEEE-float
+    32/64, G.711 A-law/µ-law companding, and IMA ADPCM (fmt tags 1, 3,
+    6, 7, 0x11); anything else (MPEG layers, proprietary ADPCMs...)
+    raises NotImplementedError."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a WAV: bad RIFF/WAVE header")
     pos = 12
-    fmt_tag = channels = rate = bits = None
+    fmt_tag = channels = rate = bits = _align = None
     payload = None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
@@ -440,6 +601,19 @@ def wav_samples(data: bytes) -> tuple[np.ndarray, int]:
         pos += 8 + size + (size & 1)
     if fmt_tag is None or payload is None:
         raise ValueError("WAV: missing fmt or data chunk")
+    if fmt_tag == 6:  # G.711 A-law
+        x = _ALAW_DEC[np.frombuffer(payload, dtype=np.uint8)].astype(np.float64)
+        x /= 32768.0
+        frames = len(x) // channels
+        return x[: frames * channels].reshape(frames, channels), rate
+    if fmt_tag == 7:  # G.711 µ-law
+        x = _ULAW_DEC[np.frombuffer(payload, dtype=np.uint8)].astype(np.float64)
+        x /= 32768.0
+        frames = len(x) // channels
+        return x[: frames * channels].reshape(frames, channels), rate
+    if fmt_tag == 0x11:  # IMA ADPCM
+        pcm = _ima_decode(payload, channels, _align)
+        return pcm.astype(np.float64) / 32768.0, rate
     if fmt_tag == 1:  # integer PCM
         if bits == 8:
             x = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)

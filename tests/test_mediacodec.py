@@ -553,3 +553,56 @@ def test_sample_frames_real_demux(spark):
         r["frame_idx"] for r in sample_frames(df, every_k=1, keyframes_only=True).collect()
     )
     assert key == [0, 3]
+
+
+def _wrap_wav(payload: bytes, fmt_tag: int, ch: int, rate: int, bits: int,
+              block_align: int) -> bytes:
+    fmt = struct.pack("<HHIIHH", fmt_tag, ch, rate, rate * block_align,
+                      block_align, bits)
+    body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(payload)) + payload)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_wav_g711_roundtrip_and_pins():
+    t = np.arange(4000) / 8000.0
+    sig = (0.8 * np.sin(2 * np.pi * 440 * t)).reshape(-1, 1)
+    x16 = (sig * 32767).astype(np.int16)
+    for tag, law in ((7, "ulaw"), (6, "alaw")):
+        enc = MC.g711_encode(x16.reshape(-1), law)
+        wav = _wrap_wav(enc.tobytes(), tag, 1, 8000, 8, 1)
+        x, rate = MC.wav_samples(wav)
+        assert rate == 8000 and x.shape == (4000, 1)
+        # companding round-trip: max error within the top-segment step
+        assert np.max(np.abs(x - sig)) < 0.05
+        assert np.corrcoef(x.ravel(), sig.ravel())[0, 1] > 0.999
+    # canonical G.711 decode pins: ulaw 0xFF -> 0; alaw 0x55 -> -8
+    assert MC.wav_samples(_wrap_wav(b"\xff", 7, 1, 8000, 8, 1))[0][0, 0] == 0.0
+    assert MC.wav_samples(_wrap_wav(b"\x55", 6, 1, 8000, 8, 1))[0][0, 0] == (
+        -8 / 32768.0
+    )
+
+
+def test_wav_ima_adpcm_roundtrip_stereo():
+    t = np.arange(2021) / 8000.0
+    sig = np.stack(
+        [0.6 * np.sin(2 * np.pi * 300 * t), 0.4 * np.sin(2 * np.pi * 523 * t)],
+        axis=1,
+    )
+    x16 = (sig * 32767).astype(np.int16)
+    payload, align = MC.ima_adpcm_encode(x16, channels=2, samples_per_block=505)
+    wav = _wrap_wav(payload, 0x11, 2, 8000, 4, align)
+    x, rate = MC.wav_samples(wav)
+    frames = (2021 // 505) * 505
+    assert rate == 8000 and x.shape == (frames, 2)
+    ref = sig[:frames]
+    # ADPCM tracks within a few quantization steps once the step adapts
+    # (the first ~20 samples are the classic slope-overload warm-up while
+    # the step index climbs from 7 toward the signal's true slope)
+    assert np.max(np.abs(x[24:] - ref[24:])) < 0.05
+    assert np.corrcoef(x[:, 0], ref[:, 0])[0, 1] > 0.995
+
+
+def test_wav_unknown_format_raises():
+    with pytest.raises(NotImplementedError):
+        MC.wav_samples(_wrap_wav(b"\x00\x00", 2, 1, 8000, 4, 2))  # MS ADPCM
