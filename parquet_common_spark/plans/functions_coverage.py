@@ -1194,3 +1194,41 @@ def p10(spark: SparkSession, sf_dir: str) -> DataFrame:
     # anyway, so 0-vs-NULL representation cannot diverge)
     out = piv.unpivot("day", cols, "event_type", "n")
     return out.where(F.col("n") > 0).orderBy("day", "event_type")
+
+
+@query(
+    "f6_bitwise_functions",
+    """
+    SELECT l_linestatus,
+           CAST(BIT_AND(l_orderkey) AS BIGINT) AS and_all,
+           CAST(BIT_OR(l_orderkey) AS BIGINT) AS or_all,
+           CAST(BIT_XOR(l_orderkey) AS BIGINT) AS xor_all,
+           CAST(SUM(bit_count(l_orderkey) % 2) AS BIGINT) AS odd_popcount_rows,
+           CAST(SUM(CASE WHEN (l_orderkey & 255) < 128 THEN 1 ELSE 0 END)
+                AS BIGINT) AS low_bucket_rows,
+           MAX(hex(l_orderkey & 4095)) AS max_hex
+    FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+    """,
+)
+def f6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise built-ins surface: & masking, popcount, shift-free hex
+    formatting, and the bit_and/bit_or/bit_xor aggregates — all
+    JVM-side Column algebra inside one map-side-combined aggregate."""
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    key = F.col("l_orderkey")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.bit_and(key).cast("long").alias("and_all"),
+            F.bit_or(key).cast("long").alias("or_all"),
+            F.bit_xor(key).cast("long").alias("xor_all"),
+            F.sum(F.bit_count(key) % 2).cast("long").alias("odd_popcount_rows"),
+            F.sum(
+                F.when(key.bitwiseAND(F.lit(255)) < 128, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("low_bucket_rows"),
+            F.max(F.hex(key.bitwiseAND(F.lit(4095)))).alias("max_hex"),
+        )
+        .orderBy("l_linestatus")
+    )
