@@ -2335,3 +2335,129 @@ def t13(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bm25_topk(
         docs, _T13_QUERIES, "text", "doc_id", k=_T13_K, k1=_T13_K1, b=_T13_B
     ).orderBy("query_id", "rank")
+
+
+# ------------- c3: canonical selection — keep the BEST doc per cluster
+
+_C3_SQL = f"""
+    WITH RECURSIVE {_SHINGLE_CTES},
+    sigs AS (SELECT id, sh, [{_sig_sql}] AS sig FROM docs),
+    bands AS (SELECT id, unnest([{_band_sql}]) AS band FROM sigs),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM bands a JOIN bands b ON a.band = b.band AND a.id < b.id),
+    pairs AS (SELECT id_a, id_b
+              FROM cand JOIN docs da ON da.id = cand.id_a JOIN docs db ON db.id = cand.id_b
+              WHERE CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+                    / CAST(len(list_distinct(da.sh || db.sh)) AS DOUBLE) >= {_SH_TAU}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT src AS id, dst AS peer FROM edges
+      UNION
+      SELECT r.id, e.dst FROM reach r JOIN edges e ON r.peer = e.src
+    ),
+    labels AS (
+      SELECT id, least(id, MIN(peer)) AS component FROM reach GROUP BY id),
+    q AS (SELECT d.doc_id AS id, {_QUALITY_SQL} AS quality FROM documents d),
+    m AS (SELECT l.component, l.id, q.quality,
+                 ROW_NUMBER() OVER (PARTITION BY l.component
+                                    ORDER BY q.quality DESC, l.id) AS rn,
+                 COUNT(*) OVER (PARTITION BY l.component) AS n_members
+          FROM labels l JOIN q ON q.id = l.id)
+    SELECT component AS cluster_id, id AS keep_id, quality,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM m WHERE rn = 1 AND n_members >= 2 ORDER BY cluster_id
+"""
+
+
+@query("c3_canonical_selection", _C3_SQL)
+def c3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document election: d6's duplicate clusters, but the
+    survivor is the HIGHEST-QUALITY member (t2's deterministic scorer,
+    doc_id tie-break) instead of the min id — the real curation step
+    where clusters keep their best representative.  Reuses the cached
+    LSH pair set and the batched pointer-jumping components; the
+    election is two windows over cluster-sized partitions."""
+    from pyspark.sql import Window
+
+    from parquet_common_spark.operators.components import connected_components
+
+    pairs = _minhash_pairs(spark, sf_dir)
+    cc = connected_components(pairs)
+    docs = load(spark, sf_dir, "documents")["documents"]
+    q = docs.select(
+        F.col("doc_id").alias("id"), T.quality_score(F.col("text")).alias("quality")
+    )
+    m = cc.join(q, "id")
+    wn = Window.partitionBy("component")
+    wr = Window.partitionBy("component").orderBy(F.desc("quality"), F.asc("id"))
+    return (
+        m.withColumn("n_members", F.count(F.lit(1)).over(wn))
+        .withColumn("rn", F.row_number().over(wr))
+        .where((F.col("rn") == 1) & (F.col("n_members") >= 2))
+        .select(
+            F.col("component").alias("cluster_id"),
+            F.col("id").alias("keep_id"),
+            "quality",
+            F.col("n_members").cast("long").alias("n_members"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+# ------------- x11: dedup savings accounting (dataset-card metric)
+
+_X11_SQL = f"""
+    WITH d AS (SELECT doc_id, source, {_NORM.format(c='text')} AS norm,
+                      len({_TOKS.format(c='text')}) AS n_tok
+               FROM documents),
+    keep AS (SELECT norm, MIN(doc_id) AS keep_id FROM d GROUP BY norm)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id = keep_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(SUM(n_tok) AS BIGINT) AS tokens_total,
+           CAST(SUM(CASE WHEN doc_id = keep_id THEN n_tok ELSE 0 END) AS BIGINT)
+             AS tokens_kept,
+           ROUND(1.0 - CAST(SUM(CASE WHEN doc_id = keep_id THEN n_tok ELSE 0 END)
+                            AS DOUBLE) / CAST(SUM(n_tok) AS DOUBLE), 6)
+             AS token_savings
+    FROM d JOIN keep USING (norm)
+    GROUP BY source ORDER BY source
+"""
+
+
+@query("x11_dedup_savings", _X11_SQL)
+def x11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card accounting for exact dedup: per source, documents
+    and tokens kept under keep-first (min doc_id per normalized text)
+    semantics, and the token savings rate.  The keep set comes from a
+    map-side-combined groupBy(norm).min — NOT a per-norm window — so a
+    boilerplate flood (one norm owning half the corpus) stays a partial
+    aggregate, never a single-task sort."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    d = docs.select(
+        "doc_id",
+        "source",
+        T.normalize_text(F.col("text")).alias("norm"),
+        T.token_count(F.col("text")).alias("n_tok"),
+    )
+    keep = d.groupBy("norm").agg(F.min("doc_id").alias("keep_id"))
+    j = d.join(keep, "norm")
+    kept = (F.col("doc_id") == F.col("keep_id")).cast("long")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(kept).cast("long").alias("n_kept"),
+            F.sum("n_tok").cast("long").alias("tokens_total"),
+            F.sum(kept * F.col("n_tok")).cast("long").alias("tokens_kept"),
+            F.round(
+                F.lit(1.0)
+                - F.sum(kept * F.col("n_tok")).cast("double")
+                / F.sum("n_tok").cast("double"),
+                6,
+            ).alias("token_savings"),
+        )
+        .orderBy("source")
+    )

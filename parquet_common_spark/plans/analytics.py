@@ -2885,3 +2885,51 @@ def st9(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(sink).orderBy("key", "version")
+
+
+# --------------- dq3: numeric distribution drift (PSI over value bins)
+
+_DQ3_SPLIT_US = 1_705_363_200_000_000  # 2024-01-16T00:00Z: the month's halves
+_DQ3_WIDTH = 50
+_DQ3_BINS = 10
+
+_DQ3_SQL = f"""
+    WITH e AS (SELECT event_type,
+                      LEAST(CAST(floor(value / {_DQ3_WIDTH}) AS BIGINT),
+                            {_DQ3_BINS - 1}) AS bin,
+                      CASE WHEN epoch_us(ts) < {_DQ3_SPLIT_US} THEN 1 ELSE 0 END AS a
+               FROM events),
+    per AS (SELECT event_type, bin,
+                   CAST(SUM(a) AS BIGINT) AS n_a,
+                   CAST(SUM(1 - a) AS BIGINT) AS n_b
+            FROM e GROUP BY event_type, bin),
+    tot AS (SELECT event_type, SUM(n_a) AS ta, SUM(n_b) AS tb
+            FROM per GROUP BY event_type)
+    SELECT p.event_type, p.bin, n_a, n_b,
+           ROUND(CAST(2 * n_a + 1 AS DOUBLE) / CAST(2 * ta + {2 * _DQ3_BINS} AS DOUBLE), 6) AS p_a,
+           ROUND(CAST(2 * n_b + 1 AS DOUBLE) / CAST(2 * tb + {2 * _DQ3_BINS} AS DOUBLE), 6) AS p_b,
+           ROUND((CAST(2 * n_a + 1 AS DOUBLE) / CAST(2 * ta + {2 * _DQ3_BINS} AS DOUBLE)
+                  - CAST(2 * n_b + 1 AS DOUBLE) / CAST(2 * tb + {2 * _DQ3_BINS} AS DOUBLE))
+                 * ln((CAST(2 * n_a + 1 AS DOUBLE) * CAST(2 * tb + {2 * _DQ3_BINS} AS DOUBLE))
+                      / (CAST(2 * n_b + 1 AS DOUBLE) * CAST(2 * ta + {2 * _DQ3_BINS} AS DOUBLE))), 6)
+             AS psi_term
+    FROM per p JOIN tot t ON p.event_type = t.event_type
+    ORDER BY p.event_type, bin
+"""
+
+
+@query("dq3_numeric_drift", _DQ3_SQL)
+def dq3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric-distribution drift between the month's halves per event
+    type: fixed-width value bins (no quantile pass), PSI terms with
+    add-half smoothing — the monitoring view that catches a metric
+    regime change before it poisons a training mix.  One
+    map-side-combined groupBy reduces the corpus to ≤ |groups|·bins
+    rows (see quality.numeric_drift)."""
+    from parquet_common_spark.operators.quality import numeric_drift
+
+    ev = load(spark, sf_dir, "events")["events"]
+    split = F.unix_micros(F.col("ts").cast("timestamp")) < F.lit(_DQ3_SPLIT_US)
+    return numeric_drift(
+        ev, "event_type", "value", split, _DQ3_WIDTH, _DQ3_BINS
+    ).orderBy("event_type", "bin")
