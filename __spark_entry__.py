@@ -29,7 +29,8 @@ _CHECK_WINDOW = [
     # changed this round, and the EIGHT queries ADDED this round
     # (never driver-checked, so they outrank everything).  Displaced
     # to make room: the 4-member r5 fill (m2/m3/d1/d7) and 4 r4
-    # members with in-window family representation (m8, w6, f3, p1, m10, sim4) —
+    # members with in-window family representation (m8, w6, f3, p1, m10, sim4,
+    # m14, w5, q8a, sql1, t5) —
     # all eight re-verified locally this round and first in line for
     # the r8 rotation.
     "a2_approx_quantile",
@@ -56,20 +57,15 @@ _CHECK_WINDOW = [
     "m9_extrapolated_rate",
     "m12_promql_functions",
     "m13_chunk_roundtrip",
-    "m14_histogram_chunk_roundtrip",
     "m16_histogram_functions",
     "m17_double_exponential_smoothing",
     "mm2_frame_sampling",
     "p2_deterministic_sample",
-    "q8a_market_share",
     "q21a_late_sole_suppliers",
     "sim2_lsh_topk",
-    "sql1_revenue_by_segment",
     "st2_stream_stream_join",
     "t2_quality_scores",
-    "t5_tfidf_terms",
     "w3_moving_avg_events",
-    "w5_session_windows",
     "x1_token_frequencies",
     # code changed THIS round: hot-hash flood caps (d12/x6) and the
     # de-vacuated recent-window anti-join predicate (q22)
@@ -89,6 +85,11 @@ _CHECK_WINDOW = [
     "x8_ngram_novelty",
     "t13_bm25_retrieval",
     "st9_streaming_scd2",
+    "f6_bitwise_functions",
+    "dq3_numeric_drift",
+    "c3_canonical_selection",
+    "x11_dedup_savings",
+    "e11_daily_ohlc",
 ]
 assert len(_CHECK_WINDOW) == 50, len(_CHECK_WINDOW)
 

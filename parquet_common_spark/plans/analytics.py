@@ -2933,3 +2933,75 @@ def dq3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return numeric_drift(
         ev, "event_type", "value", split, _DQ3_WIDTH, _DQ3_BINS
     ).orderBy("event_type", "bin")
+
+
+# --------------- e11: daily OHLC + exact mean per event type
+
+_E11_SQL = """
+    WITH e AS (SELECT event_type,
+                      CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+                      epoch_us(ts) AS tus, event_id, value
+               FROM events),
+    r AS (SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                    ORDER BY tus, event_id) AS rn_a,
+                 ROW_NUMBER() OVER (PARTITION BY event_type, day
+                                    ORDER BY tus DESC, event_id DESC) AS rn_d
+          FROM e)
+    SELECT event_type, day,
+           ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 6) AS open,
+           ROUND(MAX(value), 6) AS high,
+           ROUND(MIN(value), 6) AS low,
+           ROUND(MAX(CASE WHEN rn_d = 1 THEN value END), 6) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*), 6)
+             AS mean_value
+    FROM r GROUP BY event_type, day ORDER BY event_type, day
+"""
+
+
+@query("e11_daily_ohlc", _E11_SQL)
+def e11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC + exact-decimal mean per event type — the
+    downsampling rollup a metrics/market pipeline materializes.  Open
+    and close come from first/last-by-time ROW_NUMBERs (event_id
+    tie-break makes the order total), everything else is one
+    map-side-combined aggregate; all state is per (type, day)."""
+    t = load(spark, sf_dir, "events")["events"]
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    e = t.select(
+        "event_type",
+        F.floor(us / F.lit(86_400_000_000)).cast("long").alias("day"),
+        us.alias("tus"),
+        "event_id",
+        "value",
+    )
+    wa = Window.partitionBy("event_type", "day").orderBy(
+        F.asc("tus"), F.asc("event_id")
+    )
+    wd = Window.partitionBy("event_type", "day").orderBy(
+        F.desc("tus"), F.desc("event_id")
+    )
+    r = e.withColumn("rn_a", F.row_number().over(wa)).withColumn(
+        "rn_d", F.row_number().over(wd)
+    )
+    return (
+        r.groupBy("event_type", "day")
+        .agg(
+            F.round(F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 6).alias(
+                "open"
+            ),
+            F.round(F.max("value"), 6).alias("high"),
+            F.round(F.min("value"), 6).alias("low"),
+            F.round(F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 6).alias(
+                "close"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_value"),
+        )
+        .orderBy("event_type", "day")
+    )
