@@ -139,6 +139,59 @@ _ADAM7 = [
 ]
 
 
+_PNG_NATIVE_LIB = None
+_PNG_NATIVE_TRIED = False
+
+
+def _native_png_kernel():
+    """Lazily compile png_unfilter_kernel.c (cc -O2 -shared, hash-cached
+    in the temp dir, atomic rename under concurrency) and load via
+    ctypes; None when no compiler — callers fall back to the pure-Python
+    unfilter.  Same contract as jpegcodec._native_kernel."""
+    global _PNG_NATIVE_LIB, _PNG_NATIVE_TRIED
+    if _PNG_NATIVE_TRIED:
+        return _PNG_NATIVE_LIB
+    _PNG_NATIVE_TRIED = True
+    try:
+        import ctypes
+        import hashlib
+        import os
+        import shutil
+        import subprocess
+        import tempfile
+
+        src = os.path.join(os.path.dirname(__file__), "png_unfilter_kernel.c")
+        with open(src, "rb") as f:
+            digest = hashlib.sha256(f.read()).hexdigest()[:16]
+        so = os.path.join(tempfile.gettempdir(), f"pcs_png_unfilter_{digest}.so")
+        if not os.path.exists(so):
+            cc = shutil.which("cc") or shutil.which("gcc") or shutil.which("clang")
+            if cc is None:
+                return None
+            tmp = f"{so}.{os.getpid()}.tmp"
+            subprocess.run(
+                [cc, "-O2", "-fPIC", "-shared", "-o", tmp, src],
+                check=True,
+                capture_output=True,
+            )
+            os.replace(tmp, so)
+        lib = ctypes.CDLL(so)
+        lib.unfilter_rows.restype = ctypes.c_longlong
+        lib.unfilter_rows.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_longlong,
+            ctypes.c_longlong,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_int,
+            ctypes.c_void_p,
+        ]
+        _PNG_NATIVE_LIB = lib
+    except Exception:
+        _PNG_NATIVE_LIB = None
+    return _PNG_NATIVE_LIB
+
+
 def _unfilter_rows(
     raw: bytes, n_rows: int, row_bytes: int, bpp: int, pos: int
 ) -> tuple[np.ndarray, int]:
@@ -146,7 +199,20 @@ def _unfilter_rows(
     (1 filter-type byte + row_bytes data), starting at ``raw[pos]``.
     ``bpp`` is the filter distance in BYTES (max(1, channels*bitdepth/8)
     per the PNG spec).  Returns the (n_rows, row_bytes) uint8 array of
-    raw post-filter bytes and the new read position."""
+    raw post-filter bytes and the new read position.
+
+    Fast path: the compiled unfilter kernel (bit-identical, pinned in
+    tests); any negative kernel return falls through to the pure-Python
+    path so truncation/bad-filter errors keep their exact messages."""
+    lib = _native_png_kernel()
+    if lib is not None and n_rows > 0 and row_bytes > 0:
+        out = np.empty((n_rows, row_bytes), dtype=np.uint8)
+        new_pos = lib.unfilter_rows(
+            raw, len(raw), pos, n_rows, row_bytes, bpp,
+            out.ctypes.data,
+        )
+        if new_pos >= 0:
+            return out, int(new_pos)
     out = np.zeros((n_rows, row_bytes), dtype=np.uint8)
     prev = np.zeros(row_bytes, dtype=np.int32)
     groups = row_bytes // bpp if row_bytes % bpp == 0 else None

@@ -606,3 +606,89 @@ def test_wav_ima_adpcm_roundtrip_stereo():
 def test_wav_unknown_format_raises():
     with pytest.raises(NotImplementedError):
         MC.wav_samples(_wrap_wav(b"\x00\x00", 2, 1, 8000, 4, 2))  # MS ADPCM
+
+
+def _png_with_filters(w, h, ch, ftypes, seed=7):
+    """Hand-filtered PNG: pixel bytes from a deterministic pattern,
+    each row filtered with the given type via the RFC 2083 formulas."""
+    rng = np.random.default_rng(seed)
+    pix = rng.integers(0, 256, size=(h, w * ch), dtype=np.uint8).astype(np.int32)
+    bpp = ch
+    stream = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        f = ftypes[y % len(ftypes)]
+        cur = pix[y]
+        a = np.concatenate((np.zeros(bpp, np.int32), cur[:-bpp]))
+        b = prev
+        c = np.concatenate((np.zeros(bpp, np.int32), prev[:-bpp]))
+        if f == 0:
+            filt = cur
+        elif f == 1:
+            filt = cur - a
+        elif f == 2:
+            filt = cur - b
+        elif f == 3:
+            filt = cur - ((a + b) >> 1)
+        else:
+            p = a + b - c
+            pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+            pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+            filt = cur - pred
+        stream.append(f)
+        stream += (filt & 0xFF).astype(np.uint8).tobytes()
+        prev = cur
+    import struct as _s
+    import zlib as _z
+
+    ihdr = _s.pack(">IIBBBBB", w, h, 8, {1: 0, 3: 2, 4: 6}[ch], 0, 0, 0)
+    png = MC.PNG_SIGNATURE + MC._png_chunk(b"IHDR", ihdr)
+    png += MC._png_chunk(b"IDAT", _z.compress(bytes(stream)))
+    png += MC._png_chunk(b"IEND", b"")
+    return png, pix.astype(np.uint8).reshape(h, w, ch)
+
+
+def test_png_unfilter_native_matches_pure_all_filters(monkeypatch):
+    for ch in (1, 3, 4):
+        png, want = _png_with_filters(37, 23, ch, ftypes=[0, 1, 2, 3, 4])
+        _, _, native = MC.decode_png(png)
+        # force the pure-Python path
+        monkeypatch.setattr(MC, "_PNG_NATIVE_LIB", None)
+        monkeypatch.setattr(MC, "_PNG_NATIVE_TRIED", True)
+        _, _, pure = MC.decode_png(png)
+        monkeypatch.undo()
+        assert np.array_equal(native, pure)
+        assert np.array_equal(native.reshape(want.shape), want)
+
+
+def test_png_unfilter_native_truncation_same_error(monkeypatch):
+    # decode_png validates total IDAT length up front, so drive the
+    # unfilter layer directly: the kernel must DEFER to the pure path on
+    # any malformed input (negative return), so both paths raise the
+    # identical errors
+    full_row = bytes([2]) + bytes(16)
+    for forced_pure in (False, True):
+        if forced_pure:
+            monkeypatch.setattr(MC, "_PNG_NATIVE_LIB", None)
+            monkeypatch.setattr(MC, "_PNG_NATIVE_TRIED", True)
+        # stream ends exactly after row 1 -> "PNG IDAT truncated"
+        with pytest.raises(ValueError, match="truncated"):
+            MC._unfilter_rows(full_row, n_rows=2, row_bytes=16, bpp=3, pos=0)
+        # short final row -> pure path's broadcast ValueError on both
+        with pytest.raises(ValueError):
+            MC._unfilter_rows(
+                bytes([4]) + bytes(10), n_rows=1, row_bytes=16, bpp=3, pos=0
+            )
+        # bad filter type -> same message on both
+        with pytest.raises(ValueError, match="bad PNG filter"):
+            MC._unfilter_rows(
+                bytes([9]) + bytes(16), n_rows=1, row_bytes=16, bpp=3, pos=0
+            )
+        monkeypatch.undo()
+
+
+def _png_body_of(png, ctype):
+    for t, body in MC._png_chunks(png):
+        if t == ctype:
+            return body
+    raise KeyError(ctype)
