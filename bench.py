@@ -60,8 +60,19 @@ def main() -> int:
 
     clear_pairs_cache()
 
+    # NOISE DISCIPLINE (VERDICT r7 ask #1): the driver-recorded total has
+    # swung 16.4 -> 14.0 -> 11.1 -> 15.0 s on substantially-similar
+    # headline code, so the artifact itself must carry enough to tell a
+    # regression from host weather.  Every benched query (headline AND
+    # select_* AND bucketed) runs >= 3 trials; the JSON records the full
+    # per-query trial list, the host load-average before/after, and a
+    # same-code band [sum-of-mins, sum-of-medians] — if a future total
+    # sits inside the band, it's the same code under different weather.
+    load_start = list(os.getloadavg())
+
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
+    spread: dict[str, list[float]] = {}
     # best-of-3 per query: the host VM shows multi-second scheduler noise
     # (observed 2s vs 23s for the same plan back-to-back, and a full-run
     # 15s vs 33s spread under load-avg-5), so a single sample can
@@ -71,6 +82,7 @@ def main() -> int:
     # includes its own full computation (no cache-primed reads).
     for name in headline:
         best = None
+        samples: list[float] = []
         for _ in range(3):
             clear_pairs_cache()
             t0 = time.perf_counter()
@@ -78,10 +90,12 @@ def main() -> int:
             if out is None:
                 break
             dt = time.perf_counter() - t0
+            samples.append(round(dt, 3))
             best = dt if best is None else min(best, dt)
             rows[name] = len(out)
         if best is not None:
             times[name] = round(best, 3)
+            spread[name] = samples
 
     # reference-shaped BenchmarkSelect: 11 matcher workloads over the
     # 1.5M-series F2 dataset (mirrors BASELINE.md's primary benchmark)
@@ -91,6 +105,7 @@ def main() -> int:
         for name, r in select_bench.run(spark).items():
             times[f"select_{name}"] = r["sec"]
             rows[f"select_{name}"] = r["series"]
+            spread[f"select_{name}"] = r["trials"]
 
     guarded("_select_bench", run_select_bench)
 
@@ -105,8 +120,23 @@ def main() -> int:
 
         for name, r in select_bench.run_bucketed(spark).items():
             bucketed[f"select_bucketed_{name}"] = r["sec"]
+            spread[f"select_bucketed_{name}"] = r["trials"]
 
     guarded("_select_bucketed_bench", run_select_bucketed_bench)
+
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        n = len(s)
+        return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+    # same-code band for the HEADLINE total (the regression-gated value):
+    # [Σ min, Σ median] over each headline query's trials.  A future
+    # total inside this band is weather; a total above Σ-median of a
+    # clean run deserves a plan diff.
+    band = [
+        round(sum(min(s) for n, s in spread.items() if n in times and s), 3),
+        round(sum(median(s) for n, s in spread.items() if n in times and s), 3),
+    ]
 
     result = {
         "metric": "headline_total_sec",
@@ -115,6 +145,9 @@ def main() -> int:
         "queries": times,
         "rows": rows,
         "sf": sf,
+        "trials": spread,
+        "same_code_band_sec": band,
+        "load_avg": {"start": load_start, "end": list(os.getloadavg())},
     }
     if bucketed:
         result["bucketed"] = bucketed

@@ -143,12 +143,18 @@ def run(spark: SparkSession, out_dir: str = BENCH_DIR) -> dict:
         # printed 0.79 s for a plan that measures 0.60-0.67 s
         # interleaved at load-avg 5 — same code, same plan)
         trials = 5 if name in BUCKETED_WORKLOADS else 3
+        samples: list[float] = []
         for _ in range(trials):
             t0 = time.perf_counter()
             _force(sel)
             dt = time.perf_counter() - t0
+            samples.append(round(dt, 3))
             best = dt if best is None else min(best, dt)
-        results[name] = {"sec": round(best, 3), "series": sel.count()}
+        results[name] = {
+            "sec": round(best, 3),
+            "series": sel.count(),
+            "trials": samples,
+        }
     return results
 
 
@@ -240,11 +246,17 @@ def run_bucketed(
     for name in BUCKETED_WORKLOADS:
         sel = q.select(0, 120, by_name[name])
         best = None
+        samples: list[float] = []
         for _ in range(5):  # match run()'s trial count for these two —
             # the A/B against the directory layout compares mins
             t0 = time.perf_counter()
             _force(sel)
             dt = time.perf_counter() - t0
+            samples.append(round(dt, 3))
             best = dt if best is None else min(best, dt)
-        results[name] = {"sec": round(best, 3), "series": sel.count()}
+        results[name] = {
+            "sec": round(best, 3),
+            "series": sel.count(),
+            "trials": samples,
+        }
     return results

@@ -466,20 +466,36 @@ def wav_info(data: bytes) -> tuple[int, int, int]:
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a WAV: bad RIFF/WAVE header")
     pos = 12
-    channels = rate = block_align = None
-    frames = 0
+    fmt_tag = channels = rate = block_align = None
+    fact_frames = None
+    data_size = None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
         (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         if cid == b"fmt ":
-            _fmt, channels, rate, _brate, block_align, _bits = struct.unpack(
+            fmt_tag, channels, rate, _brate, block_align, _bits = struct.unpack(
                 "<HHIIHH", data[pos + 8 : pos + 24]
             )
-        elif cid == b"data" and block_align:
-            frames = size // block_align
+        elif cid == b"fact" and size >= 4:
+            (fact_frames,) = struct.unpack("<I", data[pos + 8 : pos + 12])
+        elif cid == b"data":
+            data_size = size
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if channels is None:
         raise ValueError("WAV: missing fmt chunk")
+    frames = 0
+    if data_size is not None and block_align:
+        if fmt_tag == 0x11:
+            # block_align is the whole COMPRESSED block, not a frame:
+            # prefer the fact chunk's sample count, else derive it from
+            # the block geometry (matches wav_samples' decode length).
+            frames = (
+                fact_frames
+                if fact_frames is not None
+                else _ima_frame_count(data_size, channels, block_align)
+            )
+        else:
+            frames = data_size // block_align
     return channels, rate, frames
 
 
@@ -563,15 +579,45 @@ def _ima_decode_channel(pred: int, idx: int, nibbles: np.ndarray) -> np.ndarray:
     return out
 
 
+def _ima_frame_count(data_size: int, channels: int, block_align: int) -> int:
+    """Frames produced by decoding ``data_size`` bytes of IMA ADPCM:
+    per full block, 1 header sample + 2 nibbles/byte of body; a trailing
+    partial block contributes its header sample plus however many whole
+    interleave words it carries (mirrors ``_ima_decode``)."""
+    word = 4 * channels
+    frames = 0
+    n_full, rem = divmod(data_size, block_align)
+    frames += n_full * ((block_align - word) * 2 // channels + 1)
+    if rem >= word:  # partial block with at least a full header
+        body = rem - word
+        frames += (body - body % word) * 2 // channels + 1
+    return frames
+
+
 def _ima_decode(payload: bytes, channels: int, block_align: int) -> np.ndarray:
-    """Decode IMA ADPCM data to (frames, channels) int16."""
+    """Decode IMA ADPCM data to (frames, channels) int16.
+
+    A trailing partial block (short final block, common when the encoder
+    truncates at stream end) is decoded for the body bytes actually
+    present, truncated to whole channel-interleave words; padding
+    nibbles past a fact-chunk sample count are clamped by the caller."""
+    word = 4 * channels
+    if (block_align - word) % word != 0:
+        raise ValueError(
+            f"IMA ADPCM: block_align {block_align} body not divisible by "
+            f"4*channels ({word})"
+        )
     chunks = []
-    for b0 in range(0, len(payload) - block_align + 1, block_align):
+    for b0 in range(0, len(payload), block_align):
         block = payload[b0 : b0 + block_align]
+        if len(block) < word:
+            break  # not even a full header: trailing garbage, drop
+        body_len = len(block) - word
+        body_len -= body_len % word  # whole interleave words only
         chans = []
         for c in range(channels):
             pred, idx = struct.unpack("<hB", block[4 * c : 4 * c + 3])
-            body = np.frombuffer(block[4 * channels :], dtype=np.uint8)
+            body = np.frombuffer(block[word : word + body_len], dtype=np.uint8)
             # data interleaves 4-byte words per channel
             words = body.reshape(-1, channels, 4)[:, c, :].reshape(-1)
             nibs = np.empty(len(words) * 2, dtype=np.uint8)
@@ -654,6 +700,7 @@ def wav_samples(data: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("not a WAV: bad RIFF/WAVE header")
     pos = 12
     fmt_tag = channels = rate = bits = _align = None
+    fact_frames = None
     payload = None
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
@@ -662,6 +709,8 @@ def wav_samples(data: bytes) -> tuple[np.ndarray, int]:
             fmt_tag, channels, rate, _brate, _align, bits = struct.unpack(
                 "<HHIIHH", data[pos + 8 : pos + 24]
             )
+        elif cid == b"fact" and size >= 4:
+            (fact_frames,) = struct.unpack("<I", data[pos + 8 : pos + 12])
         elif cid == b"data":
             payload = data[pos + 8 : pos + 8 + size]
         pos += 8 + size + (size & 1)
@@ -679,6 +728,9 @@ def wav_samples(data: bytes) -> tuple[np.ndarray, int]:
         return x[: frames * channels].reshape(frames, channels), rate
     if fmt_tag == 0x11:  # IMA ADPCM
         pcm = _ima_decode(payload, channels, _align)
+        if fact_frames is not None and fact_frames < pcm.shape[0]:
+            # the final block's padding nibbles are not audio
+            pcm = pcm[:fact_frames]
         return pcm.astype(np.float64) / 32768.0, rate
     if fmt_tag == 1:  # integer PCM
         if bits == 8:

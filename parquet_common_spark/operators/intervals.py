@@ -42,9 +42,18 @@ def point_in_interval_join(
     joined frame carrying all columns of both inputs (names must not
     collide apart from the internal ``_bucket``).
     """
+    if how != "inner":
+        # The exact-containment predicate runs as a post-join filter, which
+        # would silently drop the unmatched rows an outer join exists to
+        # keep — refuse rather than degenerate to inner semantics.
+        raise ValueError(
+            "point_in_interval_join supports how='inner' only; outer "
+            "variants would need the containment predicate inside the join "
+            f"condition (got how={how!r})"
+        )
     w = F.lit(int(bucket_us))
     p = points.withColumn("_bucket", F.floor(F.col(point_ts) / w).cast("long"))
-    iv = intervals.withColumn(
+    iv = intervals.where(F.col(ivl_end) > F.col(ivl_start)).withColumn(
         "_bucket",
         F.explode(
             F.sequence(
@@ -56,5 +65,59 @@ def point_in_interval_join(
     )
     joined = p.join(iv, "_bucket", how).where(
         (F.col(point_ts) >= F.col(ivl_start)) & (F.col(point_ts) < F.col(ivl_end))
+    )
+    return joined.drop("_bucket")
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_us: int,
+) -> DataFrame:
+    """Inner-join interval pairs that overlap: ``ls < re AND rs < le``.
+
+    The second range-join shape a pipeline hits (sessions vs outage
+    windows).  Same temporal-bucket rewrite as the point case, but BOTH
+    sides explode into their covered buckets, so an overlapping pair can
+    meet in several buckets; each pair is emitted exactly once by the
+    same-bucket-ownership rule — only the bucket containing
+    ``max(left_start, right_start)`` (the first instant both intervals
+    cover) owns the pair.  All bounds are BIGINT µs, end exclusive.
+
+    Cost at 100 TB: shuffle is Σ ceil(len/W) over both inputs — linear
+    with fan-out ≈ 2 at W ≈ typical interval length; per-bucket work is
+    the product of overlapping intervals per bucket, AQE-skew-splittable
+    like any hot equi-key.  Degenerate intervals (end <= start) produce
+    no buckets and thus no pairs, matching the overlap predicate.
+    """
+    w = F.lit(int(bucket_us))
+
+    def bucketed(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.where(F.col(e) > F.col(s)).withColumn(
+            "_bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(s) / w).cast("long"),
+                    F.floor((F.col(e) - F.lit(1)) / w).cast("long"),
+                )
+            ),
+        )
+
+    lb = bucketed(left, left_start, left_end)
+    rb = bucketed(right, right_start, right_end)
+    joined = lb.join(rb, "_bucket", "inner").where(
+        (F.col(left_start) < F.col(right_end))
+        & (F.col(right_start) < F.col(left_end))
+        # ownership: emit only from the bucket holding the overlap's start
+        & (
+            F.floor(
+                F.greatest(F.col(left_start), F.col(right_start)) / w
+            ).cast("long")
+            == F.col("_bucket")
+        )
     )
     return joined.drop("_bucket")

@@ -69,7 +69,19 @@ def cluster_zorder(
         *[F.max(F.col(c).cast("double")).alias(f"_hi_{c}") for c in cols],
     ).collect()[0]
     qs = [
-        _quantize(F.col(c), bounds[f"_lo_{c}"], bounds[f"_hi_{c}"], bits)
+        # All-NULL column (or empty frame) → None bounds: degrade to a
+        # constant-0 key contribution instead of a TypeError; per-row
+        # NULLs likewise quantize to 0 so the Z key is never NULL
+        # (a NULL key would order arbitrarily under repartitionByRange).
+        F.coalesce(
+            _quantize(
+                F.col(c),
+                bounds[f"_lo_{c}"] if bounds[f"_lo_{c}"] is not None else 0.0,
+                bounds[f"_hi_{c}"] if bounds[f"_hi_{c}"] is not None else 0.0,
+                bits,
+            ),
+            F.lit(0).cast("long"),
+        )
         for c in cols
     ]
     keyed = df.withColumn("_z", zorder_key(qs, bits))

@@ -168,12 +168,20 @@ def scd2_history(
     per-key state only, no global ordering anywhere.
     """
     w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    # Null-safe run boundaries: `_prev != value` is NULL when either side
+    # is NULL, which would make F.sum skip the start flag and silently
+    # merge a null-valued run into its predecessor.  `eqNullSafe` treats
+    # NULL as an ordinary value; `_has_prev` (lag of a literal) marks the
+    # first row unambiguously, since a NULL `_prev` alone can't
+    # distinguish "no previous row" from "previous value was NULL".
     runs = (
         df.withColumn("_prev", F.lag(value_col).over(w))
+        .withColumn("_has_prev", F.lag(F.lit(1)).over(w))
         .withColumn(
             "_start",
             (
-                F.col("_prev").isNull() | (F.col("_prev") != F.col(value_col))
+                F.col("_has_prev").isNull()
+                | ~F.col("_prev").eqNullSafe(F.col(value_col))
             ).cast("long"),
         )
         .withColumn("_run", F.sum("_start").over(w))

@@ -71,7 +71,12 @@ def _make_scd2_fn(retention_ms: int):
 
         (k,) = key
         rows = pd.concat(list(pdfs)).sort_values(["ts", "tiebreak"])
-        vals = rows["value"].to_numpy()
+        # Normalize missing to None (object dtype): NaN != NaN is True,
+        # which would fracture a null run into per-row runs, while
+        # None != None is False — matching the batch operator's
+        # eqNullSafe semantics (NULL is an ordinary run value).
+        _s = rows["value"]
+        vals = _s.where(pd.notna(_s), None).to_numpy(dtype=object)
         ts = rows["ts"].to_numpy()
         n = len(vals)
         # run boundaries: index i starts a new run iff vals[i] != vals[i-1]
@@ -82,16 +87,24 @@ def _make_scd2_fn(retention_ms: int):
         run_from = ts[starts]
         run_len = np.diff(np.concatenate((starts, [n])))
 
+        # `has_open` (not `cur is None`) marks whether a version is open:
+        # a NULL run value is legitimate, so None can't double as the
+        # "no state" sentinel.  State, when it exists, always holds an
+        # open version.
         if state.exists:
             cur, vfrom, rlen, ver, _last = state.get
+            has_open = True
         else:
             cur, vfrom, rlen, ver = None, 0, 0, 0
+            has_open = False
 
         out = []
         for i in range(len(run_vals)):
-            v = str(run_vals[i])
-            if cur is None:
+            v = run_vals[i]
+            v = None if v is None else str(v)
+            if not has_open:
                 cur, vfrom, rlen = v, int(run_from[i]), int(run_len[i])
+                has_open = True
             elif v == cur:
                 rlen += int(run_len[i])
             else:

@@ -58,3 +58,29 @@ def test_zorder_prunes_secondary_column(spark, tmp_path):
     # and the leading column still prunes too (z-order is not a trade-away)
     hx_z, _ = _files_overlapping(zod, "x", lo, hi)
     assert hx_z <= tot_z // 2
+
+
+def test_cluster_zorder_all_null_and_empty_degrade_gracefully(spark):
+    """ADVICE r7: an all-NULL clustered column (None min/max bounds) or
+    an empty frame must degrade to no-op clustering, not TypeError; and
+    per-row NULLs must never produce a NULL Z key."""
+    from pyspark.sql import functions as F
+
+    from parquet_common_spark.operators.layout import cluster_zorder
+
+    df = spark.range(100).select(
+        F.col("id").alias("a"),
+        F.lit(None).cast("double").alias("b"),
+    )
+    out = cluster_zorder(df, ["a", "b"], bits=8, num_files=4)
+    assert out.count() == 100 and "_z" not in out.columns
+
+    empty = df.where(F.lit(False))
+    assert cluster_zorder(empty, ["a", "b"], bits=8, num_files=2).count() == 0
+
+    # sparse NULLs in an otherwise populated column: all rows survive
+    sparse = spark.range(50).select(
+        F.col("id").alias("a"),
+        F.when(F.col("id") % 7 == 0, None).otherwise(F.col("id")).alias("b"),
+    )
+    assert cluster_zorder(sparse, ["a", "b"], bits=8, num_files=2).count() == 50

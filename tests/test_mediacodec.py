@@ -692,3 +692,70 @@ def _png_body_of(png, ctype):
         if t == ctype:
             return body
     raise KeyError(ctype)
+
+
+def _wrap_wav_fact(payload: bytes, fmt_tag: int, ch: int, rate: int,
+                   bits: int, block_align: int, fact_frames: int) -> bytes:
+    fmt = struct.pack("<HHIIHH", fmt_tag, ch, rate, rate * block_align,
+                      block_align, bits)
+    body = (b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<II", 4, fact_frames)
+            + b"data" + struct.pack("<I", len(payload)) + payload)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_wav_info_agrees_with_wav_samples_for_adpcm():
+    """ADVICE r7: wav_info used data_size // block_align for IMA ADPCM,
+    undercounting ~505x vs what wav_samples decodes.  The two public
+    APIs must agree, with and without a fact chunk."""
+    t = np.arange(1011) / 8000.0
+    x16 = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype(np.int16)
+    payload, align = MC.ima_adpcm_encode(
+        x16.reshape(-1, 1), channels=1, samples_per_block=505
+    )
+    wav = _wrap_wav(payload, 0x11, 1, 8000, 4, align)
+    x, _ = MC.wav_samples(wav)
+    ch, rate, frames = MC.wav_info(wav)
+    assert (ch, rate) == (1, 8000)
+    assert frames == x.shape[0] == 1010  # 2 full blocks of 505
+    # with a fact chunk clamping off the last 3 (padding) samples
+    wav_f = _wrap_wav_fact(payload, 0x11, 1, 8000, 4, align, 1007)
+    xf, _ = MC.wav_samples(wav_f)
+    assert MC.wav_info(wav_f)[2] == xf.shape[0] == 1007
+    # PCM path unchanged: frames = data bytes / frame bytes
+    pcm = _wrap_wav(x16.tobytes(), 1, 1, 8000, 16, 2)
+    assert MC.wav_info(pcm)[2] == MC.wav_samples(pcm)[0].shape[0] == 1011
+
+
+def test_wav_ima_adpcm_partial_trailing_block():
+    """A truncated final block must decode its present body (whole
+    interleave words), not be silently dropped (ADVICE r7)."""
+    t = np.arange(1515) / 8000.0
+    x16 = (0.5 * np.sin(2 * np.pi * 300 * t) * 32767).astype(np.int16)
+    payload, align = MC.ima_adpcm_encode(
+        x16.reshape(-1, 1), channels=1, samples_per_block=505
+    )
+    assert len(payload) == 3 * align  # align = 4 + 252 = 256
+    # cut mid-way through the third block: header (4B) + 30 words of 4B
+    cut = 2 * align + 4 + 30 * 4
+    wav = _wrap_wav(payload[:cut], 0x11, 1, 8000, 4, align)
+    x, _ = MC.wav_samples(wav)
+    want = 2 * 505 + (30 * 4 * 2 + 1)  # 2 full blocks + partial
+    assert x.shape[0] == want
+    assert MC.wav_info(wav)[2] == want
+    # the partial block's samples match the full decode's prefix
+    full = MC.wav_samples(_wrap_wav(payload, 0x11, 1, 8000, 4, align))[0]
+    assert np.array_equal(x, full[:want])
+    # a non-word-aligned cut truncates to whole words, never crashes
+    wav_ragged = _wrap_wav(payload[: cut + 3], 0x11, 1, 8000, 4, align)
+    assert MC.wav_samples(wav_ragged)[0].shape[0] == want
+    # trailing garbage shorter than a header is dropped
+    wav_stub = _wrap_wav(payload[: 2 * align + 2], 0x11, 1, 8000, 4, align)
+    assert MC.wav_samples(wav_stub)[0].shape[0] == 2 * 505
+
+
+def test_wav_ima_adpcm_bad_block_align_raises_codec_error():
+    # body (align - 4*ch) not divisible by 4*ch: explicit codec error,
+    # not a bare numpy reshape ValueError
+    with pytest.raises(ValueError, match="IMA ADPCM"):
+        MC.wav_samples(_wrap_wav(b"\x00" * 20, 0x11, 1, 8000, 4, 10))

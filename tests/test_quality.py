@@ -206,3 +206,156 @@ def test_streaming_scd2_state_across_batches(spark, tmp_path):
     # the boundary-crossing 'b' run must carry length 2 (one row per batch)
     brun = [r for r in got if r[0] == 1 and r[2] == "b"]
     assert brun and brun[0][5] == 2
+
+
+def test_scd2_history_null_runs(spark):
+    """NULL is an ordinary run value (ADVICE r7): a null after a
+    non-null starts a NEW run, consecutive nulls fold into ONE run, and
+    a null-valued FIRST row still opens version 1."""
+    df = spark.createDataFrame(
+        [(1, "a", 10, 1), (1, None, 20, 2), (1, None, 30, 3), (1, "a", 40, 4),
+         (2, None, 5, 5), (2, None, 6, 6)],
+        "k long, v string, t long, id long",
+    )
+    out = {
+        (r["k"], r["version"]): r
+        for r in scd2_history(df, "k", "v", "t", "id").collect()
+    }
+    assert len(out) == 4
+    assert out[(1, 1)]["value"] == "a" and out[(1, 1)]["valid_to"] == 20
+    assert out[(1, 2)]["value"] is None and out[(1, 2)]["run_len"] == 2
+    assert out[(1, 2)]["valid_from"] == 20 and out[(1, 2)]["valid_to"] == 40
+    assert out[(1, 3)]["value"] == "a" and out[(1, 3)]["is_current"]
+    # all-null key: one open version, value NULL, never fractured
+    assert out[(2, 1)]["value"] is None and out[(2, 1)]["run_len"] == 2
+    assert out[(2, 1)]["is_current"]
+
+
+def test_streaming_scd2_null_values_match_batch(spark, tmp_path):
+    """Streaming SCD2 must agree with the batch operator when run
+    values include NULLs (ADVICE r7: no str() coercion, no NaN-split)."""
+    import os
+    import time
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from parquet_common_spark.operators.quality import scd2_history
+    from parquet_common_spark.streaming.scd2 import streaming_scd2
+
+    rows1 = [(1, "a", 1_000_000, 1), (1, None, 2_000_000, 2),
+             (1, None, 3_000_000, 3)]
+    rows2 = [(1, None, 4_000_000, 4),  # continues the open NULL run
+             (1, "b", 5_000_000, 5),   # closes it
+             (1, None, 6_000_000, 6)]  # closes 'b', opens a new NULL run
+    schema = "key long, value string, ts long, id long"
+    src = tmp_path / "stream_src_null"
+    src.mkdir()
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(str(src / "b1"))
+    time.sleep(1.1)
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(str(src / "b2"))
+    for i, d in enumerate(["b1", "b2"]):
+        for f in os.listdir(src / d):
+            os.utime(src / d / f, (1_700_000_000 + i * 10,) * 2)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+        .withColumn("_et", F.timestamp_micros(F.col("ts")))
+    )
+    out = streaming_scd2(stream, "key", "value", "ts", "id", "_et")
+    sink = f"scd2n_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.table(sink).select(
+            "key", "version", "value", "valid_from", "valid_to", "run_len"
+        ).collect()),
+        key=lambda r: (r[0], r[1]),
+    )
+    batch = spark.createDataFrame(rows1 + rows2, schema)
+    want = sorted(
+        map(tuple, scd2_history(batch, "key", "value", "ts", "id")
+            .where(F.col("valid_to").isNotNull())
+            .select("key", "version", "value", "valid_from", "valid_to", "run_len")
+            .collect()),
+        key=lambda r: (r[0], r[1]),
+    )
+    assert got == want
+    # the cross-batch NULL run folded into ONE closed version of len 3,
+    # emitted as a real NULL (not the string "None")
+    nulls = [r for r in got if r[2] is None]
+    assert [r[5] for r in nulls] == [3]
+
+
+def test_interval_join_rejects_outer_and_skips_degenerate(spark):
+    points = spark.createDataFrame([(1, 50)], "pid long, ts long")
+    ivals = spark.createDataFrame(
+        [(0, 0, 100), (1, 700, 700), (2, 900, 200)],  # two degenerate
+        "iid long, lo long, hi long",
+    )
+    with pytest.raises(ValueError, match="inner"):
+        point_in_interval_join(points, ivals, "ts", "lo", "hi", 100, how="left")
+    # end <= start must yield no buckets (not a huge descending sequence)
+    got = point_in_interval_join(points, ivals, "ts", "lo", "hi", 100).collect()
+    assert [(r["pid"], r["iid"]) for r in got] == [(1, 0)]
+
+
+def test_interval_overlap_join_matches_naive(spark):
+    from parquet_common_spark.operators.intervals import interval_overlap_join
+
+    # spans longer than the bucket on BOTH sides, shared boundaries,
+    # touching-but-not-overlapping pairs, and degenerate intervals
+    left = spark.createDataFrame(
+        [(0, 0, 250), (1, 100, 200), (2, 500, 501), (3, 300, 300),
+         (4, 950, 1450)],
+        "lid long, ls long, le long",
+    )
+    right = spark.createDataFrame(
+        [(0, 200, 600), (1, 0, 1000), (2, 249, 251), (3, 1400, 2000),
+         (4, 700, 650)],
+        "rid long, rs long, re long",
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            left, right, "ls", "le", "rs", "re", bucket_us=100
+        ).collect()
+    )
+    naive = sorted(
+        (l, r)
+        for l, ls, le in [(x["lid"], x["ls"], x["le"]) for x in left.collect()]
+        for r, rs, re in [(x["rid"], x["rs"], x["re"]) for x in right.collect()]
+        if ls < re and rs < le and le > ls and re > rs
+    )
+    assert got == naive and len(got) == len(set(got))
+
+
+def test_interval_overlap_join_plans_as_equi_join(spark):
+    from parquet_common_spark.operators.intervals import interval_overlap_join
+
+    left = spark.range(200).select(
+        F.col("id").alias("lid"),
+        (F.col("id") * 31).alias("ls"),
+        (F.col("id") * 31 + 90).alias("le"),
+    )
+    right = spark.range(100).select(
+        F.col("id").alias("rid"),
+        (F.col("id") * 67).alias("rs"),
+        (F.col("id") * 67 + 40).alias("re"),
+    )
+    plan = (
+        interval_overlap_join(left, right, "ls", "le", "rs", "re", 64)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
