@@ -22,74 +22,72 @@ from pyspark.sql import DataFrame, SparkSession
 # holds queries hash-green in the latest checked round; the full set is
 # still verified locally via tools/check_correctness.py each round.
 _CHECK_WINDOW = [
-    # r7 rotation (VERDICT r6 ask #6), DATA-DRIVEN: staleness from
-    # CORRECTNESS_r*.json (last round the driver checked each query).
-    # Window = the stalest cohorts (9 never driver-checked pre-r7,
-    # 3 last checked r2, 27 last checked r4), every query whose CODE
-    # changed this round, and the EIGHT queries ADDED this round
-    # (never driver-checked, so they outrank everything).  Displaced
-    # to make room: the 4-member r5 fill (m2/m3/d1/d7) and 4 r4
-    # members with in-window family representation (m8, w6, f3, p1, m10, sim4,
-    # m14, w5, q8a, sql1, t5) —
-    # all eight re-verified locally this round and first in line for
-    # the r8 rotation.
-    "a2_approx_quantile",
-    "d9_span_decontam",
-    "e6_value_histogram",
-    "f4_conditional_null",
-    "g4_grouping_sets",
-    "mm4_audio_features",
-    "t8_unigram_ppl",
-    "w7_rank_functions",
-    "x4_oov_rate",
-    # last driver-checked r2
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q18_large_volume_customer",
-    # last driver-checked r4
-    "c1_curation_pipeline",
-    "e1_event_type_stats",
-    "e4_asof_last_click_before_purchase",
-    "e5_top_users_by_value",
-    "g1_rollup_revenue",
-    "m5_label_values",
-    "m6_time_range_pruning",
-    "m9_extrapolated_rate",
-    "m12_promql_functions",
-    "m13_chunk_roundtrip",
-    "m16_histogram_functions",
-    "m17_double_exponential_smoothing",
-    "mm2_frame_sampling",
-    "p2_deterministic_sample",
-    "q21a_late_sole_suppliers",
-    "sim2_lsh_topk",
-    "st2_stream_stream_join",
-    "t2_quality_scores",
-    "w3_moving_avg_events",
-    "x1_token_frequencies",
-    # code changed THIS round: hot-hash flood caps (d12/x6) and the
-    # de-vacuated recent-window anti-join predicate (q22)
-    "d12_substring_dedup",
-    "x6_source_overlap",
-    "q22_inactive_customers",
-    # NEW this round (never driver-checked — outrank every stale cohort):
-    # the validation/CDC layer, the pure range join + streaming arm, the
-    # skew-proof sampler, curriculum order, and n-gram novelty
-    "dq1_column_profile",
-    "dq2_key_integrity",
+    # r8 rotation (VERDICT r7 ask #2), DATA-DRIVEN: staleness from
+    # CORRECTNESS_r*.json (last round the driver checked each query;
+    # cohorts: 11 last checked r4, 48 r5, 48 r6, 50 r7).  Window =
+    # the full r4 cohort (11) + every query whose CODE changed this
+    # round (cdc1/st9 null-safe SCD2, e11 single-pass OHLC, e10/st8
+    # degenerate-interval guard, mm1/mm4 ADPCM frame APIs) + the NEW
+    # e12 overlap join + 32 of the 48 r5 members.  The 16 r5 entries
+    # deferred to r9 (m2 m3 m11 m15 pq1 pq4 f1 f2 w1 w2 w4 g2 g3 e2
+    # e3 q13) are the ones with the strongest INDEPENDENT coverage —
+    # matcher bruteforce/golden + the 904-eval promqltest corpus +
+    # expression-map pytest pins — and all 16 were re-verified locally
+    # this session (157/157 sweep); they go first in the r9 window.
+    #
+    # --- full r4 cohort (stalest)
+    "f3_array_functions",
+    "m8_daily_series_delta",
+    "m10_histogram_quantile",
+    "m14_histogram_chunk_roundtrip",
+    "p1_pivot_event_counts",
+    "q8a_market_share",
+    "sim4_quantized_topk",
+    "sql1_revenue_by_segment",
+    "t5_tfidf_terms",
+    "w5_session_windows",
+    "w6_sliding_windows",
+    # --- code changed THIS round + new e12 (outrank stale cohorts)
     "cdc1_scd2_history",
+    "st9_streaming_scd2",
+    "e11_daily_ohlc",
     "e10_interval_blast_radius",
     "st8_streaming_interval_join",
-    "p11_per_group_sample",
-    "p12_curriculum_order",
-    "x8_ngram_novelty",
-    "t13_bm25_retrieval",
-    "st9_streaming_scd2",
-    "f6_bitwise_functions",
-    "dq3_numeric_drift",
-    "c3_canonical_selection",
-    "x11_dedup_savings",
-    "e11_daily_ohlc",
+    "mm4_audio_features",
+    "e12_session_outage_overlap",
+    # --- r5 cohort fill (32 of 48; mm1 also code-changed this round)
+    "mm1_media_metadata",
+    "a1_approx_distinct",
+    "d1_exact_dedup",
+    "d3_simhash_dedup",
+    "d4_ngram_jaccard_dedup",
+    "d5_embedding_neardup",
+    "d7_benchmark_decontam",
+    "mm3_resize_geometry",
+    "p3_stratified_sample",
+    "p4_mixture_sample",
+    "p5_sequence_packing",
+    "q1_pricing_summary",
+    "q2a_top_supplier_per_nation",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11a_important_parts",
+    "q12_priority_shipping",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16a_part_supplier_stats",
+    "q17_small_quantity_revenue",
+    "q19_bracket_revenue",
+    "sim1_cosine_topk",
+    "st3_streaming_dedup",
+    "st4_stream_static_decontam",
+    "t1_token_stats",
+    "t3_lang_id",
+    "t4_fingerprints",
+    "t6_repetition_filters",
+    "t7_pii_redaction",
 ]
 assert len(_CHECK_WINDOW) == 50, len(_CHECK_WINDOW)
 
