@@ -1,0 +1,90 @@
+"""Pinned plan-shape equality across scale factors (VERDICT r7 ask #3):
+the physical-plan FINGERPRINT (shuffle/broadcast exchange counts, join
+strategies, sorts, windows) of a scale-clean query must not change with
+the data volume — a plan that grows a new exchange or join at 10x the
+rows is hiding a cliff the small-SF bench can't see.
+
+Two tiers:
+* sf0.001 vs sf0.01 (driver-generated, always present) — pinned for a
+  representative slice of the headline/pipeline queries;
+* sf0.1 vs sf1 (sf1 generated locally by tools/gen_scale_data.py) —
+  pinned when the sf1 directory exists; tools/scale_check.py records
+  the wall-clock side of the same evidence in SCALE_CHECK.json.
+
+Exclusions are explicit and rationalized: TPC-H q3/q5/q18 legitimately
+DEMOTE broadcast-hash joins to sort-merge when the dimension side
+outgrows autoBroadcastJoinThreshold — the designed Catalyst behavior at
+scale (their sf1 wall ratios, 1.26-1.44x at 10x rows, are the best of
+the measured set), so shape equality is NOT the correct pin for them.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import pytest
+
+
+def plan_shape(df) -> dict:
+    s = df._jdf.queryExecution().executedPlan().toString()
+    return {
+        "shuffle_exchanges": len(
+            re.findall(r"Exchange (?:hash|range)partitioning", s)
+        ),
+        "broadcast_exchanges": s.count("BroadcastExchange"),
+        "sort_merge_joins": s.count("SortMergeJoin"),
+        "broadcast_hash_joins": s.count("BroadcastHashJoin"),
+        "shuffled_hash_joins": s.count("ShuffledHashJoin"),
+        "nested_loop_joins": s.count("BroadcastNestedLoopJoin")
+        + s.count("CartesianProduct"),
+        "sorts": s.count("Sort "),
+        "window_ops": s.count("Window"),
+    }
+
+
+# scale-invariant-by-design slice: scans/aggs, bucketed range joins,
+# banded dedup, text pipelines — no broadcast-threshold-sensitive dims
+INVARIANT_QUERIES = [
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "e1_event_type_stats",
+    "e10_interval_blast_radius",
+    "e12_session_outage_overlap",
+    "e11_daily_ohlc",
+    "t2_quality_scores",
+    "d2_minhash_lsh_dedup",
+    "x8_ngram_novelty",
+]
+
+SF1_DIR = "/tmp/pcs_scale/sf1"
+
+
+@pytest.fixture(scope="module")
+def registry(spark):
+    import __spark_entry__ as E
+
+    E.queries()
+    from parquet_common_spark.plans.common import REGISTRY
+
+    return REGISTRY
+
+
+@pytest.mark.parametrize("name", INVARIANT_QUERIES)
+def test_plan_shape_equal_sf0001_vs_sf001(spark, registry, name):
+    a = plan_shape(registry[name].fn(spark, "/root/testdata/sf0.001"))
+    b = plan_shape(registry[name].fn(spark, "/root/testdata/sf0.01"))
+    assert a == b, (name, a, b)
+    assert a["nested_loop_joins"] == 0, (name, a)
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(SF1_DIR, "lineitem.parquet")),
+    reason="sf1 not generated (tools/gen_scale_data.py)",
+)
+@pytest.mark.parametrize("name", INVARIANT_QUERIES)
+def test_plan_shape_equal_sf01_vs_sf1(spark, registry, name):
+    a = plan_shape(registry[name].fn(spark, "/root/testdata/sf0.1"))
+    b = plan_shape(registry[name].fn(spark, SF1_DIR))
+    assert a == b, (name, a, b)
+    assert a["nested_loop_joins"] == 0, (name, a)
