@@ -1217,6 +1217,9 @@ def decode_jpeg(data: bytes, engine: str = "auto") -> tuple[int, int, np.ndarray
     height = width = None
     restart_interval = 0
     progressive = False
+    arith = False
+    dc_cond: dict[int, tuple[int, int]] = {}
+    ac_cond: dict[int, int] = {}
     saw_scan = False
     mcus_x = mcus_y = hmax = vmax = 0
     while pos + 2 <= len(data):
@@ -1257,8 +1260,10 @@ def decode_jpeg(data: bytes, engine: str = "auto") -> tuple[int, int, np.ndarray
                 values = list(body[b + 17 : b + 17 + n])
                 huff[(cls, tid)] = _HuffTable(bits, values)
                 b += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+            # SOF0/1 baseline, SOF2 progressive, SOF9 sequential arithmetic
             progressive = marker == 0xC2
+            arith = marker == 0xC9
             _prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
             comps = []
             for ci in range(ncomp):
@@ -1273,17 +1278,28 @@ def decode_jpeg(data: bytes, engine: str = "auto") -> tuple[int, int, np.ndarray
             for c in comps:
                 c["bw"] = mcus_x * c["h"]
                 c["bh"] = mcus_y * c["v"]
-                if engine == "fast":
-                    c["coef"] = [0] * (c["bh"] * c["bw"] * 64)
-                elif engine == "native":
-                    c["coef"] = np.zeros(c["bh"] * c["bw"] * 64, dtype=np.int64)
-                else:
+                if arith or engine == "reference":
+                    # arithmetic has a single (pure-Python) engine
                     c["zz"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+                elif engine == "fast":
+                    c["coef"] = [0] * (c["bh"] * c["bw"] * 64)
+                else:
+                    c["coef"] = np.zeros(c["bh"] * c["bw"] * 64, dtype=np.int64)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0}: lossless/arithmetic/hierarchical "
-                "modes are unsupported (baseline and progressive only)"
+                f"JPEG SOF{marker - 0xC0}: lossless/hierarchical/"
+                "progressive-arithmetic modes are unsupported "
+                "(baseline, progressive, sequential-arithmetic only)"
             )
+        elif marker == 0xCC:  # DAC: arithmetic conditioning tables
+            b = 0
+            while b + 1 < len(body):
+                tc, tb = body[b] >> 4, body[b] & 0x0F
+                if tc == 0:
+                    dc_cond[tb] = (body[b + 1] & 0x0F, body[b + 1] >> 4)
+                else:
+                    ac_cond[tb] = body[b + 1]
+                b += 2
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS — one scan's entropy data follows
@@ -1302,6 +1318,21 @@ def decode_jpeg(data: bytes, engine: str = "auto") -> tuple[int, int, np.ndarray
             Ah, Al = AhAl >> 4, AhAl & 0x0F
             if not progressive:
                 Ss, Se, Ah, Al = 0, 63, 0, 0
+            if arith:
+                from parquet_common_spark.functions import jpegarith as JA
+
+                segments, pos = JA.read_entropy_arith(data, pos + 2 + length)
+                units = list(
+                    _scan_units(
+                        scan_comps, mcus_x, mcus_y, width, height, hmax, vmax
+                    )
+                )
+                JA.decode_scan_arith(
+                    segments, restart_interval, scan_comps, units,
+                    dc_cond, ac_cond,
+                )
+                saw_scan = True
+                continue
             segments, pos = _read_entropy(data, pos + 2 + length)
             if engine in ("fast", "native"):
                 idx = {id(c): i for i, c in enumerate(scan_comps)}
@@ -1377,10 +1408,10 @@ def decode_jpeg(data: bytes, engine: str = "auto") -> tuple[int, int, np.ndarray
         pos += 2 + length
     if height is None or not saw_scan:
         raise ValueError("JPEG: missing SOF or SOS")
-    if engine == "fast":
+    if not arith and engine == "fast":
         for c in comps:
             c["zz"] = np.array(c["coef"], dtype=np.int64).reshape(-1, 64)
-    elif engine == "native":
+    elif not arith and engine == "native":
         for c in comps:
             c["zz"] = c["coef"].reshape(-1, 64)
 

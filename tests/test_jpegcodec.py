@@ -105,7 +105,7 @@ def test_unsupported_modes_raise():
     i = bytes(data).find(b"\xff\xc0")
     assert i > 0
     data[i + 1] = 0xC3
-    with pytest.raises(NotImplementedError, match="baseline and progressive"):
+    with pytest.raises(NotImplementedError, match="sequential-arithmetic"):
         J.decode_jpeg(bytes(data))
     with pytest.raises(ValueError, match="SOI"):
         J.decode_jpeg(b"not a jpeg")
@@ -284,3 +284,90 @@ def test_decode_auto_engine_matches_reference():
     assert np.array_equal(
         J.decode_jpeg(enc)[2], J.decode_jpeg(enc, engine="reference")[2]
     )
+
+
+# ------------------------------------------- arithmetic coding (SOF9)
+
+
+def _arith_img(rng, h, w, ch):
+    base = rng.integers(0, 255, (h // 8 + 1, w // 8 + 1, ch), dtype=np.uint8)
+    up = np.repeat(np.repeat(base, 8, 0), 8, 1)[:h, :w]
+    noise = rng.integers(-12, 12, (h, w, ch))
+    x = np.clip(up.astype(int) + noise, 0, 255).astype(np.uint8)
+    return x[:, :, 0] if ch == 1 else x
+
+
+@pytest.mark.parametrize(
+    "h,w,ch,sub,ri",
+    [
+        (32, 32, 1, "444", 0),
+        (40, 24, 3, "444", 0),
+        (33, 17, 3, "420", 0),   # odd dims + subsampling: MCU overhang
+        (64, 48, 3, "444", 3),   # restart markers: coder+stats re-init
+        (16, 16, 1, "444", 1),   # restart every MCU
+        (8, 8, 1, "444", 0),     # single block
+    ],
+)
+def test_jpeg_arith_decodes_identical_to_huffman(h, w, ch, sub, ri):
+    """SOF9 arithmetic and SOF0 baseline transport the SAME quantized
+    coefficients (_prepare_components is shared), so the decoded pixels
+    must be bit-identical — this pins the whole QM coder + F.2.4
+    statistics model round-trip."""
+    from parquet_common_spark.functions.jpegarith import encode_jpeg_arith
+
+    x = _arith_img(np.random.default_rng(1234 + h + w), h, w, ch)
+    jh = J.encode_jpeg(x, quality=85, subsampling=sub, restart_interval=ri)
+    ja = encode_jpeg_arith(x, quality=85, subsampling=sub, restart_interval=ri)
+    wh, hh, ph = J.decode_jpeg(jh)
+    wa, ha, pa = J.decode_jpeg(ja)
+    assert (wa, ha) == (wh, hh) == (w, h)
+    assert np.array_equal(pa, ph)
+
+
+def test_jpeg_arith_compresses_tighter_than_huffman():
+    """The point of arithmetic coding: adaptive probability estimation
+    beats fixed Huffman tables.  If the Qe transcription were broken in
+    a self-consistent way, the ratio would typically blow past 1.0 —
+    this is the strongest indirect check available without third-party
+    streams."""
+    from parquet_common_spark.functions.jpegarith import encode_jpeg_arith
+
+    x = _arith_img(np.random.default_rng(99), 96, 96, 3)
+    jh = J.encode_jpeg(x, quality=85)
+    ja = encode_jpeg_arith(x, quality=85)
+    assert len(ja) < len(jh), (len(ja), len(jh))
+
+
+def test_jpeg_arith_envelope_markers():
+    from parquet_common_spark.functions.jpegarith import encode_jpeg_arith
+    from parquet_common_spark.functions.mediacodec import jpeg_dimensions
+
+    x = _arith_img(np.random.default_rng(5), 24, 40, 1)
+    ja = encode_jpeg_arith(x, quality=90)
+    assert b"\xff\xc9" in ja and b"\xff\xcc" in ja  # SOF9 + DAC
+    assert b"\xff\xc4" not in ja  # no Huffman tables
+    assert jpeg_dimensions(ja) == (40, 24)
+    # progressive-arithmetic (SOF10) stays out of envelope, explicit
+    bad = ja.replace(b"\xff\xc9", b"\xff\xca", 1)
+    with pytest.raises(NotImplementedError, match="SOF10"):
+        J.decode_jpeg(bad)
+
+
+def test_jpeg_arith_qe_table_structure():
+    """Structural sanity of the Table D.3 transcription: 113 adaptive
+    states + fixed bin, all transitions in range, Qe bounded by 0x8000,
+    switch only on states whose LPS self-transition flips MPS, and the
+    fast-attack chain (0..13) walks NMPS to the steady region."""
+    from parquet_common_spark.functions.jpegarith import _QE, FIXED_BIN
+
+    assert len(_QE) == 114
+    for i, (qe, nlps, nmps, sw) in enumerate(_QE):
+        assert 0 < qe < 0x8000
+        assert 0 <= nlps < 114 and 0 <= nmps < 114
+        assert sw in (0, 1)
+    qe, nlps, nmps, sw = _QE[FIXED_BIN]
+    assert (nlps, nmps, sw) == (FIXED_BIN, FIXED_BIN, 0)
+    # switch states are exactly the chain heads (MPS flip points)
+    assert [i for i, e in enumerate(_QE[:113]) if e[3]] == [
+        0, 14, 36, 64, 80, 88, 95, 105, 110, 112
+    ]
