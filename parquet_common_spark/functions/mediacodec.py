@@ -52,6 +52,8 @@ def sniff_media(payload: bytes) -> str | None:
         return "jpeg"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"fLaC":
+        return "flac"
     if payload[4:8] == b"ftyp":
         return "mp4"
     return None

@@ -106,6 +106,11 @@ def _decode_media(media_type: str, payload: bytes) -> tuple[int, int, int]:
     if fmt == "wav":
         _ch, _rate, frames = MC.wav_info(payload)
         return (0, 0, frames)
+    if fmt == "flac":
+        from parquet_common_spark.functions import flaccodec as FC
+
+        _ch, _rate, _bits, frames = FC.flac_info(payload)
+        return (0, 0, frames)
     if fmt == "mp4":
         # real METADATA via the ISO-BMFF box walk; pixel/frame decode
         # still needs libav/PyAV and raises in sample_frames
@@ -301,10 +306,12 @@ def audio_features(df: DataFrame, batch_size: int = 1024) -> DataFrame:
     """Per-payload audio features for audio rows: channel/rate/frame
     geometry plus signal stats (RMS, absolute peak) computed over the
     REAL PCM samples for WAV payloads (functions/mediacodec.wav_samples
-    — integer 8/16/24/32 and IEEE-float PCM).  Payloads with no WAV
-    magic keep the synthetic frame count with NULL signal stats —
-    geometry is derivable, waveforms are not.  Arrow-batched map-only
-    plan, same shape discipline as decode_media."""
+    — integer 8/16/24/32 and IEEE-float PCM, G.711, IMA ADPCM) and
+    FLAC payloads (functions/flaccodec.flac_samples, normalized by
+    2^(bits-1)).  Payloads with neither magic keep the synthetic frame
+    count with NULL signal stats — geometry is derivable, waveforms are
+    not.  Arrow-batched map-only plan, same shape discipline as
+    decode_media."""
     spark = df.sparkSession
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_size))
 
@@ -323,7 +330,8 @@ def audio_features(df: DataFrame, batch_size: int = 1024) -> DataFrame:
                 ch = rate = None
                 frames = 0
                 dur = rms = peak = None
-                if MC.sniff_media(raw) == "wav":
+                fmt = MC.sniff_media(raw)
+                if fmt == "wav":
                     try:
                         x, rate = MC.wav_samples(raw)
                         frames, ch = x.shape
@@ -334,6 +342,17 @@ def audio_features(df: DataFrame, batch_size: int = 1024) -> DataFrame:
                     except NotImplementedError:
                         ch, rate, frames = MC.wav_info(raw)
                         dur = frames / rate if rate else None
+                elif fmt == "flac":
+                    from parquet_common_spark.functions import flaccodec as FC
+
+                    _c, _r, bits, _n = FC.flac_info(raw)
+                    pcm, rate = FC.flac_samples(raw)
+                    x = pcm.astype(np.float64) / float(1 << (bits - 1))
+                    frames, ch = x.shape
+                    dur = frames / rate if rate else None
+                    if frames:
+                        rms = float(np.sqrt(np.mean(x * x)))
+                        peak = float(np.abs(x).max())
                 else:
                     _w, _h, frames = _decode_synthetic(str(mt), raw)
                 rows["doc_id"].append(int(doc_id))

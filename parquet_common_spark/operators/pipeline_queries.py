@@ -2461,3 +2461,77 @@ def x11(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "mm6_flac_checksum",
+    """
+    WITH d AS (SELECT doc_id,
+                      CAST(doc_id % 300 + 40 AS BIGINT) AS n_frames,
+                      CAST(doc_id % 2 + 1 AS INT) AS n_channels
+               FROM documents WHERE doc_id < 48),
+    g AS (SELECT d.doc_id, d.n_frames, d.n_channels,
+                 i.range AS i, c.range AS c
+          FROM d, range(340) i, range(2) c
+          WHERE i.range < d.n_frames AND c.range < d.n_channels)
+    SELECT doc_id, n_frames, n_channels,
+           CAST(SUM((doc_id*37 + i*11 + c*13) % 4001 - 2000) AS BIGINT)
+             AS sample_sum
+    FROM g GROUP BY doc_id, n_frames, n_channels ORDER BY doc_id
+    """,
+)
+def mm6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL FLAC codec through the driver gate (same discipline as
+    mm5's PNG pin): deterministic PCM per doc is encoded with cycling
+    subframe types (verbatim / fixed1 / fixed2 / LPC) and stereo modes
+    (independent / mid-side), decoded back with
+    functions/flaccodec.flac_samples (Rice partitions, predictors, CRC
+    verification on every frame), and sample-checksummed in an Arrow
+    map stage.  FLAC is lossless, so the checksum equals the
+    closed-form sum the DuckDB oracle computes from the sample
+    definition — any Rice/predictor/bit-packing/decorrelation defect
+    breaks the hash."""
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    ids = docs.where(F.col("doc_id") < 48).select("doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_frames", LongType()),
+            StructField("n_channels", IntegerType()),
+            StructField("sample_sum", LongType()),
+        ]
+    )
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        from parquet_common_spark.functions import flaccodec as FC
+
+        subs = ["verbatim", "fixed1", "fixed2", "lpc"]
+        for pdf in it:
+            out = {"doc_id": [], "n_frames": [], "n_channels": [], "sample_sum": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = d % 300 + 40
+                nch = d % 2 + 1
+                i = np.arange(n)[:, None]
+                c = np.arange(nch)[None, :]
+                pcm = ((d * 37 + i * 11 + c * 13) % 4001 - 2000).astype(np.int64)
+                mode = "ms" if nch == 2 else "indep"
+                data = FC.flac_encode(
+                    pcm, rate=8000, bits=16, blocksize=64,
+                    stereo_mode=mode, subframe=subs[d % 4],
+                    partition_order=(d % 3) if subs[d % 4] != "verbatim" else 0,
+                )
+                got, _rate = FC.flac_samples(data)
+                assert got.shape == (n, nch)
+                out["doc_id"].append(d)
+                out["n_frames"].append(n)
+                out["n_channels"].append(nch)
+                out["sample_sum"].append(int(got.astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    return ids.mapInPandas(batches, schema=schema).orderBy("doc_id")

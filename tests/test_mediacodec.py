@@ -759,3 +759,28 @@ def test_wav_ima_adpcm_bad_block_align_raises_codec_error():
     # not a bare numpy reshape ValueError
     with pytest.raises(ValueError, match="IMA ADPCM"):
         MC.wav_samples(_wrap_wav(b"\x00" * 20, 0x11, 1, 8000, 4, 10))
+
+
+def test_audio_features_flac(spark):
+    """FLAC rows decode through the real codec inside the Arrow stage:
+    signal stats match the WAV-encoded version of the SAME samples."""
+    from parquet_common_spark.functions import flaccodec as FC
+    from parquet_common_spark.operators.multimodal import audio_features
+
+    t = np.arange(3000) / 8000.0
+    sig = np.stack(
+        [0.25 * np.sin(2 * np.pi * 220 * t), 0.15 * np.sin(2 * np.pi * 330 * t)],
+        axis=1,
+    )
+    x16 = (sig * 32767).astype(np.int64)
+    flac = FC.flac_encode(x16, 8000, 16, blocksize=512, stereo_mode="ms")
+    wav = _make_wav(sig, 8000, 16)
+    rows = [(1, "audio", bytearray(flac)), (2, "audio", bytearray(wav))]
+    df = spark.createDataFrame(rows, "doc_id long, media_type string, payload binary")
+    got = {r["doc_id"]: r for r in audio_features(df).collect()}
+    f, w = got[1], got[2]
+    assert f["n_channels"] == 2 and f["sample_rate"] == 8000
+    assert f["n_frames"] == 3000
+    # same PCM, same normalization -> identical stats
+    assert abs(f["rms"] - w["rms"]) < 1e-12
+    assert abs(f["peak"] - w["peak"]) < 1e-12
