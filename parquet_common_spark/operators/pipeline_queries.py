@@ -2535,3 +2535,67 @@ def mm6(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return ids.mapInPandas(batches, schema=schema).orderBy("doc_id")
+
+
+@query(
+    "gr1_pagerank",
+    """
+    WITH e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    edges AS (SELECT CAST(p AS BIGINT) AS src, CAST(1000000 + s AS BIGINT) AS dst FROM e0
+              UNION ALL
+              SELECT CAST(1000000 + s AS BIGINT), CAST(p AS BIGINT) FROM e0),
+    deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    nn AS (SELECT COUNT(DISTINCT src) AS n FROM edges),
+    r0 AS (SELECT node, 1.0 / nn.n AS rank FROM deg, nn),
+    r1 AS (SELECT x.node, 0.15 / nn.n + 0.85 * x.contrib AS rank
+           FROM (SELECT e.dst AS node, SUM(r.rank / g.outdeg) AS contrib
+                 FROM edges e JOIN r0 r ON r.node = e.src
+                 JOIN deg g ON g.node = e.src GROUP BY e.dst) x, nn),
+    r2 AS (SELECT x.node, 0.15 / nn.n + 0.85 * x.contrib AS rank
+           FROM (SELECT e.dst AS node, SUM(r.rank / g.outdeg) AS contrib
+                 FROM edges e JOIN r1 r ON r.node = e.src
+                 JOIN deg g ON g.node = e.src GROUP BY e.dst) x, nn),
+    r3 AS (SELECT x.node, 0.15 / nn.n + 0.85 * x.contrib AS rank
+           FROM (SELECT e.dst AS node, SUM(r.rank / g.outdeg) AS contrib
+                 FROM edges e JOIN r2 r ON r.node = e.src
+                 JOIN deg g ON g.node = e.src GROUP BY e.dst) x, nn)
+    SELECT node, ROUND(rank * nn.n, 6) AS rel_rank
+    FROM r3, nn ORDER BY rel_rank DESC, node LIMIT 25
+    """,
+)
+def gr1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the SYMMETRIZED part<->supplier bipartite graph
+    (authority scoring, the iterative-graph operator class alongside
+    d6's connected components).  3 synchronous iterations, damping
+    0.85; symmetrizing guarantees out-degree >= 1 everywhere, so there
+    is no dangling mass and the oracle's chained CTEs replay the exact
+    recurrence.  Reported as rank RELATIVE to uniform (rank * N,
+    rounded 6dp) so the hash compares ~1.0-scale numbers, and ordered
+    by (rel_rank DESC, node) for a total order.  Scale shape: one
+    join + one groupBy per iteration over |edges| rows; the edge
+    invariant's exchange is reused across iterations (ReusedExchange);
+    ranks never exceeds |nodes| rows."""
+    from parquet_common_spark.operators.graph import pagerank
+
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    pairs = li.select(
+        F.col("l_partkey").cast("long").alias("p"),
+        F.col("l_suppkey").cast("long").alias("s"),
+    ).distinct()
+    edges = pairs.select(
+        F.col("p").alias("src"), (F.lit(1_000_000) + F.col("s")).alias("dst")
+    ).unionAll(
+        pairs.select(
+            (F.lit(1_000_000) + F.col("s")).alias("src"), F.col("p").alias("dst")
+        )
+    )
+    nodes = edges.select("src").distinct()
+    n = nodes.count()
+    ranks = pagerank(edges, iterations=3, damping=0.85)
+    return (
+        ranks.select(
+            "node", F.round(F.col("rank") * F.lit(float(n)), 6).alias("rel_rank")
+        )
+        .orderBy(F.desc("rel_rank"), "node")
+        .limit(25)
+    )

@@ -1419,3 +1419,50 @@ def test_prefix_sum_ops_match_python_reference(spark):
             assert 1 <= r["n_docs"] <= 4
             assert r["sum_tokens"] <= r["n_docs"] * r["max_len"]
         PK.release_cached()
+
+
+
+def test_pagerank_matches_power_iteration(spark):
+    """pagerank() vs a dense numpy power iteration on a small graph:
+    exact recurrence (uniform start, damping teleport, k iterations)."""
+    import numpy as np
+
+    from parquet_common_spark.operators.graph import pagerank
+
+    edges = [(0, 1), (1, 0), (1, 2), (2, 0), (2, 3), (3, 2), (0, 3), (3, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=4).collect()}
+
+    n = 4
+    M = np.zeros((n, n))
+    outdeg = np.zeros(n)
+    for s, _d in edges:
+        outdeg[s] += 1
+    for s, d in edges:
+        M[d, s] = 1.0 / outdeg[s]
+    r = np.full(n, 1.0 / n)
+    for _ in range(4):
+        r = 0.15 / n + 0.85 * (M @ r)
+    assert set(got) == set(range(n))
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-12, (i, got[i], r[i])
+    # ranks are a probability-ish vector under symmetric-enough graphs
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_plan_reuses_edge_exchange(spark):
+    """The per-iteration edge⋈outdeg invariant must physically REUSE
+    one exchange, not rescan per iteration."""
+    from pyspark.sql import functions as F
+
+    from parquet_common_spark.operators.graph import pagerank
+
+    e = spark.range(200).select(
+        (F.col("id") % 40).alias("src"), ((F.col("id") * 7) % 40).alias("dst")
+    )
+    sym = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    df = pagerank(sym, iterations=3)
+    df.collect()  # AQE rewrites to ReusedExchange only once finalized
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+    assert "CartesianProduct" not in plan
