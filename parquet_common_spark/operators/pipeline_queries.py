@@ -2599,3 +2599,48 @@ def gr1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rel_rank"), "node")
         .limit(25)
     )
+
+
+@query(
+    "er1_record_linkage",
+    """
+    WITH pairs AS (
+      SELECT a.p_partkey AS id_1, b.p_partkey AS id_2,
+             a.p_name AS name_1, b.p_name AS name_2
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+       AND a.p_partkey < b.p_partkey
+      UNION
+      SELECT a.p_partkey, b.p_partkey, a.p_name, b.p_name
+      FROM part a JOIN part b
+        ON a.p_type = b.p_type AND a.p_size = b.p_size
+       AND a.p_partkey < b.p_partkey
+    )
+    SELECT id_1, id_2, name_1, name_2,
+           round(jaro_winkler_similarity(name_1, name_2), 6) AS sim
+    FROM pairs
+    WHERE round(jaro_winkler_similarity(name_1, name_2), 6) >= 0.93
+    ORDER BY id_1, id_2
+    """,
+)
+def er1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record linkage (entity resolution): multi-pass blocked
+    candidate pairs over parts — (brand, size) for precision plus
+    (type, size) for recall, deduplicated before scoring — scored with
+    the classic Jaro-Winkler in an Arrow-batched UDF and thresholded
+    at 0.93.  A TRUE cross-engine differential: the oracle scores the
+    same pairs with DuckDB's own independent
+    `jaro_winkler_similarity` C++ implementation (my Python
+    implementation is additionally fuzz-pinned against it, 5000 random
+    pairs, tests/test_operators.py).  Scale: pairs = Σ|block|² under
+    the blocking-key contract, one distinct, map-only scoring."""
+    from parquet_common_spark.operators.linkage import blocked_linkage
+
+    part = load(spark, sf_dir, "part")["part"]
+    return blocked_linkage(
+        part,
+        id_col="p_partkey",
+        name_col="p_name",
+        blocking=[["p_brand", "p_size"], ["p_type", "p_size"]],
+        threshold=0.93,
+    ).orderBy("id_1", "id_2")

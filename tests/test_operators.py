@@ -1466,3 +1466,46 @@ def test_pagerank_plan_reuses_edge_exchange(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_jaro_winkler_matches_duckdb(duck):
+    """5000-pair randomized differential against DuckDB's independent
+    jaro_winkler_similarity — a cross-engine pin of the classic
+    semantics (window, transpositions//2, 0.7 boost threshold,
+    4-char prefix, p=0.1)."""
+    import random
+    import string
+
+    from parquet_common_spark.operators.linkage import jaro_winkler
+
+    rnd = random.Random(42)
+    for _ in range(5000):
+        al = rnd.choice(["ab", "abc", string.ascii_lowercase[:6]])
+        s1 = "".join(rnd.choice(al) for _ in range(rnd.randint(0, 12)))
+        s2 = "".join(rnd.choice(al) for _ in range(rnd.randint(0, 12)))
+        want = duck.execute(
+            "SELECT jaro_winkler_similarity(?, ?)", [s1, s2]
+        ).fetchone()[0]
+        assert abs(jaro_winkler(s1, s2) - want) <= 1e-12, (s1, s2)
+    # canonical published values
+    assert abs(jaro_winkler("martha", "marhta") - 0.9611111111111111) < 1e-12
+    assert abs(jaro_winkler("dwayne", "duane") - 0.8400000000000001) < 1e-12
+    assert jaro_winkler("", "") == 0.0 and jaro_winkler("abc", "abc") == 1.0
+
+
+def test_blocked_linkage_dedups_across_passes(spark):
+    """A pair matching BOTH blocking passes must be scored once."""
+    from parquet_common_spark.operators.linkage import blocked_linkage
+
+    df = spark.createDataFrame(
+        [(1, "aaaa x", "b1", "t1", 5), (2, "aaaa y", "b1", "t1", 5),
+         (3, "zzzz q", "b2", "t2", 7)],
+        "id long, name string, p_brand string, p_type string, p_size int",
+    )
+    out = blocked_linkage(
+        df, "id", "name",
+        blocking=[["p_brand", "p_size"], ["p_type", "p_size"]],
+        threshold=0.5,
+    ).collect()
+    assert [(r["id_1"], r["id_2"]) for r in out] == [(1, 2)]
+    assert 0.8 < out[0]["sim"] <= 1.0
