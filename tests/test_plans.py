@@ -255,3 +255,14 @@ def test_registry_wide_no_unplanned_cartesians(spark):
         if "BroadcastNestedLoopJoin" in plan and name not in nlj_ok:
             failures.append(f"{name}: unexpected BroadcastNestedLoopJoin")
     assert not failures, "\n".join(failures)
+
+
+def test_e11_ohlc_single_aggregate_no_windows(spark, sf_dir):
+    """VERDICT r7 ask #5: open/close via max_by/min_by in the one
+    map-side-combined aggregate — the two full-table ROW_NUMBER window
+    sorts must stay gone."""
+    import __spark_entry__ as E
+
+    df = E.queries()["e11_daily_ohlc"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
