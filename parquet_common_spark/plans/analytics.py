@@ -3059,3 +3059,92 @@ def e12(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_outages"), "sid")
         .limit(25)
     )
+
+
+# --------------- st10: streaming record linkage (stream-static ER)
+
+# The streaming arm of er1 (operators/linkage.py): a STREAM of new
+# records fuzzy-matched against the STATIC master table.  Both blocking
+# passes are stateless stream-static equi-joins; cross-pass dedup is
+# MAP-SIDE (pass 2 keeps only brand-unequal pairs, so the two passes
+# are disjoint by construction — the streaming-legal spelling of
+# blocked_linkage's distinct(), which would otherwise need a state
+# store).  Scoring is the same Arrow-batched Jaro-Winkler UDF, a pure
+# map per micro-batch.
+
+_ST10_SQL = """
+    WITH m AS (SELECT * FROM part WHERE p_partkey % 2 = 0),
+    s AS (SELECT * FROM part WHERE p_partkey % 2 = 1),
+    pairs AS (
+      SELECT m.p_partkey AS id_m, s.p_partkey AS id_s,
+             m.p_name AS n1, s.p_name AS n2
+      FROM m JOIN s ON m.p_brand = s.p_brand AND m.p_size = s.p_size
+      UNION ALL
+      SELECT m.p_partkey, s.p_partkey, m.p_name, s.p_name
+      FROM m JOIN s ON m.p_type = s.p_type AND m.p_size = s.p_size
+                   AND m.p_brand <> s.p_brand
+    )
+    SELECT id_m, id_s, round(jaro_winkler_similarity(n1, n2), 6) AS sim
+    FROM pairs WHERE round(jaro_winkler_similarity(n1, n2), 6) >= 0.93
+    ORDER BY id_m, id_s
+"""
+
+
+@query("st10_streaming_linkage", _ST10_SQL)
+def st10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from parquet_common_spark.operators.linkage import _jaro_winkler_udf
+    from parquet_common_spark.plans.common import ensure_session_env
+
+    ensure_session_env(spark)
+    batch = spark.read.parquet(f"{sf_dir}/part.parquet")
+    master = batch.where(F.col("p_partkey") % 2 == 0).select(
+        F.col("p_partkey").alias("id_m"),
+        F.col("p_name").alias("n1"),
+        F.col("p_brand").alias("mb"),
+        F.col("p_type").alias("mt"),
+        F.col("p_size").alias("msz"),
+    )
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "part.parquet")
+        .parquet(sf_dir)
+        .where(F.col("p_partkey") % 2 == 1)
+        .select(
+            F.col("p_partkey").alias("id_s"),
+            F.col("p_name").alias("n2"),
+            F.col("p_brand").alias("sb"),
+            F.col("p_type").alias("st"),
+            F.col("p_size").alias("ssz"),
+        )
+    )
+    p1 = stream.join(
+        master,
+        (F.col("sb") == F.col("mb")) & (F.col("ssz") == F.col("msz")),
+        "inner",
+    )
+    p2 = stream.join(
+        master,
+        (F.col("st") == F.col("mt"))
+        & (F.col("ssz") == F.col("msz"))
+        & (F.col("sb") != F.col("mb")),  # disjoint from pass 1: map-side dedup
+        "inner",
+    )
+    jw = _jaro_winkler_udf()
+    scored = (
+        p1.unionByName(p2)
+        .withColumn("sim", F.round(jw(F.col("n1"), F.col("n2")), 6))
+        .where(F.col("sim") >= 0.93)
+        .select("id_m", "id_s", "sim")
+    )
+    sink = f"st10_{uuid.uuid4().hex[:8]}"
+    q = (
+        scored.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(sink).orderBy("id_m", "id_s")
