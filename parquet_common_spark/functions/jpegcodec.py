@@ -1184,10 +1184,12 @@ def _decode_scan_fast(segments, restart_interval, unit_blocks, states, Ss, Se, A
 
 
 def decode_jpeg(data: bytes, engine: str = "auto") -> tuple[int, int, np.ndarray]:
-    """Decode a baseline (SOF0/SOF1) or progressive (SOF2) JPEG to
-    (width, height, HxWxC uint8) — C is 1 for greyscale, 3 (RGB)
-    otherwise.  Arithmetic coding and hierarchical modes raise
-    NotImplementedError.
+    """Decode a baseline (SOF0/SOF1), progressive (SOF2), or
+    sequential-arithmetic (SOF9, QM-coded — functions/jpegarith.py) JPEG
+    to (width, height, HxWxC uint8) — C is 1 for greyscale, 3 (RGB)
+    otherwise.  Lossless, hierarchical, and progressive-arithmetic
+    modes raise NotImplementedError.  Arithmetic streams always decode
+    through the pure-Python QM engine regardless of ``engine``.
 
     ``engine`` selects the entropy-scan implementation — all three are
     pinned bit-identical on every stream in pytest:
