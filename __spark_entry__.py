@@ -27,12 +27,13 @@ _CHECK_WINDOW = [
     # cohorts: 11 last checked r4, 48 r5, 48 r6, 50 r7).  Window =
     # the full r4 cohort (11) + every query whose CODE changed this
     # round (cdc1/st9 null-safe SCD2, e11 single-pass OHLC, e10/st8
-    # degenerate-interval guard, mm1/mm4 ADPCM frame APIs) + the FIVE
+    # degenerate-interval guard, mm1/mm4 ADPCM frame APIs) + the SEVEN
     # queries ADDED this round (e12 overlap join, mm6 FLAC pin,
-    # gr1 PageRank, er1 record linkage, st10 streaming linkage — never
-    # driver-checked, outrank everything) + 28 of the 48 r5 members.
-    # The 20 r5 entries deferred to r9 (m2 m3 m11 m15 pq1 pq4 f1 f2
-    # w1 w2 w4 g2 g3 e2 e3 q13 t3 t4 t6 t7) have the
+    # gr1 PageRank, er1 record linkage, st10 streaming linkage,
+    # sim8 radius search, x12 mixing solver — never driver-checked,
+    # outrank everything) + 26 of the 48 r5 members.  The 22 r5
+    # entries deferred to r9 (m2 m3 m11 m15 pq1 pq4 f1 f2 w1 w2 w4 g2
+    # g3 e2 e3 q13 t3 t4 t6 t7 mm3 p5) have the
     # strongest INDEPENDENT coverage — matcher bruteforce/golden + the
     # 904-eval promqltest corpus + dedicated operator pytest batteries
     # — and every one was re-verified locally this session
@@ -58,15 +59,16 @@ _CHECK_WINDOW = [
     "st8_streaming_interval_join",
     "mm4_audio_features",
     "e12_session_outage_overlap",
-    # new r8: FLAC pin, PageRank, record linkage + streaming arm
-    # (displace t7/t6/t4/t3 from the r5 fill — all four are pinned by
-    # dedicated pytest batteries and go first in the r9 window with
-    # the other deferred r5 entries)
+    # new r8 (displace t7/t6/t4/t3/mm3/p5 from the r5 fill — all are
+    # pinned by dedicated pytest batteries and go first in the r9
+    # window with the other deferred r5 entries)
     "mm6_flac_checksum",
     "gr1_pagerank",
     "er1_record_linkage",
     "st10_streaming_linkage",
-    # --- r5 cohort fill (28 of 48; mm1 also code-changed this round)
+    "sim8_radius_search",
+    "x12_mixing_solver",
+    # --- r5 cohort fill (26 of 48; mm1 also code-changed this round)
     "mm1_media_metadata",
     "a1_approx_distinct",
     "d1_exact_dedup",
@@ -74,10 +76,8 @@ _CHECK_WINDOW = [
     "d4_ngram_jaccard_dedup",
     "d5_embedding_neardup",
     "d7_benchmark_decontam",
-    "mm3_resize_geometry",
     "p3_stratified_sample",
     "p4_mixture_sample",
-    "p5_sequence_packing",
     "q1_pricing_summary",
     "q2a_top_supplier_per_nation",
     "q4_order_priority",

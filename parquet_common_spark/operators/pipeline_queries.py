@@ -2644,3 +2644,103 @@ def er1(spark: SparkSession, sf_dir: str) -> DataFrame:
         blocking=[["p_brand", "p_size"], ["p_type", "p_size"]],
         threshold=0.93,
     ).orderBy("id_1", "id_2")
+
+
+@query(
+    "sim8_radius_search",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 25),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings WHERE vec_id >= 25)
+    SELECT query_id, neighbor_id,
+           ROUND({_COSSQL.format(a='qv', b='cv')}, 6) AS cos
+    FROM q, c
+    WHERE ROUND({_COSSQL.format(a='qv', b='cv')}, 6) >= 0.3
+    ORDER BY query_id, neighbor_id
+    """,
+)
+def sim8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact radius search (ALL corpus vectors within cosine >= 0.3 of
+    each query) — the all-neighbors companion to sim1's top-k; what
+    near-dup sweeps actually want.  One map-only Arrow pass over the
+    corpus with the query block riding along, NO shuffle at all (the
+    radius predicate is local, unlike top-k's global window); cosines
+    use the family's shared left-to-right accumulation so the DuckDB
+    oracle is hash-exact at 6dp."""
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    return SIM.radius_search(
+        emb.where(F.col("vec_id") >= 25),
+        emb.where(F.col("vec_id") < 25),
+        tau=0.3,
+    ).orderBy("query_id", "neighbor_id")
+
+
+@query(
+    "x12_mixing_solver",
+    """
+    WITH t AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(SUM(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+                        AS n_tokens
+               FROM documents GROUP BY source),
+    g AS (SELECT SUM(pow(n_tokens, 0.7)) AS z,
+                 SUM(n_tokens) AS total FROM t)
+    SELECT source, n_docs, n_tokens,
+           ROUND(pow(n_tokens, 0.7) / g.z, 6) AS weight,
+           ROUND(LEAST(1.0,
+                 0.6 * g.total * pow(n_tokens, 0.7) / g.z / n_tokens), 6)
+             AS rate,
+           ROUND(ROUND(LEAST(1.0,
+                 0.6 * g.total * pow(n_tokens, 0.7) / g.z / n_tokens), 6)
+                 * n_tokens, 3) AS expected_tokens,
+           (0.6 * g.total * pow(n_tokens, 0.7) / g.z >= n_tokens) AS capped
+    FROM t, g ORDER BY source
+    """,
+)
+def x12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-mixing solver: temperature-scaled source weights
+    (w_s ∝ T_s^0.7, the standard up-weight-the-tail mixing rule) turned
+    into per-source SAMPLING RATES against a 60%-of-corpus token
+    budget, with rate capped at 1 (a source can't contribute more than
+    it has — the cap is reported so the budget owner sees the deficit).
+    One groupBy over the corpus + a 1-row global broadcast; the solver
+    itself is per-source arithmetic over |sources| rows.  Downstream,
+    the rate feeds p2's deterministic hash-gate (sample each source at
+    rate_s), making the whole mixing step reproducible."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    t = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    g = t.agg(
+        F.sum(F.pow(F.col("n_tokens"), F.lit(0.7))).alias("z"),
+        F.sum("n_tokens").alias("total"),
+    ).withColumn("_k", F.lit(1))
+    j = t.withColumn("_k", F.lit(1)).join(F.broadcast(g), "_k")
+    raw_rate = (
+        F.lit(0.6) * F.col("total") * F.pow(F.col("n_tokens"), F.lit(0.7))
+        / F.col("z") / F.col("n_tokens")
+    )
+    rate = F.round(F.least(F.lit(1.0), raw_rate), 6)
+    return (
+        j.select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.pow(F.col("n_tokens"), F.lit(0.7)) / F.col("z"), 6
+            ).alias("weight"),
+            rate.alias("rate"),
+            F.round(rate * F.col("n_tokens"), 3).alias("expected_tokens"),
+            # same float-op order as the oracle's predicate (no division
+            # by n_tokens before the compare) so boundary cases agree
+            (
+                F.lit(0.6) * F.col("total")
+                * F.pow(F.col("n_tokens"), F.lit(0.7)) / F.col("z")
+                >= F.col("n_tokens")
+            ).alias("capped"),
+        )
+        .orderBy("source")
+    )

@@ -783,3 +783,68 @@ def pq_topk(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def radius_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    tau: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact RADIUS search: every (query, corpus) pair with
+    ``round(cos, 6) >= tau`` (self excluded) — the all-neighbors
+    companion to brute_force_topk's top-k (dedup wants "everything this
+    close", not "the k closest").
+
+    Same scale shape as the arrow top-k engine: queries ride to every
+    task (smallness contract), the corpus is ONE map-only numpy pass,
+    and — unlike top-k — no global window at all: the radius predicate
+    is decided locally per row, so the output needs no shuffle.  Output
+    size is data-dependent (τ is the knob); cosines use the same
+    left-to-right cumsum accumulation as the JVM fold / DuckDB
+    list_dot_product, keeping the oracle hash-exact."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    q_rows = queries.select(
+        F.col(id_col).cast("long"), F.col(vec_col).cast("array<double>")
+    ).collect()
+    qids = [r[0] for r in q_rows]
+    qvecs = [list(r[1]) for r in q_rows]
+    out_schema = StructType(
+        [
+            StructField("query_id", LongType()),
+            StructField("neighbor_id", LongType()),
+            StructField("cos", DoubleType()),
+        ]
+    )
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        Q = np.asarray(qvecs, dtype=np.float64)
+        qn = np.sqrt(np.cumsum(Q * Q, axis=1)[:, -1]) if len(qvecs) else np.empty(0)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids = pdf.iloc[:, 0].to_numpy()
+            C = np.stack(pdf.iloc[:, 1].to_numpy()).astype(np.float64)
+            cn = np.sqrt(np.cumsum(C * C, axis=1)[:, -1])
+            rq, rn, rc = [], [], []
+            for qi, qid in enumerate(qids):
+                dots = np.cumsum(C * Q[qi][None, :], axis=1)[:, -1]
+                cos = np.round(dots / (qn[qi] * cn), 6)
+                mask = (ids != qid) & (cos >= tau)
+                rq.extend([qid] * int(mask.sum()))
+                rn.extend(ids[mask].tolist())
+                rc.extend(cos[mask].tolist())
+            yield pd.DataFrame(
+                {"query_id": rq, "neighbor_id": rn, "cos": rc}
+            )
+
+    src = corpus.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    return src.mapInPandas(batches, schema=out_schema)

@@ -233,6 +233,7 @@ def test_registry_wide_no_unplanned_cartesians(spark):
         "t13_bm25_retrieval",  # 1-row (n_docs, avgdl) scalar attached to the postings frame
         "p7_temperature_mixture",  # 1-row weight-total scalar on the tiny rates frame
         "x7_split_drift",  # 1-row (n_train, n_val, S) totals on the tiny domain frame
+        "x12_mixing_solver",  # 1-row (z, total) scalar attached to the |sources| frame
         "d9_span_decontam",  # 1-row benchmark-ngram array attach (lit-key folds to true)
         "e8_funnel_conversion",  # three 1-row stage counts cross-joined into one row
         "pq1_promql_engine", "pq2_promql_parquet_storage",
