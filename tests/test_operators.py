@@ -1509,3 +1509,55 @@ def test_blocked_linkage_dedups_across_passes(spark):
     ).collect()
     assert [(r["id_1"], r["id_2"]) for r in out] == [(1, 2)]
     assert 0.8 < out[0]["sim"] <= 1.0
+
+
+def test_radius_search_matches_naive(spark):
+    """radius_search == the naive per-pair cosine filter, exactly-once,
+    and contains every top-k neighbor whose cosine clears the radius."""
+    import numpy as np
+
+    from parquet_common_spark.operators.similarity import radius_search
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(40, 8))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    tau = 0.4
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], r["cos"])
+        for r in radius_search(
+            df.where(F.col("vec_id") >= 5), df.where(F.col("vec_id") < 5), tau
+        ).collect()
+    )
+    want = []
+    for q in range(5):
+        for c in range(5, 40):
+            cos = round(
+                float(np.dot(vecs[q], vecs[c]))
+                / (np.linalg.norm(vecs[q]) * np.linalg.norm(vecs[c])),
+                6,
+            )
+            if cos >= tau:
+                want.append((q, c, cos))
+    assert got == sorted(want) and len(got) == len(set(got))
+
+
+def test_mixing_solver_budget_invariants(spark, sf_dir):
+    """x12's solver output: weights sum to 1, rates in (0, 1], expected
+    tokens never exceed a source's supply, and the uncapped sources'
+    expected tokens are proportional to their weights."""
+    import __spark_entry__ as E
+
+    rows = E.queries()["x12_mixing_solver"](spark, sf_dir).collect()
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-4
+    total = sum(r["n_tokens"] for r in rows)
+    for r in rows:
+        assert 0 < r["rate"] <= 1.0
+        assert r["expected_tokens"] <= r["n_tokens"] + 1e-6
+        assert r["capped"] == (r["rate"] >= 1.0)
+    # uncapped expected ~ 0.6 * total * weight
+    for r in rows:
+        if not r["capped"]:
+            assert abs(r["expected_tokens"] - 0.6 * total * r["weight"]) < max(
+                2.0, 0.001 * r["expected_tokens"]
+            )
