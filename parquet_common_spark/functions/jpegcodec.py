@@ -1184,10 +1184,10 @@ def _decode_scan_fast(segments, restart_interval, unit_blocks, states, Ss, Se, A
 
 
 def decode_jpeg(data: bytes, engine: str = "auto") -> tuple[int, int, np.ndarray]:
-    """Decode a baseline (SOF0/SOF1), progressive (SOF2), or
-    sequential-arithmetic (SOF9, QM-coded — functions/jpegarith.py) JPEG
-    to (width, height, HxWxC uint8) — C is 1 for greyscale, 3 (RGB)
-    otherwise.  Lossless, hierarchical, and progressive-arithmetic
+    """Decode a baseline (SOF0/SOF1), progressive (SOF2), or arithmetic
+    (SOF9 sequential / SOF10 progressive, QM-coded —
+    functions/jpegarith.py) JPEG to (width, height, HxWxC uint8) — C is
+    1 for greyscale, 3 (RGB) otherwise.  Lossless and hierarchical
     modes raise NotImplementedError.  Arithmetic streams always decode
     through the pure-Python QM engine regardless of ``engine``.
 
@@ -1262,10 +1262,10 @@ def decode_jpeg(data: bytes, engine: str = "auto") -> tuple[int, int, np.ndarray
                 values = list(body[b + 17 : b + 17 + n])
                 huff[(cls, tid)] = _HuffTable(bits, values)
                 b += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
-            # SOF0/1 baseline, SOF2 progressive, SOF9 sequential arithmetic
-            progressive = marker == 0xC2
-            arith = marker == 0xC9
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+            # SOF0/1 baseline, SOF2 progressive, SOF9/10 arithmetic
+            progressive = marker in (0xC2, 0xCA)
+            arith = marker in (0xC9, 0xCA)
             _prec, height, width, ncomp = struct.unpack(">BHHB", body[:6])
             comps = []
             for ci in range(ncomp):
@@ -1287,11 +1287,11 @@ def decode_jpeg(data: bytes, engine: str = "auto") -> tuple[int, int, np.ndarray
                     c["coef"] = [0] * (c["bh"] * c["bw"] * 64)
                 else:
                     c["coef"] = np.zeros(c["bh"] * c["bw"] * 64, dtype=np.int64)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0}: lossless/hierarchical/"
-                "progressive-arithmetic modes are unsupported "
-                "(baseline, progressive, sequential-arithmetic only)"
+                f"JPEG SOF{marker - 0xC0}: lossless/hierarchical modes "
+                "are unsupported (baseline, progressive, and both "
+                "arithmetic DCT modes only)"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning tables
             b = 0
@@ -1331,7 +1331,7 @@ def decode_jpeg(data: bytes, engine: str = "auto") -> tuple[int, int, np.ndarray
                 )
                 JA.decode_scan_arith(
                     segments, restart_interval, scan_comps, units,
-                    dc_cond, ac_cond,
+                    dc_cond, ac_cond, Ss, Se, Ah, Al,
                 )
                 saw_scan = True
                 continue

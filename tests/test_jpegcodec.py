@@ -105,7 +105,7 @@ def test_unsupported_modes_raise():
     i = bytes(data).find(b"\xff\xc0")
     assert i > 0
     data[i + 1] = 0xC3
-    with pytest.raises(NotImplementedError, match="sequential-arithmetic"):
+    with pytest.raises(NotImplementedError, match="arithmetic DCT modes"):
         J.decode_jpeg(bytes(data))
     with pytest.raises(ValueError, match="SOI"):
         J.decode_jpeg(b"not a jpeg")
@@ -347,9 +347,9 @@ def test_jpeg_arith_envelope_markers():
     assert b"\xff\xc9" in ja and b"\xff\xcc" in ja  # SOF9 + DAC
     assert b"\xff\xc4" not in ja  # no Huffman tables
     assert jpeg_dimensions(ja) == (40, 24)
-    # progressive-arithmetic (SOF10) stays out of envelope, explicit
-    bad = ja.replace(b"\xff\xc9", b"\xff\xca", 1)
-    with pytest.raises(NotImplementedError, match="SOF10"):
+    # arithmetic lossless (SOF11) stays out of envelope, explicit
+    bad = ja.replace(b"\xff\xc9", b"\xff\xcb", 1)
+    with pytest.raises(NotImplementedError, match="SOF11"):
         J.decode_jpeg(bad)
 
 
@@ -371,3 +371,41 @@ def test_jpeg_arith_qe_table_structure():
     assert [i for i, e in enumerate(_QE[:113]) if e[3]] == [
         0, 14, 36, 64, 80, 88, 95, 105, 110, 112
     ]
+
+
+@pytest.mark.parametrize(
+    "h,w,ch,sub",
+    [(32, 32, 1, "444"), (40, 24, 3, "444"), (33, 17, 3, "420"),
+     (64, 48, 3, "444")],
+)
+def test_jpeg_arith_progressive_decodes_identical_to_baseline(h, w, ch, sub):
+    """SOF10 (progressive arithmetic, Annex G.1.3 successive
+    approximation through the QM coder) transports the same quantized
+    coefficients as SOF0 — decoded pixels must be bit-identical.  This
+    pins the DC first/refine, AC band first, and AC refinement
+    procedures including the kex EOB-context rule."""
+    from parquet_common_spark.functions.jpegarith import (
+        encode_jpeg_arith_progressive,
+    )
+
+    x = _arith_img(np.random.default_rng(4321 + h * w), h, w, ch)
+    jh = J.encode_jpeg(x, quality=85, subsampling=sub)
+    jp = encode_jpeg_arith_progressive(x, quality=85, subsampling=sub)
+    assert b"\xff\xca" in jp and b"\xff\xc4" not in jp
+    wh, hh, ph = J.decode_jpeg(jh)
+    wp, hp, pp = J.decode_jpeg(jp)
+    assert (wp, hp) == (wh, hh) == (w, h)
+    assert np.array_equal(pp, ph)
+
+
+def test_jpeg_arith_progressive_equals_huffman_progressive():
+    """Same scan script, same coefficients: SOF10 and SOF2 decode
+    identically (transitively pins both progressive transports)."""
+    from parquet_common_spark.functions.jpegarith import (
+        encode_jpeg_arith_progressive,
+    )
+
+    x = _arith_img(np.random.default_rng(77), 48, 56, 3)
+    ph = J.decode_jpeg(J.encode_jpeg_progressive(x, quality=80))[2]
+    pa = J.decode_jpeg(encode_jpeg_arith_progressive(x, quality=80))[2]
+    assert np.array_equal(pa, ph)
