@@ -455,6 +455,10 @@ def _write_subframe(bw: _BitWriter, s: list[int], bps: int,
         for v in s:
             bw.write(v & ((1 << (bps - wasted)) - 1), bps - wasted)
         return
+    if kind == "lpc" and blocksize <= len(_LPC_COEFS):
+        # a block shorter than the predictor order cannot carry it
+        # (spec: order < blocksize); degrade to the largest legal fixed
+        kind = f"fixed{blocksize - 1}"
     if kind == "lpc":
         order = len(_LPC_COEFS)
         bw.write(31 + order, 6)  # type 1xxxxx, order = xxxxx+1
@@ -472,12 +476,14 @@ def _write_subframe(bw: _BitWriter, s: list[int], bps: int,
                >> _LPC_SHIFT)
             for i in range(order, blocksize)
         ]
-        while blocksize % (1 << porder) or (blocksize >> porder) < order:
+        while porder > 0 and (
+            blocksize % (1 << porder) or (blocksize >> porder) < order
+        ):
             porder -= 1
         _write_residual(bw, resid, order, blocksize, porder)
         return
     assert kind.startswith("fixed")
-    order = int(kind[5:])
+    order = min(int(kind[5:]), blocksize - 1)  # spec: order < blocksize
     coefs = _FIXED_COEFS[order]
     bw.write(8 + order, 6)
     s = _wasted_flag(bw, s, wasted)
@@ -490,7 +496,9 @@ def _write_subframe(bw: _BitWriter, s: list[int], bps: int,
     ]
     # partition order must divide the block and leave the first
     # partition non-negative after the warmup samples
-    while blocksize % (1 << porder) or (blocksize >> porder) < order:
+    while porder > 0 and (
+        blocksize % (1 << porder) or (blocksize >> porder) < order
+    ):
         porder -= 1
     _write_residual(bw, resid, order, blocksize, porder)
 

@@ -101,3 +101,42 @@ def test_flac_crc_vectors():
     # CRC-8 poly 0x07 / CRC-16 poly 0x8005 published check values
     assert FC.crc8(b"123456789") == 0xF4
     assert FC.crc16(b"123456789") == 0xFEE8
+
+
+def test_flac_roundtrip_hypothesis():
+    """Property fuzz: arbitrary int16 PCM, arbitrary length/blocksize/
+    mode/subframe combinations — decode(encode(x)) == x always."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=700),
+        channels=st.integers(min_value=1, max_value=2),
+        blocksize=st.sampled_from([64, 192, 256, 333]),
+        mode=st.sampled_from(["indep", "ls", "rs", "ms"]),
+        sub=st.sampled_from(["verbatim", "fixed0", "fixed1", "fixed2",
+                             "fixed3", "fixed4", "lpc"]),
+        porder=st.integers(min_value=0, max_value=3),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def prop(n, channels, blocksize, mode, sub, porder, seed):
+        rng = np.random.default_rng(seed)
+        # mix of smooth and noisy content (predictors see both regimes)
+        t = np.arange(n)
+        smooth = (3000 * np.sin(t / 7.0)).astype(np.int64)
+        noise = rng.integers(-32768, 32767, n)
+        x = np.stack(
+            [smooth if c % 2 == 0 else noise for c in range(channels)],
+            axis=1,
+        )
+        if channels == 1 and mode != "indep":
+            mode = "indep"
+        d = FC.flac_encode(x, 8000, 16, blocksize=blocksize,
+                           stereo_mode=mode, subframe=sub,
+                           partition_order=porder)
+        pcm, rate = FC.flac_samples(d)
+        assert rate == 8000
+        assert np.array_equal(pcm, x)
+
+    prop()

@@ -409,3 +409,51 @@ def test_jpeg_arith_progressive_equals_huffman_progressive():
     ph = J.decode_jpeg(J.encode_jpeg_progressive(x, quality=80))[2]
     pa = J.decode_jpeg(encode_jpeg_arith_progressive(x, quality=80))[2]
     assert np.array_equal(pa, ph)
+
+
+def test_jpeg_arith_roundtrip_hypothesis():
+    """Property fuzz for BOTH arithmetic modes: random geometry,
+    content regime, subsampling, and restarts — arithmetic pixels must
+    equal baseline pixels for the same coefficients, always."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from parquet_common_spark.functions.jpegarith import (
+        encode_jpeg_arith,
+        encode_jpeg_arith_progressive,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        h=st.integers(min_value=8, max_value=40),
+        w=st.integers(min_value=8, max_value=40),
+        ch=st.sampled_from([1, 3]),
+        sub=st.sampled_from(["444", "420"]),
+        regime=st.sampled_from(["noise", "smooth", "flat"]),
+        q=st.sampled_from([30, 70, 95]),
+        ri=st.sampled_from([0, 0, 2]),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def prop(h, w, ch, sub, regime, q, ri, seed):
+        rng = np.random.default_rng(seed)
+        if regime == "noise":
+            x = rng.integers(0, 256, (h, w, ch)).astype(np.uint8)
+        elif regime == "flat":
+            x = np.full((h, w, ch), int(rng.integers(0, 256)), dtype=np.uint8)
+        else:
+            gx = np.linspace(0, 255, w)[None, :, None]
+            gy = np.linspace(0, 255, h)[:, None, None]
+            x = ((gx + gy) / 2).astype(np.uint8) * np.ones((1, 1, ch), np.uint8)
+        if ch == 1:
+            x = x[:, :, 0]
+        base = J.decode_jpeg(J.encode_jpeg(x, quality=q, subsampling=sub))[2]
+        seq = J.decode_jpeg(
+            encode_jpeg_arith(x, quality=q, subsampling=sub, restart_interval=ri)
+        )[2]
+        assert np.array_equal(seq, base)
+        prog = J.decode_jpeg(
+            encode_jpeg_arith_progressive(x, quality=q, subsampling=sub)
+        )[2]
+        assert np.array_equal(prog, base)
+
+    prop()
