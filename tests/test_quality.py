@@ -359,3 +359,91 @@ def test_interval_overlap_join_plans_as_equi_join(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_interval_overlap_join_hypothesis(spark):
+    """Property fuzz: random interval sets (degenerate, touching,
+    nested, bucket-straddling) — the bucketed rewrite equals the naive
+    quadratic overlap join exactly, each pair once."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from parquet_common_spark.operators.intervals import interval_overlap_join
+
+    ivl = st.tuples(
+        st.integers(min_value=0, max_value=2000),
+        st.integers(min_value=-50, max_value=900),
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        left=st.lists(ivl, min_size=0, max_size=12),
+        right=st.lists(ivl, min_size=0, max_size=12),
+        bucket=st.sampled_from([64, 100, 333]),
+    )
+    def prop(left, right, bucket):
+        lrows = [(i, s, s + d) for i, (s, d) in enumerate(left)]
+        rrows = [(i, s, s + d) for i, (s, d) in enumerate(right)]
+        ldf = spark.createDataFrame(lrows or [(0, 0, 0)], "lid long, ls long, le long")
+        rdf = spark.createDataFrame(rrows or [(0, 0, 0)], "rid long, rs long, re long")
+        if not lrows:
+            ldf = ldf.where(F.lit(False))
+        if not rrows:
+            rdf = rdf.where(F.lit(False))
+        got = sorted(
+            (r["lid"], r["rid"])
+            for r in interval_overlap_join(
+                ldf, rdf, "ls", "le", "rs", "re", bucket
+            ).collect()
+        )
+        naive = sorted(
+            (li, ri)
+            for li, ls, le in lrows
+            for ri, rs, re in rrows
+            if ls < re and rs < le and le > ls and re > rs
+        )
+        assert got == naive
+
+    prop()
+
+
+def test_scd2_history_hypothesis_vs_reference_fold(spark):
+    """Property fuzz: random event logs WITH NULL values — scd2_history
+    equals a plain-Python run-length fold (NULL an ordinary value)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ev = st.tuples(
+        st.integers(min_value=0, max_value=2),     # key
+        st.sampled_from(["a", "b", None]),          # value (None legal)
+        st.integers(min_value=0, max_value=50),     # ts
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(events=st.lists(ev, min_size=1, max_size=25))
+    def prop(events):
+        rows = [(k, v, t, i) for i, (k, v, t) in enumerate(events)]
+        df = spark.createDataFrame(rows, "k long, v string, t long, id long")
+        got = sorted(
+            (r["k"], r["version"], r["value"], r["valid_from"],
+             r["valid_to"], r["run_len"], r["is_current"])
+            for r in scd2_history(df, "k", "v", "t", "id").collect()
+        )
+        # reference fold
+        want = []
+        bykey: dict = {}
+        for k, v, t, i in sorted(rows, key=lambda r: (r[0], r[2], r[3])):
+            bykey.setdefault(k, []).append((v, t))
+        for k, seq in bykey.items():
+            runs = []
+            for v, t in seq:
+                if runs and runs[-1][0] == v:
+                    runs[-1][2] += 1
+                else:
+                    runs.append([v, t, 1])
+            for i, (v, t0, n) in enumerate(runs):
+                nxt = runs[i + 1][1] if i + 1 < len(runs) else None
+                want.append((k, i + 1, v, t0, nxt, n, nxt is None))
+        assert got == sorted(want)
+
+    prop()
