@@ -346,47 +346,9 @@ def decode_ac(dec: ArithDecoder, stats: bytearray, z, Kx: int) -> None:
 
 
 def encode_ac(enc: ArithEncoder, stats: bytearray, z, Kx: int) -> None:
-    """Dual of :func:`decode_ac` over one zigzagged block."""
-    ke = 63
-    while ke > 0 and z[ke] == 0:
-        ke -= 1
-    k = 1
-    while k <= ke:
-        s0 = 3 * (k - 1)
-        enc.encode(stats, s0, 0)  # not EOB
-        while z[k] == 0:
-            enc.encode(stats, s0 + 1, 0)
-            s0 += 3
-            k += 1
-        enc.encode(stats, s0 + 1, 1)
-        v = int(z[k])
-        sign = 1 if v < 0 else 0
-        if sign:
-            v = -v
-        enc.encode_fixed(sign)
-        st = s0 + 2
-        v -= 1
-        m = 0
-        if v:
-            enc.encode(stats, st, 1)
-            m = 1
-            v2 = v
-            if v2 := v2 >> 1:
-                enc.encode(stats, st, 1)
-                m = 2
-                st = 189 if k <= Kx else 217
-                while v2 := v2 >> 1:
-                    enc.encode(stats, st, 1)
-                    m <<= 1
-                    st += 1
-        enc.encode(stats, st, 0)
-        st += 14
-        mm = m
-        while mm := mm >> 1:
-            enc.encode(stats, st, 1 if (mm & v) else 0)
-        k += 1
-    if ke < 63:
-        enc.encode(stats, 3 * ke, 1)  # EOB
+    """Dual of :func:`decode_ac` — the sequential case of
+    :func:`encode_ac_first` (band 1..63, no point transform)."""
+    encode_ac_first(enc, stats, z, Kx, 1, 63, 0)
 
 
 # ----------------------------------------------------- scan transport

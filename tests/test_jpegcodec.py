@@ -457,3 +457,37 @@ def test_jpeg_arith_roundtrip_hypothesis():
         assert np.array_equal(prog, base)
 
     prop()
+
+
+def test_qm_coder_entropy_efficiency():
+    """Compression-efficiency pin for the Qe state machine: coding a
+    Bernoulli(p) source through ONE adaptive bin must approach the
+    binary entropy H(p).  A corrupted Qe VALUE (the failure mode the
+    round-trip tests cannot see, since encoder and decoder share the
+    table) degrades efficiency measurably — e.g. zeroing out the
+    adaptation or mis-transcribing a steady-state Qe row pushes the
+    skewed-source rates well above these bounds."""
+    import math
+    import random
+
+    from parquet_common_spark.functions.jpegarith import (
+        ArithDecoder,
+        ArithEncoder,
+    )
+
+    rnd = random.Random(99)
+    n = 60_000
+    for p, max_ratio in ((0.5, 1.06), (0.9, 1.12), (0.99, 1.25), (0.999, 1.6)):
+        bits = [1 if rnd.random() < p else 0 for _ in range(n)]
+        enc = ArithEncoder()
+        stats = bytearray(1)
+        for b in bits:
+            enc.encode(stats, 0, b)
+        data = enc.finish()
+        h = -(p * math.log2(p) + (1 - p) * math.log2(1 - p))
+        rate = len(data) * 8 / n
+        assert rate <= h * max_ratio + 0.01, (p, rate, h)
+        # and it still decodes
+        dec = ArithDecoder(data)
+        dstats = bytearray(1)
+        assert all(dec.decode(dstats, 0) == b for b in bits)
