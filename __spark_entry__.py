@@ -22,79 +22,79 @@ from pyspark.sql import DataFrame, SparkSession
 # holds queries hash-green in the latest checked round; the full set is
 # still verified locally via tools/check_correctness.py each round.
 _CHECK_WINDOW = [
-    # r8 rotation (VERDICT r7 ask #2), DATA-DRIVEN: staleness from
-    # CORRECTNESS_r*.json (last round the driver checked each query;
-    # cohorts: 11 last checked r4, 48 r5, 48 r6, 50 r7).  Window =
-    # the full r4 cohort (11) + every query whose CODE changed this
-    # round (cdc1/st9 null-safe SCD2, e11 single-pass OHLC, e10/st8
-    # degenerate-interval guard, mm1/mm4 ADPCM frame APIs) + the SEVEN
-    # queries ADDED this round (e12 overlap join, mm6 FLAC pin,
-    # gr1 PageRank, er1 record linkage, st10 streaming linkage,
-    # sim8 radius search, x12 mixing solver — never driver-checked,
-    # outrank everything) + 26 of the 48 r5 members.  The 22 r5
-    # entries deferred to r9 (m2 m3 m11 m15 pq1 pq4 f1 f2 w1 w2 w4 g2
-    # g3 e2 e3 q13 t3 t4 t6 t7 mm3 p5) have the
-    # strongest INDEPENDENT coverage — matcher bruteforce/golden + the
-    # 904-eval promqltest corpus + dedicated operator pytest batteries
-    # — and every one was re-verified locally this session
-    # (check_correctness full sweep); they go first in the r9 window.
+    # r9 rotation (VERDICT r8 ask #1), DATA-DRIVEN: staleness from
+    # CORRECTNESS_r*.json at r8 close was {r5: 22, r6: 48, r7: 44,
+    # r8: 50}.  Window = ALL 22 r5-deferred entries (the r8 ledger's
+    # named list — nothing in the registry is now driver-unchecked
+    # since before r6 once this window lands) + the FOUR queries ADDED
+    # this round (gr2 label propagation, km1 k-means, sim9 sparse
+    # cosine, dq4 MAD anomalies — never driver-checked, outrank
+    # everything) + every query whose CODE changed this round (gr1
+    # pagerank spine fix; er1/st10 linkage flood guard; sim8 zero-norm
+    # mask; mm4/mm6 FLAC native kernel + vectorized decorrelation) +
+    # 18 of the 48 r6 members (the promql-storage, streaming, matcher,
+    # dedup and ivf cohorts — weakest independent coverage first).
     #
-    # --- full r4 cohort (stalest)
-    "f3_array_functions",
-    "m8_daily_series_delta",
-    "m10_histogram_quantile",
-    "m14_histogram_chunk_roundtrip",
-    "p1_pivot_event_counts",
-    "q8a_market_share",
-    "sim4_quantized_topk",
-    "sql1_revenue_by_segment",
-    "t5_tfidf_terms",
-    "w5_session_windows",
-    "w6_sliding_windows",
-    # --- code changed THIS round + new e12 (outrank stale cohorts)
-    "cdc1_scd2_history",
-    "st9_streaming_scd2",
-    "e11_daily_ohlc",
-    "e10_interval_blast_radius",
-    "st8_streaming_interval_join",
-    "mm4_audio_features",
-    "e12_session_outage_overlap",
-    # new r8 (displace t7/t6/t4/t3/mm3/p5 from the r5 fill — all are
-    # pinned by dedicated pytest batteries and go first in the r9
-    # window with the other deferred r5 entries)
-    "mm6_flac_checksum",
+    # DEFERRED to r10 (30 r6 entries; every one is covered by dedicated
+    # pytest batteries and the full local check_correctness sweep this
+    # session): d11 x2 x3 x5 x7 x9 x10 t9 t10 t11 p6 p7 p8 p9 p10 sim5
+    # sim6 sim7 s1 c2 e7 e8 e9 w8 m7 q20a q3 a3 f5 mm5 — these go
+    # FIRST in the r10 window, then the r7 cohort (44).
+    #
+    # --- the 22 r5-deferred entries (stalest, per the r8 ledger)
+    "m2_matcher_regex_set",
+    "m3_matcher_negative_regex",
+    "m11_native_histogram_quantile",
+    "m15_promql_vector_matching",
+    "pq1_promql_engine",
+    "pq4_promql_range_api",
+    "f1_string_functions",
+    "f2_datetime_functions",
+    "w1_top_orders_per_customer",
+    "w2_running_revenue",
+    "w4_sessionization",
+    "g2_cube_orders",
+    "g3_vector_aggregations",
+    "e2_daily_activity",
+    "e3_json_props",
+    "q13_customer_distribution",
+    "t3_lang_id",
+    "t4_fingerprints",
+    "t6_repetition_filters",
+    "t7_pii_redaction",
+    "mm3_resize_geometry",
+    "p5_sequence_packing",
+    # --- NEW this round (never driver-checked)
+    "gr2_label_propagation",
+    "km1_kmeans_profile",
+    "sim9_sparse_cosine",
+    "dq4_mad_anomalies",
+    # --- code changed THIS round
     "gr1_pagerank",
     "er1_record_linkage",
     "st10_streaming_linkage",
     "sim8_radius_search",
-    "x12_mixing_solver",
-    # --- r5 cohort fill (26 of 48; mm1 also code-changed this round)
-    "mm1_media_metadata",
-    "a1_approx_distinct",
-    "d1_exact_dedup",
-    "d3_simhash_dedup",
-    "d4_ngram_jaccard_dedup",
-    "d5_embedding_neardup",
-    "d7_benchmark_decontam",
-    "p3_stratified_sample",
-    "p4_mixture_sample",
-    "q1_pricing_summary",
-    "q2a_top_supplier_per_nation",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11a_important_parts",
-    "q12_priority_shipping",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16a_part_supplier_stats",
-    "q17_small_quantity_revenue",
-    "q19_bracket_revenue",
-    "sim1_cosine_topk",
-    "st3_streaming_dedup",
-    "st4_stream_static_decontam",
-    "t1_token_stats",
+    "mm4_audio_features",
+    "mm6_flac_checksum",
+    # --- r6 cohort fill (18 of 48; ledger above names the 30 deferred)
+    "pq2_promql_parquet_storage",
+    "pq3_promql_native_histograms",
+    "pq5_streaming_ingest",
+    "pq6_retention_lifecycle",
+    "pq7_recording_rule",
+    "st1_streaming_daily_counts",
+    "st5_streaming_neardup",
+    "st6_streaming_sessions",
+    "st7_streaming_heavy_hitters",
+    "m1_matcher_eq",
+    "m4_empty_label_semantics",
+    "m18_absent_over_time",
+    "m19_custom_bucket_histograms",
+    "d2_minhash_lsh_dedup",
+    "d6_duplicate_clusters",
+    "d8_incremental_dedup",
+    "d10_semdedup",
+    "sim3_ivf_topk",
 ]
 assert len(_CHECK_WINDOW) == 50, len(_CHECK_WINDOW)
 

@@ -68,6 +68,22 @@ def main() -> int:
     # per-query trial list, the host load-average before/after, and a
     # same-code band [sum-of-mins, sum-of-medians] — if a future total
     # sits inside the band, it's the same code under different weather.
+    #
+    # SETTLE GATE (VERDICT r8 'What's wrong #2'): r8's own artifact showed
+    # the INVERSE of the recorded monotone-decay signature — later trials
+    # inflated while loadavg climbed 3.4→8.1 (load arriving MID-RUN, which
+    # best-of-3 absorbs but Σ-median misreads).  So: (a) spin-wait up to
+    # SETTLE_TIMEOUT for the 1-min loadavg to drop below SETTLE_LOAD
+    # before the first timed trial, and (b) annotate the JSON with a
+    # weather verdict when load still arrives mid-run, so the reader
+    # never has to re-derive the rule from raw trials.
+    SETTLE_LOAD = float(os.environ.get("SPARK_GRAFT_SETTLE_LOAD", "4.0"))
+    SETTLE_TIMEOUT = float(os.environ.get("SPARK_GRAFT_SETTLE_TIMEOUT", "120"))
+    settle_waited = 0.0
+    while os.getloadavg()[0] > SETTLE_LOAD and settle_waited < SETTLE_TIMEOUT:
+        time.sleep(5)
+        settle_waited += 5
+    settled = os.getloadavg()[0] <= SETTLE_LOAD
     load_start = list(os.getloadavg())
 
     times: dict[str, float] = {}
@@ -138,6 +154,27 @@ def main() -> int:
         round(sum(median(s) for n, s in spread.items() if n in times and s), 3),
     ]
 
+    # WEATHER VERDICT: load arriving mid-run inflates LATER trials (the
+    # non-monotone signature r8 recorded); cache/JIT warm-up inflates the
+    # FIRST trial with monotone decay.  Either way the best-of-N headline
+    # stays comparable; the verdict tells the reader which Σ-median to
+    # trust without re-deriving the rule from raw trial lists.
+    load_end = list(os.getloadavg())
+    load_delta = round(load_end[0] - load_start[0], 2)
+    late_inflated = [
+        n for n, s in spread.items()
+        if len(s) >= 3 and min(s) == s[0] and max(s[1:]) > 2.0 * s[0]
+    ]
+    weather = {
+        "settled": settled,
+        "settle_waited_sec": settle_waited,
+        "load_delta_1m": load_delta,
+        "mid_run_load_arrival": load_delta > 2.0 and bool(late_inflated),
+        "late_inflated_queries": late_inflated[:10],
+        "rule": "non-monotone trials + rising load => weather (trust "
+                "sum-of-mins); monotone first-trial decay => cache warm-up",
+    }
+
     result = {
         "metric": "headline_total_sec",
         "value": round(sum(times.values()), 3),
@@ -147,7 +184,8 @@ def main() -> int:
         "sf": sf,
         "trials": spread,
         "same_code_band_sec": band,
-        "load_avg": {"start": load_start, "end": list(os.getloadavg())},
+        "load_avg": {"start": load_start, "end": load_end},
+        "weather": weather,
     }
     if bucketed:
         result["bucketed"] = bucketed

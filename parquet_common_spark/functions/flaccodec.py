@@ -8,16 +8,22 @@ right-side, mid-side), and frame CRC-16 verification.
 
 Posture matches the other from-scratch codecs (PNG/JPEG/WAV/MP4): the
 reference repo has no media surface, so this extends the repo's own
-multimodal envelope; decode is per-symbol Python (envelope-
-completeness path, not a throughput path — the WAV/PNG hot paths are
-the ones with compiled kernels).  The encoder exists to pin
-round-trips: FLAC is lossless, so decode(encode(x)) must equal x
-BIT-EXACTLY for every subframe type and stereo mode, and a defect in
-any Rice/predictor/bit-packing detail breaks the equality.
+multimodal envelope.  The per-symbol serial stage (Rice unary walks +
+predictor reconstruction) runs through a compiled C kernel
+(flac_subframe_kernel.c, same lazily-built hash-cached pattern as
+jpeg_scan_kernel.c) when a compiler is present; the pure-Python
+``_read_subframe`` remains the fallback and the error-path authority,
+with bit-identity across engines pinned by tests (subframe types x
+stereo modes x partition orders + hypothesis round-trips).  The
+encoder exists to pin round-trips: FLAC is lossless, so
+decode(encode(x)) must equal x BIT-EXACTLY for every subframe type and
+stereo mode, and a defect in any Rice/predictor/bit-packing detail
+breaks the equality.
 """
 
 from __future__ import annotations
 
+import os
 import struct
 
 import numpy as np
@@ -42,6 +48,11 @@ _CRC16 = _crc_table(0x8005, 16)
 
 
 def crc8(data: bytes) -> int:
+    lib = _native_kernel()
+    if lib is not None:
+        import ctypes
+
+        return lib.flac_crc8(ctypes.c_char_p(data), ctypes.c_int64(len(data)))
     r = 0
     for b in data:
         r = _CRC8[r ^ b]
@@ -49,6 +60,11 @@ def crc8(data: bytes) -> int:
 
 
 def crc16(data: bytes) -> int:
+    lib = _native_kernel()
+    if lib is not None:
+        import ctypes
+
+        return lib.flac_crc16(ctypes.c_char_p(data), ctypes.c_int64(len(data)))
     r = 0
     for b in data:
         r = _CRC16[((r >> 8) ^ b) & 0xFF] ^ ((r << 8) & 0xFFFF)
@@ -267,6 +283,93 @@ def _read_subframe(br: _BitReader, blocksize: int, bps: int) -> list[int]:
     return s
 
 
+# ------------------------------------------------ native subframe kernel
+
+_NATIVE_LIB = None
+_NATIVE_TRIED = False
+# rc -> the SAME ValueError message the pure path raises (error-path
+# parity with _read_subframe/_read_residual); rc 300+t carries the
+# reserved subframe type t.
+_SUBFRAME_ERRORS = {
+    1: "FLAC: bitstream truncated",
+    2: "FLAC: subframe padding bit set",
+    4: "FLAC: invalid LPC precision",
+    5: "FLAC: negative LPC shift",
+    6: "FLAC: reserved residual coding method",
+    7: "FLAC: block size not divisible by partitions",
+    8: "FLAC: partition shorter than predictor order",
+}
+
+
+def _native_kernel():
+    """Lazily compile flac_subframe_kernel.c (cc -O2 -shared, cached by
+    source hash in the system temp dir) and load it via ctypes.
+    Returns the library, or None when no compiler / load failure —
+    callers fall back to the pure-Python per-symbol loop.  Same
+    build/caching pattern as jpegcodec._native_kernel."""
+    global _NATIVE_LIB, _NATIVE_TRIED
+    if _NATIVE_TRIED:
+        return _NATIVE_LIB
+    _NATIVE_TRIED = True
+    try:
+        import ctypes
+        import hashlib
+        import shutil
+        import subprocess
+        import tempfile
+
+        src = os.path.join(os.path.dirname(__file__), "flac_subframe_kernel.c")
+        with open(src, "rb") as f:
+            digest = hashlib.sha256(f.read()).hexdigest()[:16]
+        so = os.path.join(tempfile.gettempdir(), f"pcs_flac_subframe_{digest}.so")
+        if not os.path.exists(so):
+            cc = shutil.which("cc") or shutil.which("gcc") or shutil.which("clang")
+            if cc is None:
+                return None
+            tmp = f"{so}.{os.getpid()}.tmp"
+            subprocess.run(
+                [cc, "-O2", "-fPIC", "-shared", "-o", tmp, src],
+                check=True,
+                capture_output=True,
+            )
+            os.replace(tmp, so)  # atomic: concurrent executors race safely
+        lib = ctypes.CDLL(so)
+        lib.decode_subframe.restype = ctypes.c_int
+        lib.flac_crc8.restype = ctypes.c_int
+        lib.flac_crc16.restype = ctypes.c_int
+        _NATIVE_LIB = lib
+    except Exception:
+        _NATIVE_LIB = None
+    return _NATIVE_LIB
+
+
+def _read_subframe_native(lib, data: bytes, br: _BitReader, blocksize: int, bps: int) -> np.ndarray:
+    """One subframe through the C kernel; advances ``br`` and returns
+    an int64 sample array.  Raises the same ValueErrors as the pure
+    path (messages mapped from kernel return codes)."""
+    import ctypes
+
+    buf = np.empty(blocksize, dtype=np.int64)
+    byte = ctypes.c_int64(br.byte)
+    bit = ctypes.c_int32(br.bit)
+    rc = lib.decode_subframe(
+        ctypes.c_char_p(data),
+        ctypes.c_int64(len(data)),
+        ctypes.byref(byte),
+        ctypes.byref(bit),
+        ctypes.c_int32(blocksize),
+        ctypes.c_int32(bps),
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if rc:
+        if rc >= 300:
+            raise ValueError(f"FLAC: reserved subframe type {rc - 300}")
+        raise ValueError(_SUBFRAME_ERRORS.get(rc, f"FLAC: subframe kernel error {rc}"))
+    br.byte = byte.value
+    br.bit = bit.value
+    return buf
+
+
 # --------------------------------------------------------- public API
 
 
@@ -308,9 +411,32 @@ def flac_info(data: bytes) -> tuple[int, int, int, int]:
     info, _ = _parse_streaminfo(data)
     return info
 
-def flac_samples(data: bytes) -> tuple[np.ndarray, int]:
+def flac_samples(data: bytes, engine: str = "auto") -> tuple[np.ndarray, int]:
     """Decode all frames to ((n, channels) int32, rate).  Verifies each
-    frame's header CRC-8 and footer CRC-16."""
+    frame's header CRC-8 and footer CRC-16.
+
+    ``engine`` selects the subframe (Rice + predictor) implementation:
+    ``"reference"`` is the pure-Python per-symbol loop (error-path
+    authority), ``"native"`` the compiled C kernel, ``"auto"`` native
+    when a compiler is available else reference.  All engines are
+    bit-identical on valid streams (pinned by test)."""
+    if engine == "auto":
+        lib = _native_kernel()
+        engine = "native" if lib is not None else "reference"
+    elif engine == "native":
+        lib = _native_kernel()
+        if lib is None:
+            raise RuntimeError("FLAC: native kernel unavailable (no C compiler)")
+    elif engine == "reference":
+        lib = None
+    else:
+        raise ValueError(f"FLAC: unknown engine {engine!r}")
+
+    def read_subframe(br, blocksize, fbps):
+        if engine == "native":
+            return _read_subframe_native(lib, data, br, blocksize, fbps)
+        return np.asarray(_read_subframe(br, blocksize, fbps), dtype=np.int64)
+
     (channels, rate, bps, total), pos = _parse_streaminfo(data)
     out: list[np.ndarray] = []
     got = 0
@@ -352,36 +478,34 @@ def flac_samples(data: bytes) -> tuple[np.ndarray, int]:
 
         if chan_code <= 7:
             nch = chan_code + 1
-            chans = [_read_subframe(br, blocksize, fbps) for _ in range(nch)]
+            chans = [read_subframe(br, blocksize, fbps) for _ in range(nch)]
         elif chan_code in (8, 9, 10):
             nch = 2
             side_idx = 1 if chan_code in (8, 10) else 0
             chans = [
-                _read_subframe(br, blocksize, fbps + (1 if i == side_idx else 0))
+                read_subframe(br, blocksize, fbps + (1 if i == side_idx else 0))
                 for i in range(2)
             ]
-            a, b = chans
+            a, b = chans  # int64 arrays: decorrelate vectorized
             if chan_code == 8:  # left-side: b is side = L - R
-                chans = [a, [x - y for x, y in zip(a, b)]]
+                chans = [a, a - b]
             elif chan_code == 9:  # right-side: a is side = L - R
-                chans = [[x + y for x, y in zip(b, a)], b]
+                chans = [b + a, b]
             else:  # mid-side
-                left, right = [], []
-                for m, s in zip(a, b):
-                    m2 = (m << 1) | (s & 1)
-                    left.append((m2 + s) >> 1)
-                    right.append((m2 - s) >> 1)
-                chans = [left, right]
+                m2 = (a << 1) | (b & 1)
+                chans = [(m2 + b) >> 1, (m2 - b) >> 1]
         else:
             raise ValueError("FLAC: reserved channel assignment")
         if nch != channels:
             raise ValueError("FLAC: frame channel count != STREAMINFO")
         br.align()
+        if br.byte + 2 > len(data):
+            raise ValueError("FLAC: bitstream truncated")
         foot_crc = (data[br.byte] << 8) | data[br.byte + 1]
         if crc16(data[hdr_start : br.byte]) != foot_crc:
             raise ValueError("FLAC: frame CRC-16 mismatch")
         pos = br.byte + 2
-        out.append(np.array(chans, dtype=np.int64).T)
+        out.append(np.stack(chans, axis=0).T)
         got += blocksize
     if not out:
         raise ValueError("FLAC: no frames")

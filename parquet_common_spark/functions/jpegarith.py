@@ -30,6 +30,12 @@ decoder follows the spec flowcharts, but no third-party arithmetic
 JPEG is available in this environment, so external-stream interop
 rests on the Table D.3 transcription being letter-perfect.
 Arithmetic lossless/hierarchical stay NotImplementedError.
+(r9 recheck of the standing external-fixture ask: the container still
+has no jpegtran/cjpeg/djpeg/PIL/libjpeg, so the checked-in
+externally-generated SOF9/SOF10 fixture remains environment-blocked;
+the Qe table does carry one independent cross-check — the QM
+entropy-efficiency pin in tests, which would catch a transcription
+slip that changes coding behavior, though not a purely symmetric one.)
 
 Reference surface parity note: the reference repo has no media
 decoding at all; this extends the repo's own multimodal envelope

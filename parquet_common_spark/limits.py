@@ -47,17 +47,26 @@ class Quota:
     max_bytes: int | None = None
     max_chunk_bytes: int | None = None
     max_data_bytes: int | None = None
+    _consumed_rows: int = 0
     _consumed_bytes: int = 0
     _consumed_chunk_bytes: int = 0
     _consumed_data_bytes: int = 0
 
     def check_rows(self, df: DataFrame, what: str = "series") -> None:
+        """Meter MATCHED series rows (the labels-file rows the reference's
+        rowCountQuota decrements, search/materialize.go:939-965 — NOT
+        result sample rows), accumulating across shards within one query
+        like the reference's shared per-Select quota.  Bounded work: the
+        scan stops after remaining+1 rows thanks to the limit."""
         if self.max_rows is None:
             return
-        n = df.limit(self.max_rows + 1).count()
-        if n > self.max_rows:
+        remaining = max(self.max_rows - self._consumed_rows, 0)
+        n = df.limit(remaining + 1).count()
+        self._consumed_rows += n
+        if self._consumed_rows > self.max_rows:
             raise ResourceExhausted(
-                f"resource exhausted (query processed too many {what}: quota {self.max_rows})"
+                f"resource exhausted (query would fetch too many {what}: "
+                f"quota {self.max_rows})"
             )
 
     def check_bytes(

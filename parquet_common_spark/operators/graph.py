@@ -9,8 +9,10 @@ collect, never a driver-side loop over DATA (the Python loop is over
 the fixed iteration COUNT, building one lazy plan).
 
 Scale notes:
-* `edges` (+ out-degrees) are computed once and cached — they are the
-  loop invariant; ranks (|nodes| rows) is the only frame that changes.
+* `edges` (+ out-degrees) are the loop invariant; their exchange is
+  physically deduplicated across iterations by Spark's ReusedExchange
+  rule (pinned by test), so the scan+join cost is paid once, not once
+  per iteration.  Ranks (|nodes| rows) is the only frame that changes.
 * A damping teleport term keeps the computation well-defined; the
   caller must hand in a graph with no dangling nodes (out-degree ≥ 1
   for every node) — symmetrizing, as the registry entry does, is the
@@ -39,8 +41,13 @@ def pagerank(
 
     Returns ``(node, rank)`` after ``iterations`` synchronous updates
     from the uniform start, with ``rank' = (1-d)/N + d * Σ_in r/outdeg``.
-    Every node must have out-degree ≥ 1 (no dangling mass).  The edge
-    frame is cached for the duration of the plan build; ranks stay an
+    Every node must have out-degree ≥ 1 (no dangling mass); in-degree 0
+    is allowed — such nodes keep their teleport rank ``(1-d)/N`` and
+    keep contributing to their out-neighbors every iteration (each
+    update left-joins contributions back onto the full node spine, so
+    no node or rank mass is dropped).  The (edges ⋈ outdeg) invariant
+    is not cached explicitly; its exchange is physically deduplicated
+    across iterations by Spark's ReusedExchange rule.  Ranks stay an
     |nodes|-row frame throughout.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -55,17 +62,72 @@ def pagerank(
     # counts a caller would checkpoint ranks every ~10 rounds to bound
     # plan depth; the registry entry runs a fixed small k.
     contrib_src = e.join(deg, "src")
-    for _ in range(iterations):
+    for _ in range(iterations):  # loop over fixed iteration COUNT, not data
         contrib = (
             contrib_src.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("contrib"))
         )
-        ranks = contrib.select(
-            F.col("dst").alias("node"),
+        # Left-join onto the full node spine: a node with in-degree 0
+        # receives no contributions but must keep its teleport rank
+        # (and thereby its outgoing mass next iteration) — rebuilding
+        # ranks from contrib alone would silently drop it.
+        ranks = nodes.join(
+            contrib.withColumnRenamed("dst", "node"), "node", "left"
+        ).select(
+            "node",
             (
                 F.lit((1.0 - damping) / n_nodes)
-                + F.lit(damping) * F.col("contrib")
+                + F.lit(damping)
+                * F.coalesce(F.col("contrib"), F.lit(0.0))
             ).alias("rank"),
         )
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous min-label propagation over a directed edge list —
+    the community-detection member of the iterative-graph family
+    (deterministic variant: each node adopts the MINIMUM of its own
+    label and its in-neighbors' labels, so no random tie-breaking and
+    the result is exactly reproducible — integer-exact, unlike
+    PageRank's float ranks).
+
+    Returns ``(node, label)`` after ``iterations`` synchronous updates
+    from ``label0(v) = v``.  After k iterations two nodes share a label
+    iff the smaller label reaches them within k hops — on a symmetrized
+    graph this converges to connected components (the batched
+    pointer-jumping in operators/components.py gets there in O(log n)
+    rounds; this is the fixed-depth, one-shuffle-per-round shape that
+    LPA-style community detection uses).
+
+    Scale shape: per iteration ONE equi-join (labels ⋈ edges on src)
+    and ONE groupBy(dst) min — hash-partitioned on node id, map-side
+    combinable (MIN is associative), labels never exceeds |nodes| rows.
+    The node spine is kept via left-join so isolated-in-degree nodes
+    retain their own label (same fix-class as pagerank's spine join).
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    ).distinct()
+    labels = nodes.withColumn("label", F.col("node"))
+    for _ in range(iterations):  # loop over fixed iteration COUNT, not data
+        incoming = (
+            e.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.min("label").alias("_nbr_min"))
+            .withColumnRenamed("dst", "node")
+        )
+        labels = labels.join(incoming, "node", "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("_nbr_min"), F.col("label"))
+            ).alias("label"),
+        )
+    return labels

@@ -6,7 +6,9 @@ Scale posture: candidate generation is a UNION of self-equi-joins on
 BLOCKING KEYS, never an all-pairs comparison — the per-block pair count
 is Σ|block|², bounded by the blocking-key design (an explicit data
 contract, the standard ER posture; multi-pass union buys recall without
-widening any single block).  Duplicate candidates across passes
+widening any single block) and — when ``max_block_rows`` is set —
+enforced at runtime by a per-pass block-size prefilter that drops
+degenerate blocks before the self-join.  Duplicate candidates across passes
 collapse with one distinct on the (id, id) pair BEFORE scoring, so each
 pair is scored once.  Scoring is a map-only Arrow-batched pandas UDF
 over the joined pairs; skewed blocks are ordinary hot equi-keys (AQE).
@@ -81,10 +83,24 @@ def blocked_linkage(
     name_col: str,
     blocking: list[list[str]],
     threshold: float,
+    max_block_rows: int | None = None,
 ) -> DataFrame:
     """Candidate pairs from every blocking pass, deduplicated, scored,
     filtered to ``round(sim, 6) >= threshold``.  Returns
-    ``(id_1, id_2, name_1, name_2, sim)`` with ``id_1 < id_2``."""
+    ``(id_1, id_2, name_1, name_2, sim)`` with ``id_1 < id_2``.
+
+    ``max_block_rows`` is the degenerate-block flood guard (the
+    ``band_cap``/``max_doc_freq`` pattern from operators/dedup.py): the
+    pair count is Σ|block|² per pass, so one mis-chosen blocking key —
+    a fixed-cardinality column at 100 TB, an empty-string key covering
+    half the corpus — silently turns the self-join quadratic.  With a
+    cap set, each pass first counts rows per blocking-key tuple (one
+    (keys, count) groupBy — never names) and DROPS blocks larger than
+    the cap before the self-join, bounding per-block fan-out at cap².
+    Recall posture is the standard ER one: a pair lost to a flooded
+    block is recovered by a LATER, more selective pass — never by
+    widening the block.  ``None`` (default) keeps exact semantics.
+    """
     left = df.select(
         F.col(id_col).alias("id_1"),
         F.col(name_col).alias("name_1"),
@@ -97,7 +113,17 @@ def blocked_linkage(
     )
     cand = None
     for keys in blocking:
-        pairs = left.join(right, on=list(keys), how="inner").where(
+        l_pass, r_pass = left, right
+        if max_block_rows is not None:
+            ok = (
+                df.groupBy(*keys)
+                .agg(F.count(F.lit(1)).alias("_blk_rows"))
+                .where(F.col("_blk_rows") <= max_block_rows)
+                .select(*keys)
+            )
+            l_pass = left.join(ok, on=list(keys), how="inner")
+            r_pass = right.join(ok, on=list(keys), how="inner")
+        pairs = l_pass.join(r_pass, on=list(keys), how="inner").where(
             F.col("id_1") < F.col("id_2")
         ).select("id_1", "id_2", "name_1", "name_2")
         cand = pairs if cand is None else cand.unionByName(pairs)

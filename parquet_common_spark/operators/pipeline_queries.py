@@ -2744,3 +2744,256 @@ def x12(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ================================================================ round 9
+# gr2: label-propagation communities (iterative family, integer-exact)
+
+_GR2_SQL = """
+    WITH e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+                FROM lineitem WHERE l_quantity = 1),
+    edges AS (SELECT CAST(p AS BIGINT) AS src, CAST(1000000 + s AS BIGINT) AS dst FROM e0
+              UNION ALL
+              SELECT CAST(1000000 + s AS BIGINT), CAST(p AS BIGINT) FROM e0),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    l0 AS (SELECT node, node AS label FROM nodes),
+    l1 AS (SELECT l.node, LEAST(l.label, COALESCE(m.mn, l.label)) AS label
+           FROM l0 l LEFT JOIN (SELECT e.dst AS node, MIN(x.label) AS mn
+                                FROM edges e JOIN l0 x ON x.node = e.src
+                                GROUP BY e.dst) m USING (node)),
+    l2 AS (SELECT l.node, LEAST(l.label, COALESCE(m.mn, l.label)) AS label
+           FROM l1 l LEFT JOIN (SELECT e.dst AS node, MIN(x.label) AS mn
+                                FROM edges e JOIN l1 x ON x.node = e.src
+                                GROUP BY e.dst) m USING (node)),
+    l3 AS (SELECT l.node, LEAST(l.label, COALESCE(m.mn, l.label)) AS label
+           FROM l2 l LEFT JOIN (SELECT e.dst AS node, MIN(x.label) AS mn
+                                FROM edges e JOIN l2 x ON x.node = e.src
+                                GROUP BY e.dst) m USING (node))
+    SELECT label AS community, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           MIN(node) AS min_node
+    FROM l3 GROUP BY label ORDER BY n_nodes DESC, community LIMIT 25
+"""
+
+
+@query("gr2_label_propagation", _GR2_SQL)
+def gr2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via synchronous min-label propagation (3
+    fixed iterations) on the SPARSE part<->supplier co-occurrence graph
+    (quantity-1 line items only — the full graph is connected within 3
+    hops, so the sparsified slice is what exhibits community structure:
+    90 communities over ~950 nodes at sf0.01).  Integer-exact — no
+    float accumulation anywhere — so the oracle match is bit-for-bit.
+    Deterministic counterpart of random-tie-break LPA; see
+    operators/graph.py::label_propagation for the per-iteration
+    join+groupBy(min) scale shape."""
+    from parquet_common_spark.operators.graph import label_propagation
+
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    e0 = (
+        li.where(F.col("l_quantity") == 1)
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    edges = e0.select(
+        F.col("l_partkey").cast("long").alias("src"),
+        (F.lit(1000000) + F.col("l_suppkey")).cast("long").alias("dst"),
+    ).unionAll(
+        e0.select(
+            (F.lit(1000000) + F.col("l_suppkey")).cast("long").alias("src"),
+            F.col("l_partkey").cast("long").alias("dst"),
+        )
+    )
+    return (
+        label_propagation(edges, iterations=3)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min("node").alias("min_node"),
+        )
+        .select(F.col("label").alias("community"), "n_nodes", "min_node")
+        .orderBy(F.desc("n_nodes"), "community")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------- km1: quantized k-means
+
+_KM_K, _KM_DIM, _KM_ITERS = 4, 64, 2
+
+
+def _km1_sql(k: int = _KM_K, dim: int = _KM_DIM) -> str:
+    """Unrolled 2-iteration Lloyd's k-means, quantized to BIGINT inputs
+    so every cross-row aggregation is exact integer arithmetic; only
+    per-row fixed-order double expressions remain (same left-to-right
+    association as the Spark F.aggregate fold)."""
+    qcols = ", ".join(
+        f"CAST(ROUND(CAST(embedding[{i + 1}] AS DOUBLE) * 1000) AS BIGINT) AS q_{i}"
+        for i in range(dim)
+    )
+    dist_int = " + ".join(
+        f"(e.q_{i} - c.c_{i}) * (e.q_{i} - c.c_{i})" for i in range(dim)
+    )
+    dist_dbl = " + ".join(
+        f"(CAST(e.q_{i} AS DOUBLE) - c.c_{i}) * (CAST(e.q_{i} AS DOUBLE) - c.c_{i})"
+        for i in range(dim)
+    )
+    sums = ", ".join(f"SUM(e.q_{i}) AS s_{i}" for i in range(dim))
+    cdiv = ", ".join(f"CAST(s_{i} AS DOUBLE) / n AS c_{i}" for i in range(dim))
+    norm = " + ".join(f"c_{i} * c_{i}" for i in range(dim))
+    ccols0 = ", ".join(f"q_{i} AS c_{i}" for i in range(dim))
+
+    def assign(prev: str, dist: str) -> str:
+        return (
+            f"(SELECT vec_id, cid AS cluster FROM ("
+            f"SELECT e.vec_id, c.cid, ROW_NUMBER() OVER ("
+            f"PARTITION BY e.vec_id ORDER BY {dist}, c.cid) AS rn "
+            f"FROM e CROSS JOIN {prev} c) WHERE rn = 1)"
+        )
+
+    def update(a: str) -> str:
+        return (
+            f"(SELECT cid, {cdiv} FROM (SELECT {a}.cluster AS cid, "
+            f"COUNT(*) AS n, {sums} FROM {a} JOIN e USING (vec_id) "
+            f"GROUP BY {a}.cluster))"
+        )
+
+    return f"""
+    WITH e AS (SELECT vec_id, {qcols} FROM embeddings),
+    c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, {ccols0}
+           FROM (SELECT * FROM e ORDER BY vec_id LIMIT {k})),
+    a0 AS {assign('c0', dist_int)},
+    c1 AS {update('a0')},
+    a1 AS {assign('c1', dist_dbl)},
+    c2 AS {update('a1')},
+    a2 AS {assign('c2', dist_dbl)},
+    prof AS (SELECT a2.cluster AS cid, COUNT(*) AS n, {sums}
+             FROM a2 JOIN e USING (vec_id) GROUP BY a2.cluster),
+    fin AS (SELECT cid, n, {cdiv} FROM prof)
+    SELECT cid AS cluster, CAST(n AS BIGINT) AS n_vecs,
+           ROUND(SQRT({norm}), 6) AS centroid_norm
+    FROM fin ORDER BY cluster
+    """
+
+
+@query("km1_kmeans_profile", _km1_sql())
+def km1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k=4, 2 update rounds + final assignment) over
+    the embeddings table, deterministic end-to-end: integer-quantized
+    inputs, lowest-id seeding, lexicographic (dist, cid) argmin, exact
+    integer centroid sums.  Output is the cluster-size profile + each
+    final cluster's mean-vector L2 norm.  See operators/clustering.py
+    for the broadcast-centroid / one-groupBy-per-iteration 100 TB
+    shape."""
+    from parquet_common_spark.operators.clustering import kmeans_cluster_profile
+
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    return kmeans_cluster_profile(
+        spark, emb, k=_KM_K, iterations=_KM_ITERS, dim=_KM_DIM
+    )
+
+
+# ------------------------------- sim9: inverted-index sparse cosine join
+
+_SIM9_MAXDF, _SIM9_TAU = 50, 0.5
+
+_SIM9_SQL = f"""
+    WITH toks AS (SELECT doc_id,
+                         unnest(string_split_regex({_NORM.format(c='text')}, '\\s+')) AS tok
+                  FROM documents),
+    tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM toks GROUP BY doc_id, tok),
+    keep AS (SELECT tok FROM tf GROUP BY tok HAVING COUNT(*) <= {_SIM9_MAXDF}),
+    tff AS (SELECT tf.doc_id, tf.tok, tf.tf FROM tf JOIN keep USING (tok)),
+    norms AS (SELECT doc_id, SUM(tf * tf) AS nn FROM tff GROUP BY doc_id),
+    dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    SUM(a.tf * b.tf) AS dot
+             FROM tff a JOIN tff b USING (tok)
+             WHERE a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b,
+           ROUND(CAST(d.dot AS DOUBLE) / SQRT(CAST(na.nn * nb.nn AS DOUBLE)), 6) AS cos
+    FROM dots d
+    JOIN norms na ON na.doc_id = d.id_a
+    JOIN norms nb ON nb.doc_id = d.id_b
+    WHERE ROUND(CAST(d.dot AS DOUBLE) / SQRT(CAST(na.nn * nb.nn AS DOUBLE)), 6)
+          >= {_SIM9_TAU}
+    ORDER BY id_a, id_b
+"""
+
+
+@query("sim9_sparse_cosine", _SIM9_SQL)
+def sim9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse count-vector cosine similarity via an INVERTED-INDEX
+    self-join (the classic all-pairs-similarity shape: postings joined
+    on term, never documents x documents), integer-exact dot products
+    and norms with a single per-pair float division.  The
+    ``max_doc_freq`` prefilter is the hot-term flood guard (same cap
+    family as dedup.py's band_cap / linkage's max_block_rows): a term
+    in more than {_SIM9_MAXDF} docs would alone emit ~df^2/2 join rows,
+    so ubiquitous terms are dropped BEFORE the self-join, bounding
+    per-term fan-out.  On this synthetic corpus the pairs clearing
+    tau={_SIM9_TAU} are the exact-duplicate classes; partial-overlap
+    discrimination is pinned by pytest on a hand-built corpus."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    return T.sparse_cosine_pairs(
+        docs, "doc_id", "text", max_doc_freq=_SIM9_MAXDF, tau=_SIM9_TAU
+    ).orderBy("id_a", "id_b")
+
+
+# ----------------------------------- dq4: robust MAD anomaly profile
+
+_DQ4_K = 4.4478  # 3 * 1.4826 (the normal-consistency MAD scale), one constant
+
+_DQ4_SQL = f"""
+    WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+                 FROM events GROUP BY event_type),
+    dev AS (SELECT e.event_type, ABS(e.value - m.med) AS adev, m.med
+            FROM events e JOIN med m USING (event_type)),
+    mad AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+            FROM dev GROUP BY event_type)
+    SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(ANY_VALUE(d.med), 6) AS med,
+           ROUND(ANY_VALUE(m.mad), 6) AS mad,
+           CAST(SUM(CASE WHEN d.adev > {_DQ4_K} * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_anomalies
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type ORDER BY d.event_type
+"""
+
+
+@query("dq4_mad_anomalies", _DQ4_SQL)
+def dq4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly profile per event type: median / MAD (median
+    absolute deviation) and the count of |v - med| > 3σ-equivalent
+    (3 * 1.4826 * MAD) outliers — the data-quality family's robust arm
+    (dq3's drift uses means; MAD survives the heavy tails that wreck
+    z-scores).  Medians are exact interpolating percentiles — order
+    statistics, not float accumulation — so both engines agree
+    bit-for-bit; the threshold is ONE multiply on each side.  Scale:
+    two groupBy passes (exact percentile needs the group's values;
+    Spark's percentile is a sort-based exact aggregate) + a broadcast
+    join of the per-type scalars back onto events."""
+    ev = load(spark, sf_dir, "events")["events"]
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("med")).alias("adev"), "med"
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.first("med"), 6).alias("med"),
+            F.round(F.first("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(F.col("adev") > F.lit(_DQ4_K) * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_anomalies"),
+        )
+        .orderBy("event_type")
+    )

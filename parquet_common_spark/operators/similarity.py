@@ -803,7 +803,13 @@ def radius_search(
     is decided locally per row, so the output needs no shuffle.  Output
     size is data-dependent (τ is the knob); cosines use the same
     left-to-right cumsum accumulation as the JVM fold / DuckDB
-    list_dot_product, keeping the oracle hash-exact."""
+    list_dot_product, keeping the oracle hash-exact.
+
+    Zero-norm vectors (query or corpus side) have no defined cosine;
+    such pairs are EXCLUDED by an explicit norm>0 mask rather than left
+    to NaN/inf comparison semantics, which differ between numpy
+    (NaN >= τ is False) and DuckDB (NaN compares greater than every
+    number) — defined behavior instead of engine-dependent."""
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
     q_rows = queries.select(
@@ -834,8 +840,12 @@ def radius_search(
             rq, rn, rc = [], [], []
             for qi, qid in enumerate(qids):
                 dots = np.cumsum(C * Q[qi][None, :], axis=1)[:, -1]
-                cos = np.round(dots / (qn[qi] * cn), 6)
-                mask = (ids != qid) & (cos >= tau)
+                denom = qn[qi] * cn
+                ok = denom > 0.0  # zero-norm pairs excluded by contract
+                cos = np.zeros_like(dots)
+                np.divide(dots, denom, out=cos, where=ok)
+                cos = np.round(cos, 6)
+                mask = ok & (ids != qid) & (cos >= tau)
                 rq.extend([qid] * int(mask.sum()))
                 rn.extend(ids[mask].tolist())
                 rc.extend(cos[mask].tolist())

@@ -835,3 +835,62 @@ def bm25_topk(
         .where(F.col("rank") <= k)
         .select("query_id", id_col, "score", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def sparse_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: int = 50,
+    tau: float = 0.5,
+) -> DataFrame:
+    """All document pairs with count-vector cosine >= ``tau`` via an
+    INVERTED-INDEX self-join — postings joined on term, never documents
+    x documents.  Dot products and norms are exact BIGINT sums (term
+    frequencies are integers); the only float op is one division per
+    surviving pair, so the result is engine-exact.
+
+    ``max_doc_freq`` is the hot-term flood guard (band_cap family): a
+    term in more than ``max_doc_freq`` docs would alone emit ~df^2/2
+    join rows, so ubiquitous terms are dropped BEFORE the self-join in
+    one (term, df) groupBy — per-term fan-out is then <= cap.  Recall
+    posture: a pair whose overlap is ONLY corpus-wide boilerplate terms
+    is exactly what a similarity pass wants excluded, not enumerated.
+
+    Returns ``(id_a, id_b, cos)`` with ``id_a < id_b``, cos rounded to
+    6dp BEFORE the threshold compare (boundary behavior is defined)."""
+    tf = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.split(normalize_text(F.col(text_col)), r"\s+")).alias("tok"),
+        )
+        .groupBy("_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    keep = (
+        tf.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= max_doc_freq)
+        .select("tok")
+    )
+    tff = tf.join(keep, "tok")
+    norms = tff.groupBy("_id").agg(F.sum(F.col("tf") * F.col("tf")).alias("nn"))
+    a = tff.select("tok", F.col("_id").alias("id_a"), F.col("tf").alias("tf_a"))
+    b = tff.select("tok", F.col("_id").alias("id_b"), F.col("tf").alias("tf_b"))
+    dots = (
+        a.join(b, "tok")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+    )
+    cos = F.round(
+        F.col("dot").cast("double")
+        / F.sqrt((F.col("na") * F.col("nb")).cast("double")),
+        6,
+    )
+    return (
+        dots.join(norms.select(F.col("_id").alias("id_a"), F.col("nn").alias("na")), "id_a")
+        .join(norms.select(F.col("_id").alias("id_b"), F.col("nn").alias("nb")), "id_b")
+        .select("id_a", "id_b", cos.alias("cos"))
+        .where(F.col("cos") >= F.lit(tau))
+    )

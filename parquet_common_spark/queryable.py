@@ -227,8 +227,6 @@ class ParquetQueryable:
             out = out.unionByName(p, allowMissingColumns=True)
         if skip_chunks and len(parts) > 1:
             out = out.distinct()  # same series in >1 shard (reference dedup, merge.go:85)
-        if quota is not None:
-            quota.check_rows(out)
         label_cols = sorted(S.label_columns(out.columns))
         if sorted_output:
             # sorted contract forced for >1 shard in the reference
@@ -272,6 +270,10 @@ class ParquetQueryable:
         series = series.select(*keep, S.SERIES_HASH_COLUMN)
         if quota is not None:
             quota.check_bytes(series, kind="data")
+            # row quota meters MATCHED series rows per shard, accumulated
+            # across shards (reference: rowCountQuota shared per Select,
+            # decremented as each shard materializes labels-file rows)
+            quota.check_rows(series)
         if skip_chunks or shard.samples is None:
             # "series" fast path (reference: parquet_queryable.go:322) —
             # labels only, zero sample I/O. Distinct because projection may

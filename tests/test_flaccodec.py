@@ -140,3 +140,79 @@ def test_flac_roundtrip_hypothesis():
         assert np.array_equal(pcm, x)
 
     prop()
+
+
+# ------------------------------------------- native kernel (round 9)
+
+
+def test_flac_native_kernel_available():
+    """This environment has a C compiler; the subframe kernel must
+    build (elsewhere the pure path is the documented fallback)."""
+    assert FC._native_kernel() is not None
+
+
+@pytest.mark.parametrize("mode", ["indep", "ls", "rs", "ms"])
+@pytest.mark.parametrize("sub", ["verbatim", "fixed0", "fixed2",
+                                 "fixed4", "lpc"])
+def test_flac_engines_bit_identical(mode, sub):
+    """reference (pure Python, error-path authority) vs native (C
+    kernel): BIT-IDENTICAL samples across subframe types x stereo
+    modes x partition orders — the FLAC arm of the JPEG/PNG
+    two-engine discipline."""
+    if FC._native_kernel() is None:
+        pytest.skip("no C compiler")
+    sig = _sig()
+    for porder in (0, 2):
+        data = FC.flac_encode(sig, 8000, 16, blocksize=512,
+                              stereo_mode=mode, subframe=sub,
+                              partition_order=porder)
+        ref, r1 = FC.flac_samples(data, engine="reference")
+        nat, r2 = FC.flac_samples(data, engine="native")
+        assert r1 == r2 == 8000
+        assert np.array_equal(ref, nat), (mode, sub, porder)
+
+
+def test_flac_engines_error_parity_on_truncation():
+    """Both engines surface mid-subframe truncation as the SAME
+    domain ValueError (never IndexError or garbage samples)."""
+    sig = _sig(512, 1)
+    d = FC.flac_encode(sig, 8000, 16, blocksize=512)
+    for cut in (len(d) - 40, len(d) - 150):
+        for eng in ("reference", "native"):
+            if eng == "native" and FC._native_kernel() is None:
+                continue
+            with pytest.raises(ValueError, match="FLAC:"):
+                FC.flac_samples(d[:cut], engine=eng)
+
+
+def test_flac_truncated_at_footer_crc_is_domain_error():
+    """A stream cut exactly at the frame footer CRC-16 raises the
+    module's ValueError('FLAC: ...'), not IndexError (round-8 advice:
+    data[br.byte + 1] was unguarded)."""
+    sig = _sig(512, 1)
+    d = FC.flac_encode(sig, 8000, 16, blocksize=512)
+    # the final frame ends with 2 CRC bytes; cut inside them
+    for drop in (1, 2):
+        for eng in ("reference", "native"):
+            if eng == "native" and FC._native_kernel() is None:
+                continue
+            with pytest.raises(ValueError, match="FLAC:"):
+                FC.flac_samples(d[: len(d) - drop], engine=eng)
+
+
+def test_flac_crc_kernel_matches_pure_tables():
+    """Kernel CRCs == pure-Python table CRCs on randomized buffers
+    (the frame-verify path dispatches to the kernel when present)."""
+    if FC._native_kernel() is None:
+        pytest.skip("no C compiler")
+    rng = np.random.default_rng(3)
+    for n in (0, 1, 7, 256, 4096):
+        buf = bytes(rng.integers(0, 256, n, dtype=np.uint8).tobytes())
+        r8 = 0
+        for b in buf:
+            r8 = FC._CRC8[r8 ^ b]
+        r16 = 0
+        for b in buf:
+            r16 = FC._CRC16[((r16 >> 8) ^ b) & 0xFF] ^ ((r16 << 8) & 0xFFFF)
+        assert FC.crc8(buf) == r8
+        assert FC.crc16(buf) == r16

@@ -98,3 +98,28 @@ def test_plan_shape_equal_sf01_vs_sf1(spark, registry, name):
     b = _shape(spark, registry, name, SF1_DIR)
     assert a == b, (name, a, b)
     assert a["nested_loop_joins"] == 0, (name, a)
+
+
+# --- second decade (VERDICT r8 ask #5): the four steepest decade-1
+# ratios (t2 6.57x, e12 4.20x, t13 3.79x, x8 3.67x) pinned again at
+# sf1 -> sf10.  t13's broadcast-terms side is query-sized (top terms),
+# not corpus-sized, so its shape is scale-invariant by design too.
+SF10_DIR = "/tmp/pcs_scale/sf10"
+DECADE2_QUERIES = [
+    "t2_quality_scores",
+    "e12_session_outage_overlap",
+    "t13_bm25_retrieval",
+    "x8_ngram_novelty",
+]
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(SF10_DIR, "lineitem.parquet")),
+    reason="sf10 not generated (tools/gen_scale_data.py twice)",
+)
+@pytest.mark.parametrize("name", DECADE2_QUERIES)
+def test_plan_shape_equal_sf1_vs_sf10(spark, registry, name):
+    a = _shape(spark, registry, name, SF1_DIR)
+    b = _shape(spark, registry, name, SF10_DIR)
+    assert a == b, (name, a, b)
+    assert a["nested_loop_joins"] == 0, (name, a)
