@@ -52,20 +52,12 @@ def _dist_dbl(qcol, centroid: list[float]):
     )
 
 
-def kmeans_quantized(
-    df: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k: int = 4,
-    iterations: int = 2,
-    dim: int = 64,
+def quantize_vectors(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """Fixed-iteration Lloyd's k-means with deterministic seeding: the
-    k vectors with the lowest ids are the initial centroids.  Runs
-    ``iterations`` (assign -> update) rounds plus a final assignment
-    against the last centroids; returns per-vector ``(vec_id, cluster)``.
-    """
-    q = df.select(
+    """``(vec_id, q)`` with q = round(x * 1000) as BIGINT — the shared
+    quantization that makes every cross-row aggregation exact."""
+    return df.select(
         F.col(id_col).cast("long").alias("vec_id"),
         F.transform(
             F.col(vec_col),
@@ -73,28 +65,45 @@ def kmeans_quantized(
         ).alias("q"),
     )
 
+
+def assign_to_centroids(q: DataFrame, centroids: list[list], integer_centroids: bool):
+    """Map-only argmin assignment against broadcast-literal centroids:
+    lexicographic (dist, cid) min.  Returns (cluster Column, sqdist
+    Column) — streaming-legal (no aggregation, no state)."""
+    dist = _dist_int if integer_centroids else _dist_dbl
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    dist(F.col("q"), c).alias("d"),
+                    F.lit(cid).alias("c"),
+                )
+                for cid, c in enumerate(centroids)
+            ]
+        )
+    )
+    return best["c"], best["d"]
+
+
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iterations: int = 2,
+    dim: int = 64,
+) -> list[list[float]]:
+    """Run ``iterations`` (assign -> update) Lloyd's rounds from the
+    lowest-id seeds; return the final centroids (k x dim floats, each
+    component an exact SUM(int)/COUNT division)."""
+    q = quantize_vectors(df, id_col, vec_col)
     # deterministic seed: lowest-id vectors (bounded collect of k rows)
     seed_rows = q.orderBy("vec_id").limit(k).collect()
     centroids: list[list] = [list(r["q"]) for r in seed_rows]
     integer_centroids = True
-
-    assign = None
-    for round_i in range(iterations + 1):  # fixed COUNT; last pass assigns only
-        dist = _dist_int if integer_centroids else _dist_dbl
-        choice = F.array_min(
-            F.array(
-                *[
-                    F.struct(
-                        dist(F.col("q"), c).alias("d"),
-                        F.lit(cid).alias("c"),
-                    )
-                    for cid, c in enumerate(centroids)
-                ]
-            )
-        )["c"]
-        assign = q.select("vec_id", "q", choice.alias("cluster"))
-        if round_i == iterations:
-            break
+    for _ in range(iterations):  # fixed COUNT, not data
+        cluster, _d = assign_to_centroids(q, centroids, integer_centroids)
+        assign = q.select("vec_id", "q", cluster.alias("cluster"))
         # update: exact integer sums per dim + one double division each
         agg = assign.groupBy("cluster").agg(
             F.count(F.lit(1)).alias("n"),
@@ -108,7 +117,26 @@ def kmeans_quantized(
             for cid in range(k)
         ]
         integer_centroids = False
-    return assign.select("vec_id", "cluster")
+    return centroids
+
+
+def kmeans_quantized(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 4,
+    iterations: int = 2,
+    dim: int = 64,
+) -> DataFrame:
+    """Fixed-iteration Lloyd's k-means with deterministic seeding: the
+    k vectors with the lowest ids are the initial centroids.  Runs
+    ``iterations`` (assign -> update) rounds plus a final assignment
+    against the last centroids; returns per-vector ``(vec_id, cluster)``.
+    """
+    centroids = kmeans_fit(df, id_col, vec_col, k, iterations, dim)
+    q = quantize_vectors(df, id_col, vec_col)
+    cluster, _d = assign_to_centroids(q, centroids, integer_centroids=iterations == 0)
+    return q.select("vec_id", cluster.alias("cluster"))
 
 
 def kmeans_cluster_profile(

@@ -3148,3 +3148,106 @@ def st10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination(300)
     return spark.table(sink).orderBy("id_m", "id_s")
+
+
+# -------- st11: streaming k-means assignment (stream-static scoring)
+
+# The streaming arm of km1 (operators/clustering.py): centroids are FIT
+# on the static half of the embeddings table (even vec_ids, the same
+# deterministic Lloyd's contract as km1 — quantized ints, lowest-id
+# seeds, SUM/COUNT updates), then the STREAM of new vectors (odd
+# vec_ids) is assigned map-only against the k x dim broadcast-literal
+# centroids: no join, no aggregation, no state store — the
+# streaming-legal shape of model scoring, and at 100 TB/day exactly how
+# an embedding-ingest pipeline buckets new vectors (the model is
+# scalars; the stream never shuffles).
+
+
+def _st11_sql(k: int = 4, dim: int = 64) -> str:
+    """km1's unrolled recurrence restricted to the even half, plus a
+    final odd-half assignment with the squared-distance fingerprint."""
+    qcols = ", ".join(
+        f"CAST(ROUND(CAST(embedding[{i + 1}] AS DOUBLE) * 1000) AS BIGINT) AS q_{i}"
+        for i in range(dim)
+    )
+    dist_int = " + ".join(
+        f"(e.q_{i} - c.c_{i}) * (e.q_{i} - c.c_{i})" for i in range(dim)
+    )
+    dist_dbl = " + ".join(
+        f"(CAST(e.q_{i} AS DOUBLE) - c.c_{i}) * (CAST(e.q_{i} AS DOUBLE) - c.c_{i})"
+        for i in range(dim)
+    )
+    sums = ", ".join(f"SUM(e.q_{i}) AS s_{i}" for i in range(dim))
+    cdiv = ", ".join(f"CAST(s_{i} AS DOUBLE) / n AS c_{i}" for i in range(dim))
+    ccols0 = ", ".join(f"q_{i} AS c_{i}" for i in range(dim))
+
+    def assign(src: str, prev: str, dist: str) -> str:
+        return (
+            f"(SELECT vec_id, cid AS cluster, d FROM ("
+            f"SELECT e.vec_id, c.cid, {dist} AS d, ROW_NUMBER() OVER ("
+            f"PARTITION BY e.vec_id ORDER BY {dist}, c.cid) AS rn "
+            f"FROM {src} e CROSS JOIN {prev} c) WHERE rn = 1)"
+        )
+
+    def update(a: str) -> str:
+        return (
+            f"(SELECT cid, {cdiv} FROM (SELECT {a}.cluster AS cid, "
+            f"COUNT(*) AS n, {sums} FROM {a} JOIN ev e USING (vec_id) "
+            f"GROUP BY {a}.cluster))"
+        )
+
+    return f"""
+    WITH allq AS (SELECT vec_id, {qcols} FROM embeddings),
+    ev AS (SELECT * FROM allq WHERE vec_id % 2 = 0),
+    od AS (SELECT * FROM allq WHERE vec_id % 2 = 1),
+    c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, {ccols0}
+           FROM (SELECT * FROM ev ORDER BY vec_id LIMIT {k})),
+    a0 AS {assign('ev', 'c0', dist_int)},
+    c1 AS {update('a0')},
+    a1 AS {assign('ev', 'c1', dist_dbl)},
+    c2 AS {update('a1')},
+    fin AS {assign('od', 'c2', dist_dbl)}
+    SELECT vec_id, cluster, ROUND(SQRT(d), 6) AS dist
+    FROM fin ORDER BY vec_id
+    """
+
+
+@query("st11_streaming_kmeans", _st11_sql())
+def st11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from parquet_common_spark.operators.clustering import (
+        assign_to_centroids,
+        kmeans_fit,
+        quantize_vectors,
+    )
+    from parquet_common_spark.plans.common import ensure_session_env
+
+    ensure_session_env(spark)
+    batch = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    static = batch.where(F.col("vec_id") % 2 == 0)
+    centroids = kmeans_fit(static, k=4, iterations=2, dim=64)
+
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir)
+        .where(F.col("vec_id") % 2 == 1)
+    )
+    q = quantize_vectors(stream)
+    cluster, sqd = assign_to_centroids(q, centroids, integer_centroids=False)
+    scored = q.select(
+        "vec_id",
+        cluster.alias("cluster"),
+        F.round(F.sqrt(sqd), 6).alias("dist"),
+    )
+    sink = f"st11_{uuid.uuid4().hex[:8]}"
+    sq = (
+        scored.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination(300)
+    return spark.table(sink).orderBy("vec_id")

@@ -1782,3 +1782,31 @@ def test_mad_anomalies_matches_numpy(spark, sf_dir):
         assert abs(r["med"] - round(med, 6)) < 1e-9
         assert abs(r["mad"] - round(mad, 6)) < 1e-9
         assert r["n_anomalies"] == int((adev > 4.4478 * mad).sum())
+
+
+def test_streaming_kmeans_assignment_matches_batch(spark, sf_dir):
+    """st11's stream-static assignment == the same map-only assignment
+    run as a batch query on the odd half (stream/batch parity for the
+    centroid-scoring operator), and the centroids come from the even
+    half only."""
+    import __spark_entry__ as E
+    from parquet_common_spark.operators.clustering import (
+        assign_to_centroids,
+        kmeans_fit,
+        quantize_vectors,
+    )
+    from pyspark.sql import functions as F
+
+    got = [(r["vec_id"], r["cluster"], r["dist"])
+           for r in E.queries()["st11_streaming_kmeans"](spark, sf_dir).collect()]
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = kmeans_fit(emb.where(F.col("vec_id") % 2 == 0), k=4, iterations=2, dim=64)
+    q = quantize_vectors(emb.where(F.col("vec_id") % 2 == 1))
+    cl, d = assign_to_centroids(q, cents, integer_centroids=False)
+    want = [(r["vec_id"], r["cluster"], r["dist"]) for r in
+            q.select("vec_id", cl.alias("cluster"),
+                     F.round(F.sqrt(d), 6).alias("dist"))
+             .orderBy("vec_id").collect()]
+    assert got == want and len(got) > 0
+    assert all(v % 2 == 1 for v, _, _ in got)
