@@ -2997,3 +2997,130 @@ def dq4(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ------------------------- p13: deterministic train/val/test split
+
+_P13_TRAIN, _P13_VAL = 0.8, 0.1  # test = remainder
+_MIX_MULT, _MIX_ADD, _MIX_MOD = 2_654_435_761, 40_503, 999_999_937
+
+_P13_SQL = f"""
+    WITH g AS (SELECT doc_id, lang,
+                      len(string_split_regex(trim(text), '\\s+')) AS n_tok,
+                      (doc_id * {_MIX_MULT} + {_MIX_ADD}) % {_MIX_MOD} AS mix
+               FROM documents),
+    s AS (SELECT doc_id, lang, n_tok,
+                 CASE WHEN mix < {int(_P13_TRAIN * _MIX_MOD)} THEN 'train'
+                      WHEN mix < {int((_P13_TRAIN + _P13_VAL) * _MIX_MOD)} THEN 'val'
+                      ELSE 'test' END AS split
+          FROM g)
+    SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM s GROUP BY split, lang ORDER BY split, lang
+"""
+
+
+@query("p13_hash_split", _P13_SQL)
+def p13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (80/10/10) by the shared
+    Knuth-multiplicative key mix (operators/sampling.py) — the split a
+    training pipeline must be able to REPRODUCE anywhere: the decision
+    is a pure function of doc_id, so it is identical across
+    partitionings, engines, and reruns, and provably disjoint +
+    exhaustive (one CASE over one hash; pinned by pytest).  Map-only —
+    no shuffle beyond the profile groupBy; at 100 TB the split is a
+    free scan-time gate that composes with pushdown.  Output is the
+    per-(split, lang) profile a curation report needs."""
+    from parquet_common_spark.operators.sampling import key_mix
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    mix = key_mix(F.col("doc_id"))
+    split = (
+        F.when(mix < F.lit(int(_P13_TRAIN * _MIX_MOD)), F.lit("train"))
+        .when(mix < F.lit(int((_P13_TRAIN + _P13_VAL) * _MIX_MOD)), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"),
+            split.alias("split"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+# --------------------------- t12: char-entropy quality fingerprint
+
+_T12_SQL = f"""
+    WITH chars AS (
+      SELECT doc_id,
+             unnest(string_split({_NORM.format(c='text')}, '')) AS ch
+      FROM documents),
+    cnt AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+            FROM chars GROUP BY doc_id, ch),
+    folded AS (
+      SELECT doc_id, SUM(c) AS n,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                      list(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))
+                                           ORDER BY ch)),
+                         (a, b) -> a + b) AS sclog
+      FROM cnt GROUP BY doc_id)
+    SELECT doc_id,
+           ROUND(log2(CAST(n AS DOUBLE)) - sclog / CAST(n AS DOUBLE), 6)
+             AS char_entropy,
+           CAST(n AS BIGINT) AS n_chars
+    FROM folded ORDER BY doc_id
+"""
+
+
+@query("t12_char_entropy", _T12_SQL)
+def t12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon character entropy over normalized text —
+    the compression-ratio-style quality signal (near-zero entropy =
+    degenerate repetition, the classic garbage filter; complements t6's
+    token-level repetition ratios).  Entropy is computed as
+    ``log2(n) - (Σ c·log2 c)/n`` with the Σ folded in SORTED char order
+    (list_reduce / F.aggregate over a sort_array-ed per-doc list), so
+    the float accumulation order is identical in both engines — the
+    same fixed-order-fold discipline as the cosine/distance kernels.
+    Scale: one explode + one (doc, char) groupBy with map-side combine
+    (alphabet-bounded fan-in), one per-doc fold; no joins."""
+    docs = load(spark, sf_dir, "documents")["documents"]
+    cnt = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(T.normalize_text(F.col("text")), "")).alias("ch"),
+        )
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    folded = cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("ch"), F.col("c")))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc
+            + x["c"].cast("double") * F.log2(x["c"].cast("double")),
+        ).alias("sclog"),
+    )
+    return folded.select(
+        "doc_id",
+        F.round(
+            F.log2(F.col("n").cast("double"))
+            - F.col("sclog") / F.col("n").cast("double"),
+            6,
+        ).alias("char_entropy"),
+        F.col("n").cast("long").alias("n_chars"),
+    ).orderBy("doc_id")

@@ -121,12 +121,19 @@ def main() -> None:
                     cols_out[name] = col.combine_chunks()
             reps.append(pa.table(cols_out, schema=src.schema))
         out = pa.concat_tables(reps)
+        # Row groups are Spark's scan-split granularity: a fixed 1Mi-row
+        # group left sf10 documents (500k rows, 54 MiB) as ONE group ->
+        # the whole Arrow stage ran as a single task on 32 cores and t2
+        # measured a fake superlinear 13.8x.  Real corpora arrive in
+        # many files/row groups; size groups so every table splits at
+        # least ~64 ways (floor 10k rows keeps tiny tables sane).
+        rg = max(min(out.num_rows // 64, 1 << 20), 10_000)
         pq.write_table(
             out,
             os.path.join(OUT, f"{t}.parquet"),
-            row_group_size=1 << 20,
+            row_group_size=rg,
         )
-        print(t, "->", out.num_rows)
+        print(t, "->", out.num_rows, f"(row_group_size={rg})")
 
 
 if __name__ == "__main__":
