@@ -102,8 +102,14 @@ def test_plan_shape_equal_sf01_vs_sf1(spark, registry, name):
 
 # --- second decade (VERDICT r8 ask #5): the four steepest decade-1
 # ratios (t2 6.57x, e12 4.20x, t13 3.79x, x8 3.67x) pinned again at
-# sf1 -> sf10.  t13's broadcast-terms side is query-sized (top terms),
-# not corpus-sized, so its shape is scale-invariant by design too.
+# sf1 -> sf10.  Measured (SCALE_CHECK.json queries_sf1_to_sf10):
+# t2 5.87x, x8 1.47x, t13 2.52x, e12 7.51x — no cliffs.  At this
+# decade x8/t13/e12 DEMOTE some broadcast-hash joins to sort-merge
+# (the q3/q5/q18/gr1 class from decade 1: designed Catalyst behavior
+# when a side outgrows autoBroadcastJoinThreshold), so the pin is not
+# strict equality but the demotion INVARIANT: every plan difference
+# must be exactly k BHJ -> k SMJ with the matching +2k exchanges and
+# +2k sorts, and never a nested loop.
 SF10_DIR = "/tmp/pcs_scale/sf10"
 DECADE2_QUERIES = [
     "t2_quality_scores",
@@ -118,8 +124,24 @@ DECADE2_QUERIES = [
     reason="sf10 not generated (tools/gen_scale_data.py twice)",
 )
 @pytest.mark.parametrize("name", DECADE2_QUERIES)
-def test_plan_shape_equal_sf1_vs_sf10(spark, registry, name):
+def test_plan_shape_sf1_vs_sf10_demotion_invariant(spark, registry, name):
     a = _shape(spark, registry, name, SF1_DIR)
     b = _shape(spark, registry, name, SF10_DIR)
-    assert a == b, (name, a, b)
-    assert a["nested_loop_joins"] == 0, (name, a)
+    # t13 carries ONE BroadcastNestedLoopJoin at every scale: the
+    # allowlisted 1-row global-scalar attach (test_plans.py rationale).
+    # The scale pin is that the count never GROWS with data.
+    assert b["nested_loop_joins"] == a["nested_loop_joins"], (name, a, b)
+    assert a["nested_loop_joins"] <= (1 if name == "t13_bm25_retrieval" else 0)
+    k = a["broadcast_hash_joins"] - b["broadcast_hash_joins"]
+    assert k >= 0, (name, "plans must not GAIN broadcasts at 10x", a, b)
+    # each demotion: -1 BHJ/-1 broadcast exchange, +1 SMJ, +2 sorts;
+    # the SMJ's two input shuffles add AT MOST 2 exchanges each — a
+    # side already hash-partitioned on the join key reuses its
+    # exchange (observed: t13's demotion adds 0 new exchanges, x8's
+    # three add the full 6); window ops unchanged
+    assert b["sort_merge_joins"] == a["sort_merge_joins"] + k, (name, a, b)
+    d_ex = b["shuffle_exchanges"] - a["shuffle_exchanges"]
+    assert 0 <= d_ex <= 2 * k, (name, a, b)
+    assert b["sorts"] == a["sorts"] + 2 * k, (name, a, b)
+    assert b["window_ops"] == a["window_ops"], (name, a, b)
+    assert b["shuffled_hash_joins"] == a["shuffled_hash_joins"], (name, a, b)
