@@ -131,3 +131,35 @@ def label_propagation(
             ).alias("label"),
         )
     return labels
+
+
+def triangle_count(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
+    """Per-node triangle counts over an UNDIRECTED simple graph given
+    as oriented edges (u < v, deduplicated) — the third static-graph
+    member (PageRank: ranks; LPA: communities; triangles: clustering /
+    cohesion, the local-density signal a link-spam or bot-ring filter
+    consumes).
+
+    Algorithm: the oriented wedge join.  With every edge stored once as
+    (lo, hi), a triangle a<b<c is found EXACTLY once by
+    e1=(a,b) ⋈ e2=(b,c) ⋈ e3=(a,c) — two hash equi-joins, no distinct
+    needed afterwards, integer-exact.  Per-node counts are one explode
+    of the three corners + a groupBy.
+
+    Scale: intermediate size is the wedge count Σ_b |{a<b}|·|{c>b}|
+    under id orientation; the production refinement is DEGREE
+    orientation (orient each edge toward the higher-degree endpoint),
+    which provably bounds wedges by O(m^1.5) on any graph — same plan
+    shape, one extra degree join to re-orient.  Documented, not needed
+    at the registry's graph sizes.  Both joins are hash-partitioned on
+    a node id; hot nodes are ordinary skewed keys (AQE).
+    """
+    e = edges.select(F.col(u).alias("u"), F.col(v).alias("v"))
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    corners = tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tri")
+    )

@@ -3124,3 +3124,56 @@ def t12(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("char_entropy"),
         F.col("n").cast("long").alias("n_chars"),
     ).orderBy("doc_id")
+
+
+# -------------------- gr3: triangle counting (clustering structure)
+
+_GR3_SQL = """
+    WITH e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+                FROM lineitem WHERE l_quantity = 1),
+    proj AS (SELECT DISTINCT a.s AS u, b.s AS v
+             FROM e0 a JOIN e0 b ON a.p = b.p AND a.s < b.s),
+    tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+            FROM proj e1 JOIN proj e2 ON e2.u = e1.v
+            JOIN proj e3 ON e3.u = e1.u AND e3.v = e2.v),
+    node_tri AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri) GROUP BY node)
+    SELECT node, n_tri FROM node_tri ORDER BY n_tri DESC, node LIMIT 25
+"""
+
+
+@query("gr3_triangle_count", _GR3_SQL)
+def gr3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier triangle counts on the one-mode PROJECTION of the
+    sparse (quantity-1) part<->supplier graph: suppliers are adjacent
+    iff they share a part; triangles measure local cohesion (the
+    link-ring signal).  The projection itself is the standard bipartite
+    fold — a self equi-join on the part key with u < v orientation, so
+    each undirected edge exists exactly once and the oriented wedge
+    join counts each triangle exactly once.  Integer-exact throughout.
+    See operators/graph.py::triangle_count for the wedge-join scale
+    argument (degree orientation documented as the O(m^1.5) production
+    refinement)."""
+    from parquet_common_spark.operators.graph import triangle_count
+
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    e0 = (
+        li.where(F.col("l_quantity") == 1)
+        .select(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a = e0.select("p", F.col("s").alias("u"))
+    b = e0.select("p", F.col("s").alias("v"))
+    proj = (
+        a.join(b, "p")
+        .where(F.col("u") < F.col("v"))
+        .select(F.col("u").cast("long").alias("u"), F.col("v").cast("long").alias("v"))
+        .distinct()
+    )
+    return (
+        triangle_count(proj)
+        .orderBy(F.desc("n_tri"), "node")
+        .limit(25)
+    )

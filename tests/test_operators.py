@@ -1876,3 +1876,61 @@ def test_char_entropy_matches_numpy(spark, sf_dir):
               .groupBy("doc_id", "ch").agg(F.count(F.lit(1)).cast("long").alias("c")))
     row = cnt.collect()
     assert all(r["ch"] == "a" for r in row)
+
+
+def test_triangle_count_known_graph(spark):
+    """triangle_count on a hand-computed graph: K4 (4 triangles, each
+    node in 3), one pendant edge (no triangles), one disjoint triangle."""
+    from parquet_common_spark.operators.graph import triangle_count
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    extra = [(4, 5)]                 # pendant: no triangle
+    tri2 = [(10, 11), (10, 12), (11, 12)]
+    df = spark.createDataFrame(k4 + extra + tri2, "u long, v long")
+    got = {r["node"]: r["n_tri"] for r in triangle_count(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 10: 1, 11: 1, 12: 1}
+
+
+def test_sparse_cosine_pairs_fuzz_vs_numpy(spark):
+    """Randomized differential: sparse_cosine_pairs == brute-force
+    numpy cosine over explicit count vectors, across random corpora
+    (vocab overlap, repeats, flood terms)."""
+    import itertools
+    import random as _r
+
+    import numpy as np
+
+    from parquet_common_spark.operators.text import sparse_cosine_pairs
+
+    rnd = _r.Random(77)
+    vocab = [f"w{i}" for i in range(12)]
+    for trial in range(4):
+        docs = []
+        for i in range(12):
+            n = rnd.randint(1, 15)
+            docs.append((i, " ".join(rnd.choice(vocab) for _ in range(n))))
+        maxdf = rnd.choice([3, 6, 12])
+        tau = rnd.choice([0.2, 0.5, 0.8])
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {(r["id_a"], r["id_b"]): r["cos"]
+               for r in sparse_cosine_pairs(df, max_doc_freq=maxdf, tau=tau).collect()}
+        # numpy reference with the same df filter
+        from collections import Counter
+        tfs = {i: Counter(t.split()) for i, t in docs}
+        dfreq = Counter(w for c in tfs.values() for w in c)
+        keep = {w for w, k in dfreq.items() if k <= maxdf}
+        want = {}
+        for a, b in itertools.combinations(range(12), 2):
+            ca = {w: c for w, c in tfs[a].items() if w in keep}
+            cb = {w: c for w, c in tfs[b].items() if w in keep}
+            if not ca or not cb:
+                continue
+            dot = sum(ca[w] * cb[w] for w in ca if w in cb)
+            if dot == 0:
+                continue  # no shared term -> pair never generated
+            na = sum(v * v for v in ca.values())
+            nb = sum(v * v for v in cb.values())
+            cos = round(dot / np.sqrt(float(na * nb)), 6)
+            if cos >= tau:
+                want[(a, b)] = cos
+        assert got == want, (trial, maxdf, tau)
