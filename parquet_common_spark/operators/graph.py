@@ -133,28 +133,55 @@ def label_propagation(
     return labels
 
 
-def triangle_count(edges: DataFrame, u: str = "u", v: str = "v") -> DataFrame:
+def triangle_count(
+    edges: DataFrame, u: str = "u", v: str = "v", orientation: str = "id"
+) -> DataFrame:
     """Per-node triangle counts over an UNDIRECTED simple graph given
     as oriented edges (u < v, deduplicated) — the third static-graph
     member (PageRank: ranks; LPA: communities; triangles: clustering /
     cohesion, the local-density signal a link-spam or bot-ring filter
     consumes).
 
-    Algorithm: the oriented wedge join.  With every edge stored once as
-    (lo, hi), a triangle a<b<c is found EXACTLY once by
-    e1=(a,b) ⋈ e2=(b,c) ⋈ e3=(a,c) — two hash equi-joins, no distinct
-    needed afterwards, integer-exact.  Per-node counts are one explode
-    of the three corners + a groupBy.
+    Algorithm: the oriented wedge join.  Under a TOTAL ORDER on nodes,
+    with every edge stored once as (lo, hi), a triangle a<b<c is found
+    EXACTLY once by e1=(a,b) ⋈ e2=(b,c) ⋈ e3=(a,c) — two hash
+    equi-joins, no distinct needed afterwards, integer-exact.  Per-node
+    counts are one explode of the three corners + a groupBy.
 
-    Scale: intermediate size is the wedge count Σ_b |{a<b}|·|{c>b}|
-    under id orientation; the production refinement is DEGREE
-    orientation (orient each edge toward the higher-degree endpoint),
-    which provably bounds wedges by O(m^1.5) on any graph — same plan
-    shape, one extra degree join to re-orient.  Documented, not needed
-    at the registry's graph sizes.  Both joins are hash-partitioned on
-    a node id; hot nodes are ordinary skewed keys (AQE).
+    ``orientation`` picks the order:
+    * ``"id"`` — node id.  Wedge count is Σ_b |{a<b}|·|{c>b}|, fine on
+      graphs without high-degree low-id hubs.
+    * ``"degree"`` — (degree, id) lexicographic: each edge points from
+      the lower-(deg, id) endpoint to the higher, so every wedge pivots
+      on its LOWEST-DEGREE corner; the classic bound makes the wedge
+      total O(m^1.5) on ANY graph (a celebrity hub generates no wedges
+      because all its edges point INTO it).  Costs one extra degree
+      groupBy + reorient join; same join shape after that.  This is the
+      100 TB setting.
+
+    Both joins are hash-partitioned on a node id; residual hot keys are
+    ordinary AQE skew work.  Results are identical under either
+    orientation (pinned by test) — the order only changes which corner
+    pivots each wedge.
     """
     e = edges.select(F.col(u).alias("u"), F.col(v).alias("v"))
+    if orientation == "degree":
+        und = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("_deg"))
+        ranked = (
+            und.join(deg, "u")
+            .join(
+                deg.select(F.col("u").alias("v"), F.col("_deg").alias("_degv")),
+                "v",
+            )
+            # keep each undirected edge once, pointing low->high in the
+            # (deg, id) order
+            .where(
+                (F.col("_deg") < F.col("_degv"))
+                | ((F.col("_deg") == F.col("_degv")) & (F.col("u") < F.col("v")))
+            )
+        )
+        e = ranked.select("u", "v")
     e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
     e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))

@@ -1934,3 +1934,38 @@ def test_sparse_cosine_pairs_fuzz_vs_numpy(spark):
             if cos >= tau:
                 want[(a, b)] = cos
         assert got == want, (trial, maxdf, tau)
+
+
+def test_triangle_count_degree_orientation_equal(spark):
+    """Degree orientation (the O(m^1.5) production setting) returns
+    IDENTICAL per-node counts to id orientation — on the known graph,
+    on a star-plus-ring skew shape (hub degree 12 vs ring degree 2,
+    where the orientations differ most), and on a random graph."""
+    import random as _r
+
+    from parquet_common_spark.operators.graph import triangle_count
+
+    def both(edges):
+        df = spark.createDataFrame(edges, "u long, v long")
+        a = {r["node"]: r["n_tri"] for r in triangle_count(df).collect()}
+        b = {r["node"]: r["n_tri"]
+             for r in triangle_count(df, orientation="degree").collect()}
+        return a, b
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5),
+          (10, 11), (10, 12), (11, 12)]
+    a, b = both(k4)
+    assert a == b == {1: 3, 2: 3, 3: 3, 4: 3, 10: 1, 11: 1, 12: 1}
+
+    # hub 0 connected to ring 1..12; ring neighbors connected -> each
+    # ring edge + hub = one triangle
+    star_ring = [(0, i) for i in range(1, 13)] + [
+        (i, i % 12 + 1) for i in range(1, 13)
+    ]
+    a, b = both(star_ring)
+    assert a == b and a[0] == 12
+
+    rnd = _r.Random(9)
+    rand_edges = {tuple(sorted(rnd.sample(range(30), 2))) for _ in range(120)}
+    a, b = both(sorted(rand_edges))
+    assert a == b and sum(a.values()) % 3 == 0
