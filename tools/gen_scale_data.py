@@ -64,10 +64,17 @@ def _bases(tables: dict[str, pa.Table]) -> dict[str, int]:
 
 def _permute_words(texts: np.ndarray, rep: int) -> np.ndarray:
     """Deterministic per-replica word shuffle: same vocab, same lengths,
-    different shingles (vectorized per doc batch; rep 0 is identity)."""
+    different shingles (vectorized per doc batch; rep 0 is identity).
+
+    The seed mixes the INPUT SIZE so chained generations (sf0.1 -> sf1
+    -> sf10) use distinct permutation families per stage: with
+    rep-only seeds, stage-2 rep i applied to stage-1 rep 0 reproduced
+    stage-1 rep i BYTE-IDENTICALLY (same seeds, same input), planting
+    45,000 fake cross-replica exact-dup pairs in sf10 and inflating
+    d2's scale ratio with dup volume the real corpus doesn't have."""
     if rep == 0:
         return texts
-    rng = np.random.default_rng(1_000_003 * rep)
+    rng = np.random.default_rng(1_000_003 * rep + 7 * len(texts))
     out = np.empty(len(texts), dtype=object)
     for i, t in enumerate(texts):
         words = t.split()
@@ -111,9 +118,12 @@ def main() -> None:
                     )
                 elif t == "embeddings" and name == "embedding":
                     mat = np.stack(col.to_numpy(zero_copy_only=False))
-                    perm = np.random.default_rng(777 + rep).permutation(
-                        mat.shape[1]
-                    )
+                    # stage-distinct seed for the same reason as
+                    # _permute_words (chained generations must not
+                    # reuse a stage's permutation family)
+                    perm = np.random.default_rng(
+                        777 + rep + 7 * mat.shape[0]
+                    ).permutation(mat.shape[1])
                     cols_out[name] = pa.array(
                         list(mat[:, perm]), type=col.type
                     )
