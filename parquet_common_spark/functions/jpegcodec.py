@@ -1184,12 +1184,15 @@ def _decode_scan_fast(segments, restart_interval, unit_blocks, states, Ss, Se, A
 
 
 def decode_jpeg(data: bytes, engine: str = "auto") -> tuple[int, int, np.ndarray]:
-    """Decode a baseline (SOF0/SOF1), progressive (SOF2), or arithmetic
+    """Decode a baseline (SOF0/SOF1), progressive (SOF2), arithmetic
     (SOF9 sequential / SOF10 progressive, QM-coded —
-    functions/jpegarith.py) JPEG to (width, height, HxWxC uint8) — C is
-    1 for greyscale, 3 (RGB) otherwise.  Lossless and hierarchical
-    modes raise NotImplementedError.  Arithmetic streams always decode
-    through the pure-Python QM engine regardless of ``engine``.
+    functions/jpegarith.py), or lossless (SOF3, predictive —
+    functions/jpeglossless.py) JPEG to (width, height, HxWxC uint8) —
+    C is 1 for greyscale, 3 (RGB) otherwise.  SOF3 with precision > 8
+    exceeds the uint8 contract (use decode_jpeg_lossless directly);
+    hierarchical modes raise NotImplementedError.  Arithmetic and
+    lossless streams decode through their pure-Python engines
+    regardless of ``engine``.
 
     ``engine`` selects the entropy-scan implementation — all three are
     pinned bit-identical on every stream in pytest:
@@ -1287,11 +1290,28 @@ def decode_jpeg(data: bytes, engine: str = "auto") -> tuple[int, int, np.ndarray
                     c["coef"] = [0] * (c["bh"] * c["bw"] * 64)
                 else:
                     c["coef"] = np.zeros(c["bh"] * c["bw"] * 64, dtype=np.int64)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB):
+        elif marker == 0xC3:
+            # LOSSLESS (SOF3): its own predictive pipeline — dispatch to
+            # functions/jpeglossless.py.  decode_jpeg's uint8 contract
+            # fits precision <= 8; higher precisions are served by
+            # decode_jpeg_lossless directly (int32 output).
+            from parquet_common_spark.functions.jpeglossless import (
+                decode_jpeg_lossless,
+            )
+
+            prec = body[0]
+            if prec > 8:
+                raise NotImplementedError(
+                    "JPEG SOF3 with precision > 8 does not fit the uint8 "
+                    "contract — call jpeglossless.decode_jpeg_lossless"
+                )
+            h, w, arr = decode_jpeg_lossless(data)
+            return w, h, arr.astype(np.uint8)
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB):
             raise NotImplementedError(
-                f"JPEG SOF{marker - 0xC0}: lossless/hierarchical modes "
-                "are unsupported (baseline, progressive, and both "
-                "arithmetic DCT modes only)"
+                f"JPEG SOF{marker - 0xC0}: hierarchical modes are "
+                "unsupported (baseline, progressive, both arithmetic DCT "
+                "modes, and lossless SOF3 only)"
             )
         elif marker == 0xCC:  # DAC: arithmetic conditioning tables
             b = 0

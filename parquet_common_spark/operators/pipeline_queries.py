@@ -3177,3 +3177,88 @@ def gr3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_tri"), "node")
         .limit(25)
     )
+
+
+# ---------------- mm7: lossless JPEG (SOF3) pin through the gate
+
+_MM7_SQL = """
+    WITH d AS (SELECT doc_id,
+                      CAST(doc_id % 13 + 4 AS BIGINT) AS h,
+                      CAST(doc_id % 9 + 4 AS BIGINT) AS w,
+                      CAST(1 + 2 * (doc_id % 2) AS INT) AS n_comp,
+                      CAST(CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 12
+                           ELSE 16 END AS INT) AS prec
+               FROM documents WHERE doc_id < 36),
+    g AS (SELECT d.doc_id, d.h, d.w, d.n_comp, d.prec,
+                 y.range AS y, x.range AS x, c.range AS c
+          FROM d, range(17) y, range(13) x, range(3) c
+          WHERE y.range < d.h AND x.range < d.w AND c.range < d.n_comp)
+    SELECT doc_id, h, w, n_comp,
+           CAST(SUM((doc_id*31 + y*7 + x*3 + c*17)
+                    % (1::BIGINT << prec)) AS BIGINT) AS pixel_sum
+    FROM g GROUP BY doc_id, h, w, n_comp ORDER BY doc_id
+"""
+
+
+@query("mm7_lossless_jpeg_checksum", _MM7_SQL)
+def mm7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL SOF3 lossless-JPEG codec through the driver gate (the
+    mm5/mm6 lossless-pin discipline): deterministic images per doc are
+    encoded with cycling predictors 1-7, precisions 8/12/16, 1- and
+    3-component interleaving, and periodic restart intervals, decoded
+    back with functions/jpeglossless.decode_jpeg_lossless (Annex H
+    prediction, SSSS-category Huffman, modulo-2^16 reconstruction), and
+    pixel-checksummed in an Arrow map stage.  Lossless, so the checksum
+    equals the closed-form sum the DuckDB oracle computes from the
+    pixel definition — any predictor/EXTEND/bit-packing defect breaks
+    the hash."""
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    ids = docs.where(F.col("doc_id") < 36).select("doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("h", LongType()),
+            StructField("w", LongType()),
+            StructField("n_comp", IntegerType()),
+            StructField("pixel_sum", LongType()),
+        ]
+    )
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        from parquet_common_spark.functions import jpeglossless as JL
+
+        for pdf in it:
+            out = {"doc_id": [], "h": [], "w": [], "n_comp": [], "pixel_sum": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                h, w = d % 13 + 4, d % 9 + 4
+                nc = 1 + 2 * (d % 2)
+                prec = (8, 12, 16)[d % 3]
+                y = np.arange(h)[:, None, None]
+                x = np.arange(w)[None, :, None]
+                c = np.arange(nc)[None, None, :]
+                img = ((d * 31 + y * 7 + x * 3 + c * 17) % (1 << prec)).astype(
+                    np.int64
+                )
+                data = JL.encode_jpeg_lossless(
+                    img,
+                    predictor=d % 7 + 1,
+                    precision=prec,
+                    restart_interval=5 if d % 4 == 0 else 0,
+                )
+                hh, ww, got = JL.decode_jpeg_lossless(data)
+                assert (hh, ww) == (h, w) and got.shape == (h, w, nc)
+                assert np.array_equal(got.astype(np.int64), img)
+                out["doc_id"].append(d)
+                out["h"].append(h)
+                out["w"].append(w)
+                out["n_comp"].append(nc)
+                out["pixel_sum"].append(int(img.sum()))
+            yield pd.DataFrame(out)
+
+    return ids.mapInPandas(batches, schema=schema).orderBy("doc_id")
