@@ -36,6 +36,7 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    checkpoint_every: int | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
@@ -49,6 +50,14 @@ def pagerank(
     is not cached explicitly; its exchange is physically deduplicated
     across iterations by Spark's ReusedExchange rule.  Ranks stay an
     |nodes|-row frame throughout.
+
+    ``checkpoint_every``: for DEEP iteration counts the lazy plan grows
+    linearly with k and Catalyst re-optimizes the whole chain each
+    action — ``localCheckpoint`` the ranks frame every that-many
+    rounds to truncate lineage (bounded plan depth, bounded optimizer
+    time, and the executors hold one materialized |nodes|-row frame
+    instead of the re-derivation chain).  Results are identical
+    (pinned by test); the registry's fixed k=3 doesn't need it.
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
@@ -59,10 +68,10 @@ def pagerank(
     # lazy plan; its shuffle is physically deduplicated by Spark's
     # ReusedExchange rule, so the scan+distinct cost is paid once, not
     # once per iteration (observable in .explain).  For large iteration
-    # counts a caller would checkpoint ranks every ~10 rounds to bound
-    # plan depth; the registry entry runs a fixed small k.
+    # counts pass checkpoint_every to truncate lineage (built + pinned
+    # below); the registry entry runs a fixed small k.
     contrib_src = e.join(deg, "src")
-    for _ in range(iterations):  # loop over fixed iteration COUNT, not data
+    for _i in range(iterations):  # loop over fixed iteration COUNT, not data
         contrib = (
             contrib_src.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
@@ -82,6 +91,8 @@ def pagerank(
                 * F.coalesce(F.col("contrib"), F.lit(0.0))
             ).alias("rank"),
         )
+        if checkpoint_every and (_i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks
 
 

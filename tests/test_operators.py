@@ -1969,3 +1969,25 @@ def test_triangle_count_degree_orientation_equal(spark):
     rand_edges = {tuple(sorted(rnd.sample(range(30), 2))) for _ in range(120)}
     a, b = both(sorted(rand_edges))
     assert a == b and sum(a.values()) % 3 == 0
+
+
+def test_pagerank_checkpointing_identical_and_deep(spark):
+    """checkpoint_every truncates lineage for deep iteration counts
+    (the r8 'documented, not built' note, now built): identical ranks
+    to the unchecked plan at small k, and a k=25 run — whose lazy plan
+    would otherwise be 25 joined stages deep — completes with plans
+    bounded by the checkpoint cadence."""
+    from parquet_common_spark.operators.graph import pagerank
+
+    edges = [(0, 1), (1, 0), (1, 2), (2, 0), (2, 3), (3, 2), (0, 3), (3, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    plain = {r["node"]: r["rank"] for r in pagerank(df, iterations=6).collect()}
+    ckpt = {r["node"]: r["rank"]
+            for r in pagerank(df, iterations=6, checkpoint_every=2).collect()}
+    assert plain.keys() == ckpt.keys()
+    for n in plain:
+        assert abs(plain[n] - ckpt[n]) < 1e-15, n
+    # deep run: completes and stays a probability vector
+    deep = {r["node"]: r["rank"]
+            for r in pagerank(df, iterations=25, checkpoint_every=5).collect()}
+    assert abs(sum(deep.values()) - 1.0) < 1e-9
