@@ -101,11 +101,14 @@ def test_geometry_agrees_with_sof_parser():
 def test_unsupported_modes_raise():
     img = np.zeros((8, 8), dtype=np.uint8)
     data = bytearray(J.encode_jpeg(img))
-    # rewrite SOF0 to SOF3 (lossless) — genuinely unsupported
+    # rewrite SOF0 to SOF7 (hierarchical) — genuinely unsupported.
+    # (SOF3 lossless is a SUPPORTED mode since r9 — dispatched to
+    # functions/jpeglossless.py and covered by test_jpeglossless.py —
+    # so it no longer belongs in this test.)
     i = bytes(data).find(b"\xff\xc0")
     assert i > 0
-    data[i + 1] = 0xC3
-    with pytest.raises(NotImplementedError, match="arithmetic DCT modes"):
+    data[i + 1] = 0xC7
+    with pytest.raises(NotImplementedError, match="hierarchical"):
         J.decode_jpeg(bytes(data))
     with pytest.raises(ValueError, match="SOI"):
         J.decode_jpeg(b"not a jpeg")
