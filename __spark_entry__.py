@@ -29,20 +29,21 @@ _CHECK_WINDOW = [
     # since before r6 once this window lands) + the FOUR queries ADDED
     # this round (gr2 label propagation, km1 k-means, sim9 sparse
     # cosine, dq4 MAD anomalies, st11 streaming k-means, p13 hash
-    # split, t12 char entropy, gr3 triangles, mm7 lossless JPEG —
-    # never driver-checked, outrank
+    # split, t12 char entropy, gr3 triangles, mm7 lossless JPEG, cdc2
+    # snapshot diff — never driver-checked, outrank
     # everything) + every query whose CODE changed this round (gr1
     # pagerank spine fix; er1/st10 linkage flood guard; sim8 zero-norm
     # mask; mm4/mm6 FLAC native kernel + vectorized decorrelation) +
-    # 13 of the 48 r6 members (the promql-storage, streaming, matcher,
+    # 12 of the 48 r6 members (the promql-storage, streaming, matcher,
     # dedup and ivf cohorts — weakest independent coverage first).
     #
     # DEFERRED to r10 (30 r6 entries; every one is covered by dedicated
     # pytest batteries and the full local check_correctness sweep this
     # session): d6 d8 d10 d11 x2 x3 x5 x7 x9 x10 t9 t10 t11 p6 p7 p8 p9
-    # p10 sim3 sim5 sim6 sim7 s1 c2 e7 e8 e9 w8 m7 m19 q20a q3 a3 f5
-    # mm5 (35 after st11/p13/t12/gr3/mm7 displaced sim3/d8/d10/d6/m19)
-    # — these go FIRST in the r10 window, then the r7 cohort (44).
+    # p10 sim3 sim5 sim6 sim7 s1 c2 e7 e8 e9 w8 m7 m18 m19 q20a q3 a3
+    # f5 mm5 (36 after st11/p13/t12/gr3/mm7/cdc2 displaced
+    # sim3/d8/d10/d6/m19/m18) — these go FIRST in the r10 window, then
+    # the r7 cohort (44).
     #
     # --- the 22 r5-deferred entries (stalest, per the r8 ledger)
     "m2_matcher_regex_set",
@@ -77,6 +78,7 @@ _CHECK_WINDOW = [
     "t12_char_entropy",
     "gr3_triangle_count",
     "mm7_lossless_jpeg_checksum",
+    "cdc2_snapshot_diff",
     # --- code changed THIS round
     "gr1_pagerank",
     "er1_record_linkage",
@@ -96,7 +98,6 @@ _CHECK_WINDOW = [
     "st7_streaming_heavy_hitters",
     "m1_matcher_eq",
     "m4_empty_label_semantics",
-    "m18_absent_over_time",
     "d2_minhash_lsh_dedup",
 ]
 assert len(_CHECK_WINDOW) == 50, len(_CHECK_WINDOW)

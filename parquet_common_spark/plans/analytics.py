@@ -3251,3 +3251,107 @@ def st11(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sq.awaitTermination(300)
     return spark.table(sink).orderBy("vec_id")
+
+
+# ------------ cdc2: as-of snapshot diff (time-travel table diff)
+
+_CDC2_SQL = """
+    WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t, event_id
+               FROM events),
+    b AS (SELECT MIN(t) AS lo, MAX(t) AS hi FROM e),
+    tt AS (SELECT lo + (hi - lo) // 3 AS t1,
+                  lo + 2 * ((hi - lo) // 3) AS t2 FROM b),
+    s1 AS (SELECT user_id, event_type AS type_t1, n_t1 FROM (
+             SELECT e.user_id, e.event_type,
+                    CAST(COUNT(*) OVER (PARTITION BY e.user_id) AS BIGINT)
+                      AS n_t1,
+                    ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                       ORDER BY e.t DESC, e.event_id DESC)
+                      AS rn
+             FROM e, tt WHERE e.t <= tt.t1) WHERE rn = 1),
+    s2 AS (SELECT user_id, event_type AS type_t2, n_t2 FROM (
+             SELECT e.user_id, e.event_type,
+                    CAST(COUNT(*) OVER (PARTITION BY e.user_id) AS BIGINT)
+                      AS n_t2,
+                    ROW_NUMBER() OVER (PARTITION BY e.user_id
+                                       ORDER BY e.t DESC, e.event_id DESC)
+                      AS rn
+             FROM e, tt WHERE e.t <= tt.t2) WHERE rn = 1)
+    SELECT s2.user_id,
+           CASE WHEN s1.user_id IS NULL THEN 'added'
+                WHEN s1.type_t1 <> s2.type_t2 THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           s1.type_t1, s2.type_t2,
+           COALESCE(s1.n_t1, 0) AS n_t1, s2.n_t2
+    FROM s2 LEFT JOIN s1 USING (user_id)
+    WHERE s1.user_id IS NULL OR s1.type_t1 <> s2.type_t2
+    ORDER BY user_id
+"""
+
+
+@query("cdc2_snapshot_diff", _CDC2_SQL)
+def cdc2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel snapshot diff: reconstruct every user's state AS OF
+    two instants (T1 = 1/3 and T2 = 2/3 through the event-time range,
+    integer arithmetic so both engines pick identical cut points), then
+    diff the snapshots — 'added' (entity born between T1 and T2) and
+    'changed' (latest event_type differs), with event counts at each
+    instant.  This is the audit query an SCD2/lakehouse store answers
+    between two versions (cdc1 materializes the full history; this
+    reads it at two points and compares).  'removed' cannot occur over
+    an append-only event source and is deliberately absent from the
+    contract.
+
+    Scale shape: two as-of reconstructions = two windowed
+    latest-per-key passes over the pruned time slices (each ONE
+    shuffle on user_id; at 100 TB the t <= T predicate prunes
+    time-partitioned storage before the shuffle), then one user_id
+    equi-join of |users|-row snapshots.  Integer/string exact — no
+    float accumulation anywhere."""
+    ev = load(spark, sf_dir, "events")["events"]
+    e = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+        "event_id",
+    )
+    b = e.agg(F.min("t").alias("lo"), F.max("t").alias("hi")).collect()[0]
+    span = b["hi"] - b["lo"]
+    t1 = b["lo"] + span // 3
+    t2 = b["lo"] + 2 * (span // 3)
+
+    def snapshot(cut, type_alias, n_alias):
+        w_rank = Window.partitionBy("user_id").orderBy(
+            F.desc("t"), F.desc("event_id")
+        )
+        w_all = Window.partitionBy("user_id")
+        return (
+            e.where(F.col("t") <= cut)
+            .select(
+                "user_id",
+                F.col("event_type").alias(type_alias),
+                F.count(F.lit(1)).over(w_all).cast("long").alias(n_alias),
+                F.row_number().over(w_rank).alias("rn"),
+            )
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    s1 = snapshot(t1, "type_t1", "n_t1")
+    s2 = snapshot(t2, "type_t2", "n_t2")
+    j = s2.join(s1, "user_id", "left")
+    return (
+        j.select(
+            "user_id",
+            F.when(F.col("type_t1").isNull(), "added")
+            .when(F.col("type_t1") != F.col("type_t2"), "changed")
+            .otherwise("unchanged")
+            .alias("status"),
+            "type_t1",
+            "type_t2",
+            F.coalesce(F.col("n_t1"), F.lit(0)).cast("long").alias("n_t1"),
+            "n_t2",
+        )
+        .where(F.col("type_t1").isNull() | (F.col("type_t1") != F.col("type_t2")))
+        .orderBy("user_id")
+    )

@@ -1991,3 +1991,41 @@ def test_pagerank_checkpointing_identical_and_deep(spark):
     deep = {r["node"]: r["rank"]
             for r in pagerank(df, iterations=25, checkpoint_every=5).collect()}
     assert abs(sum(deep.values()) - 1.0) < 1e-9
+
+
+def test_snapshot_diff_matches_pandas_reconstruction(spark, sf_dir):
+    """cdc2's as-of diff vs an independent pandas reconstruction: same
+    cut points, same latest-per-user states, same added/changed rows."""
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as E
+
+    got = {r["user_id"]: (r["status"], r["type_t1"], r["type_t2"],
+                          r["n_t1"], r["n_t2"])
+           for r in E.queries()["cdc2_snapshot_diff"](spark, sf_dir).collect()}
+
+    t = pq.read_table(f"{sf_dir}/events.parquet",
+                      columns=["user_id", "event_type", "ts", "event_id"])
+    df = t.to_pandas()
+    us = df["ts"].astype("int64") // 1000 if df["ts"].dtype.kind == "i" \
+        else df["ts"].astype("datetime64[us]").astype("int64")
+    df = df.assign(t=us)
+    lo, hi = int(df["t"].min()), int(df["t"].max())
+    t1 = lo + (hi - lo) // 3
+    t2 = lo + 2 * ((hi - lo) // 3)
+
+    def snap(cut):
+        d = df[df["t"] <= cut].sort_values(["t", "event_id"])
+        last = d.groupby("user_id").tail(1).set_index("user_id")["event_type"]
+        n = d.groupby("user_id").size()
+        return last.to_dict(), n.to_dict()
+
+    l1, n1 = snap(t1)
+    l2, n2 = snap(t2)
+    want = {}
+    for u, ty2 in l2.items():
+        if u not in l1:
+            want[u] = ("added", None, ty2, 0, n2[u])
+        elif l1[u] != ty2:
+            want[u] = ("changed", l1[u], ty2, n1[u], n2[u])
+    assert got == want and len(got) > 0
