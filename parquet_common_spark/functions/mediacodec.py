@@ -54,6 +54,8 @@ def sniff_media(payload: bytes) -> str | None:
         return "wav"
     if payload[:4] == b"fLaC":
         return "flac"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
     if payload[4:8] == b"ftyp":
         return "mp4"
     return None

@@ -111,6 +111,11 @@ def _decode_media(media_type: str, payload: bytes) -> tuple[int, int, int]:
 
         _ch, _rate, _bits, frames = FC.flac_info(payload)
         return (0, 0, frames)
+    if fmt == "gif":
+        from parquet_common_spark.functions import gifcodec as GC
+
+        w, h, frames = GC.gif_info(payload)
+        return (w, h, frames)
     if fmt == "mp4":
         # real METADATA via the ISO-BMFF box walk; pixel/frame decode
         # still needs libav/PyAV and raises in sample_frames
@@ -192,7 +197,23 @@ def sample_frames(
                 if mt != "video":
                     continue
                 raw = bytes(payload)
-                if MC.sniff_media(raw) == "mp4":
+                fmt = MC.sniff_media(raw)
+                if fmt == "gif":
+                    # animated GIF: composite every frame (disposal/
+                    # transparency honored), sample every_k-th, and
+                    # emit each sampled frame re-encoded as lossless
+                    # PNG — a decodable standalone payload downstream,
+                    # unlike a bare indexed sub-rect.  GIF has no
+                    # sync-sample notion; every composited frame is
+                    # self-contained, so keyframes_only is a no-op.
+                    from parquet_common_spark.functions import gifcodec as GC
+
+                    rgb_frames, _delays = GC.gif_frames(raw)
+                    for idx in range(0, len(rgb_frames), every_k):
+                        out["doc_id"].append(int(doc_id))
+                        out["frame_idx"].append(idx)
+                        out["frame_payload"].append(MC.encode_png(rgb_frames[idx]))
+                elif fmt == "mp4":
                     frames = MC.mp4_demux(raw)
                     if frames:
                         if keyframes_only:

@@ -3262,3 +3262,90 @@ def mm7(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return ids.mapInPandas(batches, schema=schema).orderBy("doc_id")
+
+
+# -------------------------------------------- mm8: GIF frame checksum
+
+_MM8_SQL = """
+    WITH d AS (SELECT doc_id,
+                      CAST(doc_id % 11 + 6 AS INT) AS width,
+                      CAST(doc_id % 13 + 7 AS INT) AS height,
+                      CAST(doc_id % 3 + 1 AS INT) AS n_frames,
+                      CAST(CASE doc_id % 3 WHEN 0 THEN 4 WHEN 1 THEN 16
+                           ELSE 256 END AS BIGINT) AS pal
+               FROM documents WHERE doc_id < 64),
+    g AS (SELECT d.doc_id, d.width, d.height, d.n_frames,
+                 (d.doc_id + 3*x.range + 5*y.range + 11*f.range) % d.pal AS i
+          FROM d, range(17) x, range(20) y, range(3) f
+          WHERE x.range < d.width AND y.range < d.height
+            AND f.range < d.n_frames)
+    SELECT doc_id, width, height, n_frames,
+           CAST(SUM((i*17) % 256 + (i*29) % 256 + (i*43) % 256) AS BIGINT)
+             AS rgb_sum
+    FROM g GROUP BY doc_id, width, height, n_frames ORDER BY doc_id
+"""
+
+
+@query("mm8_gif_frame_checksum", _MM8_SQL)
+def mm8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL GIF codec through the driver gate (the mm5/mm6/mm7
+    lossless-pin discipline): deterministic indexed frames + palette
+    per doc are encoded as GIF89a (cycling palette sizes 4/16/256,
+    1-3 animation frames, interlaced on odd docs — exercising the LZW
+    variable-width coder, the 4-pass row ordering, and multi-frame
+    compositing), decoded back with functions/gifcodec.gif_frames, and
+    RGB-checksummed in an Arrow map stage.  GIF is lossless for
+    indexed input, so the checksum equals the closed-form sum the
+    DuckDB oracle computes from the index/palette definition — any
+    LZW/interlace/compositing defect breaks the hash.  Scale shape:
+    map-only mapInPandas over ids, no shuffle (same posture as mm5)."""
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    ids = docs.where(F.col("doc_id") < 64).select("doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("n_frames", IntegerType()),
+            StructField("rgb_sum", LongType()),
+        ]
+    )
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        from parquet_common_spark.functions import gifcodec as GC
+
+        for pdf in it:
+            out = {"doc_id": [], "width": [], "height": [], "n_frames": [], "rgb_sum": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 11 + 6, d % 13 + 7
+                nf = d % 3 + 1
+                k = (4, 16, 256)[d % 3]
+                pal = np.stack(
+                    [
+                        (np.arange(k) * 17) % 256,
+                        (np.arange(k) * 29) % 256,
+                        (np.arange(k) * 43) % 256,
+                    ],
+                    axis=1,
+                ).astype(np.uint8)
+                f = np.arange(nf)[:, None, None]
+                y = np.arange(h)[None, :, None]
+                x = np.arange(w)[None, None, :]
+                idx = ((d + 3 * x + 5 * y + 11 * f) % k).astype(np.uint8)
+                data = GC.encode_gif(idx, pal, interlace=bool(d % 2), disposal=1)
+                frames, _delays = GC.gif_frames(data)
+                assert frames.shape == (nf, h, w, 3)
+                out["doc_id"].append(d)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(nf)
+                out["rgb_sum"].append(int(frames.astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    return ids.mapInPandas(batches, schema=schema).orderBy("doc_id")
