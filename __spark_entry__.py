@@ -37,13 +37,15 @@ _CHECK_WINDOW = [
     # 12 of the 48 r6 members (the promql-storage, streaming, matcher,
     # dedup and ivf cohorts — weakest independent coverage first).
     #
-    # DEFERRED to r10 (30 r6 entries; every one is covered by dedicated
+    # DEFERRED to r10 (r6 entries; every one is covered by dedicated
     # pytest batteries and the full local check_correctness sweep this
     # session): d6 d8 d10 d11 x2 x3 x5 x7 x9 x10 t9 t10 t11 p6 p7 p8 p9
     # p10 sim3 sim5 sim6 sim7 s1 c2 e7 e8 e9 w8 m7 m18 m19 q20a q3 a3
     # f5 mm5 (36 after st11/p13/t12/gr3/mm7/cdc2 displaced
-    # sim3/d8/d10/d6/m19/m18) — these go FIRST in the r10 window, then
-    # the r7 cohort (44).
+    # sim3/d8/d10/d6/m19/m18), PLUS st6 st7 m1 m4 d2 displaced by the
+    # five session-2 additions (mm8 gr4 e13 io1 p14 — never
+    # driver-checked, outrank r6 re-checks) = 41 — these go FIRST in
+    # the r10 window, then the r7 cohort (44).
     #
     # --- the 22 r5-deferred entries (stalest, per the r8 ledger)
     "m2_matcher_regex_set",
@@ -79,6 +81,11 @@ _CHECK_WINDOW = [
     "gr3_triangle_count",
     "mm7_lossless_jpeg_checksum",
     "cdc2_snapshot_diff",
+    "mm8_gif_frame_checksum",
+    "gr4_khop_reachability",
+    "e13_event_transitions",
+    "io1_format_roundtrip",
+    "p14_size_balanced_shards",
     # --- code changed THIS round
     "gr1_pagerank",
     "er1_record_linkage",
@@ -86,7 +93,7 @@ _CHECK_WINDOW = [
     "sim8_radius_search",
     "mm4_audio_features",
     "mm6_flac_checksum",
-    # --- r6 cohort fill (18 of 48; ledger above names the 30 deferred)
+    # --- r6 cohort fill (ledger above names the deferred)
     "pq2_promql_parquet_storage",
     "pq3_promql_native_histograms",
     "pq5_streaming_ingest",
@@ -94,11 +101,6 @@ _CHECK_WINDOW = [
     "pq7_recording_rule",
     "st1_streaming_daily_counts",
     "st5_streaming_neardup",
-    "st6_streaming_sessions",
-    "st7_streaming_heavy_hitters",
-    "m1_matcher_eq",
-    "m4_empty_label_semantics",
-    "d2_minhash_lsh_dedup",
 ]
 assert len(_CHECK_WINDOW) == 50, len(_CHECK_WINDOW)
 

@@ -201,3 +201,48 @@ def triangle_count(
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).cast("long").alias("n_tri")
     )
+
+
+def k_hop(
+    edges: DataFrame,
+    sources: DataFrame,
+    k: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded-depth BFS: minimum hop distance from a source set.
+
+    Returns ``(node, dist)`` for every node reachable within ``k``
+    hops (sources themselves at dist 0, each node at its MINIMUM
+    distance exactly once).  This is the frontier-expansion member of
+    the iterative-graph family (pagerank: value iteration; LPA:
+    label flow; components: pointer jumping) — the shape behind
+    blast-radius / contamination-reach queries ("everything within 3
+    links of a flagged document").
+
+    Scale shape: per hop one equi-join (frontier ⋈ edges on src), one
+    distinct, and one left-anti join against the reached set — all
+    hash-partitioned on node id; the frontier only SHRINKS relative
+    to |nodes| as levels saturate, and reached is at most |nodes|
+    rows.  k is a fixed small constant (the Python loop is over hop
+    COUNT, not data).  For deep k the lineage-truncation posture from
+    ``pagerank(checkpoint_every=...)`` applies unchanged; bounded
+    reach queries run k<=5 in practice.
+    """
+    e = edges.select(F.col(src).alias("node"), F.col(dst).alias("_to"))
+    reached = (
+        sources.select(F.col(sources.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+    )
+    frontier = reached.select("node")
+    for i in range(1, k + 1):  # loop over fixed hop COUNT, not data
+        nxt = (
+            frontier.join(e, "node")
+            .select(F.col("_to").alias("node"))
+            .distinct()
+        )
+        fresh = nxt.join(reached.select("node"), "node", "left_anti")
+        reached = reached.unionAll(fresh.withColumn("dist", F.lit(i)))
+        frontier = fresh
+    return reached

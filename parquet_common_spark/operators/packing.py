@@ -259,3 +259,31 @@ def select_best_within_budget(
     return out.where(
         (F.col("cum_tokens") - F.col(token_col)) < F.lit(int(budget))
     ).drop("_neg")
+
+
+def size_balanced_shards(
+    df: DataFrame,
+    order_cols: list[str],
+    size_col: str,
+    n_shards: int,
+) -> DataFrame:
+    """Assign rows to ``n_shards`` contiguous, byte-balanced output
+    shards: rows in ``order_cols`` order are cut wherever the running
+    ``size_col`` total crosses a multiple of ``ceil(total/n_shards)``
+    — the output-file-sizing step of a corpus export (each shard lands
+    within one max row-size of the target, deterministically).
+
+    Scale shape: one bounded aggregate for the total (a scalar), then
+    the distributed two-pass prefix sum (:func:`global_cumsum` — range
+    partition + per-partition scan, never a global single-partition
+    window).  Adds a ``shard`` column.
+    """
+    total = df.agg(F.sum(size_col).alias("s")).collect()[0]["s"] or 0
+    target = max(1, -(-int(total) // n_shards))  # ceil
+    cum = global_cumsum(df, order_cols, size_col, out_col="_cum")
+    return cum.withColumn(
+        "shard",
+        F.floor((F.greatest(F.col("_cum"), F.lit(1)) - 1) / F.lit(target)).cast(
+            "int"
+        ),
+    ).drop("_cum")

@@ -3349,3 +3349,195 @@ def mm8(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return ids.mapInPandas(batches, schema=schema).orderBy("doc_id")
+
+
+# ---------------------------------------------- gr4: k-hop reachability
+
+_GR4_SQL = """
+    WITH e0 AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+    edges AS (SELECT CAST(p AS BIGINT) AS src, CAST(1000000 + s AS BIGINT) AS dst
+              FROM e0
+              UNION ALL
+              SELECT CAST(1000000 + s AS BIGINT), CAST(p AS BIGINT) FROM e0),
+    r0 AS (SELECT DISTINCT CAST(1000000 + s_suppkey AS BIGINT) AS node, 0 AS dist
+           FROM supplier WHERE s_nationkey = 0),
+    n1 AS (SELECT DISTINCT e.dst AS node FROM edges e
+           JOIN r0 ON r0.node = e.src
+           WHERE e.dst NOT IN (SELECT node FROM r0)),
+    r1 AS (SELECT node, dist FROM r0 UNION ALL SELECT node, 1 FROM n1),
+    n2 AS (SELECT DISTINCT e.dst AS node FROM edges e
+           JOIN n1 ON n1.node = e.src
+           WHERE e.dst NOT IN (SELECT node FROM r1)),
+    r2 AS (SELECT node, dist FROM r1 UNION ALL SELECT node, 2 FROM n2),
+    n3 AS (SELECT DISTINCT e.dst AS node FROM edges e
+           JOIN n2 ON n2.node = e.src
+           WHERE e.dst NOT IN (SELECT node FROM r2)),
+    r3 AS (SELECT node, dist FROM r2 UNION ALL SELECT node, 3 FROM n3)
+    SELECT CAST(dist AS INT) AS dist, COUNT(*) AS n_nodes,
+           MIN(node) AS min_node, MAX(node) AS max_node,
+           SUM(node) AS node_sum
+    FROM r3 GROUP BY dist ORDER BY dist
+"""
+
+
+@query("gr4_khop_reachability", _GR4_SQL)
+def gr4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS (operators/graph.k_hop) over the symmetrized
+    part<->supplier graph, sources = nation-0 suppliers: per-hop-level
+    node counts plus min/max/sum of node ids (so the hash pins set
+    MEMBERSHIP per level, not just cardinality).  The oracle replays
+    the exact frontier recurrence as chained CTEs (fresh level =
+    neighbors of the previous FRONTIER minus everything reached) —
+    the frontier-expansion member of the iterative-graph family next
+    to gr1 value iteration, gr2 label flow, d6 pointer jumping.
+    Scale shape: one join + one distinct + one anti-join per hop, all
+    hash-partitioned on node id; reached <= |nodes| rows throughout;
+    k fixed at 3."""
+    from parquet_common_spark.operators.graph import k_hop
+
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    sup = load(spark, sf_dir, "supplier")["supplier"]
+    pairs = li.select(
+        F.col("l_partkey").cast("long").alias("p"),
+        F.col("l_suppkey").cast("long").alias("s"),
+    ).distinct()
+    edges = pairs.select(
+        F.col("p").alias("src"), (F.lit(1_000_000) + F.col("s")).alias("dst")
+    ).unionAll(
+        pairs.select(
+            (F.lit(1_000_000) + F.col("s")).alias("src"), F.col("p").alias("dst")
+        )
+    )
+    sources = sup.where(F.col("s_nationkey") == 0).select(
+        (F.lit(1_000_000) + F.col("s_suppkey").cast("long")).alias("node")
+    )
+    reached = k_hop(edges, sources, k=3)
+    return (
+        reached.groupBy(F.col("dist").cast("int").alias("dist"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.min("node").alias("min_node"),
+            F.max("node").alias("max_node"),
+            F.sum("node").alias("node_sum"),
+        )
+        .orderBy("dist")
+    )
+
+
+# -------------------------------- io1: multi-format interop roundtrip
+
+_IO1_SQL = """
+    WITH base AS (
+      SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,4))) AS DOUBLE)
+               AS revenue,
+             CAST(MAX(l_shipdate) AS DATE) AS last_ship
+      FROM lineitem WHERE l_orderkey % 7 = 0
+      GROUP BY l_returnflag, l_linestatus)
+    SELECT fmt.f AS fmt, l_returnflag, l_linestatus, n, revenue, last_ship
+    FROM base, (VALUES ('orc'), ('csv'), ('json')) fmt(f)
+    ORDER BY fmt, l_returnflag, l_linestatus
+"""
+
+
+@query("io1_format_roundtrip", _IO1_SQL)
+def io1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-format lakehouse interop: a lineitem slice is WRITTEN to
+    ORC, CSV and JSON with Spark's native connectors, READ BACK
+    (explicit schema on the text formats — schema inference is a scan
+    tax and a correctness hazard at scale), and aggregated identically
+    per format.  All three roundtrips are lossless for this schema
+    (bigint/int/double/varchar/timestamp), so the oracle is the same
+    aggregate computed once from the parquet source and fanned out
+    over the three format labels — any serializer/parser fidelity
+    break (double formatting, timestamp zone drift, CSV quoting)
+    diverges the hash.  Scale shape: the write is a map-only fan-out
+    of the filtered slice (predicate pushed to the parquet scan); each
+    read-back aggregates map-side into |flags|x|status| groups.
+    Artifacts land under /tmp/pcs_io/<sf-tag>, overwritten per run."""
+    import os
+
+    from parquet_common_spark.plans.common import dsum
+
+    li = load(spark, sf_dir, "lineitem")["lineitem"].where(
+        F.col("l_orderkey") % 7 == 0
+    )
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    base = f"/tmp/pcs_io/{tag}"
+    li.write.mode("overwrite").orc(base + "/orc")
+    li.write.mode("overwrite").option("header", True).csv(base + "/csv")
+    li.write.mode("overwrite").json(base + "/json")
+    schema = li.schema
+    parts = []
+    for fmt in ("orc", "csv", "json"):
+        if fmt == "orc":
+            df = spark.read.orc(base + "/orc")
+        elif fmt == "csv":
+            df = spark.read.schema(schema).option("header", True).csv(base + "/csv")
+        else:
+            df = spark.read.schema(schema).json(base + "/json")
+        parts.append(
+            df.groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                dsum(F.col("l_extendedprice")).alias("revenue"),
+                F.max("l_shipdate").cast("date").alias("last_ship"),
+            )
+            .select(
+                F.lit(fmt).alias("fmt"),
+                "l_returnflag",
+                "l_linestatus",
+                "n",
+                "revenue",
+                "last_ship",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("fmt", "l_returnflag", "l_linestatus")
+
+
+# ----------------------------------- p14: size-balanced output shards
+
+_P14_SQL = """
+    WITH c AS (SELECT doc_id, n_chars,
+                      SUM(n_chars) OVER (ORDER BY doc_id) AS cum
+               FROM documents),
+    t AS (SELECT CAST(CEIL(SUM(n_chars) / 8.0) AS BIGINT) AS target
+          FROM documents)
+    SELECT CAST(FLOOR((GREATEST(cum, 1) - 1) / t.target) AS INT) AS shard,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_bytes,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM c, t
+    GROUP BY 1 ORDER BY shard
+"""
+
+
+@query("p14_size_balanced_shards", _P14_SQL)
+def p14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-balanced output sharding (operators/packing.
+    size_balanced_shards): docs in doc_id order are cut into 8
+    contiguous shards wherever the running byte total crosses a
+    multiple of ceil(total/8) — the export-file-sizing step that keeps
+    every corpus shard within one document of the byte target.  The
+    prefix sum is the DISTRIBUTED two-pass scan (range partition +
+    per-partition cumsum + broadcast offsets), never a global
+    single-partition window; the oracle replays it with DuckDB's
+    window cumsum.  Output pins per-shard doc counts, byte totals and
+    id ranges, so any cut-point drift breaks the hash."""
+    from parquet_common_spark.operators.packing import size_balanced_shards
+
+    docs = load(spark, sf_dir, "documents")["documents"].select("doc_id", "n_chars")
+    sharded = size_balanced_shards(docs, ["doc_id"], "n_chars", n_shards=8)
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard")
+    )

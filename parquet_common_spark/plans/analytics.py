@@ -3355,3 +3355,51 @@ def cdc2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("type_t1").isNull() | (F.col("type_t1") != F.col("type_t2")))
         .orderBy("user_id")
     )
+
+
+# ------------------------------------- e13: event transition profile
+
+_E13_SQL = """
+    WITH s AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events),
+    t AS (SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+          FROM s WHERE prev_type IS NOT NULL
+          GROUP BY prev_type, event_type)
+    SELECT prev_type, next_type, n,
+           ROUND(CAST(n AS DOUBLE) /
+                 SUM(n) OVER (PARTITION BY prev_type), 6) AS prob
+    FROM t ORDER BY prev_type, next_type
+"""
+
+
+@query("e13_event_transitions", _E13_SQL)
+def e13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition profile of user behavior: per-user
+    event streams ordered by (ts, event_id), lag-paired into
+    (prev_type, next_type) bigrams, counted, and normalized into
+    row-stochastic transition probabilities — the session-behavior
+    fingerprint bot-detection and curriculum-mixing pipelines consume.
+
+    Scale shape: the lag window partitions by user_id (hash shuffle,
+    per-user state only — no global sort); the transition groupBy is
+    |event_types|^2 keys at most, map-side combinable; the normalizing
+    window runs over that tiny aggregated frame, not the raw events.
+    Deterministic: (ts, event_id) is a total order per user."""
+    ev = load(spark, sf_dir, "events")["events"]
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wp), 6).alias("prob"),
+    ).orderBy("prev_type", "next_type")

@@ -2029,3 +2029,79 @@ def test_snapshot_diff_matches_pandas_reconstruction(spark, sf_dir):
         elif l1[u] != ty2:
             want[u] = ("changed", l1[u], ty2, n1[u], n2[u])
     assert got == want and len(got) > 0
+
+
+# ----------------------------------------------------- k-hop BFS (gr4)
+
+
+def test_k_hop_min_distances(spark):
+    """BFS distances on a hand graph with a shorter path that must win,
+    an unreachable node, and a cycle."""
+    from parquet_common_spark.operators.graph import k_hop
+
+    #  0->1->2->3->4 ; 0->3 (shortcut) ; 5->0 (upstream, unreachable
+    #  FROM 0) ; 4->2 (cycle back)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (0, 3), (5, 0), (4, 2)],
+        "src long, dst long",
+    )
+    sources = spark.createDataFrame([(0,)], "node long")
+    got = {r.node: r.dist for r in k_hop(edges, sources, k=3).collect()}
+    # dist(3) = 1 via the shortcut, NOT 3 via the chain; 5 unreachable
+    assert got == {0: 0, 1: 1, 3: 1, 2: 2, 4: 2}
+
+
+def test_k_hop_saturates_and_multi_source(spark):
+    from parquet_common_spark.operators.graph import k_hop
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (2, 1)], "src long, dst long"
+    )
+    sources = spark.createDataFrame([(0,), (2,)], "node long")
+    got = {r.node: r.dist for r in k_hop(edges, sources, k=5).collect()}
+    # frontier empties after hop 1; extra hops are no-ops
+    assert got == {0: 0, 2: 0, 1: 1}
+
+
+# ------------------------------------- size-balanced shards (p14)
+
+
+def test_size_balanced_shards_cut_points(spark):
+    from parquet_common_spark.operators.packing import size_balanced_shards
+
+    rows = [(i, 10) for i in range(10)]  # total 100, 4 shards -> target 25
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    got = {
+        r.doc_id: r.shard
+        for r in size_balanced_shards(df, ["doc_id"], "n_chars", 4).collect()
+    }
+    # cum 10..100; shard = floor((cum-1)/25): cum 10,20 -> 0; 30,40,50
+    # -> 1; 60,70 -> 2; 80,90,100 -> 3
+    assert got == {0: 0, 1: 0, 2: 1, 3: 1, 4: 1, 5: 2, 6: 2, 7: 3, 8: 3, 9: 3}
+
+
+def test_size_balanced_shards_balance_bound(spark):
+    import random
+
+    from parquet_common_spark.operators.packing import size_balanced_shards
+
+    rng = random.Random(3)
+    rows = [(i, rng.randint(1, 500)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = size_balanced_shards(df, ["doc_id"], "n_chars", 8)
+    per = (
+        out.groupBy("shard")
+        .agg(F.sum("n_chars").alias("s"), F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .collect()
+    )
+    total = sum(s for _i, s in rows)
+    target = -(-total // 8)
+    max_row = max(s for _i, s in rows)
+    by_shard = sorted((r.shard, r.lo, r.hi, r.s) for r in per)
+    # contiguity: shard id ranges tile [0,200) in order
+    assert [b[0] for b in by_shard] == list(range(len(by_shard)))
+    for (s1, lo1, hi1, _), (s2, lo2, hi2, _) in zip(by_shard, by_shard[1:]):
+        assert lo2 == hi1 + 1
+    # balance: every shard within one max row of the byte target
+    for _s, _lo, _hi, tot in by_shard:
+        assert tot <= target + max_row
