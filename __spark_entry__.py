@@ -42,9 +42,9 @@ _CHECK_WINDOW = [
     # session): d6 d8 d10 d11 x2 x3 x5 x7 x9 x10 t9 t10 t11 p6 p7 p8 p9
     # p10 sim3 sim5 sim6 sim7 s1 c2 e7 e8 e9 w8 m7 m18 m19 q20a q3 a3
     # f5 mm5 (36 after st11/p13/t12/gr3/mm7/cdc2 displaced
-    # sim3/d8/d10/d6/m19/m18), PLUS st6 st7 m1 m4 d2 displaced by the
-    # five session-2 additions (mm8 gr4 e13 io1 p14 — never
-    # driver-checked, outrank r6 re-checks) = 41 — these go FIRST in
+    # sim3/d8/d10/d6/m19/m18), PLUS st6 st7 m1 m4 d2 st5 displaced by
+    # the six session-2 additions (mm8 gr4 e13 io1 p14 a4 — never
+    # driver-checked, outrank r6 re-checks) = 42 — these go FIRST in
     # the r10 window, then the r7 cohort (44).
     #
     # --- the 22 r5-deferred entries (stalest, per the r8 ledger)
@@ -86,6 +86,7 @@ _CHECK_WINDOW = [
     "e13_event_transitions",
     "io1_format_roundtrip",
     "p14_size_balanced_shards",
+    "a4_bloom_semi_join",
     # --- code changed THIS round
     "gr1_pagerank",
     "er1_record_linkage",
@@ -100,7 +101,6 @@ _CHECK_WINDOW = [
     "pq6_retention_lifecycle",
     "pq7_recording_rule",
     "st1_streaming_daily_counts",
-    "st5_streaming_neardup",
 ]
 assert len(_CHECK_WINDOW) == 50, len(_CHECK_WINDOW)
 

@@ -3541,3 +3541,66 @@ def p14(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ----------------------------------------- a4: Bloom-filter semi-join
+
+from parquet_common_spark.operators import sketch as SK  # noqa: E402
+
+_BLOOM_HASHES = ", ".join(
+    f"({a}, {b})" for a, b in zip(SK.BLOOM_A, SK.BLOOM_B)
+)
+_A4_M = 256  # sized so the false-positive path is exercised at sf0.01+
+
+_A4_SQL = f"""
+    WITH members AS (SELECT c_custkey AS k FROM customer
+                     WHERE c_acctbal < -800),
+    h(a, b) AS (VALUES {_BLOOM_HASHES}),
+    bits AS (SELECT DISTINCT (k * h.a + h.b) % {T.HASH_P} % {_A4_M} AS pos
+             FROM members, h),
+    probe AS (SELECT DISTINCT o_custkey AS k FROM orders),
+    hits AS (SELECT p.k, COUNT(*) AS n
+             FROM probe p, h
+             JOIN bits ON (p.k * h.a + h.b) % {T.HASH_P} % {_A4_M} = bits.pos
+             GROUP BY p.k),
+    flags AS (SELECT p.k, COALESCE(hits.n, 0) = {SK.BLOOM_K} AS maybe
+              FROM probe p LEFT JOIN hits ON hits.k = p.k),
+    truth AS (SELECT f.k, f.maybe, m.k IS NOT NULL AS member
+              FROM flags f LEFT JOIN members m ON m.k = f.k)
+    SELECT maybe, member, COUNT(*) AS n_keys, SUM(k) AS key_sum
+    FROM truth GROUP BY maybe, member ORDER BY maybe, member
+"""
+
+
+@query("a4_bloom_semi_join", _A4_SQL)
+def a4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join prefilter (operators/sketch.bloom_bits/
+    bloom_probe) — the third classic mergeable sketch beside a1 HLL
+    and a3 count-min, in the realistic prefilter shape: the FACT side
+    (distinct order custkeys) is probed against the Bloom bits of a
+    SMALL dimension slice (deep-debt customers), then cross-tabbed
+    against ground-truth membership.  The output pins the
+    no-false-negative guarantee (a maybe=false & member=true row can
+    never appear) AND the exact false-positive population under the
+    deterministic affine hash family (m sized small on purpose so FPs
+    exist) — both engines replay identical bit arithmetic.  Scale
+    shape: bits <= m rows by construction (broadcast-by-contract);
+    probing is map-only vs the broadcast + one fan-in-k groupBy — the
+    shuffle-skipping prefilter a 100 TB fact-dim join runs first."""
+    from parquet_common_spark.operators import sketch as SK2
+
+    t = load(spark, sf_dir, "orders", "customer")
+    members = t["customer"].where(F.col("c_acctbal") < -800).select(
+        F.col("c_custkey").alias("k")
+    )
+    bits = SK2.bloom_bits(members, "k", m=_A4_M)
+    probes = t["orders"].select(F.col("o_custkey").alias("k")).distinct()
+    flagged = SK2.bloom_probe(probes, bits, "k", m=_A4_M)
+    truth = flagged.join(
+        members.withColumn("member", F.lit(True)), "k", "left"
+    ).select("k", "maybe", F.coalesce(F.col("member"), F.lit(False)).alias("member"))
+    return (
+        truth.groupBy("maybe", "member")
+        .agg(F.count(F.lit(1)).alias("n_keys"), F.sum("k").alias("key_sum"))
+        .orderBy("maybe", "member")
+    )

@@ -81,3 +81,71 @@ def cms_estimates(
     est = F.least(*[F.coalesce(F.col(f"_e{r}"), F.lit(0)) for r in range(CMS_D)])
     keep = [c for c in probes.columns]
     return out.select(*keep, est.alias("est_cnt"))
+
+
+# ---------------------------------------------------------- Bloom filter
+
+BLOOM_K = 3        # hash functions
+BLOOM_M = 8192     # bit positions
+BLOOM_A = [29 + 67 * r for r in range(BLOOM_K)]   # same affine family
+BLOOM_B = [17 + 83 * r for r in range(BLOOM_K)]
+
+
+def bloom_position(key_hash, r: int, m: int = BLOOM_M):
+    """Bit position of ``key_hash`` under hash function ``r``."""
+    return (
+        (key_hash * F.lit(BLOOM_A[r]) + F.lit(BLOOM_B[r])) % F.lit(HASH_P)
+    ) % F.lit(m)
+
+
+def bloom_bits(df: DataFrame, key_col: str, m: int = BLOOM_M) -> DataFrame:
+    """Build the Bloom membership set over a key column: one row per
+    SET bit position (``pos``) — bounded by BLOOM_M rows regardless of
+    input size.  Numeric keys hash directly through the affine family;
+    pre-hash strings with ``char_poly_hash`` first.  ONE map-side-
+    combined distinct whose output is sketch-sized, the third classic
+    mergeable sketch next to HLL (a1) and count-min (a3): partial bit
+    sets union cell-wise, which IS Spark's distinct merge."""
+    kh = df.select(F.col(key_col).cast("long").alias("_kh"))
+    return (
+        kh.select(
+            F.explode(
+                F.array(
+                    *[bloom_position(F.col("_kh"), r, m) for r in range(BLOOM_K)]
+                )
+            ).alias("pos")
+        )
+        .distinct()
+    )
+
+
+def bloom_probe(
+    probes: DataFrame, bits: DataFrame, key_col: str, m: int = BLOOM_M
+) -> DataFrame:
+    """Probe each key against the bit set: ``maybe`` is true iff ALL
+    BLOOM_K positions are set — never a false negative, false positives
+    bounded by (1-e^{-kn/m})^k.  The bit set is broadcast (<= BLOOM_M
+    rows by construction — the smallness-by-contract broadcast class);
+    the probe side explodes k positions, joins, and counts matches —
+    map-only against the broadcast, one groupBy(key) of fan-in k.
+    This is the join-prefilter shape: at 100 TB, probe the fact table
+    against a dimension's Bloom bits BEFORE the real join and skip the
+    shuffle for definitely-absent rows."""
+    pos = probes.select(
+        F.col(key_col),
+        F.col(key_col).cast("long").alias("_kh"),
+    ).select(
+        key_col,
+        F.explode(
+            F.array(*[bloom_position(F.col("_kh"), r, m) for r in range(BLOOM_K)])
+        ).alias("pos"),
+    )
+    hits = (
+        pos.join(F.broadcast(bits), "pos")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    return probes.join(hits, key_col, "left").select(
+        probes["*"],
+        (F.coalesce(F.col("_n"), F.lit(0)) == BLOOM_K).alias("maybe"),
+    )

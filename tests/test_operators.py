@@ -2105,3 +2105,37 @@ def test_size_balanced_shards_balance_bound(spark):
     # balance: every shard within one max row of the byte target
     for _s, _lo, _hi, tot in by_shard:
         assert tot <= target + max_row
+
+
+# --------------------------------------------------- Bloom filter (a4)
+
+
+def test_bloom_no_false_negatives_and_exact_fp_set(spark):
+    """Cross-check bloom_bits/bloom_probe against a straight Python
+    replay of the affine bit arithmetic: members always maybe=True;
+    the false-positive SET (not just count) matches the reference."""
+    from parquet_common_spark.operators.sketch import (
+        BLOOM_A,
+        BLOOM_B,
+        BLOOM_K,
+        bloom_bits,
+        bloom_probe,
+    )
+    from parquet_common_spark.operators.text import HASH_P
+
+    m = 64  # tiny on purpose: force plenty of collisions
+    members = [3, 17, 99, 1024, 77777]
+    probes = list(range(0, 4000, 7))
+    mdf = spark.createDataFrame([(k,) for k in members], "k long")
+    pdf = spark.createDataFrame([(k,) for k in probes], "k long")
+    bits = bloom_bits(mdf, "k", m=m)
+    got = {r.k: r.maybe for r in bloom_probe(pdf, bits, "k", m=m).collect()}
+
+    ref_bits = {(k * a + b) % HASH_P % m for k in members for a, b in zip(BLOOM_A, BLOOM_B)}
+    for k in probes:
+        expect = all((k * a + b) % HASH_P % m in ref_bits for a, b in zip(BLOOM_A, BLOOM_B))
+        assert got[k] == expect, k
+    for k in members:
+        if k in got:
+            assert got[k] is True
+    assert bits.count() <= min(m, len(members) * BLOOM_K)
