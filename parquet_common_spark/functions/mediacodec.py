@@ -56,6 +56,8 @@ def sniff_media(payload: bytes) -> str | None:
         return "flac"
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
+    if payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
+        return "tiff"
     if payload[4:8] == b"ftyp":
         return "mp4"
     return None

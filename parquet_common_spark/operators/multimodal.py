@@ -116,6 +116,11 @@ def _decode_media(media_type: str, payload: bytes) -> tuple[int, int, int]:
 
         w, h, frames = GC.gif_info(payload)
         return (w, h, frames)
+    if fmt == "tiff":
+        from parquet_common_spark.functions import tiffcodec as TC
+
+        w, h, _spp = TC.tiff_info(payload)
+        return (w, h, 1)
     if fmt == "mp4":
         # real METADATA via the ISO-BMFF box walk; pixel/frame decode
         # still needs libav/PyAV and raises in sample_frames

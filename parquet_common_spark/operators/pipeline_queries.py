@@ -3604,3 +3604,86 @@ def a4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_keys"), F.sum("k").alias("key_sum"))
         .orderBy("maybe", "member")
     )
+
+
+# ------------------------------------------- mm9: TIFF strip checksum
+
+_MM9_SQL = """
+    WITH d AS (SELECT doc_id,
+                      CAST(doc_id % 9 + 5 AS INT) AS width,
+                      CAST(doc_id % 12 + 6 AS INT) AS height,
+                      CAST(1 + 2 * (doc_id % 2) AS INT) AS spp
+               FROM documents WHERE doc_id < 60),
+    g AS (SELECT d.doc_id, d.width, d.height, d.spp,
+                 (d.doc_id * 13 + 2*x.range + 3*y.range + 29*c.range) % 251
+                   AS v
+          FROM d, range(14) x, range(18) y, range(3) c
+          WHERE x.range < d.width AND y.range < d.height
+            AND c.range < d.spp)
+    SELECT doc_id, width, height, spp,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum
+    FROM g GROUP BY doc_id, width, height, spp ORDER BY doc_id
+"""
+
+
+@query("mm9_tiff_strip_checksum", _MM9_SQL)
+def mm9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL TIFF codec through the driver gate (mm5/mm6/mm7/mm8
+    lossless-pin discipline): deterministic gray/RGB images per doc are
+    encoded as baseline TIFF cycling ALL supported axes — compression
+    none/LZW/PackBits, horizontal predictor on the LZW docs, single- vs
+    multi-strip layout, little- vs big-endian containers — decoded back
+    with functions/tiffcodec.decode_tiff (IFD walk, strip reassembly,
+    early-change LZW, PackBits, predictor integration), and pixel-
+    checksummed in an Arrow map stage.  All supported modes are
+    lossless, so the checksum equals the closed-form sum the DuckDB
+    oracle computes from the pixel definition.  Scale shape: map-only
+    mapInPandas over ids, no shuffle."""
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    ids = docs.where(F.col("doc_id") < 60).select("doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("spp", IntegerType()),
+            StructField("pixel_sum", LongType()),
+        ]
+    )
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        from parquet_common_spark.functions import tiffcodec as TC
+
+        for pdf in it:
+            out = {"doc_id": [], "width": [], "height": [], "spp": [], "pixel_sum": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = d % 9 + 5, d % 12 + 6
+                spp = 1 + 2 * (d % 2)
+                x = np.arange(w)[None, :, None]
+                y = np.arange(h)[:, None, None]
+                c = np.arange(spp)[None, None, :]
+                px = ((d * 13 + 2 * x + 3 * y + 29 * c) % 251).astype(np.uint8)
+                comp = (1, 5, 32773)[d % 3]
+                data = TC.encode_tiff(
+                    px,
+                    compression=comp,
+                    predictor=2 if comp == 5 else 1,
+                    rows_per_strip=None if d % 4 < 2 else max(1, h // 3),
+                    byte_order="little" if d % 2 else "big",
+                )
+                gw, gh, got = TC.decode_tiff(data)
+                assert (gw, gh) == (w, h) and got.shape == (h, w, spp)
+                out["doc_id"].append(d)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["spp"].append(spp)
+                out["pixel_sum"].append(int(got.astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    return ids.mapInPandas(batches, schema=schema).orderBy("doc_id")
