@@ -3687,3 +3687,44 @@ def mm9(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return ids.mapInPandas(batches, schema=schema).orderBy("doc_id")
+
+
+# --------------------------------------------- dq5: k-anonymity audit
+
+_DQ5_K = 5
+
+_DQ5_SQL = f"""
+    WITH q AS (SELECT c_nationkey, c_mktsegment,
+                      COUNT(*) AS class_size,
+                      SUM(c_custkey) AS key_sum
+               FROM customer GROUP BY c_nationkey, c_mktsegment)
+    SELECT c_nationkey, c_mktsegment, class_size,
+           class_size < {_DQ5_K} AS violates_k,
+           key_sum
+    FROM q ORDER BY c_nationkey, c_mktsegment
+"""
+
+
+@query("dq5_k_anonymity", _DQ5_SQL)
+def dq5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier tuple (nation x
+    market segment): equivalence-class sizes with a violates-k flag —
+    the privacy gate a training-data release runs before shipping
+    user-derived records (classes smaller than k re-identify).
+    Scale shape: ONE map-side-combined groupBy on the quasi-identifier
+    (bounded key space |nations| x |segments|); the flag is a literal
+    comparison on the aggregate — no second pass, no window.  key_sum
+    pins class MEMBERSHIP, not just size."""
+    cust = load(spark, sf_dir, "customer")["customer"]
+    return (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("class_size"), F.sum("c_custkey").alias("key_sum"))
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "class_size",
+            (F.col("class_size") < _DQ5_K).alias("violates_k"),
+            "key_sum",
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )
