@@ -42,10 +42,10 @@ _CHECK_WINDOW = [
     # session): d6 d8 d10 d11 x2 x3 x5 x7 x9 x10 t9 t10 t11 p6 p7 p8 p9
     # p10 sim3 sim5 sim6 sim7 s1 c2 e7 e8 e9 w8 m7 m18 m19 q20a q3 a3
     # f5 mm5 (36 after st11/p13/t12/gr3/mm7/cdc2 displaced
-    # sim3/d8/d10/d6/m19/m18), PLUS st6 st7 m1 m4 d2 st5 st1 pq7
-    # displaced by the eight session-2 additions (mm8 gr4 e13 io1 p14
-    # a4 mm9 dq5 — never driver-checked, outrank r6 re-checks) = 44 —
-    # these go FIRST in the r10 window, then the r7 cohort (44).
+    # sim3/d8/d10/d6/m19/m18), PLUS st6 st7 m1 m4 d2 st5 st1 pq7 pq6
+    # displaced by the nine session-2 additions (mm8 gr4 e13 io1 p14
+    # a4 mm9 dq5 st12 — never driver-checked, outrank r6 re-checks)
+    # = 45 — these go FIRST in the r10 window, then the r7 cohort (44).
     #
     # --- the 22 r5-deferred entries (stalest, per the r8 ledger)
     "m2_matcher_regex_set",
@@ -89,6 +89,7 @@ _CHECK_WINDOW = [
     "a4_bloom_semi_join",
     "mm9_tiff_strip_checksum",
     "dq5_k_anonymity",
+    "st12_streaming_json_ingest",
     # --- code changed THIS round
     "gr1_pagerank",
     "er1_record_linkage",
@@ -100,7 +101,6 @@ _CHECK_WINDOW = [
     "pq2_promql_parquet_storage",
     "pq3_promql_native_histograms",
     "pq5_streaming_ingest",
-    "pq6_retention_lifecycle",
 ]
 assert len(_CHECK_WINDOW) == 50, len(_CHECK_WINDOW)
 

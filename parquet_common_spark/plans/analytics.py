@@ -3403,3 +3403,95 @@ def e13(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(wp), 6).alias("prob"),
     ).orderBy("prev_type", "next_type")
+
+
+# ----------------------- st12: streaming text-format ingestion (JSON source)
+
+# The streaming arm of io1's format-interop surface: a JSON drop
+# directory consumed as a file-source stream with an EXPLICIT schema
+# (streaming schema inference is disabled by default in Spark for good
+# reason — a text stream's inferred schema can drift batch to batch),
+# windowed on event time, drained by availableNow into a memory sink.
+_ST12_SQL = """
+    SELECT event_type,
+           CAST(floor(epoch_us(ts) / 43200000000) AS BIGINT) AS half_day,
+           COUNT(*) AS n_events,
+           CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value
+    FROM events WHERE event_id % 3 = 0
+    GROUP BY 1, 2 ORDER BY event_type, half_day
+"""
+
+
+@query("st12_streaming_json_ingest", _ST12_SQL)
+def st12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines drop-directory ingestion as a STREAM: the io1 format
+    surface meets the st1 streaming gate.  A filtered events slice is
+    staged as JSON files (the landing-zone shape: producers drop text
+    files, the pipeline tails the directory), then consumed with
+    readStream + explicit schema, watermarked, windowed 12h, and
+    drained complete-mode by an availableNow trigger.  The streamed
+    answer must equal batch SQL over the same rows — any JSON
+    serializer/parser drift (timestamp format, double precision)
+    breaks the hash.  Scale shape: file-source streams partition per
+    file; the stateful agg keys are (window x event_type) — bounded
+    state, watermark-expired."""
+    import os
+    import uuid
+
+    from parquet_common_spark.plans.common import (
+        ensure_session_env,
+        event_ts_ltz_col,
+    )
+
+    ensure_session_env(spark)
+    ev = load(spark, sf_dir, "events")["events"].where(F.col("event_id") % 3 == 0)
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    drop_dir = f"/tmp/pcs_io/{tag}/events_json"
+    ev.write.mode("overwrite").json(drop_dir)
+    schema = ev.schema
+    ts_dt = dict(ev.dtypes)["ts"]
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.json")
+        .json(drop_dir)
+        .withColumn("ts", event_ts_ltz_col(ts_dt))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window(F.col("ts"), "12 hours").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("max_value"),
+        )
+    )
+    sink = f"st12_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.table(sink)
+        .select(
+            "event_type",
+            F.floor(
+                F.unix_micros(F.col("w.start").cast("timestamp"))
+                / F.lit(43_200_000_000)
+            )
+            .cast("long")
+            .alias("half_day"),
+            "n_events",
+            "max_value",
+        )
+        .orderBy("event_type", "half_day")
+    )

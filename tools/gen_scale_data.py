@@ -37,6 +37,13 @@ import pyarrow.parquet as pq
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/pcs_scale/sf1"
 REPS = int(os.environ.get("PCS_SCALE_REPS", "10"))
+# Optional table subset (comma list) for targeted decades: the sf100
+# fixture only needs the documents/events/embeddings queries, and a
+# full-replication lineitem at that size would hold ~10 in-memory
+# replicas of a 60M-row table (OOM class).  Dims are always copied.
+ONLY = {
+    t for t in os.environ.get("PCS_SCALE_TABLES", "").split(",") if t
+} or None
 
 # (table, {col: offset_base_col}) — offset_base is max(col)+1 of the col
 KEY_OFFSETS = {
@@ -55,6 +62,8 @@ DIMS = ["region", "nation"]  # copied once, not replicated
 def _bases(tables: dict[str, pa.Table]) -> dict[str, int]:
     bases: dict[str, int] = {}
     for t, cols in KEY_OFFSETS.items():
+        if t not in tables:
+            continue
         for c in cols:
             key = c.split("_", 1)[1] if "_" in c else c
             arr = tables[t].column(c).to_numpy(zero_copy_only=False)
@@ -85,9 +94,10 @@ def _permute_words(texts: np.ndarray, rep: int) -> np.ndarray:
 
 def main() -> None:
     os.makedirs(OUT, exist_ok=True)
+    wanted = [t for t in KEY_OFFSETS if ONLY is None or t in ONLY]
     tables = {
         t: pq.read_table(os.path.join(SRC, f"{t}.parquet"))
-        for t in list(KEY_OFFSETS) + DIMS
+        for t in wanted + DIMS
     }
     bases = _bases(tables)
     print("key offset bases:", bases)
@@ -97,6 +107,8 @@ def main() -> None:
         print(t, "copied", tables[t].num_rows)
 
     for t, cols in KEY_OFFSETS.items():
+        if t not in tables:
+            continue
         src = tables[t]
         reps = []
         for rep in range(REPS):
