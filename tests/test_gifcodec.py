@@ -188,3 +188,40 @@ def test_media_metadata_gif(spark):
     )
     row = decode_media(df).collect()[0]
     assert (row.width, row.height, row.n_frames) == (5, 4, 3)
+
+
+def test_gif_roundtrip_hypothesis():
+    """Property fuzz (the FLAC/arith-JPEG discipline): random palette
+    sizes, geometries, frame counts, interlace, content styles —
+    decode(encode(x)) == palette[x] exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        k=st.sampled_from([4, 8, 16, 32, 64, 128, 256]),
+        w=st.integers(1, 33),
+        h=st.integers(1, 33),
+        n=st.integers(1, 3),
+        interlace=st.booleans(),
+        style=st.sampled_from(["random", "runs", "gradient"]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def inner(k, w, h, n, interlace, style, seed):
+        rng = np.random.default_rng(seed)
+        if style == "random":
+            frames = rng.integers(0, k, size=(n, h, w)).astype(np.uint8)
+        elif style == "runs":
+            frames = np.repeat(
+                rng.integers(0, k, size=(n, h, (w + 4) // 5)), 5, axis=2
+            )[:, :, :w].astype(np.uint8)
+        else:
+            frames = (np.arange(n * h * w).reshape(n, h, w) % k).astype(np.uint8)
+        pal = _pal(k)
+        data = GC.encode_gif(frames, pal, interlace=interlace, disposal=1)
+        got, _ = GC.gif_frames(data)
+        assert got.shape == (n, h, w, 3)
+        for f in range(n):
+            assert np.array_equal(got[f], pal[frames[f]])
+
+    inner()

@@ -157,3 +157,46 @@ def test_lzw_early_change_bump_against_independent_packer():
     assert TC.tiff_lzw_decode(stream, len(seq)) == bytes(seq)
     # and our encoder emits the IDENTICAL bitstream for that input
     assert TC.tiff_lzw_encode(bytes(seq)) == stream
+
+
+def test_tiff_roundtrip_hypothesis():
+    """Property fuzz across compression x predictor x strips x byte
+    order x sample count: decode(encode(px)) == px exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=120, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 40),
+        spp=st.sampled_from([1, 3]),
+        comp=st.sampled_from([1, 5, 32773]),
+        pred=st.booleans(),
+        strips=st.booleans(),
+        bo=st.sampled_from(["little", "big"]),
+        style=st.sampled_from(["random", "smooth", "flat"]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def inner(w, h, spp, comp, pred, strips, bo, style, seed):
+        rng = np.random.default_rng(seed)
+        if style == "random":
+            px = rng.integers(0, 256, size=(h, w, spp)).astype(np.uint8)
+        elif style == "smooth":
+            px = (
+                np.cumsum(rng.integers(0, 9, size=(h, w, spp)), axis=1) % 256
+            ).astype(np.uint8)
+        else:
+            px = np.full((h, w, spp), seed % 256, np.uint8)
+        predictor = 2 if (pred and comp == 5) else 1
+        data = TC.encode_tiff(
+            px,
+            compression=comp,
+            predictor=predictor,
+            rows_per_strip=max(1, h // 4) if strips else None,
+            byte_order=bo,
+        )
+        gw, gh, got = TC.decode_tiff(data)
+        assert (gw, gh) == (w, h)
+        assert np.array_equal(got, px)
+
+    inner()
