@@ -203,6 +203,67 @@ def triangle_count(
     )
 
 
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    iterations: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Bounded Bellman-Ford: minimum path weight from a source set.
+
+    Returns ``(node, dist)`` for every node whose shortest path from
+    the source set uses at most ``iterations`` edges — the WEIGHTED
+    generalization of ``k_hop`` (hop count is the special case w ≡ 1)
+    and the min-plus member of the iterative-graph family.  Distances
+    are exact for those paths: each round applies the relaxation
+    ``dist'(v) = min(dist(v), min_{(u,v,w)} dist(u) + w)``; with
+    integer weights the result is integer-exact and engine-portable.
+
+    Scale shape: per round ONE equi-join (dist ⋈ edges on src) and ONE
+    groupBy(node) MIN over (previous dists ∪ relaxed candidates) —
+    both hash-partitioned on node id, MIN map-side combinable; dist
+    never exceeds |reachable nodes| rows.  The round count is a fixed
+    small constant (the Python loop is over iteration COUNT, not
+    data).  Each round's dist frame is ``localCheckpoint``-ed: it is
+    referenced twice per round (edge join + union spine), the k_hop
+    double-reference lineage class (~2^k plan growth untruncated —
+    PERF_NOTES r9).
+
+    Negative weights are accepted (Bellman-Ford semantics) but cycles
+    are not detected — with ``iterations`` fixed the recurrence is
+    well-defined regardless; callers wanting a negative-cycle check
+    should compare round k-1 vs k for changes.
+    """
+    e = edges.select(
+        F.col(src).alias("node"),
+        F.col(dst).alias("_to"),
+        F.col(weight).alias("_w"),
+    )
+    dist = (
+        sources.select(F.col(sources.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+    )
+    dist = dist.localCheckpoint(eager=True)
+    for _ in range(iterations):  # loop over fixed round COUNT, not data
+        relaxed = (
+            dist.join(e, "node")
+            .select(
+                F.col("_to").alias("node"),
+                (F.col("dist") + F.col("_w")).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        dist = dist.localCheckpoint(eager=True)  # double-reference class
+    return dist
+
+
 def k_hop(
     edges: DataFrame,
     sources: DataFrame,

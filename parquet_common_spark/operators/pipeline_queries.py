@@ -3360,7 +3360,7 @@ _GR4_SQL = """
               UNION ALL
               SELECT CAST(1000000 + s AS BIGINT), CAST(p AS BIGINT) FROM e0),
     r0 AS (SELECT DISTINCT CAST(1000000 + s_suppkey AS BIGINT) AS node, 0 AS dist
-           FROM supplier WHERE s_nationkey = 0),
+           FROM supplier WHERE s_suppkey % 10 = 0),
     n1 AS (SELECT DISTINCT e.dst AS node FROM edges e
            JOIN r0 ON r0.node = e.src
            WHERE e.dst NOT IN (SELECT node FROM r0)),
@@ -3383,7 +3383,7 @@ _GR4_SQL = """
 @query("gr4_khop_reachability", _GR4_SQL)
 def gr4(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded-depth BFS (operators/graph.k_hop) over the symmetrized
-    part<->supplier graph, sources = nation-0 suppliers: per-hop-level
+    part<->supplier graph, sources = every-10th supplier (non-empty at all SFs): per-hop-level
     node counts plus min/max/sum of node ids (so the hash pins set
     MEMBERSHIP per level, not just cardinality).  The oracle replays
     the exact frontier recurrence as chained CTEs (fresh level =
@@ -3408,7 +3408,7 @@ def gr4(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(1_000_000) + F.col("s")).alias("src"), F.col("p").alias("dst")
         )
     )
-    sources = sup.where(F.col("s_nationkey") == 0).select(
+    sources = sup.where(F.col("s_suppkey") % 10 == 0).select(
         (F.lit(1_000_000) + F.col("s_suppkey").cast("long")).alias("node")
     )
     reached = k_hop(edges, sources, k=3)
@@ -3727,4 +3727,173 @@ def dq5(spark: SparkSession, sf_dir: str) -> DataFrame:
             "key_sum",
         )
         .orderBy("c_nationkey", "c_mktsegment")
+    )
+
+
+# ------------------------------- gr5: weighted single-source shortest path
+
+_GR5_ROUNDS = 4
+
+
+def _gr5_sql() -> str:
+    # chained-CTE replay of the exact Bellman-Ford recurrence: round i's
+    # dist = MIN over (round i-1 dists UNION relaxed candidates), the
+    # same union-then-min formulation the Spark operator runs.
+    parts = [
+        """
+    WITH e0 AS (SELECT l_partkey AS p, l_suppkey AS s,
+                       CAST(MIN(l_quantity) AS BIGINT) AS w
+                FROM lineitem GROUP BY p, s),
+    edges AS (SELECT CAST(p AS BIGINT) AS src,
+                     CAST(1000000 + s AS BIGINT) AS dst, w FROM e0
+              UNION ALL
+              SELECT CAST(1000000 + s AS BIGINT), CAST(p AS BIGINT), w
+              FROM e0),
+    d0 AS (SELECT DISTINCT CAST(1000000 + s_suppkey AS BIGINT) AS node,
+                  CAST(0 AS BIGINT) AS dist
+           FROM supplier WHERE s_suppkey % 10 = 0)"""
+    ]
+    for i in range(1, _GR5_ROUNDS + 1):
+        parts.append(
+            f""",
+    d{i} AS (SELECT node, MIN(dist) AS dist FROM (
+           SELECT node, dist FROM d{i - 1}
+           UNION ALL
+           SELECT e.dst AS node, d.dist + e.w AS dist
+           FROM edges e JOIN d{i - 1} d ON d.node = e.src) u
+         GROUP BY node)"""
+        )
+    parts.append(
+        f"""
+    SELECT node < 1000000 AS is_part, CAST(dist // 5 AS BIGINT) AS dist_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           MIN(dist) AS min_dist, MAX(dist) AS max_dist,
+           SUM(dist) AS dist_sum, SUM(node) AS node_sum
+    FROM d{_GR5_ROUNDS}
+    GROUP BY is_part, dist_bucket ORDER BY is_part, dist_bucket"""
+    )
+    return "".join(parts)
+
+
+_GR5_SQL = _gr5_sql()
+
+
+@query("gr5_shortest_paths", _GR5_SQL)
+def gr5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded Bellman-Ford (operators/graph.shortest_paths) over the
+    symmetrized part<->supplier graph weighted by MIN(l_quantity) per
+    pair, sources = every-10th supplier (non-empty at all SFs) — the min-plus / weighted
+    member of the iterative-graph family (gr1 value iteration, gr2
+    label flow, gr4 hop-count BFS = the w≡1 special case).  Integer
+    weights keep every distance engine-exact; the oracle replays the
+    identical union-then-min relaxation as chained CTEs.  Output
+    profiles the distance distribution per node class (part vs
+    supplier side) with membership pinned by node/dist sums.
+    Scale shape: one equi-join + one map-side-combinable groupBy MIN
+    per round; dist <= |reachable| rows; per-round localCheckpoint
+    truncates the double-reference lineage (PERF_NOTES r9 2^k class).
+    Reference: the reference has no graph surface; this extends the
+    pipeline-operator layer (SURVEY §2 addendum)."""
+    from parquet_common_spark.operators.graph import shortest_paths
+
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    sup = load(spark, sf_dir, "supplier")["supplier"]
+    pairs = (
+        li.groupBy(
+            F.col("l_partkey").cast("long").alias("p"),
+            F.col("l_suppkey").cast("long").alias("s"),
+        )
+        .agg(F.min("l_quantity").cast("long").alias("w"))
+    )
+    edges = pairs.select(
+        F.col("p").alias("src"),
+        (F.lit(1_000_000) + F.col("s")).alias("dst"),
+        "w",
+    ).unionAll(
+        pairs.select(
+            (F.lit(1_000_000) + F.col("s")).alias("src"),
+            F.col("p").alias("dst"),
+            "w",
+        )
+    )
+    sources = sup.where(F.col("s_suppkey") % 10 == 0).select(
+        (F.lit(1_000_000) + F.col("s_suppkey").cast("long")).alias("node")
+    )
+    dist = shortest_paths(edges, sources, iterations=_GR5_ROUNDS)
+    return (
+        dist.groupBy(
+            (F.col("node") < 1_000_000).alias("is_part"),
+            (F.col("dist") / 5).cast("long").alias("dist_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min("dist").alias("min_dist"),
+            F.max("dist").alias("max_dist"),
+            F.sum("dist").alias("dist_sum"),
+            F.sum("node").alias("node_sum"),
+        )
+        .orderBy("is_part", "dist_bucket")
+    )
+
+
+# --------------------- io2: hive-partitioned layout + partition pruning
+
+_IO2_SQL = """
+    SELECT event_type,
+           CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
+           COUNT(*) AS n_events,
+           SUM(user_id) AS user_sum,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type, day ORDER BY event_type, day
+"""
+
+
+@query("io2_partitioned_pruning", _IO2_SQL)
+def io2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned lakehouse layout: events are WRITTEN
+    ``partitionBy(event_type)`` (the categorical-key directory layout
+    a 100 TB event lake uses), then READ BACK with a partition
+    predicate — Spark's scan lists only the matching directories
+    (PartitionFilters, pinned by pytest), so the 'click'/'purchase'
+    aggregate never touches the other types' files AT ALL: pruning
+    happens at file-listing time, before any I/O, which is the
+    difference between scanning 2/5ths and 5/5ths of the lake.
+    The oracle computes the same aggregate from the unpartitioned
+    source — any row lost or duplicated by the partitioned write
+    (NULL-key handling, value escaping in directory names) breaks the
+    hash.  Decimal value sums keep the money column engine-exact
+    (plans.common.dsum).  Scale shape: the write shuffles once on the
+    partition key to avoid small-file explosion (one task per type
+    otherwise each task writes |types| files); the read is a pruned
+    scan + one map-side-combined groupBy."""
+    import os
+
+    from parquet_common_spark.plans.common import dsum, event_ts_ntz
+
+    ev = event_ts_ntz(load(spark, sf_dir, "events")["events"])
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    base = f"/tmp/pcs_io2/{tag}"
+    # repartition on the partition column: each write task then owns
+    # whole partition-directories instead of every task appending a
+    # file into every directory (the small-files explosion at scale)
+    ev.repartition("event_type").write.mode("overwrite").partitionBy(
+        "event_type"
+    ).parquet(base)
+    back = spark.read.parquet(base).where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    day = (
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(86_400_000_000)
+        )
+    ).cast("long")
+    return (
+        back.groupBy("event_type", day.alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("user_id").cast("long").alias("user_sum"),
+            dsum(F.col("value")).alias("value_sum"),
+        )
+        .orderBy("event_type", "day")
     )

@@ -2063,6 +2063,83 @@ def test_k_hop_saturates_and_multi_source(spark):
     assert got == {0: 0, 2: 0, 1: 1}
 
 
+def test_shortest_paths_light_long_path_beats_heavy_edge(spark):
+    """Bellman-Ford on a hand graph: a 3-edge path of total weight 3
+    must beat the direct weight-10 edge; an upstream node stays
+    unreachable; distances keep improving across rounds."""
+    from parquet_common_spark.operators.graph import shortest_paths
+
+    edges = spark.createDataFrame(
+        [(0, 1, 1), (1, 2, 1), (2, 3, 1), (0, 3, 10), (5, 0, 1)],
+        "src long, dst long, w long",
+    )
+    sources = spark.createDataFrame([(0,)], "node long")
+    got = {
+        r.node: r.dist
+        for r in shortest_paths(edges, sources, iterations=4).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+    # with only 1 round, the heavy direct edge is the best 1-edge path
+    got1 = {
+        r.node: r.dist
+        for r in shortest_paths(edges, sources, iterations=1).collect()
+    }
+    assert got1 == {0: 0, 1: 1, 3: 10}
+
+
+def test_shortest_paths_matches_reference_bellman_ford(spark):
+    """Random weighted digraph vs an in-process Bellman-Ford replay."""
+    import random
+
+    from parquet_common_spark.operators.graph import shortest_paths
+
+    rng = random.Random(7)
+    n, rounds = 40, 5
+    es = sorted(
+        {
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(120)
+        }
+    )
+    es = [(u, v, rng.randint(1, 9)) for u, v in es if u != v]
+    srcs = [0, 7]
+
+    ref = {s: 0 for s in srcs}
+    for _ in range(rounds):
+        nxt = dict(ref)
+        for u, v, w in es:
+            if u in ref and ref[u] + w < nxt.get(v, 1 << 60):
+                nxt[v] = ref[u] + w
+        ref = nxt
+
+    edges = spark.createDataFrame(es, "src long, dst long, w long")
+    sources = spark.createDataFrame([(s,) for s in srcs], "node long")
+    got = {
+        r.node: r.dist
+        for r in shortest_paths(edges, sources, iterations=rounds).collect()
+    }
+    assert got == ref
+
+
+def test_shortest_paths_unit_weights_equal_k_hop(spark):
+    """w ≡ 1 reduces Bellman-Ford to BFS hop distance."""
+    from parquet_common_spark.operators.graph import k_hop, shortest_paths
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (0, 3), (4, 2)],
+        "src long, dst long",
+    )
+    sources = spark.createDataFrame([(0,)], "node long")
+    bfs = {r.node: r.dist for r in k_hop(edges, sources, k=3).collect()}
+    wed = edges.selectExpr("src", "dst", "CAST(1 AS LONG) AS w")
+    sp = {
+        r.node: r.dist
+        for r in shortest_paths(wed, sources, iterations=3).collect()
+    }
+    assert sp == bfs
+
+
 # ------------------------------------- size-balanced shards (p14)
 
 
