@@ -45,7 +45,11 @@ _CHECK_WINDOW = [
     # sim3/d8/d10/d6/m19/m18), PLUS st6 st7 m1 m4 d2 st5 st1 pq7 pq6
     # displaced by the nine session-2 additions (mm8 gr4 e13 io1 p14
     # a4 mm9 dq5 st12 — never driver-checked, outrank r6 re-checks)
-    # = 45 — these go FIRST in the r10 window, then the r7 cohort (44).
+    # PLUS pq2 pq3 pq5 displaced by the session-3 additions (gr5 e14
+    # e15 in-window; the LATER session-3 entries p15 io2 mm10 st13
+    # found no slot — 22 stale + 28 new/changed already fill 50 — and
+    # are ALSO r10-first) = 48+4 — these go FIRST in the r10 window,
+    # then the r7 cohort (44).
     #
     # --- the 22 r5-deferred entries (stalest, per the r8 ledger)
     "m2_matcher_regex_set",
@@ -97,10 +101,12 @@ _CHECK_WINDOW = [
     "sim8_radius_search",
     "mm4_audio_features",
     "mm6_flac_checksum",
-    # --- r6 cohort fill (ledger above names the deferred)
-    "pq2_promql_parquet_storage",
-    "pq3_promql_native_histograms",
-    "pq5_streaming_ingest",
+    # --- NEW in session 3 (never driver-checked; displaced the r6
+    # cohort fill pq2 pq3 pq5 — locally swept this session, added to
+    # the r10 deferral ledger above)
+    "gr5_shortest_paths",
+    "e14_funnel_conversion",
+    "e15_retention_cohorts",
 ]
 assert len(_CHECK_WINDOW) == 50, len(_CHECK_WINDOW)
 

@@ -3495,3 +3495,230 @@ def st12(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "half_day")
     )
+
+
+# ------------------------------------- e14: ordered funnel conversion
+
+_E14_SQL = """
+    WITH a AS (SELECT user_id, MIN(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    b AS (SELECT e.user_id, a.t1, MIN(e.ts) AS t2
+          FROM events e JOIN a USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > a.t1
+          GROUP BY e.user_id, a.t1),
+    c AS (SELECT e.user_id, b.t1, MIN(e.ts) AS t3
+          FROM events e JOIN b USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > b.t2
+          GROUP BY e.user_id, b.t1)
+    SELECT * FROM (
+      SELECT 1 AS step, 'view' AS step_type, COUNT(*) AS n_users,
+             SUM(user_id) AS user_sum, CAST(0 AS BIGINT) AS lag_us_sum
+      FROM a
+      UNION ALL
+      SELECT 2, 'click', COUNT(*), SUM(user_id),
+             SUM(epoch_us(t2) - epoch_us(t1)) FROM b
+      UNION ALL
+      SELECT 3, 'purchase', COUNT(*), SUM(user_id),
+             SUM(epoch_us(t3) - epoch_us(t1)) FROM c
+    ) u ORDER BY step
+"""
+
+
+@query("e14_funnel_conversion", _E14_SQL)
+def e14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel conversion (view -> click -> purchase): per user,
+    each step counts only if it happens STRICTLY AFTER the user's
+    earliest completion of the previous step — the product-analytics
+    primitive behind conversion dashboards, and the event-sequencing
+    shape (min-after-min) a MATCH_RECOGNIZE engine compiles to.
+    Output: per-step reach (n_users), membership pin (user_sum), and
+    total time-to-convert from the funnel entry in integer
+    microseconds (lag_us_sum) — engine-exact, no float.
+
+    Scale shape: three groupBys + two joins, ALL keyed on user_id —
+    one hash partitioning reused across every stage (co-partitioned
+    joins, no extra exchange under AQE); each stage's frame shrinks
+    monotonically (funnel reach only narrows).  No window over raw
+    events, no per-user sort: MIN-aggregates do the sequencing.
+    Reference: no funnel surface in the reference; pipeline-layer
+    addendum (SURVEY §2)."""
+    from parquet_common_spark.plans.common import event_ts_ntz
+
+    ev = event_ts_ntz(load(spark, sf_dir, "events")["events"])
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+
+    a = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    b = (
+        ev.where(F.col("event_type") == "click")
+        .join(a, "user_id")
+        .where(F.col("ts") > F.col("t1"))
+        .groupBy("user_id", "t1")
+        .agg(F.min("ts").alias("t2"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(b, "user_id")
+        .where(F.col("ts") > F.col("t2"))
+        .groupBy("user_id", "t1")
+        .agg(F.min("ts").alias("t3"))
+    )
+
+    def level(df, step, name, lag_col):
+        lag = (
+            F.sum(us(lag_col) - us("t1")).cast("long")
+            if lag_col
+            else F.lit(0).cast("long")
+        )
+        return df.agg(
+            F.lit(step).alias("step"),
+            F.lit(name).alias("step_type"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("user_id").cast("long").alias("user_sum"),
+            lag.alias("lag_us_sum"),
+        )
+
+    return (
+        level(a, 1, "view", None)
+        .unionAll(level(b, 2, "click", "t2"))
+        .unionAll(level(c, 3, "purchase", "t3"))
+        .orderBy("step")
+    )
+
+
+# ------------------------------------- e15: retention cohort matrix
+
+_E15_SQL = """
+    WITH f AS (SELECT user_id,
+                      MIN(CAST(floor(epoch_us(ts) / 604800000000) AS BIGINT))
+                        AS cohort_w
+               FROM events GROUP BY user_id),
+    a AS (SELECT DISTINCT e.user_id, f.cohort_w,
+                 CAST(floor(epoch_us(e.ts) / 604800000000) AS BIGINT)
+                   - f.cohort_w AS week_offset
+          FROM events e JOIN f USING (user_id))
+    SELECT cohort_w, week_offset, COUNT(*) AS n_users,
+           SUM(user_id) AS user_sum
+    FROM a GROUP BY cohort_w, week_offset ORDER BY cohort_w, week_offset
+"""
+
+
+@query("e15_retention_cohorts", _E15_SQL)
+def e15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users bucketed by first-seen week
+    (cohort), each later active week recorded as an offset from the
+    cohort week, distinct users counted per (cohort, offset) cell —
+    the classic retention triangle product analytics reads, and the
+    second event-sequencing member next to e14's funnel.  user_sum
+    pins cell MEMBERSHIP, not just cardinality.
+
+    Scale shape: first-seen is one map-side-combinable groupBy MIN on
+    user_id; the join back is co-partitioned with it (same key); the
+    distinct + cell groupBy shuffle on (user, cohort, offset) then
+    (cohort, offset) — cells are bounded by |weeks|^2, the distinct by
+    |users| x |weeks|.  No window over raw events."""
+    from parquet_common_spark.plans.common import event_ts_ntz
+
+    ev = event_ts_ntz(load(spark, sf_dir, "events")["events"])
+    week = (
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(604_800_000_000)
+        )
+    ).cast("long")
+    first = ev.groupBy("user_id").agg(F.min(week).alias("cohort_w"))
+    active = (
+        ev.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_w",
+            (week - F.col("cohort_w")).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        active.groupBy("cohort_w", "week_offset")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("user_id").cast("long").alias("user_sum"),
+        )
+        .orderBy("cohort_w", "week_offset")
+    )
+
+
+# --------------- st13: streaming event transitions (stateful operator)
+
+_ST13_SQL = """
+    WITH s AS (SELECT user_id, event_type,
+                      LAG(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS prev_type
+               FROM events WHERE user_id < 50)
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+    FROM s WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type ORDER BY prev_type, next_type
+"""
+
+
+@query("st13_streaming_transitions", _ST13_SQL)
+def st13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming arm of e13: the first-order transition profile as a
+    CUSTOM STATEFUL operator (streaming/transitions.py —
+    applyInPandasWithState keyed on user, one fixed-width last-event
+    tuple per active user, EventTimeTimeout retention).  Per-batch
+    transition counts are emitted with boundary pairs chained through
+    state, then summed — the oracle is the batch LAG-window
+    formulation over the same slice.  Scale shape: state is one tuple
+    per active user (watermark-expired); the per-batch fold is a
+    pandas sort+shift per user group; the final sum is a
+    |types|^2-key groupBy."""
+    import uuid
+
+    from parquet_common_spark.plans.common import (
+        ensure_session_env,
+        event_ts_ltz_col,
+        read_events_raw,
+    )
+    from parquet_common_spark.streaming.transitions import (
+        streaming_transitions,
+    )
+
+    ensure_session_env(spark)
+    raw = read_events_raw(spark, sf_dir)
+    ts_dt = dict(raw.dtypes)["ts"]
+    et = event_ts_ltz_col(ts_dt)
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .where(F.col("user_id") < 50)
+        .select(
+            F.col("user_id"),
+            F.col("event_type").alias("_type"),
+            F.unix_micros(et).alias("_tus"),
+            F.col("event_id").alias("_tie"),
+            et.alias("_event_time"),
+        )
+    )
+    out = streaming_transitions(stream)
+    sink = f"st13_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return (
+        spark.table(sink)
+        .groupBy("prev_type", "next_type")
+        .agg(F.sum("n").cast("long").alias("n"))
+        .orderBy("prev_type", "next_type")
+    )
