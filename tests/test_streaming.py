@@ -249,3 +249,111 @@ def test_st5_streaming_neardup_matches_incremental_cross_pairs(spark):
     }
     assert st5 == d8
     assert all(a < 300 <= b for a, b, _ in st5)
+
+
+# -------------------- streaming transitions (st13 operator)
+
+
+def _drive_transitions(spark, src, name, **kw):
+    from parquet_common_spark.streaming.transitions import (
+        streaming_transitions,
+    )
+
+    schema = "user_id long, _type string, _tus long, _tie long, _event_time timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_transitions(stream, **kw)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(
+        f"select prev_type, next_type, sum(n) as n from {name} "
+        "group by 1, 2 order by 1, 2"
+    ).collect()
+
+
+def _tx_rows(spark, rows):
+    import datetime as dt
+
+    utc = dt.timezone.utc
+    return spark.createDataFrame(
+        [
+            (u, t, tus, tie, dt.datetime.fromtimestamp(tus / 1e6, tz=utc))
+            for (u, t, tus, tie) in rows
+        ],
+        "user_id long, _type string, _tus long, _tie long, _event_time timestamp",
+    )
+
+
+def test_streaming_transitions_chain_across_batches(spark, tmp_path):
+    """The pair straddling a micro-batch boundary is emitted exactly
+    once, chained through the per-user state tail."""
+    src = str(tmp_path / "in")
+    _tx_rows(
+        spark, [(1, "a", 1_000_000, 1), (1, "b", 2_000_000, 2)]
+    ).coalesce(1).write.mode("append").parquet(src)
+    _tx_rows(spark, [(1, "c", 3_000_000, 3)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    got = {(r.prev_type, r.next_type): r.n for r in _drive_transitions(
+        spark, src, "tx_xbatch"
+    )}
+    assert got == {("a", "b"): 1, ("b", "c"): 1}
+
+
+def test_streaming_transitions_sorts_within_batch(spark, tmp_path):
+    """Rows arriving out of event-time order inside one batch are
+    paired by (ts, tiebreak), not arrival order."""
+    src = str(tmp_path / "in")
+    _tx_rows(
+        spark,
+        [
+            (1, "c", 3_000_000, 3),
+            (1, "a", 1_000_000, 1),
+            (1, "b", 2_000_000, 2),
+            (2, "x", 1_000_000, 4),
+            (2, "x", 2_000_000, 5),
+        ],
+    ).coalesce(1).write.mode("append").parquet(src)
+    got = {(r.prev_type, r.next_type): r.n for r in _drive_transitions(
+        spark, src, "tx_sort"
+    )}
+    assert got == {("a", "b"): 1, ("b", "c"): 1, ("x", "x"): 1}
+
+
+def test_streaming_transitions_state_expires(spark, tmp_path):
+    """After the watermark passes last-seen + retention the user's
+    chain is forgotten: its next event starts cold (no pair)."""
+    src = str(tmp_path / "in")
+    hour = 3_600_000_000
+    _tx_rows(spark, [(1, "a", 1 * hour, 1)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    # another user far in the future advances the watermark past
+    # user 1's retention window
+    _tx_rows(spark, [(2, "z", 50 * hour, 2)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    # a batch where user 1 has NO data: its timeout fires here (a key
+    # with fresh rows in the same batch is served data, not a timeout)
+    _tx_rows(spark, [(2, "z", 50 * hour + 1_000_000, 3)]).coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    _tx_rows(spark, [(1, "b", 51 * hour, 4)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    got = {(r.prev_type, r.next_type): r.n for r in _drive_transitions(
+        spark, src, "tx_expire", watermark="0 seconds",
+        retention_ms=60_000,
+    )}
+    # a->b would require user 1's state to survive expiry; user 2's
+    # z->z pair within its own chain is the only transition left
+    assert got == {("z", "z"): 1}
