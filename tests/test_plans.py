@@ -267,3 +267,27 @@ def test_e11_ohlc_single_aggregate_no_windows(spark, sf_dir):
     df = E.queries()["e11_daily_ohlc"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_io2_partition_pruning_reaches_listing(spark, tmp_path):
+    """io2's layout: a partitionBy(event_type) write read back under a
+    type predicate must prune at FILE-LISTING time (PartitionFilters),
+    not post-scan — only the matching type directories are touched."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "part_ev")
+    df = spark.createDataFrame(
+        [(i, ("click", "view", "error")[i % 3], float(i)) for i in range(30)],
+        "event_id long, event_type string, value double",
+    )
+    df.repartition("event_type").write.partitionBy("event_type").parquet(base)
+    back = spark.read.parquet(base).where(
+        F.col("event_type").isin("click", "view")
+    )
+    p = back._jdf.queryExecution().executedPlan().toString()
+    pf = re.findall(r"PartitionFilters: \[[^]]*event_type[^]]*\]", p)
+    assert pf, p
+    # and the filter is NOT a post-scan residual on the data columns
+    assert "PushedFilters: [In(event_type" not in p
