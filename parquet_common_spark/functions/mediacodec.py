@@ -58,6 +58,13 @@ def sniff_media(payload: bytes) -> str | None:
         return "gif"
     if payload[:4] in (b"II\x2a\x00", b"MM\x00\x2a"):
         return "tiff"
+    if (
+        payload[:2] == b"BM"
+        and len(payload) >= 54
+        and payload[14] in (40, 108, 124)  # INFO/V4/V5 header sizes
+        and payload[15:18] == b"\x00\x00\x00"
+    ):
+        return "bmp"
     if payload[4:8] == b"ftyp":
         return "mp4"
     return None

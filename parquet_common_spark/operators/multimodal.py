@@ -121,6 +121,11 @@ def _decode_media(media_type: str, payload: bytes) -> tuple[int, int, int]:
 
         w, h, _spp = TC.tiff_info(payload)
         return (w, h, 1)
+    if fmt == "bmp":
+        from parquet_common_spark.functions import bmpcodec as BC
+
+        w, h, _bits = BC.bmp_info(payload)
+        return (w, h, 1)
     if fmt == "mp4":
         # real METADATA via the ISO-BMFF box walk; pixel/frame decode
         # still needs libav/PyAV and raises in sample_frames

@@ -3897,3 +3897,109 @@ def io2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# -------------------------------------------- mm10: BMP pixel checksum
+
+_MM10_SQL = """
+    WITH d AS (SELECT doc_id,
+                      CAST(doc_id % 11 + 5 AS INT) AS width,
+                      CAST(doc_id % 9 + 4 AS INT) AS height,
+                      CAST(doc_id % 5 AS INT) AS mode,
+                      CAST(CASE doc_id % 5 WHEN 1 THEN 256 WHEN 2 THEN 8
+                           WHEN 3 THEN 16 WHEN 4 THEN 2
+                           ELSE 0 END AS BIGINT) AS pal
+               FROM documents WHERE doc_id < 80),
+    g AS (SELECT d.doc_id, d.width, d.height, d.mode, d.pal,
+                 x.range AS x, y.range AS y
+          FROM d, range(16) x, range(13) y
+          WHERE x.range < d.width AND y.range < d.height),
+    px AS (SELECT doc_id, width, height, mode,
+                  CASE WHEN mode = 0
+                       THEN (doc_id + 3*x + 5*y) % 256
+                            + (doc_id*2 + 7*x + 11*y) % 256
+                            + (doc_id*3 + 13*x + 17*y) % 256
+                       ELSE (((doc_id + 3*x + 5*y) % pal) * 17) % 256
+                            + (((doc_id + 3*x + 5*y) % pal) * 29) % 256
+                            + (((doc_id + 3*x + 5*y) % pal) * 43) % 256
+                  END AS s
+           FROM g)
+    SELECT doc_id, width, height, mode, CAST(SUM(s) AS BIGINT) AS rgb_sum
+    FROM px GROUP BY doc_id, width, height, mode ORDER BY doc_id
+"""
+
+
+@query("mm10_bmp_checksum", _MM10_SQL)
+def mm10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BMP codec (functions/bmpcodec.py) through the driver gate,
+    the mm5-mm9 lossless-pin discipline: per doc a deterministic image
+    is encoded cycling the parameter matrix — 24-bit BI_RGB, 8-bit
+    palette raw, 8-bit BI_RLE8, 4-bit and 1-bit palette, alternating
+    bottom-up/top-down row order — decoded back, and RGB-checksummed
+    in an Arrow map stage.  Every mode is lossless, so the checksum
+    equals the closed-form sum the oracle computes from the pixel
+    formula; any stride/padding/RLE/row-order defect breaks the hash.
+    Scale shape: map-only mapInPandas over ids, no shuffle."""
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    ids = docs.where(F.col("doc_id") < 80).select("doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("mode", IntegerType()),
+            StructField("rgb_sum", LongType()),
+        ]
+    )
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        from parquet_common_spark.functions import bmpcodec as BC
+
+        for pdf in it:
+            out = {"doc_id": [], "width": [], "height": [], "mode": [], "rgb_sum": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h, mode = d % 11 + 5, d % 9 + 4, d % 5
+                y, x = np.mgrid[0:h, 0:w]
+                top_down = bool(d % 2)
+                if mode == 0:
+                    img = np.stack(
+                        [
+                            (d + 3 * x + 5 * y) % 256,
+                            (d * 2 + 7 * x + 11 * y) % 256,
+                            (d * 3 + 13 * x + 17 * y) % 256,
+                        ],
+                        axis=-1,
+                    ).astype(np.uint8)
+                    data = BC.encode_bmp(img, bits=24, top_down=top_down)
+                else:
+                    k = {1: 256, 2: 8, 3: 16, 4: 2}[mode]
+                    bits = {1: 8, 2: 8, 3: 4, 4: 1}[mode]
+                    idx = ((d + 3 * x + 5 * y) % k).astype(np.uint8)
+                    pal = np.stack(
+                        [
+                            (np.arange(k) * 17) % 256,
+                            (np.arange(k) * 29) % 256,
+                            (np.arange(k) * 43) % 256,
+                        ],
+                        axis=1,
+                    ).astype(np.uint8)
+                    data = BC.encode_bmp(
+                        idx, bits=bits, palette=pal,
+                        rle=(mode == 2), top_down=top_down,
+                    )
+                got = BC.decode_bmp(data)
+                assert got.shape == (h, w, 3)
+                out["doc_id"].append(d)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mode"].append(mode)
+                out["rgb_sum"].append(int(got.astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    return ids.mapInPandas(batches, schema=schema).orderBy("doc_id")
