@@ -261,3 +261,49 @@ def numeric_drift(
         F.round(p_b, 6).alias("p_b"),
         F.round((p_a - p_b) * F.log(ratio), 6).alias("psi_term"),
     )
+
+
+def apply_changelog(
+    rows: DataFrame,
+    key_cols: list[str],
+    order_cols: list[str],
+    op_col: str = "op",
+    delete_op: str = "delete",
+) -> DataFrame:
+    """Changelog application (the lakehouse MERGE/upsert compaction):
+    fold a stream of keyed upsert/delete records into the final
+    snapshot by LAST-WRITER-WINS under the total order ``order_cols``.
+
+    ``rows`` is the union of the base snapshot and the changelog, each
+    row carrying the op tag and its position in the order (base rows
+    enter as upserts at a sentinel order below every change).  Keys
+    whose final record is ``delete_op`` leave the snapshot; all others
+    surface their last payload.  ``order_cols`` must be a TOTAL order
+    per key (duplicate positions make the winner undefined — same
+    contract as scd2_history's tiebreak).
+
+    Scale shape: ONE groupBy(key) with a ``max_by`` over the order
+    struct — map-side combinable (each partition keeps one candidate
+    per key before the exchange), so the shuffle carries |keys| rows,
+    not |changelog| rows.  The window-sort formulation (row_number
+    DESC = 1) shuffles the full changelog and sorts per key; max_by is
+    the plan you want at 100 TB.
+    """
+    payload = [
+        c
+        for c in rows.columns
+        if c not in set(key_cols) | set(order_cols)
+    ]
+    if op_col not in payload:
+        raise ValueError(f"op column {op_col!r} missing")
+    last = rows.groupBy(*[F.col(k) for k in key_cols]).agg(
+        F.max_by(
+            F.struct(*[F.col(c) for c in payload]),
+            F.struct(*[F.col(o) for o in order_cols]),
+        ).alias("_last")
+    )
+    return (
+        last.select(*key_cols, "_last.*")
+        .where(F.col(op_col) != delete_op)
+        .drop(op_col)
+    )

@@ -3722,3 +3722,72 @@ def st13(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n").cast("long").alias("n"))
         .orderBy("prev_type", "next_type")
     )
+
+
+# --------------- cdc3: changelog apply (MERGE/upsert compaction)
+
+_CDC3_SQL = """
+    WITH all_rows AS (
+      SELECT c_custkey AS user_id, CAST(-1 AS BIGINT) AS ts_us,
+             CAST(-1 AS BIGINT) AS tie, 'upsert' AS op,
+             'base' AS src, CAST(c_acctbal AS DOUBLE) AS val
+      FROM customer
+      UNION ALL
+      SELECT user_id, epoch_us(ts), event_id,
+             CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END,
+             event_type, value
+      FROM events),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY ts_us DESC, tie DESC) AS rn
+          FROM all_rows)
+    SELECT user_id, src AS last_src, ROUND(val, 6) AS last_val
+    FROM r WHERE rn = 1 AND op = 'upsert' ORDER BY user_id
+"""
+
+
+@query("cdc3_changelog_apply", _CDC3_SQL)
+def cdc3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert compaction (operators/quality.apply_changelog):
+    the customer table is the base snapshot (sentinel order -1), the
+    event stream is the changelog (errors = deletes, everything else
+    upserts the latest value), last-writer-wins under (ts, event_id).
+    Untouched base keys survive, deleted keys vanish, active keys
+    surface their latest event — the third CDC member (cdc1 history,
+    cdc2 as-of diff, cdc3 compaction).
+
+    Scale shape: ONE map-side-combinable groupBy max_by over the
+    order struct — the shuffle carries |keys| candidates, not the
+    changelog; the oracle's ROW_NUMBER window formulation is the
+    semantics spec, not the plan.  Base and changelog align by a
+    simple projection; no join at all."""
+    from parquet_common_spark.operators.quality import apply_changelog
+    from parquet_common_spark.plans.common import event_ts_ntz
+
+    cust = load(spark, sf_dir, "customer")["customer"]
+    ev = event_ts_ntz(load(spark, sf_dir, "events")["events"])
+    base = cust.select(
+        F.col("c_custkey").cast("long").alias("user_id"),
+        F.lit(-1).cast("long").alias("ts_us"),
+        F.lit(-1).cast("long").alias("tie"),
+        F.lit("upsert").alias("op"),
+        F.lit("base").alias("src"),
+        F.col("c_acctbal").cast("double").alias("val"),
+    )
+    changes = ev.select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("event_id").cast("long").alias("tie"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+        F.col("event_type").alias("src"),
+        F.col("value").cast("double").alias("val"),
+    )
+    snap = apply_changelog(
+        base.unionAll(changes), ["user_id"], ["ts_us", "tie"]
+    )
+    return snap.select(
+        "user_id",
+        F.col("src").alias("last_src"),
+        F.round("val", 6).alias("last_val"),
+    ).orderBy("user_id")

@@ -447,3 +447,46 @@ def test_scd2_history_hypothesis_vs_reference_fold(spark):
         assert got == sorted(want)
 
     prop()
+
+
+def test_apply_changelog_semantics(spark):
+    from parquet_common_spark.operators.quality import apply_changelog
+
+    rows = spark.createDataFrame(
+        [
+            # key 1: base then upsert then delete -> gone
+            (1, -1, -1, "upsert", "base", 10.0),
+            (1, 100, 1, "upsert", "e", 11.0),
+            (1, 200, 2, "delete", "e", 0.0),
+            # key 2: base then delete then re-upsert -> resurrected
+            (2, -1, -1, "upsert", "base", 20.0),
+            (2, 100, 3, "delete", "e", 0.0),
+            (2, 300, 4, "upsert", "e", 22.0),
+            # key 3: untouched base survives
+            (3, -1, -1, "upsert", "base", 30.0),
+            # key 4: same ts, tiebreak decides
+            (4, 100, 5, "upsert", "e", 40.0),
+            (4, 100, 6, "upsert", "e", 44.0),
+        ],
+        "k long, ts long, tie long, op string, src string, val double",
+    )
+    got = {
+        r.k: (r.src, r.val)
+        for r in apply_changelog(rows, ["k"], ["ts", "tie"]).collect()
+    }
+    assert got == {2: ("e", 22.0), 3: ("base", 30.0), 4: ("e", 44.0)}
+
+
+def test_apply_changelog_is_aggregate_not_window(spark):
+    """The compaction must plan as a (partial-aggregable) groupBy, not
+    a full-changelog window sort."""
+    from parquet_common_spark.operators.quality import apply_changelog
+
+    rows = spark.range(100).selectExpr(
+        "id % 10 AS k", "id AS ts", "id AS tie",
+        "'upsert' AS op", "'e' AS src", "CAST(id AS DOUBLE) AS val",
+    )
+    out = apply_changelog(rows, ["k"], ["ts", "tie"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_max_by" in plan or "HashAggregate" in plan
