@@ -4003,3 +4003,78 @@ def mm10(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return ids.mapInPandas(batches, schema=schema).orderBy("doc_id")
+
+
+# ------------------------------ sim10: k-NN label classification
+
+
+@query(
+    "sim10_knn_classify",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv,
+                      label AS true_label
+               FROM embeddings WHERE vec_id < 20),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv,
+                 label FROM embeddings),
+    scored AS (SELECT query_id, true_label, neighbor_id, c.label,
+                      {_COSSQL.format(a='qv', b='cv')} AS cos
+               FROM q, c WHERE query_id <> neighbor_id),
+    ranked AS (SELECT query_id, true_label, label, cos,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id) AS rn
+               FROM scored),
+    votes AS (SELECT query_id, true_label, label, COUNT(*) AS n
+              FROM ranked WHERE rn <= 5 GROUP BY query_id, true_label, label),
+    win AS (SELECT query_id, true_label, label AS predicted, n,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY n DESC, label) AS w
+            FROM votes)
+    SELECT query_id, true_label, predicted, CAST(n AS BIGINT) AS votes,
+           predicted = true_label AS correct
+    FROM win WHERE w = 1 ORDER BY query_id
+    """,
+)
+def sim10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN label classification: exact cosine top-5 neighbors per
+    query (operators/similarity.brute_force_topk — broadcast queries,
+    map-only corpus pass), neighbor labels majority-voted with the
+    deterministic (votes DESC, label ASC) tie-break — the evaluation
+    loop an embedding-quality gate runs (classification accuracy as a
+    proxy metric for representation quality).  Output carries the true
+    label and a correctness flag so the accuracy is one SUM away.
+
+    Scale shape: the corpus is scanned once per query BATCH (not per
+    query); the vote is a |queries| x k frame — two tiny groupBys
+    after the topk; predicted via one max_by, no second window."""
+    emb = load(spark, sf_dir, "embeddings")["embeddings"]
+    queries = emb.where(F.col("vec_id") < 20)
+    topk = SIM.brute_force_topk(emb, queries, k=5)
+    labels = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label")
+    )
+    truth = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    votes = (
+        topk.join(labels, "neighbor_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    win = votes.groupBy("query_id").agg(
+        F.max_by(
+            F.struct(F.col("label").alias("predicted"), F.col("n")),
+            F.struct(F.col("n"), (-F.col("label")).alias("_neg")),
+        ).alias("_w")
+    )
+    return (
+        win.select("query_id", "_w.predicted", F.col("_w.n").alias("votes"))
+        .join(F.broadcast(truth), "query_id")
+        .select(
+            "query_id",
+            "true_label",
+            "predicted",
+            "votes",
+            (F.col("predicted") == F.col("true_label")).alias("correct"),
+        )
+        .orderBy("query_id")
+    )
