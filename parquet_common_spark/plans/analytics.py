@@ -3791,3 +3791,60 @@ def cdc3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("src").alias("last_src"),
         F.round("val", 6).alias("last_val"),
     ).orderBy("user_id")
+
+
+# --------------- e16: sequence-pattern mining (regex over event strings)
+
+_E16_SQL = """
+    WITH s AS (SELECT user_id,
+                      string_agg(left(event_type, 1), ''
+                                 ORDER BY ts, event_id) AS seq
+               FROM events GROUP BY user_id)
+    SELECT user_id, CAST(length(seq) AS BIGINT) AS seq_len,
+           CAST(len(regexp_extract_all(seq, 'vc+p')) AS BIGINT) AS n_funnels,
+           CAST(len(regexp_extract_all(seq, 'ee+')) AS BIGINT) AS n_error_bursts
+    FROM s ORDER BY user_id
+"""
+
+
+@query("e16_sequence_patterns", _E16_SQL)
+def e16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-pattern mining, the MATCH_RECOGNIZE shape: each user's
+    event history is folded into a compact symbol string (event-type
+    initials in (ts, event_id) order) and behavioral motifs are
+    counted with leftmost non-overlapping regex semantics — strict
+    view->clicks->purchase funnels (contrast e14, whose steps may be
+    separated by other events) and error bursts.  Both engines scan
+    with the same leftmost-match rule, so counts are integer-exact.
+
+    Scale shape: ONE groupBy(user) building the per-user string
+    (collect_list is bounded by per-user event volume, which the data
+    model holds CONSTANT as users grow — documents SCALE.md §e16);
+    the regex pass is map-only over |users| short strings.  No joins,
+    no windows over raw events."""
+    from parquet_common_spark.plans.common import event_ts_ntz
+
+    ev = event_ts_ntz(load(spark, sf_dir, "events")["events"])
+    seq = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            "ts",
+                            "event_id",
+                            F.substring("event_type", 1, 1).alias("ch"),
+                        )
+                    )
+                ),
+                lambda s: s["ch"],
+            ),
+        ).alias("seq")
+    )
+    return seq.select(
+        "user_id",
+        F.length("seq").cast("long").alias("seq_len"),
+        F.regexp_count("seq", F.lit("vc+p")).cast("long").alias("n_funnels"),
+        F.regexp_count("seq", F.lit("ee+")).cast("long").alias("n_error_bursts"),
+    ).orderBy("user_id")
