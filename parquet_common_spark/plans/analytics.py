@@ -3848,3 +3848,80 @@ def e16(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("seq", F.lit("vc+p")).cast("long").alias("n_funnels"),
         F.regexp_count("seq", F.lit("ee+")).cast("long").alias("n_error_bursts"),
     ).orderBy("user_id")
+
+
+# --------------- mb1: market-basket co-occurrence (support/lift)
+
+_MB1_SQL = """
+    WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                   FROM lineitem),
+    n_orders AS (SELECT COUNT(DISTINCT o) AS n FROM items),
+    per_item AS (SELECT p, COUNT(*) AS n_p FROM items GROUP BY p),
+    pairs AS (SELECT a.p AS part_a, b.p AS part_b, COUNT(*) AS n_ab
+              FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+              GROUP BY a.p, b.p)
+    SELECT part_a, part_b, n_ab,
+           ROUND(CAST(n_ab AS DOUBLE) / n.n, 6) AS support,
+           ROUND(CAST(n_ab AS DOUBLE) * n.n
+                 / (pa.n_p * pb.n_p), 6) AS lift
+    FROM pairs
+    JOIN per_item pa ON pa.p = part_a
+    JOIN per_item pb ON pb.p = part_b
+    CROSS JOIN n_orders n
+    ORDER BY n_ab DESC, part_a, part_b LIMIT 25
+"""
+
+
+@query("mb1_copurchase_lift", _MB1_SQL)
+def mb1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs bought in the same
+    order, with support and lift — the association-rule /
+    collaborative-filtering primitive (co-occurrence matrices are the
+    classical recommender baseline and the curriculum-pairing signal
+    a data-mixing pipeline consumes).  Deterministic top-25 by
+    (n_ab DESC, part_a, part_b).
+
+    Scale shape: the pair generation is a self-equi-join on the
+    ORDER key, so fan-out is bounded by basket size squared (TPC-H
+    baskets ≤ 7 lines; real carts are small constants) — never an
+    all-pairs over parts; the pair groupBy shuffles on (a, b); the
+    per-item counts frame joins back onto pairs (AQE picks
+    broadcast while it fits and demotes to SMJ as parts grow — the
+    pinned demotion invariant); the order total is a bounded scalar.  Top-k is a
+    TakeOrdered, not a global sort."""
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    items = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n_orders = items.select("o").distinct().count()  # bounded scalar
+    per_item = items.groupBy("p").agg(F.count(F.lit(1)).alias("n_p"))
+    a = items.select("o", F.col("p").alias("part_a"))
+    b = items.select("o", F.col("p").alias("part_b"))
+    pairs = (
+        a.join(b, "o")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    pa = per_item.select(F.col("p").alias("part_a"), F.col("n_p").alias("_na"))
+    pb = per_item.select(F.col("p").alias("part_b"), F.col("n_p").alias("_nb"))
+    return (
+        pairs.join(pa, "part_a")
+        .join(pb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            F.round(F.col("n_ab").cast("double") / F.lit(n_orders), 6).alias(
+                "support"
+            ),
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.lit(n_orders)
+                / (F.col("_na") * F.col("_nb")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("n_ab").desc(), "part_a", "part_b")
+        .limit(25)
+    )
