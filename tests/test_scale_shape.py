@@ -55,6 +55,9 @@ INVARIANT_QUERIES = [
     "t2_quality_scores",
     "d2_minhash_lsh_dedup",
     "x8_ngram_novelty",
+    # r9 session-3: single-aggregation shapes with no dim join at all
+    "e16_sequence_patterns",
+    "cdc3_changelog_apply",
 ]
 
 SF1_DIR = "/tmp/pcs_scale/sf1"
@@ -127,6 +130,10 @@ DECADE2_QUERIES = [
 def test_plan_shape_sf1_vs_sf10_demotion_invariant(spark, registry, name):
     a = _shape(spark, registry, name, SF1_DIR)
     b = _shape(spark, registry, name, SF10_DIR)
+    _assert_demotion_invariant(name, a, b)
+
+
+def _assert_demotion_invariant(name, a, b):
     # t13 carries ONE BroadcastNestedLoopJoin at every scale: the
     # allowlisted 1-row global-scalar attach (test_plans.py rationale).
     # The scale pin is that the count never GROWS with data.
@@ -145,3 +152,32 @@ def test_plan_shape_sf1_vs_sf10_demotion_invariant(spark, registry, name):
     assert b["sorts"] == a["sorts"] + 2 * k, (name, a, b)
     assert b["window_ops"] == a["window_ops"], (name, a, b)
     assert b["shuffled_hash_joins"] == a["shuffled_hash_joins"], (name, a, b)
+
+
+# --- third decade (r9 session-2/3): sf10 -> sf100 on the TABLE-SUBSET
+# fixture (documents/events/embeddings only — a full sf100 lineitem
+# replication is the OOM class PERF_NOTES r9 documents), so the pinned
+# slice is the document/event/embedding operators.  Same demotion
+# invariant as decade 2.
+SF100_DIR = "/tmp/pcs_scale/sf100"
+DECADE3_QUERIES = [
+    "t2_quality_scores",
+    "e12_session_outage_overlap",
+    "t13_bm25_retrieval",
+    "x8_ngram_novelty",
+    "d2_minhash_lsh_dedup",
+    "e10_interval_blast_radius",
+    "e1_event_type_stats",
+    "sim1_cosine_topk",
+]
+
+
+@pytest.mark.skipif(
+    not os.path.exists(os.path.join(SF100_DIR, "events.parquet")),
+    reason="sf100 subset not generated (PCS_SCALE_TABLES=documents,events,embeddings)",
+)
+@pytest.mark.parametrize("name", DECADE3_QUERIES)
+def test_plan_shape_sf10_vs_sf100_demotion_invariant(spark, registry, name):
+    a = _shape(spark, registry, name, SF10_DIR)
+    b = _shape(spark, registry, name, SF100_DIR)
+    _assert_demotion_invariant(name, a, b)
