@@ -3925,3 +3925,108 @@ def mb1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_ab").desc(), "part_a", "part_b")
         .limit(25)
     )
+
+
+# --------------- st14: streaming funnel (stateful min-after-min)
+
+_ST14_SQL = """
+    WITH a AS (SELECT user_id, MIN(ts) AS t1 FROM events
+               WHERE event_type = 'view' AND user_id < 60
+                 AND epoch_us(ts) < 1704240000000000 GROUP BY user_id),
+    b AS (SELECT e.user_id, a.t1, MIN(e.ts) AS t2
+          FROM events e JOIN a USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > a.t1
+                AND epoch_us(e.ts) < 1704240000000000
+          GROUP BY e.user_id, a.t1),
+    c AS (SELECT e.user_id, b.t1, b.t2, MIN(e.ts) AS t3
+          FROM events e JOIN b USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > b.t2
+                AND epoch_us(e.ts) < 1704240000000000
+          GROUP BY e.user_id, b.t1, b.t2),
+    fin AS (SELECT a.user_id,
+                   CASE WHEN c.t3 IS NOT NULL THEN 3
+                        WHEN b.t2 IS NOT NULL THEN 2 ELSE 1 END AS step_reached,
+                   epoch_us(a.t1) AS t1_us,
+                   epoch_us(COALESCE(c.t3, b.t2, a.t1)) AS t_last_us
+            FROM a LEFT JOIN b ON a.user_id = b.user_id
+                   LEFT JOIN c ON a.user_id = c.user_id)
+    SELECT step_reached, COUNT(*) AS n_users, SUM(user_id) AS user_sum,
+           SUM(t_last_us - t1_us) AS lag_us_sum
+    FROM fin GROUP BY step_reached ORDER BY step_reached
+"""
+
+
+@query("st14_streaming_funnel", _ST14_SQL)
+def st14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming arm of e14: the ordered funnel as a CUSTOM STATEFUL
+    operator (streaming/funnel.py — applyInPandasWithState keyed on
+    user, fixed-width (t1,t2,t3) state, EventTimeTimeout).  Each
+    batch advances users' funnel positions with vectorized
+    min-after-min under the watermark in-order contract; the
+    update-mode drain keeps each user's LAST emitted position
+    (max_by on step), and the final-step distribution must equal the
+    batch CTE-chain oracle.  14th streaming entry.  Scale shape:
+    one tuple per active user; the summary is a 3-key groupBy."""
+    import uuid
+
+    from parquet_common_spark.plans.common import (
+        ensure_session_env,
+        event_ts_ltz_col,
+        read_events_raw,
+    )
+    from parquet_common_spark.streaming.funnel import streaming_funnel
+
+    ensure_session_env(spark)
+    raw = read_events_raw(spark, sf_dir)
+    ts_dt = dict(raw.dtypes)["ts"]
+    et = event_ts_ltz_col(ts_dt)
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .where((F.col("user_id") < 60) & (F.unix_micros(et) < 1704240000000000))
+        .select(
+            F.col("user_id"),
+            F.col("event_type").alias("_type"),
+            F.unix_micros(et).alias("_tus"),
+            F.col("event_id").alias("_tie"),
+            et.alias("_event_time"),
+        )
+    )
+    out = streaming_funnel(stream)
+    sink = f"st14_{uuid.uuid4().hex[:8]}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    final = (
+        spark.table(sink)
+        .groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("step_reached", "t1_us", "t_last_us"),
+                F.col("step_reached"),
+            ).alias("_f")
+        )
+        .select("user_id", "_f.*")
+    )
+    return (
+        final.groupBy("step_reached")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum("user_id").cast("long").alias("user_sum"),
+            F.sum(F.col("t_last_us") - F.col("t1_us"))
+            .cast("long")
+            .alias("lag_us_sum"),
+        )
+        .orderBy("step_reached")
+    )

@@ -357,3 +357,70 @@ def test_streaming_transitions_state_expires(spark, tmp_path):
     # a->b would require user 1's state to survive expiry; user 2's
     # z->z pair within its own chain is the only transition left
     assert got == {("z", "z"): 1}
+
+
+# -------------------- streaming funnel (st14 operator)
+
+
+def _drive_funnel(spark, src, name, **kw):
+    from parquet_common_spark.streaming.funnel import streaming_funnel
+
+    schema = "user_id long, _type string, _tus long, _tie long, _event_time timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        streaming_funnel(stream, **kw)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(
+        f"select user_id, max(step_reached) as step from {name} group by 1"
+    ).collect()
+
+
+def test_streaming_funnel_advances_across_batches(spark, tmp_path):
+    """view in batch 1, click in batch 2, purchase in batch 3: the
+    state must carry each completed step forward."""
+    src = str(tmp_path / "in")
+    for i, typ in enumerate(["view", "click", "purchase"]):
+        _tx_rows(spark, [(1, typ, (i + 1) * 1_000_000, i)]).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    got = {r.user_id: r.step for r in _drive_funnel(spark, src, "fn_x")}
+    assert got == {1: 3}
+
+
+def test_streaming_funnel_strictly_after_and_order(spark, tmp_path):
+    """A click BEFORE the first view never counts; one AT the same
+    instant doesn't either (strict >); a later one does.  A user with
+    views only stays at step 1."""
+    src = str(tmp_path / "in")
+    _tx_rows(
+        spark,
+        [
+            (1, "click", 1_000_000, 1),   # before any view: ignored
+            (1, "view", 2_000_000, 2),
+            (1, "click", 2_000_000, 3),   # same instant as t1: ignored
+            (1, "click", 3_000_000, 4),   # counts
+            (2, "view", 1_000_000, 5),
+        ],
+    ).coalesce(1).write.mode("append").parquet(src)
+    got = {r.user_id: r.step for r in _drive_funnel(spark, src, "fn_strict")}
+    assert got == {1: 2, 2: 1}
+
+
+def test_streaming_funnel_no_emission_without_first_step(spark, tmp_path):
+    """Clicks/purchases with no view emit nothing for that user."""
+    src = str(tmp_path / "in")
+    _tx_rows(
+        spark, [(9, "click", 1_000_000, 1), (9, "purchase", 2_000_000, 2)]
+    ).coalesce(1).write.mode("append").parquet(src)
+    got = _drive_funnel(spark, src, "fn_none")
+    assert got == []
