@@ -307,3 +307,39 @@ def apply_changelog(
         .where(F.col(op_col) != delete_op)
         .drop(op_col)
     )
+
+
+def validate_expectations(
+    df: DataFrame, rules: list[tuple[str, Column]]
+) -> DataFrame:
+    """Declarative data-quality expectations (the Great-Expectations /
+    dbt-test shape): each rule is ``(name, boolean Column)`` that every
+    row is expected to satisfy; the report has one row per rule with
+    the violation count and rate.
+
+    Scale shape: ONE aggregation pass over the corpus computes every
+    rule's violation count simultaneously (conditional-sum aggregates,
+    map-side combined — no per-rule scan, no shuffle beyond the single
+    1-row agg); the per-rule layout is a ``stack`` over that 1-row
+    frame.  NULL rule results count as violations (an expectation that
+    cannot be evaluated is not satisfied).
+    """
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, (_name, expr) in enumerate(rules):
+        aggs.append(
+            F.sum(
+                F.when(F.coalesce(expr, F.lit(False)), 0).otherwise(1)
+            ).alias(f"_v{i}")
+        )
+    one = df.agg(*aggs)
+    pairs = ", ".join(
+        f"'{name}', _v{i}" for i, (name, _e) in enumerate(rules)
+    )
+    return one.selectExpr(
+        f"stack({len(rules)}, {pairs}) AS (rule, n_violations)", "_n"
+    ).select(
+        "rule",
+        F.col("_n").cast("long").alias("n_rows"),
+        F.col("n_violations").cast("long").alias("n_violations"),
+        F.round(F.col("n_violations") / F.col("_n"), 6).alias("violation_rate"),
+    )

@@ -4030,3 +4030,55 @@ def st14(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("step_reached")
     )
+
+
+# --------------- dq7: declarative expectations validation
+
+_DQ7_SQL = """
+    WITH one AS (
+      SELECT COUNT(*) AS n,
+        SUM(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS v0,
+        SUM(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS v1,
+        SUM(CASE WHEN l_discount BETWEEN 0 AND 0.1 THEN 0 ELSE 1 END) AS v2,
+        SUM(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 0 ELSE 1 END) AS v3,
+        SUM(CASE WHEN l_linestatus IN ('O', 'F') THEN 0 ELSE 1 END) AS v4,
+        SUM(CASE WHEN l_discount <= 0.05 THEN 0 ELSE 1 END) AS v5,
+        SUM(CASE WHEN l_tax <= 0.06 THEN 0 ELSE 1 END) AS v6
+      FROM lineitem),
+    rules(rule, n_violations, n_rows) AS (
+      SELECT 'quantity_in_range', v0, n FROM one UNION ALL
+      SELECT 'price_positive', v1, n FROM one UNION ALL
+      SELECT 'discount_in_range', v2, n FROM one UNION ALL
+      SELECT 'returnflag_domain', v3, n FROM one UNION ALL
+      SELECT 'linestatus_domain', v4, n FROM one UNION ALL
+      SELECT 'discount_low_tier', v5, n FROM one UNION ALL
+      SELECT 'tax_cap', v6, n FROM one)
+    SELECT rule, n_rows, n_violations,
+           ROUND(CAST(n_violations AS DOUBLE) / n_rows, 6) AS violation_rate
+    FROM rules ORDER BY rule
+"""
+
+
+@query("dq7_expectations", _DQ7_SQL)
+def dq7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectations audit (quality.validate_expectations —
+    the Great-Expectations/dbt-test shape): seven rules over lineitem
+    evaluated in ONE map-side-combined aggregation pass (conditional
+    sums; no per-rule scan), laid out per-rule with a stack over the
+    1-row result.  The mix is deliberate: domain/range/ordering rules
+    that PASS on TPC-H-shaped data and two that genuinely FAIL
+    (discounts above the low tier, tax above 6%) so the report is
+    non-vacuous and the rate arithmetic is exercised."""
+    from parquet_common_spark.operators.quality import validate_expectations
+
+    li = load(spark, sf_dir, "lineitem")["lineitem"]
+    rules = [
+        ("quantity_in_range", F.col("l_quantity").between(1, 50)),
+        ("price_positive", F.col("l_extendedprice") > 0),
+        ("discount_in_range", F.col("l_discount").between(0, 0.1)),
+        ("returnflag_domain", F.col("l_returnflag").isin("A", "N", "R")),
+        ("linestatus_domain", F.col("l_linestatus").isin("O", "F")),
+        ("discount_low_tier", F.col("l_discount") <= 0.05),
+        ("tax_cap", F.col("l_tax") <= 0.06),
+    ]
+    return validate_expectations(li, rules).orderBy("rule")

@@ -490,3 +490,43 @@ def test_apply_changelog_is_aggregate_not_window(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "partial_max_by" in plan or "HashAggregate" in plan
+
+
+def test_validate_expectations_counts_and_nulls(spark):
+    from pyspark.sql import functions as F
+
+    from parquet_common_spark.operators.quality import validate_expectations
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, None), (4, 3.0)],
+        "id long, v double",
+    )
+    got = {
+        r.rule: (r.n_rows, r.n_violations, r.violation_rate)
+        for r in validate_expectations(
+            df,
+            [
+                ("v_positive", F.col("v") > 0),     # NULL counts as violation
+                ("id_small", F.col("id") <= 10),
+            ],
+        ).collect()
+    }
+    assert got == {
+        "v_positive": (4, 2, 0.5),
+        "id_small": (4, 0, 0.0),
+    }
+
+
+def test_validate_expectations_single_pass(spark):
+    """All rules must fold into ONE aggregation over one scan."""
+    from pyspark.sql import functions as F
+
+    from parquet_common_spark.operators.quality import validate_expectations
+
+    df = spark.range(100).selectExpr("id", "id * 2 AS v")
+    out = validate_expectations(
+        df, [("a", F.col("v") >= 0), ("b", F.col("id") < 100)]
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ") <= 1
+    assert "Join" not in plan
