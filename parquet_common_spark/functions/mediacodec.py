@@ -65,6 +65,12 @@ def sniff_media(payload: bytes) -> str | None:
         and payload[15:18] == b"\x00\x00\x00"
     ):
         return "bmp"
+    if (
+        payload[:4] == b"\x00\x00\x01\x00"
+        and len(payload) >= 22
+        and 1 <= int.from_bytes(payload[4:6], "little") <= 64
+    ):
+        return "ico"
     if payload[4:8] == b"ftyp":
         return "mp4"
     return None

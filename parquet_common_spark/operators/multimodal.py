@@ -126,6 +126,12 @@ def _decode_media(media_type: str, payload: bytes) -> tuple[int, int, int]:
 
         w, h, _bits = BC.bmp_info(payload)
         return (w, h, 1)
+    if fmt == "ico":
+        from parquet_common_spark.functions import icocodec as IC
+
+        ents = IC.ico_entries(payload)
+        big = max(ents, key=lambda e: e["width"] * e["height"])
+        return (big["width"], big["height"], len(ents))
     if fmt == "mp4":
         # real METADATA via the ISO-BMFF box walk; pixel/frame decode
         # still needs libav/PyAV and raises in sample_frames

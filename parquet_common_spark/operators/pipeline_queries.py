@@ -4078,3 +4078,86 @@ def sim10(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# -------------------------------------------- mm11: ICO container checksum
+
+_MM11_SQL = """
+    WITH d AS (SELECT doc_id,
+                      CAST(doc_id % 9 + 4 AS INT) AS width,
+                      CAST(doc_id % 7 + 3 AS INT) AS height,
+                      CAST(doc_id % 2 AS INT) AS png_entry
+               FROM documents WHERE doc_id < 72),
+    g AS (SELECT d.doc_id, d.width, d.height, d.png_entry,
+                 x.range AS x, y.range AS y
+          FROM d, range(13) x, range(10) y
+          WHERE x.range < d.width AND y.range < d.height),
+    px AS (SELECT doc_id, width, height, png_entry,
+                  (doc_id + 5*x + 7*y) % 256
+                  + (doc_id*3 + 11*x + 13*y) % 256
+                  + (doc_id*7 + 17*x + 19*y) % 256
+                  + (CASE WHEN (x + y + doc_id) % 4 = 0 THEN 0 ELSE 255 END)
+                    AS s
+           FROM g)
+    SELECT doc_id, width, height, png_entry,
+           CAST(SUM(s) AS BIGINT) AS rgba_sum
+    FROM px GROUP BY doc_id, width, height, png_entry ORDER BY doc_id
+"""
+
+
+@query("mm11_ico_checksum", _MM11_SQL)
+def mm11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ICO container (functions/icocodec.py) through the driver
+    gate: per doc a deterministic RGBA icon (alpha pattern exercises
+    the AND mask: every (x+y+d)%4==0 pixel transparent) is encoded
+    alternating DIB-32 and PNG entries, decoded back, and
+    RGBA-checksummed — any doubled-height / mask-packing / BGRA-order
+    / directory-offset defect breaks the hash against the closed-form
+    oracle.  Scale shape: map-only mapInPandas over ids, no shuffle
+    (the mm5-mm10 posture)."""
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    ids = docs.where(F.col("doc_id") < 72).select("doc_id")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("width", IntegerType()),
+            StructField("height", IntegerType()),
+            StructField("png_entry", IntegerType()),
+            StructField("rgba_sum", LongType()),
+        ]
+    )
+
+    def batches(it):
+        import numpy as np
+        import pandas as pd
+
+        from parquet_common_spark.functions import icocodec as IC
+
+        for pdf in it:
+            out = {"doc_id": [], "width": [], "height": [], "png_entry": [], "rgba_sum": []}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h, png = d % 9 + 4, d % 7 + 3, d % 2
+                y, x = np.mgrid[0:h, 0:w]
+                img = np.stack(
+                    [
+                        (d + 5 * x + 7 * y) % 256,
+                        (d * 3 + 11 * x + 13 * y) % 256,
+                        (d * 7 + 17 * x + 19 * y) % 256,
+                        np.where((x + y + d) % 4 == 0, 0, 255),
+                    ],
+                    axis=-1,
+                ).astype(np.uint8)
+                data = IC.encode_ico([img], as_png=[bool(png)])
+                got = IC.decode_ico(data)
+                assert got.shape == (h, w, 4)
+                out["doc_id"].append(d)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["png_entry"].append(png)
+                out["rgba_sum"].append(int(got.astype(np.int64).sum()))
+            yield pd.DataFrame(out)
+
+    return ids.mapInPandas(batches, schema=schema).orderBy("doc_id")
