@@ -47,9 +47,9 @@ _CHECK_WINDOW = [
     # a4 mm9 dq5 st12 — never driver-checked, outrank r6 re-checks)
     # PLUS pq2 pq3 pq5 displaced by the session-3 additions (gr5 e14
     # e15 in-window; the LATER session-3 entries io2 mm10 st13 cdc3
-    # sim10 e16 mb1 found no slot — 22 stale + 28 new/changed already
+    # sim10 e16 mb1 st14 dq7 mm11 found no slot — 22 stale + 28 new/changed already
     # fill 50 — and are ALSO r10-first, ahead of every re-check)
-    # = 48+7 — these go FIRST in the r10 window, then the r7 cohort
+    # = 48+10 — these go FIRST in the r10 window, then the r7 cohort
     # (44).  gr4 also changed code this session (source-set filter);
     # it is already in-window.
     #
