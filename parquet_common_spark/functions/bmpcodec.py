@@ -244,7 +244,12 @@ def encode_bmp(
 ) -> bytes:
     """Encode to BMP.  ``bits=24`` takes an (H, W, 3) RGB array;
     ``bits in (1, 4, 8)`` take an (H, W) index array + an (N, 3) RGB
-    ``palette``.  ``rle`` selects BI_RLE8 (8-bit only)."""
+    ``palette``.  ``rle`` selects BI_RLE8 (8-bit only).
+
+    RLE bitmaps are bottom-up by spec (a negative biHeight is only
+    valid for BI_RGB/BI_BITFIELDS), so ``rle=True`` stores the rows
+    bottom-up regardless of ``top_down`` — the decoded image is
+    identical either way; only the on-disk row order differs."""
     if bits == 24:
         if img.ndim != 3 or img.shape[2] != 3:
             raise _err("24-bit encode needs (H, W, 3)")
@@ -263,6 +268,8 @@ def encode_bmp(
         raise _err(f"encode bits={bits} unsupported")
 
     h, w = img.shape[:2]
+    if rle:
+        top_down = False  # RLE must be bottom-up per the DIB spec
     stored = img if top_down else img[::-1]
     pal_bytes = b""
     n_colors = 0

@@ -87,6 +87,9 @@ def decode_ico(data: bytes, index: int = 0) -> np.ndarray:
         from parquet_common_spark.functions import mediacodec as MC
 
         _w, _h, px = MC.decode_png(payload)
+        if px.dtype == np.uint16:
+            # 16-bit PNG entry: scale to 8-bit (>> 8), not truncate mod 256
+            px = (px >> 8).astype(np.uint8)
         if px.ndim == 2:
             px = px[:, :, None]
         if px.shape[2] == 1:  # grey -> RGBA

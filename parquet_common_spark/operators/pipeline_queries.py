@@ -3375,7 +3375,7 @@ _GR4_SQL = """
     r3 AS (SELECT node, dist FROM r2 UNION ALL SELECT node, 3 FROM n3)
     SELECT CAST(dist AS INT) AS dist, COUNT(*) AS n_nodes,
            MIN(node) AS min_node, MAX(node) AS max_node,
-           SUM(node) AS node_sum
+           CAST(SUM(node) AS BIGINT) AS node_sum
     FROM r3 GROUP BY dist ORDER BY dist
 """
 
@@ -3508,7 +3508,7 @@ _P14_SQL = """
           FROM documents)
     SELECT CAST(FLOOR((GREATEST(cum, 1) - 1) / t.target) AS INT) AS shard,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_bytes,
+           CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
            MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
     FROM c, t
     GROUP BY 1 ORDER BY shard
@@ -3567,7 +3567,7 @@ _A4_SQL = f"""
               FROM probe p LEFT JOIN hits ON hits.k = p.k),
     truth AS (SELECT f.k, f.maybe, m.k IS NOT NULL AS member
               FROM flags f LEFT JOIN members m ON m.k = f.k)
-    SELECT maybe, member, COUNT(*) AS n_keys, SUM(k) AS key_sum
+    SELECT maybe, member, COUNT(*) AS n_keys, CAST(SUM(k) AS BIGINT) AS key_sum
     FROM truth GROUP BY maybe, member ORDER BY maybe, member
 """
 
@@ -3696,7 +3696,7 @@ _DQ5_K = 5
 _DQ5_SQL = f"""
     WITH q AS (SELECT c_nationkey, c_mktsegment,
                       COUNT(*) AS class_size,
-                      SUM(c_custkey) AS key_sum
+                      CAST(SUM(c_custkey) AS BIGINT) AS key_sum
                FROM customer GROUP BY c_nationkey, c_mktsegment)
     SELECT c_nationkey, c_mktsegment, class_size,
            class_size < {_DQ5_K} AS violates_k,
@@ -3768,7 +3768,7 @@ def _gr5_sql() -> str:
     SELECT node < 1000000 AS is_part, CAST(dist // 5 AS BIGINT) AS dist_bucket,
            CAST(COUNT(*) AS BIGINT) AS n_nodes,
            MIN(dist) AS min_dist, MAX(dist) AS max_dist,
-           SUM(dist) AS dist_sum, SUM(node) AS node_sum
+           CAST(SUM(dist) AS BIGINT) AS dist_sum, CAST(SUM(node) AS BIGINT) AS node_sum
     FROM d{_GR5_ROUNDS}
     GROUP BY is_part, dist_bucket ORDER BY is_part, dist_bucket"""
     )
@@ -3842,7 +3842,7 @@ _IO2_SQL = """
     SELECT event_type,
            CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS day,
            COUNT(*) AS n_events,
-           SUM(user_id) AS user_sum,
+           CAST(SUM(user_id) AS BIGINT) AS user_sum,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
     FROM events WHERE event_type IN ('click', 'purchase')
     GROUP BY event_type, day ORDER BY event_type, day
@@ -3868,12 +3868,29 @@ def io2(spark: SparkSession, sf_dir: str) -> DataFrame:
     otherwise each task writes |types| files); the read is a pruned
     scan + one map-side-combined groupBy."""
     import os
+    import uuid
 
     from parquet_common_spark.plans.common import dsum, event_ts_ntz
 
     ev = event_ts_ntz(load(spark, sf_dir, "events")["events"])
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    base = f"/tmp/pcs_io2/{tag}"
+    # per-run uuid suffix: concurrent runs over the same sf_dir (gate +
+    # pytest) must not overwrite each other's directory mid-read.  The
+    # returned DataFrame lazily reads this path, so it can't be removed
+    # here; instead garbage-collect siblings older than an hour (long
+    # past any plausible collect) so /tmp doesn't accumulate.
+    import shutil
+    import time as _time
+
+    root = "/tmp/pcs_io2"
+    try:
+        for d in os.listdir(root):
+            p = os.path.join(root, d)
+            if os.path.isdir(p) and _time.time() - os.path.getmtime(p) > 3600:
+                shutil.rmtree(p, ignore_errors=True)
+    except OSError:
+        pass
+    base = f"{root}/{tag}-{uuid.uuid4().hex[:12]}"
     # repartition on the partition column: each write task then owns
     # whole partition-directories instead of every task appending a
     # file into every directory (the small-files explosion at scale)
@@ -3893,7 +3910,7 @@ def io2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum("user_id").cast("long").alias("user_sum"),
-            dsum(F.col("value")).alias("value_sum"),
+            dsum(F.col("value"), 2).alias("value_sum"),
         )
         .orderBy("event_type", "day")
     )

@@ -323,7 +323,12 @@ def validate_expectations(
     1-row agg); the per-rule layout is a ``stack`` over that 1-row
     frame.  NULL rule results count as violations (an expectation that
     cannot be evaluated is not satisfied).
+
+    Rule names are passed as literal Columns (never interpolated into
+    SQL text), so any string — quotes included — is a valid rule name.
     """
+    if not rules:
+        raise ValueError("validate_expectations: rules must be non-empty")
     aggs = [F.count(F.lit(1)).alias("_n")]
     for i, (_name, expr) in enumerate(rules):
         aggs.append(
@@ -332,11 +337,11 @@ def validate_expectations(
             ).alias(f"_v{i}")
         )
     one = df.agg(*aggs)
-    pairs = ", ".join(
-        f"'{name}', _v{i}" for i, (name, _e) in enumerate(rules)
-    )
-    return one.selectExpr(
-        f"stack({len(rules)}, {pairs}) AS (rule, n_violations)", "_n"
+    stack_args: list[Column] = [F.lit(len(rules))]
+    for i, (name, _e) in enumerate(rules):
+        stack_args += [F.lit(name), F.col(f"_v{i}")]
+    return one.select(
+        F.stack(*stack_args).alias("rule", "n_violations"), "_n"
     ).select(
         "rule",
         F.col("_n").cast("long").alias("n_rows"),

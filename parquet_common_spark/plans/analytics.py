@@ -3512,14 +3512,15 @@ _E14_SQL = """
           GROUP BY e.user_id, b.t1)
     SELECT * FROM (
       SELECT 1 AS step, 'view' AS step_type, COUNT(*) AS n_users,
-             SUM(user_id) AS user_sum, CAST(0 AS BIGINT) AS lag_us_sum
+             CAST(SUM(user_id) AS BIGINT) AS user_sum,
+             CAST(0 AS BIGINT) AS lag_us_sum
       FROM a
       UNION ALL
-      SELECT 2, 'click', COUNT(*), SUM(user_id),
-             SUM(epoch_us(t2) - epoch_us(t1)) FROM b
+      SELECT 2, 'click', COUNT(*), CAST(SUM(user_id) AS BIGINT),
+             CAST(SUM(epoch_us(t2) - epoch_us(t1)) AS BIGINT) FROM b
       UNION ALL
-      SELECT 3, 'purchase', COUNT(*), SUM(user_id),
-             SUM(epoch_us(t3) - epoch_us(t1)) FROM c
+      SELECT 3, 'purchase', COUNT(*), CAST(SUM(user_id) AS BIGINT),
+             CAST(SUM(epoch_us(t3) - epoch_us(t1)) AS BIGINT) FROM c
     ) u ORDER BY step
 """
 
@@ -3601,7 +3602,7 @@ _E15_SQL = """
                    - f.cohort_w AS week_offset
           FROM events e JOIN f USING (user_id))
     SELECT cohort_w, week_offset, COUNT(*) AS n_users,
-           SUM(user_id) AS user_sum
+           CAST(SUM(user_id) AS BIGINT) AS user_sum
     FROM a GROUP BY cohort_w, week_offset ORDER BY cohort_w, week_offset
 """
 
@@ -3950,8 +3951,9 @@ _ST14_SQL = """
                    epoch_us(COALESCE(c.t3, b.t2, a.t1)) AS t_last_us
             FROM a LEFT JOIN b ON a.user_id = b.user_id
                    LEFT JOIN c ON a.user_id = c.user_id)
-    SELECT step_reached, COUNT(*) AS n_users, SUM(user_id) AS user_sum,
-           SUM(t_last_us - t1_us) AS lag_us_sum
+    SELECT step_reached, COUNT(*) AS n_users,
+           CAST(SUM(user_id) AS BIGINT) AS user_sum,
+           CAST(SUM(t_last_us - t1_us) AS BIGINT) AS lag_us_sum
     FROM fin GROUP BY step_reached ORDER BY step_reached
 """
 
@@ -4037,13 +4039,13 @@ def st14(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DQ7_SQL = """
     WITH one AS (
       SELECT COUNT(*) AS n,
-        SUM(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS v0,
-        SUM(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS v1,
-        SUM(CASE WHEN l_discount BETWEEN 0 AND 0.1 THEN 0 ELSE 1 END) AS v2,
-        SUM(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 0 ELSE 1 END) AS v3,
-        SUM(CASE WHEN l_linestatus IN ('O', 'F') THEN 0 ELSE 1 END) AS v4,
-        SUM(CASE WHEN l_discount <= 0.05 THEN 0 ELSE 1 END) AS v5,
-        SUM(CASE WHEN l_tax <= 0.06 THEN 0 ELSE 1 END) AS v6
+        CAST(SUM(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS BIGINT) AS v0,
+        CAST(SUM(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+        CAST(SUM(CASE WHEN l_discount BETWEEN 0 AND 0.1 THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+        CAST(SUM(CASE WHEN l_returnflag IN ('A', 'N', 'R') THEN 0 ELSE 1 END) AS BIGINT) AS v3,
+        CAST(SUM(CASE WHEN l_linestatus IN ('O', 'F') THEN 0 ELSE 1 END) AS BIGINT) AS v4,
+        CAST(SUM(CASE WHEN l_discount <= 0.05 THEN 0 ELSE 1 END) AS BIGINT) AS v5,
+        CAST(SUM(CASE WHEN l_tax <= 0.06 THEN 0 ELSE 1 END) AS BIGINT) AS v6
       FROM lineitem),
     rules(rule, n_violations, n_rows) AS (
       SELECT 'quantity_in_range', v0, n FROM one UNION ALL

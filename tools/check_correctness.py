@@ -2,6 +2,14 @@
 entry on Spark and its oracle_sql() on DuckDB at sf0.01, compare
 row count + schema (column names) + order-insensitive value hash.
 
+r10: the fetch path now mirrors the driver's — BOTH sides go through
+Arrow (`df.toArrow()` / duckdb `.arrow()`), and a type-compatibility
+gate fails any column pair whose Arrow types normalize differently in
+the driver's hasher (the r9 HUGEINT defect class: DuckDB `SUM(BIGINT)`
+→ decimal128(38,0) vs Spark int64 hash-mismatched in the driver while
+the old `fetchall()` path here collapsed both to Python int and could
+not see it).
+
 Usage: python tools/check_correctness.py [sf_dir] [query_name ...]
 """
 
@@ -15,17 +23,57 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
+import pyarrow as pa
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = set(sys.argv[2:])
 
 
+def type_class(t: pa.DataType) -> str:
+    """Collapse an Arrow type into the equivalence class the driver's
+    normalizer treats identically.  Integer widths and string widths are
+    interchangeable; decimal is its OWN class keyed by scale — a
+    decimal128(38,0) oracle column vs an int64 Spark column is exactly
+    the r9 hash-mismatch, so it must FAIL here too."""
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return f"decimal(s={t.scale})"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "bytes"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_list(t) or pa.types.is_large_list(t) or pa.types.is_fixed_size_list(t):
+        return f"list<{type_class(t.value_type)}>"
+    if pa.types.is_struct(t):
+        inner = ",".join(f"{f.name}:{type_class(f.type)}" for f in t)
+        return f"struct<{inner}>"
+    if pa.types.is_map(t):
+        return f"map<{type_class(t.key_type)},{type_class(t.item_type)}>"
+    if pa.types.is_null(t):
+        return "null"
+    return str(t)
+
+
 def norm_cell(v):
     import datetime as dt
+    import decimal
     import math
 
     if v is None:
         return "∅"
+    if isinstance(v, decimal.Decimal):
+        # Value-level comparison stays lenient (5.00 == 5); the Arrow
+        # type gate above is what enforces decimal/int separation.
+        v = float(v)
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
@@ -38,7 +86,14 @@ def norm_cell(v):
         return v.strftime("%Y-%m-%d")
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{norm_cell(x)}" for k, x in sorted(v.items())) + "}"
     return str(v)
+
+
+def table_rows(tbl: pa.Table) -> list[tuple]:
+    cols = [c.to_pylist() for c in tbl.columns]
+    return list(zip(*cols)) if cols else []
 
 
 def value_hash(cols: list[str], rows: list[tuple]) -> str:
@@ -73,8 +128,9 @@ def main():
         t0 = time.time()
         try:
             df = fn(spark, SF_DIR)
-            scols = df.columns
-            srows = [tuple(r) for r in df.collect()]
+            stbl = df.toArrow()
+            scols = stbl.column_names
+            srows = table_rows(stbl)
         except Exception as ex:
             print(f"FAIL  {name}: spark error: {type(ex).__name__}: {str(ex)[:300]}")
             n_fail += 1
@@ -84,9 +140,9 @@ def main():
             n_rows_only += 1
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            otbl = con.execute(oracles[name]).arrow()
+            ocols = otbl.column_names
+            orows = table_rows(otbl)
         except Exception as ex:
             print(f"FAIL  {name}: duckdb error: {type(ex).__name__}: {str(ex)[:300]}")
             n_fail += 1
@@ -94,6 +150,15 @@ def main():
         problems = []
         if sorted(scols) != sorted(ocols):
             problems.append(f"schema {sorted(scols)} != {sorted(ocols)}")
+        else:
+            # Driver-hasher type gate: same-named columns must land in
+            # the same normalization class.
+            stypes = {f.name: f.type for f in stbl.schema}
+            otypes = {f.name: f.type for f in otbl.schema}
+            for c in sorted(scols):
+                sc, oc = type_class(stypes[c]), type_class(otypes[c])
+                if sc != oc and "null" not in (sc, oc):
+                    problems.append(f"type[{c}] spark {stypes[c]} ({sc}) != oracle {otypes[c]} ({oc})")
         if len(srows) != len(orows):
             problems.append(f"rowcount {len(srows)} != {len(orows)}")
         if not problems:
@@ -118,7 +183,7 @@ def main():
                         problems.append(f"  spark: {a[:200]}\n  duck : {b[:200]}")
                         break
         if problems:
-            print(f"FAIL  {name}: " + "; ".join(problems[:3]))
+            print(f"FAIL  {name}: " + "; ".join(problems[:4]))
             n_fail += 1
         else:
             print(f"PASS  {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
