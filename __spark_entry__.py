@@ -32,10 +32,11 @@ _CHECK_WINDOW = [
     # are in cohort (a)) and reproduced/re-verified locally with the
     # arrow-fetch checker (tools/check_correctness.py now hashes through
     # the driver's Arrow path and type-gates decimal-vs-int), then (c)
-    # the 33 stalest r6 entries in registry order.  DEFERRED to r11
-    # (15 r6 entries, each covered by dedicated pytest batteries and
-    # this session's full local sweep): e8 w8 e9 m7 q20a pq2 pq3 pq5
-    # pq6 a3 st7 pq7 f5 p10 q3 — then the r7 cohort (44).
+    # the 32 stalest r6 entries in registry order, then (d) the 1 query
+    # ADDED this round (dq6 freshness audit, never checked).  DEFERRED
+    # to r11 (16 r6 entries, each covered by dedicated pytest batteries
+    # and this session's full local sweep): e8 w8 e9 m7 q20a pq2 pq3
+    # pq5 pq6 a3 st7 pq7 f5 p10 q3 e7 — then the r7 cohort (44).
     #
     # --- (a) never driver-checked (10)
     "io2_partitioned_pruning",
@@ -56,7 +57,7 @@ _CHECK_WINDOW = [
     "gr5_shortest_paths",
     "e14_funnel_conversion",
     "e15_retention_cohorts",
-    # --- (c) stalest r6 cohort, registry order (33)
+    # --- (c) stalest r6 cohort, registry order (32)
     "d2_minhash_lsh_dedup",
     "d10_semdedup",
     "x2_doc_chunking",
@@ -89,7 +90,9 @@ _CHECK_WINDOW = [
     "st1_streaming_daily_counts",
     "st6_streaming_sessions",
     "st5_streaming_neardup",
-    "e7_cohort_retention",
+    # --- (d) NEW this round (never driver-checked, outranks re-checks;
+    # displaced e7_cohort_retention into the r11 deferral set)
+    "dq6_freshness",
 ]
 assert len(_CHECK_WINDOW) == 50, len(_CHECK_WINDOW)
 

@@ -3730,6 +3730,45 @@ def dq5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------- dq6: freshness audit
+
+_DQ6_SQL = """
+    WITH b AS (SELECT event_type AS k, epoch_us(ts) AS t FROM events),
+    wm AS (SELECT MAX(t) AS m FROM b),
+    base AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(MAX(t) AS BIGINT) AS last_us
+             FROM b GROUP BY k),
+    gaps AS (SELECT k, t - LAG(t) OVER (PARTITION BY k ORDER BY t) AS gap
+             FROM b),
+    med AS (SELECT k, quantile_cont(gap, 0.5) AS med_gap
+            FROM gaps WHERE gap IS NOT NULL GROUP BY k)
+    SELECT base.k AS event_type, base.n, base.last_us,
+           CAST((SELECT m FROM wm) - base.last_us AS BIGINT) AS staleness_us,
+           ROUND(med.med_gap, 6) AS med_gap_us
+    FROM base JOIN med USING (k) ORDER BY event_type
+"""
+
+
+@query("dq6_freshness", _DQ6_SQL)
+def dq6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source data-freshness audit (quality.freshness_profile):
+    per event type, row count, last event time, staleness against the
+    corpus watermark, and the median inter-arrival gap — the
+    ingestion-health report that catches a silently-stopped source
+    (staleness spike) or one that started batching (gap-median jump).
+    The gap multiset is the consecutive-diff multiset of each key's
+    sorted timestamps (tie-order-invariant) and the median is dq4's
+    exact-order-statistics contract, so both engines agree bit-for-bit.
+    Scale shape in the operator docstring: two bounded groupBys + one
+    lag window partitioned by key + a broadcast 1-row watermark."""
+    from parquet_common_spark.operators.quality import freshness_profile
+    from parquet_common_spark.plans.common import event_ts_ntz
+
+    ev = event_ts_ntz(load(spark, sf_dir, "events")["events"])
+    ev = ev.withColumn("t", F.unix_micros(F.col("ts").cast("timestamp")))
+    return freshness_profile(ev, key_col="event_type", ts_us_col="t")
+
+
 # ------------------------------- gr5: weighted single-source shortest path
 
 _GR5_ROUNDS = 4

@@ -348,3 +348,59 @@ def validate_expectations(
         F.col("n_violations").cast("long").alias("n_violations"),
         F.round(F.col("n_violations") / F.col("_n"), 6).alias("violation_rate"),
     )
+
+
+def freshness_profile(
+    df: DataFrame, key_col: str = "event_type", ts_us_col: str = "t"
+) -> DataFrame:
+    """Per-key data-freshness audit over an event log: row count, the
+    key's last event time, its staleness against the corpus watermark
+    (``max(ts)`` over ALL keys), and the median inter-arrival gap — the
+    ingestion-health report a lakehouse runs per cycle to catch a
+    source that silently stopped (staleness spikes) or started
+    batching (gap-median jumps).  ``ts_us_col`` must already be epoch
+    MICROSECONDS (bigint) so both engines aggregate exact integers.
+
+    Determinism: the inter-arrival gap multiset is the consecutive-diff
+    multiset of each key's SORTED timestamp multiset — tie order between
+    equal timestamps cannot change it — and the median is an exact
+    interpolating percentile over integers (dq4's order-statistics
+    contract), so Spark and DuckDB agree bit-for-bit.
+
+    Scale shape: one map-side-combined groupBy for (n, last); ONE
+    window pass partitioned by key for the gaps (state = one lag value
+    per partition stream); a second bounded groupBy for the median
+    (exact percentile needs the group's gap values — at 100 TB swap in
+    approx_percentile, same plan shape with bounded state); the corpus
+    watermark is a 1-row aggregate cross-joined back broadcast-style.
+    Key count bounds every post-shuffle frame (|event types|, not
+    |events|)."""
+    b = df.select(F.col(key_col).alias("k"), F.col(ts_us_col).alias("t"))
+    watermark = b.agg(F.max("t").alias("_wm"))
+    base = b.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.max("t").alias("last_us"),
+    )
+    gaps = (
+        b.select(
+            "k",
+            (F.col("t") - F.lag("t").over(Window.partitionBy("k").orderBy("t"))).alias(
+                "gap"
+            ),
+        )
+        .where(F.col("gap").isNotNull())
+        .groupBy("k")
+        .agg(F.expr("percentile(gap, 0.5)").alias("med_gap"))
+    )
+    return (
+        base.join(F.broadcast(gaps), "k")
+        .crossJoin(F.broadcast(watermark))
+        .select(
+            F.col("k").alias(key_col),
+            "n",
+            "last_us",
+            (F.col("_wm") - F.col("last_us")).cast("long").alias("staleness_us"),
+            F.round("med_gap", 6).alias("med_gap_us"),
+        )
+        .orderBy(key_col)
+    )

@@ -530,3 +530,47 @@ def test_validate_expectations_single_pass(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ") <= 1
     assert "Join" not in plan
+
+
+def test_validate_expectations_quoted_names_and_empty(spark):
+    from parquet_common_spark.operators.quality import validate_expectations
+
+    df = spark.createDataFrame([(1,), (2,), (3,)], "v long")
+    # rule names are literal Columns now — quotes must be inert, not SQL
+    rows = {
+        r["rule"]: r
+        for r in validate_expectations(
+            df, [("it's-positive", F.col("v") > 0), ('say "hi"', F.col("v") < 3)]
+        ).collect()
+    }
+    assert rows["it's-positive"]["n_violations"] == 0
+    assert rows['say "hi"']["n_violations"] == 1
+    with pytest.raises(ValueError, match="non-empty"):
+        validate_expectations(df, [])
+
+
+def test_freshness_profile_hand_frame(spark):
+    from parquet_common_spark.operators.quality import freshness_profile
+
+    # key a: ts 0, 10, 30 (gaps 10, 20 -> median 15); key b: ts 5, 25
+    # (gap 20 -> median 20).  Watermark = 30, so staleness a=0, b=5.
+    df = spark.createDataFrame(
+        [("a", 0), ("a", 10), ("a", 30), ("b", 5), ("b", 25)],
+        "event_type string, t long",
+    )
+    rows = {r["event_type"]: r for r in freshness_profile(df).collect()}
+    assert rows["a"]["n"] == 3 and rows["a"]["last_us"] == 30
+    assert rows["a"]["staleness_us"] == 0 and rows["a"]["med_gap_us"] == 15.0
+    assert rows["b"]["n"] == 2 and rows["b"]["staleness_us"] == 5
+    assert rows["b"]["med_gap_us"] == 20.0
+
+
+def test_freshness_profile_tie_timestamps(spark):
+    from parquet_common_spark.operators.quality import freshness_profile
+
+    # duplicate timestamps: gap multiset of sorted ts is {0, 7} -> median 3.5
+    df = spark.createDataFrame(
+        [("a", 3), ("a", 3), ("a", 10)], "event_type string, t long"
+    )
+    r = freshness_profile(df).collect()[0]
+    assert r["med_gap_us"] == 3.5 and r["n"] == 3
