@@ -210,6 +210,7 @@ def shortest_paths(
     src: str = "src",
     dst: str = "dst",
     weight: str = "w",
+    broadcast_dist_max_rows: int = 4_000_000,
 ) -> DataFrame:
     """Bounded Bellman-Ford: minimum path weight from a source set.
 
@@ -235,12 +236,38 @@ def shortest_paths(
     are not detected — with ``iterations`` fixed the recurrence is
     well-defined regardless; callers wanting a negative-cycle check
     should compare round k-1 vs k for changes.
+
+    r10 scale lessons (measured at sf10, SCALE.md):
+
+    * The edge frame is MATERIALIZED ONCE (eager localCheckpoint)
+      before the loop.  Only ``dist`` was checkpointed before, so
+      every round re-derived ``edges`` from the caller's full lineage
+      — for gr5 that was a 60M-group aggregation re-run 4× per query.
+      On a cluster the analog is ``persist(DISK_ONLY)``.
+    * When the dist frame is small enough
+      (``broadcast_dist_max_rows``, row count is cheap on a
+      checkpointed frame), the per-round join BROADCASTS dist instead
+      of sort-merge-joining — which otherwise re-shuffles AND re-sorts
+      the full edge frame every round (the sf10 straggler: one task
+      spill-merging an external sort while 31 cores idled).  Past the
+      threshold it falls back to the shuffle join, which is the right
+      plan once the frontier itself is cluster-scale.
     """
     e = edges.select(
         F.col(src).alias("node"),
         F.col(dst).alias("_to"),
         F.col(weight).alias("_w"),
     )
+    # materialize edges ONCE (see above) — DISK_ONLY: the edge frame is
+    # the big side (120M rows at sf10), and holding it in unified memory
+    # starves task execution (measured: UNABLE_TO_ACQUIRE_MEMORY in the
+    # relaxation round at sf10 under an 8g heap).  Disk blocks don't
+    # compete with execution memory and never evict-recompute; the
+    # cluster analog is persist(DISK_ONLY) on the edge RDD.
+    from pyspark import StorageLevel
+
+    e = e.persist(StorageLevel.DISK_ONLY)
+    e.count()  # eager
     dist = (
         sources.select(F.col(sources.columns[0]).alias("node"))
         .distinct()
@@ -248,8 +275,13 @@ def shortest_paths(
     )
     dist = dist.localCheckpoint(eager=True)
     for _ in range(iterations):  # loop over fixed round COUNT, not data
+        d = (
+            F.broadcast(dist)
+            if dist.count() <= broadcast_dist_max_rows
+            else dist
+        )
         relaxed = (
-            dist.join(e, "node")
+            d.join(e, "node")
             .select(
                 F.col("_to").alias("node"),
                 (F.col("dist") + F.col("_w")).alias("dist"),
@@ -270,6 +302,7 @@ def k_hop(
     k: int = 3,
     src: str = "src",
     dst: str = "dst",
+    broadcast_max_rows: int = 4_000_000,
 ) -> DataFrame:
     """Bounded-depth BFS: minimum hop distance from a source set.
 
@@ -297,8 +330,18 @@ def k_hop(
     the ``pagerank(checkpoint_every=...)`` lineage posture, on by
     default because the level frame is small (≤ |nodes| rows) and the
     recomputation is not.
+
+    r10: the edge frame is materialized ONCE before the loop and the
+    frontier/reached sides broadcast below ``broadcast_max_rows`` —
+    the same two lessons as ``shortest_paths`` (see its docstring):
+    without them every hop re-derived the caller's edge lineage and
+    re-shuffled+sorted the full edge frame for the SMJ.
     """
     e = edges.select(F.col(src).alias("node"), F.col(dst).alias("_to"))
+    from pyspark import StorageLevel
+
+    e = e.persist(StorageLevel.DISK_ONLY)  # materialize edges ONCE
+    e.count()  # eager; DISK_ONLY — see shortest_paths
     reached = (
         sources.select(F.col(sources.columns[0]).alias("node"))
         .distinct()
@@ -307,12 +350,20 @@ def k_hop(
     reached = reached.localCheckpoint(eager=True)
     frontier = reached.select("node")
     for i in range(1, k + 1):  # loop over fixed hop COUNT, not data
+        f = (
+            F.broadcast(frontier)
+            if frontier.count() <= broadcast_max_rows
+            else frontier
+        )
         nxt = (
-            frontier.join(e, "node")
+            f.join(e, "node")
             .select(F.col("_to").alias("node"))
             .distinct()
         )
-        fresh = nxt.join(reached.select("node"), "node", "left_anti")
+        seen = reached.select("node")
+        if reached.count() <= broadcast_max_rows:
+            seen = F.broadcast(seen)
+        fresh = nxt.join(seen, "node", "left_anti")
         fresh = fresh.localCheckpoint(eager=True)  # see docstring
         reached = reached.unionAll(fresh.withColumn("dist", F.lit(i)))
         frontier = fresh

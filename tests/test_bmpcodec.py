@@ -180,3 +180,16 @@ def test_hypothesis_fuzz_roundtrip():
             np.testing.assert_array_equal(decode_bmp(data), pal[idx])
 
     inner()
+
+
+def test_rle_encode_is_always_bottom_up():
+    # BI_RLE8 with negative biHeight is invalid per the DIB spec: the
+    # encoder must store RLE bottom-up even when top_down is requested,
+    # and the round-trip must still return the same image.
+    rng = np.random.default_rng(7)
+    idx = rng.integers(0, 8, size=(6, 9)).astype(np.uint8)
+    pal = np.stack([np.arange(8) * 31 % 256] * 3, axis=1).astype(np.uint8)
+    data = encode_bmp(idx, bits=8, palette=pal, rle=True, top_down=True)
+    height = struct.unpack_from("<i", data, 14 + 8)[0]
+    assert height > 0  # bottom-up stored
+    assert np.array_equal(decode_bmp(data), pal[idx])

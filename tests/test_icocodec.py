@@ -125,3 +125,24 @@ def test_hypothesis_fuzz_roundtrip():
         np.testing.assert_array_equal(decode_ico(data), img)
 
     inner()
+
+
+def test_png_entry_16bit_scales_to_8bit():
+    # a 16-bit PNG icon entry must scale samples >> 8, not truncate
+    import struct as _struct
+
+    from parquet_common_spark.functions.mediacodec import encode_png
+
+    px16 = np.array(
+        [[[0xFF00, 0x8000, 0x0100, 0xFFFF]],
+         [[0x0000, 0x00FF, 0xABCD, 0x8080]]],
+        dtype=np.uint16,
+    )  # 2x1 RGBA, deliberately non-trivial low bytes
+    payload = encode_png(px16, bitdepth=16)
+    icondir = _struct.pack("<HHH", 0, 1, 1)
+    entry = _struct.pack(
+        "<BBBBHHII", 1, 2, 0, 0, 1, 32, len(payload), 6 + 16
+    )
+    got = decode_ico(icondir + entry + payload)
+    assert got.dtype == np.uint8 and got.shape == (2, 1, 4)
+    assert np.array_equal(got, (px16 >> 8).astype(np.uint8))

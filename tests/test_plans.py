@@ -231,6 +231,7 @@ def test_registry_wide_no_unplanned_cartesians(spark):
         "t10_bigram_ppl",  # same 1-row corpus-total attach (bigram model build)
         "x10_vocab_coverage",  # 1-row total-tokens scalar on the vocab cum frame
         "t13_bm25_retrieval",  # 1-row (n_docs, avgdl) scalar attached to the postings frame
+        "dq6_freshness",  # 1-row corpus-watermark scalar attached to the per-key frame
         "p7_temperature_mixture",  # 1-row weight-total scalar on the tiny rates frame
         "x7_split_drift",  # 1-row (n_train, n_val, S) totals on the tiny domain frame
         "x12_mixing_solver",  # 1-row (z, total) scalar attached to the |sources| frame
