@@ -3875,6 +3875,29 @@ def gr5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scratch_dir(prefix: str, sf_dir: str) -> str:
+    """Per-run scratch directory for queries that exercise the WRITE
+    path: uuid suffix so concurrent runs over the same sf_dir (gate +
+    pytest) never overwrite each other mid-read, and siblings older
+    than an hour (long past any plausible collect of the returned lazy
+    frame) are garbage-collected so /tmp doesn't accumulate."""
+    import os
+    import shutil
+    import time as _time
+    import uuid
+
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    root = f"/tmp/{prefix}"
+    try:
+        for d in os.listdir(root):
+            p = os.path.join(root, d)
+            if os.path.isdir(p) and _time.time() - os.path.getmtime(p) > 3600:
+                shutil.rmtree(p, ignore_errors=True)
+    except OSError:
+        pass
+    return f"{root}/{tag}-{uuid.uuid4().hex[:12]}"
+
+
 # --------------------- io2: hive-partitioned layout + partition pruning
 
 _IO2_SQL = """
@@ -3906,30 +3929,10 @@ def io2(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition key to avoid small-file explosion (one task per type
     otherwise each task writes |types| files); the read is a pruned
     scan + one map-side-combined groupBy."""
-    import os
-    import uuid
-
     from parquet_common_spark.plans.common import dsum, event_ts_ntz
 
     ev = event_ts_ntz(load(spark, sf_dir, "events")["events"])
-    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    # per-run uuid suffix: concurrent runs over the same sf_dir (gate +
-    # pytest) must not overwrite each other's directory mid-read.  The
-    # returned DataFrame lazily reads this path, so it can't be removed
-    # here; instead garbage-collect siblings older than an hour (long
-    # past any plausible collect) so /tmp doesn't accumulate.
-    import shutil
-    import time as _time
-
-    root = "/tmp/pcs_io2"
-    try:
-        for d in os.listdir(root):
-            p = os.path.join(root, d)
-            if os.path.isdir(p) and _time.time() - os.path.getmtime(p) > 3600:
-                shutil.rmtree(p, ignore_errors=True)
-    except OSError:
-        pass
-    base = f"{root}/{tag}-{uuid.uuid4().hex[:12]}"
+    base = _scratch_dir("pcs_io2", sf_dir)
     # repartition on the partition column: each write task then owns
     # whole partition-directories instead of every task appending a
     # file into every directory (the small-files explosion at scale)
@@ -4217,3 +4220,106 @@ def mm11(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out)
 
     return ids.mapInPandas(batches, schema=schema).orderBy("doc_id")
+
+
+# ---------------- a5: mergeable quantile sketch with error-bound audit
+
+_A5_SQL = """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50_exact,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95_exact,
+           TRUE AS sketch_within_bound
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("a5_quantile_sketch", _A5_SQL)
+def a5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (Spark's Greenwald-Khanna
+    approx_percentile) audited against the exact order statistics —
+    the fourth sketch-family member (a1 HLL distinct, a3 count-min,
+    a4 Bloom): the one a 100 TB pipeline actually uses for latency /
+    length / quality percentiles, because the exact percentile needs
+    the group's values while the GK sketch is bounded-state and
+    merge-associative across partitions.  The sketch VALUE is
+    engine-specific, so (a1's pattern) the hashed columns are the
+    exact p50/p95 plus a deterministic pass/fail: the sketch estimate
+    must land inside the exact [q-0.05, q+0.05] quantile neighborhood
+    — at accuracy 10000 the GK rank error is n/10000 << 5% of n, so
+    the bound holds with wide margin and is reproducible across
+    partitionings.  The oracle asserts the same rows with TRUE."""
+    ev = load(spark, sf_dir, "events")["events"]
+    pct = (
+        "percentile(value, array(0.45, 0.5, 0.55, 0.9, 0.95, 1.0))"
+    )
+    apx = "approx_percentile(value, array(0.5, 0.95), 10000)"
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.expr(pct).alias("_ex"),
+            F.expr(apx).alias("_ap"),
+        )
+        .select(
+            "event_type",
+            F.round(F.col("_ex")[1], 6).alias("p50_exact"),
+            F.round(F.col("_ex")[4], 6).alias("p95_exact"),
+            (
+                (F.col("_ap")[0] >= F.col("_ex")[0])
+                & (F.col("_ap")[0] <= F.col("_ex")[2])
+                & (F.col("_ap")[1] >= F.col("_ex")[3])
+                & (F.col("_ap")[1] <= F.col("_ex")[5])
+            ).alias("sketch_within_bound"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ----------------- io3: schema evolution across parquet batches
+
+_IO3_SQL = """
+    SELECT CASE WHEN event_id % 3 = 0 THEN '__absent__' ELSE event_type END
+             AS event_type_eff,
+           COUNT(*) AS n_events,
+           CAST(SUM(user_id) AS BIGINT) AS user_sum
+    FROM events
+    GROUP BY event_type_eff ORDER BY event_type_eff
+"""
+
+
+@query("io3_schema_evolution", _IO3_SQL)
+def io3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution read (mergeSchema): an OLD parquet batch written
+    WITHOUT the event_type column and a NEW batch written with it are
+    read back as ONE dataset — the added column surfaces as NULL on the
+    old files, exactly the column-add drift a long-lived 100 TB lake
+    accumulates.  The aggregate groups on COALESCE(event_type,
+    '__absent__'), so any row lost, duplicated, or mis-nulled by the
+    merged-footer read breaks the count AND the user_sum membership
+    pin.  The oracle replays the split arithmetically from the
+    unsplit source.  Scale shape: mergeSchema unions footers at
+    planning time (per-file schema reconciliation, no data pass);
+    the read is one pruned scan + one map-side-combined groupBy —
+    same plan class as io2."""
+    import os
+
+    ev = load(spark, sf_dir, "events")["events"]
+    base = _scratch_dir("pcs_io3", sf_dir)
+    old = ev.where(F.col("event_id") % 3 == 0).drop("event_type")
+    new = ev.where(F.col("event_id") % 3 != 0)
+    old.write.mode("overwrite").parquet(os.path.join(base, "b0"))
+    new.write.mode("overwrite").parquet(os.path.join(base, "b1"))
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(base, "b0"), os.path.join(base, "b1")
+    )
+    return (
+        back.groupBy(
+            F.coalesce(F.col("event_type"), F.lit("__absent__")).alias(
+                "event_type_eff"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("user_id").cast("long").alias("user_sum"),
+        )
+        .orderBy("event_type_eff")
+    )
