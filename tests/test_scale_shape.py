@@ -136,6 +136,10 @@ DECADE2_QUERIES = [
     "dq7_expectations",
     "e14_funnel_conversion",
     "e15_retention_cohorts",
+    # r10 late additions, decade-measured: a5 3.14x, io3 1.63x, both
+    # strictly plan-equal
+    "a5_quantile_sketch",
+    "io3_schema_evolution",
 ]
 
 
