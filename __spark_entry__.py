@@ -32,12 +32,13 @@ _CHECK_WINDOW = [
     # are in cohort (a)) and reproduced/re-verified locally with the
     # arrow-fetch checker (tools/check_correctness.py now hashes through
     # the driver's Arrow path and type-gates decimal-vs-int), then (c)
-    # the 30 stalest r6 entries in registry order, then (d) the 3 queries
-    # ADDED this round (dq6 freshness, a5 quantile sketch, io3 schema
-    # evolution — never checked).  DEFERRED
-    # to r11 (18 r6 entries, each covered by dedicated pytest batteries
+    # the 29 stalest r6 entries in registry order, then (d) the 4
+    # queries ADDED this round (dq6 freshness, a5 quantile sketch,
+    # io3 schema evolution, m20 promql subquery — never checked).
+    # DEFERRED
+    # to r11 (19 r6 entries, each covered by dedicated pytest batteries
     # and this session's full local sweep): e8 w8 e9 m7 q20a pq2 pq3
-    # pq5 pq6 a3 st7 pq7 f5 p10 q3 e7 st5 st6 — then the r7 cohort (44).
+    # pq5 pq6 a3 st7 pq7 f5 p10 q3 e7 st5 st6 st1 — then the r7 cohort (44).
     #
     # --- (a) never driver-checked (10)
     "io2_partitioned_pruning",
@@ -58,7 +59,7 @@ _CHECK_WINDOW = [
     "gr5_shortest_paths",
     "e14_funnel_conversion",
     "e15_retention_cohorts",
-    # --- (c) stalest r6 cohort, registry order (30)
+    # --- (c) stalest r6 cohort, registry order (29)
     "d2_minhash_lsh_dedup",
     "d10_semdedup",
     "x2_doc_chunking",
@@ -88,14 +89,15 @@ _CHECK_WINDOW = [
     "m4_empty_label_semantics",
     "m19_custom_bucket_histograms",
     "m18_absent_over_time",
-    "st1_streaming_daily_counts",
     # --- (d) NEW this round (never driver-checked, outranks re-checks;
-    # displaced e7_cohort_retention, st6_streaming_sessions and
-    # st5_streaming_neardup into the r11 deferral set — st13/st14/st12
-    # already give streaming three in-window arms)
+    # displaced e7_cohort_retention, st6_streaming_sessions,
+    # st5_streaming_neardup and st1_streaming_daily_counts into the r11
+    # deferral set — st13/st14/st12 already give streaming three
+    # in-window arms)
     "dq6_freshness",
     "a5_quantile_sketch",
     "io3_schema_evolution",
+    "m20_promql_subquery",
 ]
 assert len(_CHECK_WINDOW) == 50, len(_CHECK_WINDOW)
 

@@ -4084,3 +4084,109 @@ def dq7(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("tax_cap", F.col("l_tax") <= 0.06),
     ]
     return validate_expectations(li, rules).orderBy("rule")
+
+
+# ----------- m20: PromQL subquery — avg_over_time(rate(c[1h])[1d:1h])
+
+_M20_SQL = """
+    WITH m AS (SELECT event_type,
+                      CAST(floor(epoch_us(ts) / 60000000) AS BIGINT) AS minute,
+                      SUM(CAST(value AS DECIMAL(18,2))) AS v
+               FROM events GROUP BY event_type, minute),
+    c AS (SELECT event_type, minute,
+                 SUM(v) OVER (PARTITION BY event_type ORDER BY minute) AS cum
+          FROM m),
+    h AS (SELECT event_type, CAST(floor(minute / 60) AS BIGINT) AS hour,
+                 COUNT(*) AS n, MIN(minute) AS mn, MAX(minute) AS mx,
+                 arg_min(cum, minute) AS first_cum,
+                 arg_max(cum, minute) AS last_cum
+          FROM c GROUP BY event_type, hour),
+    r AS (SELECT event_type, hour,
+                 CASE WHEN n >= 2 AND mx > mn
+                      THEN CAST(last_cum - first_cum AS DOUBLE)
+                           / ((mx - mn) * 60.0) END AS rate
+          FROM h)
+    SELECT event_type, CAST(floor(hour / 24) AS BIGINT) AS day,
+           COUNT(rate) AS n_windows,
+           ROUND(CAST(SUM(CAST(rate AS DECIMAL(27,12))) AS DOUBLE)
+                 / COUNT(rate), 9) AS avg_rate
+    FROM r GROUP BY event_type, day
+    HAVING COUNT(rate) > 0
+    ORDER BY event_type, day
+"""
+
+
+@query("m20_promql_subquery", _M20_SQL)
+def m20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PromQL SUBQUERY semantics — ``avg_over_time(rate(c[1h])[1d:1h])``:
+    the inner expression is evaluated on a fixed step grid (1h,
+    epoch-aligned — PromQL's default subquery alignment) and the outer
+    range function aggregates those inner samples per 1d range.  The
+    counter ``c`` is the running total of per-minute value sums (a
+    derived monotone counter, so no reset adjustment is needed and the
+    inner rate is increase/elapsed within each aligned window).
+
+    Determinism contract: per-minute sums are DECIMAL(18,2) (dsum
+    family — order-insensitive), the running counter is a decimal
+    window sum over the UNIQUE minute spine (no ties -> arg_min/max
+    are total), the inner rate's only float op is one division, and
+    the outer mean is an exact decimal sum of 12dp-quantized rates
+    over a counted group — so both engines agree bit-for-bit, unlike
+    a naive AVG(double) whose summation order differs.
+
+    Scale shape: one map-side-combined groupBy (per-minute), one
+    window partitioned by series (running counter — per-series state
+    only), two more bounded groupBys (hour, day).  The subquery grid
+    never materializes per-eval-step copies of the input: each level
+    is an aggregation, which is how a 100 TB engine wants nested range
+    queries to execute (contrast: upstream Prometheus re-evaluates the
+    inner query per outer step).
+    Reference: subqueries are upstream-engine surface
+    (/root/reference/queryable/parquet_queryable_test.go:45 resolves
+    promqltest); this completes the m-family's temporal coverage."""
+    from parquet_common_spark.plans.common import event_ts_ntz
+
+    ev = event_ts_ntz(load(spark, sf_dir, "events")["events"])
+    minute = (
+        F.floor(F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(60_000_000))
+    ).cast("long")
+    m = ev.groupBy("event_type", minute.alias("minute")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("v")
+    )
+    c = m.withColumn(
+        "cum",
+        F.sum("v").over(Window.partitionBy("event_type").orderBy("minute")),
+    )
+    h = c.groupBy(
+        "event_type", F.floor(F.col("minute") / 60).cast("long").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("minute").alias("mn"),
+        F.max("minute").alias("mx"),
+        F.min_by("cum", "minute").alias("first_cum"),
+        F.max_by("cum", "minute").alias("last_cum"),
+    )
+    r = h.select(
+        "event_type",
+        "hour",
+        F.when(
+            (F.col("n") >= 2) & (F.col("mx") > F.col("mn")),
+            (F.col("last_cum") - F.col("first_cum")).cast("double")
+            / ((F.col("mx") - F.col("mn")) * F.lit(60.0)),
+        ).alias("rate"),
+    )
+    return (
+        r.groupBy(
+            "event_type", F.floor(F.col("hour") / 24).cast("long").alias("day")
+        )
+        .agg(
+            F.count("rate").alias("n_windows"),
+            F.round(
+                F.sum(F.col("rate").cast("decimal(27,12)")).cast("double")
+                / F.count("rate"),
+                9,
+            ).alias("avg_rate"),
+        )
+        .where(F.col("n_windows") > 0)
+        .orderBy("event_type", "day")
+    )

@@ -140,6 +140,7 @@ DECADE2_QUERIES = [
     # strictly plan-equal
     "a5_quantile_sketch",
     "io3_schema_evolution",
+    "m20_promql_subquery",  # 1.00x — bounded-key aggregation chain
 ]
 
 
