@@ -22,82 +22,68 @@ from pyspark.sql import DataFrame, SparkSession
 # holds queries hash-green in the latest checked round; the full set is
 # still verified locally via tools/check_correctness.py each round.
 _CHECK_WINDOW = [
-    # r10 rotation, DATA-DRIVEN from CORRECTNESS_r0{1..9}.json: staleness
-    # at r9 close was {never: 10, r6: 48, r7: 44, r8: 44, r9: 50}.
-    # Window = (a) all 10 never-driver-checked entries, (b) the 7 r9
-    # hash-fails — every one was the HUGEINT oracle defect (VERDICT r9
-    # "What's wrong" #1): DuckDB SUM(BIGINT) -> decimal128(38,0) vs
-    # Spark int64 — fixed this round with CAST(SUM(..) AS BIGINT) in all
-    # 10 affected oracles (the 7 red + the 3 latent io2/st14/dq7, which
-    # are in cohort (a)) and reproduced/re-verified locally with the
-    # arrow-fetch checker (tools/check_correctness.py now hashes through
-    # the driver's Arrow path and type-gates decimal-vs-int), then (c)
-    # the 29 stalest r6 entries in registry order, then (d) the 4
-    # queries ADDED this round (dq6 freshness, a5 quantile sketch,
-    # io3 schema evolution, m20 promql subquery — never checked).
-    # DEFERRED
-    # to r11 (19 r6 entries, each covered by dedicated pytest batteries
-    # and this session's full local sweep): e8 w8 e9 m7 q20a pq2 pq3
-    # pq5 pq6 a3 st7 pq7 f5 p10 q3 e7 st5 st6 st1 — then the r7 cohort (44).
-    #
-    # --- (a) never driver-checked (10)
-    "io2_partitioned_pruning",
-    "mm10_bmp_checksum",
-    "sim10_knn_classify",
-    "mm11_ico_checksum",
-    "st13_streaming_transitions",
-    "cdc3_changelog_apply",
-    "e16_sequence_patterns",
-    "mb1_copurchase_lift",
-    "st14_streaming_funnel",
-    "dq7_expectations",
-    # --- (b) r9 hash-fails, oracle-fixed this round (7)
-    "gr4_khop_reachability",
-    "p14_size_balanced_shards",
-    "a4_bloom_semi_join",
-    "dq5_k_anonymity",
-    "gr5_shortest_paths",
-    "e14_funnel_conversion",
-    "e15_retention_cohorts",
-    # --- (c) stalest r6 cohort, registry order (29)
-    "d2_minhash_lsh_dedup",
-    "d10_semdedup",
-    "x2_doc_chunking",
-    "mm5_png_pixel_checksum",
-    "d6_duplicate_clusters",
-    "sim3_ivf_topk",
-    "c2_curation_pipeline_v2",
-    "x3_bpe_pair_counts",
-    "t9_quality_classifier",
-    "d8_incremental_dedup",
-    "x5_interdoc_dup_ngrams",
-    "sim5_pq_topk",
-    "d11_split_leakage",
-    "p6_epoch_shuffle",
-    "p7_temperature_mixture",
-    "x7_split_drift",
-    "sim6_hard_negatives",
-    "t10_bigram_ppl",
-    "p8_length_buckets",
-    "sim7_mmr_rerank",
-    "t11_readability",
-    "x9_zipf_fit",
-    "p9_quality_budget_selection",
-    "x10_vocab_coverage",
-    "s1_nation_setops",
-    "m1_matcher_eq",
-    "m4_empty_label_semantics",
-    "m19_custom_bucket_histograms",
-    "m18_absent_over_time",
-    # --- (d) NEW this round (never driver-checked, outranks re-checks;
-    # displaced e7_cohort_retention, st6_streaming_sessions,
-    # st5_streaming_neardup and st1_streaming_daily_counts into the r11
-    # deferral set — st13/st14/st12 already give streaming three
-    # in-window arms)
-    "dq6_freshness",
-    "a5_quantile_sketch",
-    "io3_schema_evolution",
-    "m20_promql_subquery",
+    # r11 rotation — MECHANICAL, emitted by `python tools/rotate_window.py`
+    # (policy: never-checked > outstanding-failure > code-changed >
+    # stalest-by-last-green-round, ties in registry order) and pinned by
+    # tests/test_driver_contract.py::test_window_matches_rotation_policy.
+    # Ledger at r10 close: {r6: 19, r7: 44, r8: 44, r9: 43, r10: 50},
+    # zero never-checked, zero outstanding failures (CORRECTNESS_r10
+    # was 50/50 green).  Window = all 19 r6-stale entries + the 31
+    # stalest r7 entries in registry order, exactly VERDICT r10 item 1.
+    # DEFERRED to r12 (all driver-green r7, re-verified locally this
+    # round via tools/check_correctness.py): the remaining 13 r7
+    # entries (dq1 dq2 dq3 q21a x1 a2 e6 f4 f6 q5 q6 q18 q22) plus the
+    # r8 cohort (44) — rotate_window.py emits them mechanically.
+    "st1_streaming_daily_counts",
+    "st6_streaming_sessions",
+    "st5_streaming_neardup",
+    "e7_cohort_retention",
+    "e8_funnel_conversion",
+    "w8_navigation_frames",
+    "e9_asof_next_purchase_within_1h",
+    "m7_label_values_filtered",
+    "q20a_active_part_suppliers",
+    "pq2_promql_parquet_storage",
+    "pq3_promql_native_histograms",
+    "pq5_streaming_ingest",
+    "pq6_retention_lifecycle",
+    "a3_count_min_heavy_hitters",
+    "st7_streaming_heavy_hitters",
+    "pq7_recording_rule",
+    "f5_map_functions",
+    "p10_unpivot_event_matrix",
+    "q3_shipping_priority",
+    "t2_quality_scores",
+    "sim2_lsh_topk",
+    "mm2_frame_sampling",
+    "c1_curation_pipeline",
+    "p2_deterministic_sample",
+    "x4_oov_rate",
+    "t8_unigram_ppl",
+    "d9_span_decontam",
+    "x6_source_overlap",
+    "d12_substring_dedup",
+    "p11_per_group_sample",
+    "p12_curriculum_order",
+    "x8_ngram_novelty",
+    "t13_bm25_retrieval",
+    "c3_canonical_selection",
+    "x11_dedup_savings",
+    "w3_moving_avg_events",
+    "g1_rollup_revenue",
+    "g4_grouping_sets",
+    "e1_event_type_stats",
+    "e4_asof_last_click_before_purchase",
+    "e5_top_users_by_value",
+    "m5_label_values",
+    "m6_time_range_pruning",
+    "m9_extrapolated_rate",
+    "m12_promql_functions",
+    "m13_chunk_roundtrip",
+    "m17_double_exponential_smoothing",
+    "m16_histogram_functions",
+    "st2_stream_stream_join",
+    "w7_rank_functions",
 ]
 assert len(_CHECK_WINDOW) == 50, len(_CHECK_WINDOW)
 

@@ -19,6 +19,24 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def render_stdout_line(result: dict) -> str:
+    """Serialize the driver-facing stdout line, enforcing the <1900-char
+    hard guard (the driver keeps only the last 2000 chars of stdout and
+    json-parses the final line — r8/r9 recorded ``parsed: null`` when
+    diagnostics bloated it).  On overflow, drop the band diagnostic and
+    truncate the per-query map to 30 entries WITH an explicit marker
+    (ADVICE r10: consumers must be able to tell the map is partial)."""
+    line = json.dumps(result)
+    if len(line) > 1900:
+        times = result.get("queries", {})
+        result.pop("same_code_band_sec", None)
+        result["queries"] = dict(sorted(times.items())[:30])
+        result["queries_truncated"] = True
+        result["queries_dropped"] = max(0, len(times) - 30)
+        line = json.dumps(result)
+    return line
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -210,12 +228,7 @@ def main() -> int:
     }
     if errors:
         result["n_errors"] = len(errors)
-    line = json.dumps(result)
-    if len(line) > 1900:  # hard guard: never exceed the driver's tail cap
-        result.pop("same_code_band_sec", None)
-        result["queries"] = {k: v for k, v in sorted(times.items())[:30]}
-        line = json.dumps(result)
-    print(line)
+    print(render_stdout_line(result))
     return 0
 
 

@@ -293,6 +293,10 @@ def shortest_paths(
             .agg(F.min("dist").alias("dist"))
         )
         dist = dist.localCheckpoint(eager=True)  # double-reference class
+    # ADVICE r10: dist is eagerly checkpointed and no longer depends on
+    # e — drop the disk-cached edge blocks instead of leaking one cached
+    # edge relation per call for the session lifetime.
+    e.unpersist()
     return dist
 
 
@@ -367,4 +371,8 @@ def k_hop(
         fresh = fresh.localCheckpoint(eager=True)  # see docstring
         reached = reached.unionAll(fresh.withColumn("dist", F.lit(i)))
         frontier = fresh
+    # Safe: every level in the reached union is an eagerly checkpointed
+    # frame, so the plan no longer reads e — drop the disk-cached edge
+    # blocks instead of leaking one per call (ADVICE r10).
+    e.unpersist()
     return reached

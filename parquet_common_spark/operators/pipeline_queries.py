@@ -4277,7 +4277,8 @@ def a5(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ----------------- io3: schema evolution across parquet batches
 
 _IO3_SQL = """
-    SELECT CASE WHEN event_id % 3 = 0 THEN '__absent__' ELSE event_type END
+    SELECT CASE WHEN event_id % 3 = 0 THEN '__absent__'
+                ELSE COALESCE(event_type, '__absent__') END
              AS event_type_eff,
            COUNT(*) AS n_events,
            CAST(SUM(user_id) AS BIGINT) AS user_sum

@@ -71,9 +71,15 @@ def norm_cell(v):
     if v is None:
         return "∅"
     if isinstance(v, decimal.Decimal):
-        # Value-level comparison stays lenient (5.00 == 5); the Arrow
-        # type gate above is what enforces decimal/int separation.
-        v = float(v)
+        # Value-level comparison stays lenient across trailing zeros
+        # (5.00 == 5); the Arrow type gate above is what enforces
+        # decimal/int separation.  ADVICE r10: do NOT round-trip through
+        # float — two scale-0 decimals differing only beyond 2^53 would
+        # hash equal.  Integral decimals compare as exact ints; others
+        # as the exact normalized decimal string.
+        if v == v.to_integral_value():
+            return str(int(v))
+        return str(v.normalize())
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
