@@ -91,6 +91,9 @@ def read_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
+_RELATION_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Read the requested driver tables (TESTDATA.md layout).
 
@@ -99,12 +102,26 @@ def load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     of how the driver generated the file.
     """
     ensure_session_env(spark)
+    app = spark.sparkContext.applicationId
     out: dict[str, DataFrame] = {}
     for n in names or TABLES:
-        if n == "events":
-            out[n] = event_ts_ntz(read_events_raw(spark, sf_dir))
-        else:
-            out[n] = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+        # Catalog-style relation cache (r11): re-reading the same
+        # read-only table re-ran parquet footer/schema discovery on
+        # every query call — ~0.7-0.9s of EVERY bench trial at sf0.1
+        # was load(), not the query (PERF_NOTES r11).  DataFrames are
+        # immutable lazy plans, so reuse is exactly what a registered
+        # catalog view gives; keyed by applicationId so a new session
+        # never sees a stale plan.  The driver testdata dirs are
+        # read-only by contract — never cache a scratch/output path here.
+        key = (app, sf_dir, n)
+        df = _RELATION_CACHE.get(key)
+        if df is None:
+            if n == "events":
+                df = event_ts_ntz(read_events_raw(spark, sf_dir))
+            else:
+                df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
+            _RELATION_CACHE[key] = df
+        out[n] = df
     return out
 
 
