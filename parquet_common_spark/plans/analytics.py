@@ -2021,13 +2021,38 @@ def st6(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.max(F.unix_micros(F.col("ts"))).alias("session_end_us"),
             )
         )
-        sink = f"st6_{uuid.uuid4().hex[:8]}"
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", "4")
+        # Session-window state for the whole first micro-batch (the full
+        # events file) lives in the state store; the default
+        # HDFSBacked provider keeps it as java-serialized JVM-heap maps
+        # and OOMs around 1e7 events under the 8g local heap (r11 scale
+        # run).  RocksDB keeps state off-heap/on-disk — the same choice
+        # a 100 TB cluster deployment makes.  Conf is captured at query
+        # start, so set/restore around start() is safe.
+        provider_key = "spark.sql.streaming.stateStore.providerClass"
+        prev_provider = spark.conf.get(provider_key, None)
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        # parquet sink, not memory: st6's output is data-proportional
+        # (one row per session) — at 1e7 events the memory sink's
+        # collect blows spark.driver.maxResultSize (1.1 GiB measured at
+        # sf10).  A file sink keeps the result distributed end-to-end,
+        # as it would be on a cluster; the scratch dir is uuid-suffixed
+        # and hour-GC'd like every other write-path query's.
+        from parquet_common_spark.operators.pipeline_queries import _scratch_dir
+
+        sink_dir = _scratch_dir("pcs_st6", sf_dir)
         try:
             q = (
-                sessions.writeStream.format("memory")
-                .queryName(sink)
+                sessions.writeStream.format("parquet")
+                .option("path", os.path.join(sink_dir, "out"))
+                .option(
+                    "checkpointLocation", os.path.join(sink_dir, "ckpt")
+                )
                 .outputMode("append")
                 .trigger(availableNow=True)
                 .start()
@@ -2035,11 +2060,15 @@ def st6(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.awaitTermination(300)
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            if prev_provider is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, prev_provider)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
     sw = Window.partitionBy("user_id").orderBy("session_start_us")
     return (
-        spark.table(sink)
+        spark.read.parquet(os.path.join(sink_dir, "out"))
         .where(F.col("user_id") >= 0)
         .withColumn("sid", F.row_number().over(sw).cast("long"))
         .select(
