@@ -131,46 +131,54 @@ def mask_contaminated_spans(
     wholesale.  Output: (id, n_tokens, n_masked, cleaned_text) over the
     NORMALIZED token stream (the hash family's canonical form).
 
-    100 TB shape: the benchmark n-gram set is packed into ONE broadcast
-    array row and attached with a lit-key equi join (same spelling as
-    the streaming probe st4 — no nested-loop join); hit positions,
-    coverage, and the rewrite are pure Column expressions (sequence /
-    filter / exists / transform) — map-only, zero shuffles.  Documents
-    shorter than ``n`` tokens have no n-gram span and pass unmasked."""
+    100 TB shape (r11 redesign): hit detection is an EXPLODE + BROADCAST
+    HASH JOIN, the same probe spelling as :func:`contamination`.  The
+    first version packed the benchmark set into one broadcast ARRAY row
+    and ran ``array_contains`` inside ``F.filter`` per n-gram — higher-
+    order functions evaluate INTERPRETED (no codegen), so that probe
+    cost O(|doc n-grams| x |bench set|) per document and a decade-2
+    scale run measured it as a >30-minute single-straggler stage at
+    ~5e5 docs (jstack: ArrayContains.nullSafeEval inside
+    ArrayFilter.eval).  The join probe is whole-stage-codegen'd and
+    linear; only (id, position) HIT pairs — rare by construction — ever
+    shuffle, followed by one small groupBy and a join-back that AQE
+    broadcasts.  Documents shorter than ``n`` tokens have no n-gram
+    span and pass unmasked."""
     from pyspark.sql import functions as F
 
     from parquet_common_spark.operators import text as T
     from parquet_common_spark.operators.dedup import HASH_P, TOKEN_COMBINE
 
-    bench_arr = (
-        benchmark_ngram_set(benchmark, id_col, text_col, n)
-        .agg(F.sort_array(F.collect_list("h")).alias("_bench"))
-        .withColumn("_k", F.lit(1))
-    )
+    bench = F.broadcast(benchmark_ngram_set(benchmark, id_col, text_col, n))
     toks = T.tokens(T.normalize_text(F.col(text_col)))
     staged = corpus.select(
         F.col(id_col),
         toks.alias("_toks"),
         F.transform(toks, lambda t: T.char_poly_hash(t)).alias("_th"),
-        F.lit(1).alias("_k"),
-    ).join(F.broadcast(bench_arr), "_k")
+    )
 
     th, nn = F.col("_th"), F.size(F.col("_th"))
 
     def sh_at(i):
-        a = F.element_at(th, i)
-        b = F.element_at(th, i + 1)
-        c = F.element_at(th, i + 2)
-        return ((a * TOKEN_COMBINE + b) % HASH_P * TOKEN_COMBINE + c) % HASH_P
+        acc = F.element_at(th, i)
+        for k in range(1, n):
+            acc = (acc * TOKEN_COMBINE + F.element_at(th, i + k)) % HASH_P
+        return acc
 
-    hits = F.when(
-        nn >= n,
-        F.filter(
-            F.sequence(F.lit(1), nn - (n - 1)),
-            lambda i: F.array_contains(F.col("_bench"), sh_at(i)),
-        ),
-    ).otherwise(F.array().cast("array<int>"))
-    staged = staged.withColumn("_hits", hits)
+    ngrams = F.when(
+        nn >= n, F.transform(F.sequence(F.lit(1), nn - (n - 1)), sh_at)
+    ).otherwise(F.array().cast("array<bigint>"))
+    probe = staged.select(
+        F.col(id_col), F.posexplode(ngrams).alias("_p", "_h")
+    )
+    hits_per_doc = (
+        probe.join(bench.withColumnRenamed("h", "_h"), "_h")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list(F.col("_p") + 1)).alias("_hits"))
+    )
+    staged = staged.join(hits_per_doc, id_col, "left").withColumn(
+        "_hits", F.coalesce(F.col("_hits"), F.array().cast("array<int>"))
+    )
     covered = lambda j: F.exists(  # noqa: E731
         F.col("_hits"), lambda h: (j >= h) & (j <= h + (n - 1))
     )

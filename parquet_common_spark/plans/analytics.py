@@ -2185,7 +2185,7 @@ def _st4_sql() -> str:
 
 @query("st4_stream_static_decontam", _st4_sql())
 def st4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import uuid
+    import os
 
     from parquet_common_spark.operators import dedup as DD
     from parquet_common_spark.operators.decontam import benchmark_ngram_set
@@ -2199,44 +2199,71 @@ def st4(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_session_env(spark)
     batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
     bench_docs = batch.where(F.col("source") == _DC_BENCH_SRC)
-    bench_arr = (
-        benchmark_ngram_set(bench_docs, "doc_id", "text", _DC_N)
-        .agg(F.sort_array(F.collect_list("h")).alias("_bench"))
-        .withColumn("_k", F.lit(1))
-    )
+    # r11 redesign: the first version attached the benchmark set as ONE
+    # broadcast array row and took array_intersect(_sh, _bench) per
+    # document — ArrayIntersect rebuilds a hash set of the bench array
+    # for EVERY row, i.e. O(|corpus rows| x |bench set|), the same
+    # interpreted-probe class as d9's straggler.  The probe is now the
+    # contamination() spelling inside foreachBatch — per micro-batch:
+    # explode the stream side's shingles, broadcast-hash-join the
+    # (small, distinct) bench set, one partial-agg groupBy.  foreachBatch
+    # is the production pattern for stream-static enrich + aggregate
+    # without watermark gymnastics; results land in a parquet scratch
+    # sink (hour-GC'd) so nothing data-proportional transits the driver.
+    from parquet_common_spark.operators.pipeline_queries import _scratch_dir
 
+    bench_set = F.broadcast(
+        benchmark_ngram_set(bench_docs, "doc_id", "text", _DC_N)
+    )
     stream = (
         spark.readStream.schema(batch.schema)
         .option("pathGlobFilter", "documents.parquet")
         .parquet(sf_dir)
         .where(F.col("source") != _DC_BENCH_SRC)
         .withColumn("_sh", DD.shingle_hashes(F.col("text"), _DC_N))
-        .withColumn("_k", F.lit(1))
     )
-    flagged = (
-        stream.join(F.broadcast(bench_arr), on="_k", how="inner")
-        .withColumn("n_shingles", F.size("_sh"))
-        .withColumn("n_hits", F.size(F.array_intersect("_sh", "_bench")))
-        .select(
-            "doc_id",
-            F.col("n_shingles").cast("long").alias("n_shingles"),
-            F.col("n_hits").cast("long").alias("n_hits"),
-            F.round(
-                F.col("n_hits").cast("double") / F.col("n_shingles").cast("double"), 6
-            ).alias("hit_frac"),
-            (F.col("n_hits") >= _DC_MIN_HITS).alias("contaminated"),
+    sink_dir = _scratch_dir("pcs_st4", sf_dir)
+    out_dir = os.path.join(sink_dir, "out")
+
+    def _probe(bdf: DataFrame, _epoch: int) -> None:
+        base = bdf.select(
+            "doc_id", F.size("_sh").cast("long").alias("n_shingles"), "_sh"
         )
-    )
-    sink = f"st4_{uuid.uuid4().hex[:8]}"
+        # distinct mirrors array_intersect's set semantics exactly
+        hits = (
+            base.select("doc_id", F.explode("_sh").alias("h"))
+            .distinct()
+            .join(bench_set, "h")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        )
+        (
+            base.drop("_sh")
+            .join(hits, "doc_id", "left")
+            .withColumn("n_hits", F.coalesce("n_hits", F.lit(0).cast("long")))
+            .select(
+                "doc_id",
+                "n_shingles",
+                "n_hits",
+                F.round(
+                    F.col("n_hits").cast("double")
+                    / F.col("n_shingles").cast("double"),
+                    6,
+                ).alias("hit_frac"),
+                (F.col("n_hits") >= _DC_MIN_HITS).alias("contaminated"),
+            )
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
     q = (
-        flagged.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
+        stream.writeStream.foreachBatch(_probe)
+        .option("checkpointLocation", os.path.join(sink_dir, "ckpt"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(300)
-    return spark.table(sink).orderBy("doc_id")
+    return spark.read.parquet(out_dir).orderBy("doc_id")
 
 
 # --------------- st5: streaming near-dup detection vs a static index
