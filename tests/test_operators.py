@@ -2216,3 +2216,30 @@ def test_bloom_no_false_negatives_and_exact_fp_set(spark):
         if k in got:
             assert got[k] is True
     assert bits.count() <= min(m, len(members) * BLOOM_K)
+
+
+def test_minhash_verify_semi_join_paths_identical(spark, sf_dir):
+    """The verify_semi_join auto-gate (r11) is a pure plan choice: both
+    paths must produce the exact same pair set, or the gate would make
+    results corpus-size-dependent."""
+    from parquet_common_spark.operators.dedup import minhash_lsh_pairs
+    from parquet_common_spark.plans.common import load
+
+    docs = load(spark, sf_dir, "documents")["documents"]
+    on = set(
+        map(
+            tuple,
+            minhash_lsh_pairs(
+                docs, "doc_id", "text", tau=0.25, verify_semi_join=True
+            ).collect(),
+        )
+    )
+    off = set(
+        map(
+            tuple,
+            minhash_lsh_pairs(
+                docs, "doc_id", "text", tau=0.25, verify_semi_join=False
+            ).collect(),
+        )
+    )
+    assert on == off and len(on) > 0
