@@ -22,68 +22,71 @@ from pyspark.sql import DataFrame, SparkSession
 # holds queries hash-green in the latest checked round; the full set is
 # still verified locally via tools/check_correctness.py each round.
 _CHECK_WINDOW = [
-    # r11 rotation — MECHANICAL, emitted by `python tools/rotate_window.py`
+    # r12 rotation — MECHANICAL, emitted by
+    # `python tools/rotate_window.py --max-round 11`
     # (policy: never-checked > outstanding-failure > code-changed >
     # stalest-by-last-green-round, ties in registry order) and pinned by
     # tests/test_driver_contract.py::test_window_matches_rotation_policy.
-    # Ledger at r10 close: {r6: 19, r7: 44, r8: 44, r9: 43, r10: 50},
-    # zero never-checked, zero outstanding failures (CORRECTNESS_r10
-    # was 50/50 green).  Window = all 19 r6-stale entries + the 31
-    # stalest r7 entries in registry order, exactly VERDICT r10 item 1.
-    # DEFERRED to r12 (all driver-green r7, re-verified locally this
-    # round via tools/check_correctness.py): the remaining 13 r7
-    # entries (dq1 dq2 dq3 q21a x1 a2 e6 f4 f6 q5 q6 q18 q22) plus the
-    # r8 cohort (44) — rotate_window.py emits them mechanically.
-    "st1_streaming_daily_counts",
-    "st6_streaming_sessions",
-    "st5_streaming_neardup",
-    "e7_cohort_retention",
-    "e8_funnel_conversion",
-    "w8_navigation_frames",
-    "e9_asof_next_purchase_within_1h",
-    "m7_label_values_filtered",
-    "q20a_active_part_suppliers",
-    "pq2_promql_parquet_storage",
-    "pq3_promql_native_histograms",
-    "pq5_streaming_ingest",
-    "pq6_retention_lifecycle",
-    "a3_count_min_heavy_hitters",
-    "st7_streaming_heavy_hitters",
-    "pq7_recording_rule",
-    "f5_map_functions",
-    "p10_unpivot_event_matrix",
-    "q3_shipping_priority",
-    "t2_quality_scores",
-    "sim2_lsh_topk",
-    "mm2_frame_sampling",
-    "c1_curation_pipeline",
-    "p2_deterministic_sample",
-    "x4_oov_rate",
-    "t8_unigram_ppl",
-    "d9_span_decontam",
-    "x6_source_overlap",
-    "d12_substring_dedup",
-    "p11_per_group_sample",
-    "p12_curriculum_order",
-    "x8_ngram_novelty",
-    "t13_bm25_retrieval",
-    "c3_canonical_selection",
-    "x11_dedup_savings",
-    "w3_moving_avg_events",
-    "g1_rollup_revenue",
-    "g4_grouping_sets",
-    "e1_event_type_stats",
-    "e4_asof_last_click_before_purchase",
-    "e5_top_users_by_value",
-    "m5_label_values",
-    "m6_time_range_pruning",
-    "m9_extrapolated_rate",
-    "m12_promql_functions",
-    "m13_chunk_roundtrip",
-    "m17_double_exponential_smoothing",
-    "m16_histogram_functions",
-    "st2_stream_stream_join",
-    "w7_rank_functions",
+    # Ledger at r11 close: {r7: 13, r8: 44, r9: 43, r10: 50, r11: 50},
+    # zero never-checked, zero outstanding failures (CORRECTNESS_r11
+    # was 50/50 green).  Window = all 13 r7-stale entries + the 37
+    # stalest r8 entries in registry order, exactly VERDICT r11 item 1.
+    # st4 (in-window by staleness) also carries this round's only
+    # batch/streaming code change (idempotent per-epoch sink).
+    # DEFERRED to r13 (all driver-green r8, spot-checked by the r11
+    # judge and re-verifiable via tools/check_correctness.py): the
+    # remaining 7 r8 entries + the r9 cohort — rotate_window.py emits
+    # them mechanically.
+    "dq1_column_profile",
+    "dq2_key_integrity",
+    "dq3_numeric_drift",
+    "q21a_late_sole_suppliers",
+    "x1_token_frequencies",
+    "a2_approx_quantile",
+    "e6_value_histogram",
+    "f4_conditional_null",
+    "f6_bitwise_functions",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q18_large_volume_customer",
+    "q22_inactive_customers",
+    "d1_exact_dedup",
+    "d3_simhash_dedup",
+    "d4_ngram_jaccard_dedup",
+    "d5_embedding_neardup",
+    "t1_token_stats",
+    "sim1_cosine_topk",
+    "mm1_media_metadata",
+    "t5_tfidf_terms",
+    "sim4_quantized_topk",
+    "p3_stratified_sample",
+    "d7_benchmark_decontam",
+    "p4_mixture_sample",
+    "x12_mixing_solver",
+    "m8_daily_series_delta",
+    "m10_histogram_quantile",
+    "m14_histogram_chunk_roundtrip",
+    "w6_sliding_windows",
+    "st3_streaming_dedup",
+    "w5_session_windows",
+    "st4_stream_static_decontam",
+    "cdc1_scd2_history",
+    "e10_interval_blast_radius",
+    "st8_streaming_interval_join",
+    "st9_streaming_scd2",
+    "e11_daily_ohlc",
+    "e12_session_outage_overlap",
+    "q2a_top_supplier_per_nation",
+    "q8a_market_share",
+    "q11a_important_parts",
+    "q16a_part_supplier_stats",
+    "f3_array_functions",
+    "a1_approx_distinct",
+    "p1_pivot_event_counts",
+    "sql1_revenue_by_segment",
+    "q1_pricing_summary",
+    "q4_order_priority",
+    "q7_volume_shipping",
 ]
 assert len(_CHECK_WINDOW) == 50, len(_CHECK_WINDOW)
 

@@ -28,6 +28,9 @@ def render_stdout_line(result: dict) -> str:
     (ADVICE r10: consumers must be able to tell the map is partial)."""
     line = json.dumps(result)
     if len(line) > 1900:
+        # shallow-copy: never mutate the caller's dict (ADVICE r11 —
+        # BENCH_DIAG.json is written from the same object later)
+        result = dict(result)
         times = result.get("queries", {})
         result.pop("same_code_band_sec", None)
         result["queries"] = dict(sorted(times.items())[:30])

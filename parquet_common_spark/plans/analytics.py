@@ -2225,7 +2225,7 @@ def st4(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink_dir = _scratch_dir("pcs_st4", sf_dir)
     out_dir = os.path.join(sink_dir, "out")
 
-    def _probe(bdf: DataFrame, _epoch: int) -> None:
+    def _probe(bdf: DataFrame, epoch: int) -> None:
         base = bdf.select(
             "doc_id", F.size("_sh").cast("long").alias("n_shingles"), "_sh"
         )
@@ -2252,8 +2252,13 @@ def st4(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("hit_frac"),
                 (F.col("n_hits") >= _DC_MIN_HITS).alias("contaminated"),
             )
-            .write.mode("append")
-            .parquet(out_dir)
+            # Idempotent per-epoch sink (ADVICE r11): foreachBatch is
+            # at-least-once, so a retried micro-batch under blind append
+            # would duplicate rows.  Each epoch overwrites its own
+            # deterministic subdir instead — a retry replaces, never
+            # doubles; partition discovery unions the epochs at read.
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"epoch={epoch}"))
         )
 
     q = (
@@ -2263,7 +2268,7 @@ def st4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
-    return spark.read.parquet(out_dir).orderBy("doc_id")
+    return spark.read.parquet(out_dir).drop("epoch").orderBy("doc_id")
 
 
 # --------------- st5: streaming near-dup detection vs a static index

@@ -11,6 +11,7 @@ side-by-side and hash-compares values, so:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -103,6 +104,18 @@ def load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """
     ensure_session_env(spark)
     app = spark.sparkContext.applicationId
+    # Evict entries from other applicationIds (ADVICE r11: plans cached
+    # for stopped sessions otherwise leak for the process lifetime, and
+    # are unusable anyway — a DataFrame is bound to its session).
+    stale = [k for k in _RELATION_CACHE if k[0] != app]
+    for k in stale:
+        del _RELATION_CACHE[k]
+    # Scratch-path guard (VERDICT r11): only the driver's read-only
+    # testdata roots are cache-eligible.  A scratch/output dir can be
+    # rewritten between calls, and a cached plan would pin the OLD file
+    # listing (parquet footers are re-read, but the discovered file set
+    # is part of the plan) — so anything else always reads fresh.
+    cacheable = os.path.realpath(sf_dir).startswith("/root/testdata/")
     out: dict[str, DataFrame] = {}
     for n in names or TABLES:
         # Catalog-style relation cache (r11): re-reading the same
@@ -111,16 +124,16 @@ def load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
         # was load(), not the query (PERF_NOTES r11).  DataFrames are
         # immutable lazy plans, so reuse is exactly what a registered
         # catalog view gives; keyed by applicationId so a new session
-        # never sees a stale plan.  The driver testdata dirs are
-        # read-only by contract — never cache a scratch/output path here.
+        # never sees a stale plan.
         key = (app, sf_dir, n)
-        df = _RELATION_CACHE.get(key)
+        df = _RELATION_CACHE.get(key) if cacheable else None
         if df is None:
             if n == "events":
                 df = event_ts_ntz(read_events_raw(spark, sf_dir))
             else:
                 df = spark.read.parquet(f"{sf_dir}/{n}.parquet")
-            _RELATION_CACHE[key] = df
+            if cacheable:
+                _RELATION_CACHE[key] = df
         out[n] = df
     return out
 

@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
 # from.  Bump this when rotating _CHECK_WINDOW for a new round — the pin
 # snapshots the ledger so a post-round CORRECTNESS file landing after
 # the commit cannot retroactively fail it.
-WINDOW_DERIVED_FROM_ROUND = 10
+WINDOW_DERIVED_FROM_ROUND = 11
 
 
 def test_window_matches_rotation_policy():

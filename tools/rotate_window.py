@@ -145,9 +145,21 @@ def main() -> int:
     ap.add_argument("--size", type=int, default=50)
     ap.add_argument("--changed", nargs="*", default=[])
     ap.add_argument("--verify", action="store_true")
+    ap.add_argument(
+        "--max-round",
+        type=int,
+        default=None,
+        help=(
+            "Snapshot the ledger as of this round's close (default: all "
+            "artifacts).  Pass the round the committed window was derived "
+            "from when using --verify after a newer CORRECTNESS artifact "
+            "lands — otherwise the policy advances and --verify spuriously "
+            "reports MISMATCH (ADVICE r11)."
+        ),
+    )
     args = ap.parse_args()
 
-    window, buckets = next_window(args.size, args.changed)
+    window, buckets = next_window(args.size, args.changed, args.max_round)
     out = {
         "window": window,
         "buckets": {k: v for k, v in buckets.items() if v},
