@@ -132,3 +132,93 @@ def blocked_linkage(
         "sim", F.round(_jaro_winkler_udf()(F.col("name_1"), F.col("name_2")), 6)
     )
     return scored.where(F.col("sim") >= F.lit(threshold))
+
+
+def entity_linkage(
+    df: DataFrame,
+    name_col: str,
+    blocking: list[list[str]],
+    threshold: float,
+) -> DataFrame:
+    """Aggregate-then-link: entity-level record linkage whose output and
+    compute are LINEAR in the record count even when exact duplicates
+    dominate the corpus.
+
+    ``blocked_linkage`` materializes record-level candidate pairs, so on
+    a corpus where many records share one name (web crawls: boilerplate
+    titles; here: the driver's `part` table has 64 distinct names at
+    EVERY scale factor) both the candidate set and the RESULT SET are
+    Θ(n²/k) — no blocking-key choice can fix that, because the quadratic
+    lives in the output contract, not the plan (measured r12: 84M →
+    8.4B candidates across sf1→sf10).  The scalable formulation keeps
+    the exact same match semantics but reports them at the entity
+    level: each qualifying record pair depends only on the two rows'
+    (name, blocking-keys) equivalence classes, so
+
+        1. collapse records to per-(blocking-keys…, name) counts —
+           ONE scan of ``df``, the only n-proportional work; every
+           coarser pass grouping re-aggregates this tiny frame;
+        2. count qualifying record pairs per unordered distinct NAME
+           pair by inclusion–exclusion over the pass subsets (a pair is
+           in the union of passes; |A∪B| = |A|+|B|−|A∩B|, generalized):
+           within a subset's blocks, cross-name pairs contribute
+           c_a·c_b and same-name pairs c·(c−1)/2;
+        3. score ONLY the distinct name pairs (bounded by the entity
+           vocabulary, not the corpus) with Jaro-Winkler and threshold.
+
+    Returns ``(name_1, name_2, sim, n_pairs)`` with ``name_1 <= name_2``
+    (equal only for same-name entity pairs) — the exact aggregation of
+    ``blocked_linkage``'s record pairs by unordered name pair (pinned by
+    tests/test_operators.py::test_entity_linkage_matches_blocked).
+    All joins are on per-block entity frames Catalyst auto-broadcasts;
+    nothing record-proportional ever shuffles.
+    """
+    from functools import reduce
+    from itertools import combinations
+
+    if not 1 <= len(blocking) <= 4:
+        raise ValueError("entity_linkage supports 1-4 blocking passes")
+    all_keys = sorted({c for pass_ in blocking for c in pass_})
+    base = (
+        df.groupBy(*all_keys, F.col(name_col).alias("_nm"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    terms: list[DataFrame] = []
+    for k in range(1, len(blocking) + 1):
+        sign = 1 if k % 2 == 1 else -1
+        for combo in combinations(range(len(blocking)), k):
+            keys = sorted({c for i in combo for c in blocking[i]})
+            g = base.groupBy(*keys, "_nm").agg(F.sum("_c").alias("_c"))
+            a = g.select(
+                *keys, F.col("_nm").alias("name_1"), F.col("_c").alias("_ca")
+            )
+            b = g.select(
+                *keys, F.col("_nm").alias("name_2"), F.col("_c").alias("_cb")
+            )
+            cross = (
+                a.join(b, on=keys)
+                .where(F.col("name_1") < F.col("name_2"))
+                .select(
+                    "name_1",
+                    "name_2",
+                    (F.lit(sign) * F.col("_ca") * F.col("_cb")).alias("_np"),
+                )
+            )
+            same = g.select(
+                F.col("_nm").alias("name_1"),
+                F.col("_nm").alias("name_2"),
+                (F.lit(sign) * F.expr("_c * (_c - 1) DIV 2")).alias("_np"),
+            )
+            terms += [cross, same]
+    signed = reduce(lambda x, y: x.unionByName(y), terms)
+    tot = (
+        signed.groupBy("name_1", "name_2")
+        .agg(F.sum("_np").cast("long").alias("n_pairs"))
+        .where(F.col("n_pairs") > 0)
+    )
+    jw = _jaro_winkler_udf()
+    return (
+        tot.withColumn("sim", F.round(jw(F.col("name_1"), F.col("name_2")), 6))
+        .where(F.col("sim") >= F.lit(threshold))
+        .select("name_1", "name_2", "sim", "n_pairs")
+    )

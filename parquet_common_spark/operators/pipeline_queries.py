@@ -2604,46 +2604,68 @@ def gr1(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "er1_record_linkage",
     """
-    WITH pairs AS (
-      SELECT a.p_partkey AS id_1, b.p_partkey AS id_2,
-             a.p_name AS name_1, b.p_name AS name_2
-      FROM part a JOIN part b
-        ON a.p_brand = b.p_brand AND a.p_size = b.p_size
-       AND a.p_partkey < b.p_partkey
-      UNION
-      SELECT a.p_partkey, b.p_partkey, a.p_name, b.p_name
-      FROM part a JOIN part b
-        ON a.p_type = b.p_type AND a.p_size = b.p_size
-       AND a.p_partkey < b.p_partkey
-    )
-    SELECT id_1, id_2, name_1, name_2,
-           round(jaro_winkler_similarity(name_1, name_2), 6) AS sim
-    FROM pairs
-    WHERE round(jaro_winkler_similarity(name_1, name_2), 6) >= 0.93
-    ORDER BY id_1, id_2
+    WITH g12 AS (SELECT p_brand AS b, p_type AS t, p_size AS s,
+                        p_name AS nm, count(*) AS c
+                 FROM part GROUP BY 1, 2, 3, 4),
+    g1 AS (SELECT b, s, nm, SUM(c) AS c FROM g12 GROUP BY 1, 2, 3),
+    g2 AS (SELECT t, s, nm, SUM(c) AS c FROM g12 GROUP BY 1, 2, 3),
+    p1 AS (SELECT a.nm AS nm1, x.nm AS nm2, SUM(a.c * x.c) AS np
+           FROM g1 a JOIN g1 x ON a.b = x.b AND a.s = x.s AND a.nm < x.nm
+           GROUP BY 1, 2
+           UNION ALL
+           SELECT nm, nm, SUM((c * (c - 1)) // 2) FROM g1 GROUP BY nm),
+    p2 AS (SELECT a.nm AS nm1, x.nm AS nm2, SUM(a.c * x.c) AS np
+           FROM g2 a JOIN g2 x ON a.t = x.t AND a.s = x.s AND a.nm < x.nm
+           GROUP BY 1, 2
+           UNION ALL
+           SELECT nm, nm, SUM((c * (c - 1)) // 2) FROM g2 GROUP BY nm),
+    p12 AS (SELECT a.nm AS nm1, x.nm AS nm2, SUM(a.c * x.c) AS np
+            FROM g12 a JOIN g12 x
+              ON a.b = x.b AND a.t = x.t AND a.s = x.s AND a.nm < x.nm
+            GROUP BY 1, 2
+            UNION ALL
+            SELECT nm, nm, SUM((c * (c - 1)) // 2) FROM g12 GROUP BY nm),
+    tot AS (SELECT nm1, nm2, CAST(SUM(np) AS BIGINT) AS n_pairs
+            FROM (SELECT nm1, nm2, np FROM p1
+                  UNION ALL SELECT nm1, nm2, np FROM p2
+                  UNION ALL SELECT nm1, nm2, -np FROM p12)
+            GROUP BY 1, 2 HAVING SUM(np) > 0)
+    SELECT nm1 AS name_1, nm2 AS name_2,
+           round(jaro_winkler_similarity(nm1, nm2), 6) AS sim, n_pairs
+    FROM tot
+    WHERE round(jaro_winkler_similarity(nm1, nm2), 6) >= 0.93
+    ORDER BY name_1, name_2
     """,
 )
 def er1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fuzzy record linkage (entity resolution): multi-pass blocked
-    candidate pairs over parts — (brand, size) for precision plus
-    (type, size) for recall, deduplicated before scoring — scored with
-    the classic Jaro-Winkler in an Arrow-batched UDF and thresholded
-    at 0.93.  A TRUE cross-engine differential: the oracle scores the
-    same pairs with DuckDB's own independent
-    `jaro_winkler_similarity` C++ implementation (my Python
-    implementation is additionally fuzz-pinned against it, 5000 random
-    pairs, tests/test_operators.py).  Scale: pairs = Σ|block|² under
-    the blocking-key contract, one distinct, map-only scoring."""
-    from parquet_common_spark.operators.linkage import blocked_linkage
+    """Fuzzy record linkage (entity resolution), aggregate-then-link:
+    multi-pass blocking over parts — (brand, size) for precision plus
+    (type, size) for recall — with records collapsed to per-(block,
+    name) counts BEFORE pairing, qualifying record pairs counted per
+    distinct name pair by inclusion-exclusion across the two passes,
+    and only the distinct name pairs Jaro-Winkler-scored (Arrow-batched
+    UDF) at the 0.93 threshold.  Returns (name_1, name_2, sim, n_pairs).
+
+    Redesigned r12 from record-level pair output: the driver's part
+    table has 64 distinct names at EVERY sf, so the old output itself
+    was Θ(n²/k) — 156 → 15.6k → 2.46M matched pairs across
+    sf0.01→sf0.1→sf1, with 8.4B candidates at sf10.  The entity-level
+    result carries the same information (its n_pairs aggregates the old
+    rows exactly) at O(vocabulary²) output and one-linear-scan compute
+    (operators/linkage.py::entity_linkage).  Still a TRUE cross-engine
+    differential: the oracle re-derives the counts independently and
+    scores with DuckDB's own `jaro_winkler_similarity` C++
+    implementation (my Python JW is additionally fuzz-pinned against
+    it, 5000 random pairs, tests/test_operators.py)."""
+    from parquet_common_spark.operators.linkage import entity_linkage
 
     part = load(spark, sf_dir, "part")["part"]
-    return blocked_linkage(
+    return entity_linkage(
         part,
-        id_col="p_partkey",
         name_col="p_name",
         blocking=[["p_brand", "p_size"], ["p_type", "p_size"]],
         threshold=0.93,
-    ).orderBy("id_1", "id_2")
+    ).orderBy("name_1", "name_2")
 
 
 @query(

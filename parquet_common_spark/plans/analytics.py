@@ -3124,48 +3124,78 @@ def e12(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------- st10: streaming record linkage (stream-static ER)
 
-# The streaming arm of er1 (operators/linkage.py): a STREAM of new
-# records fuzzy-matched against the STATIC master table.  Both blocking
-# passes are stateless stream-static equi-joins; cross-pass dedup is
-# MAP-SIDE (pass 2 keeps only brand-unequal pairs, so the two passes
-# are disjoint by construction — the streaming-legal spelling of
-# blocked_linkage's distinct(), which would otherwise need a state
-# store).  Scoring is the same Arrow-batched Jaro-Winkler UDF, a pure
-# map per micro-batch.
+# The streaming arm of er1 (operators/linkage.py::entity_linkage): a
+# STREAM of new records fuzzy-matched against the STATIC master table.
+# Redesigned r12 to the same aggregate-then-link posture as er1: the
+# driver's part table has 64 distinct names at every sf, so emitting
+# record×record matched pairs made the OUTPUT Θ(|stream|·|master|/k)
+# — quadratic across a scale decade no matter how the join is planned.
+# Instead the master side collapses to three per-(block, name) count
+# frames (static, entity-bounded, auto-broadcast), each micro-batch
+# takes three map-side broadcast hash joins, and the union of the two
+# blocking passes is counted by inclusion–exclusion
+# (c_brand,size + c_type,size − c_brand,type,size) in a PER-BATCH
+# groupBy keyed by (stream id, master name) — legal without a state
+# store or watermark because every stream record lives in exactly one
+# micro-batch, so the per-id aggregate never spans batches.  Output is
+# one row per (stream record, matched master NAME) with the master
+# support count: linear in the stream.  Results land in the idempotent
+# per-epoch parquet sink (st4's pattern), never a driver-side memory
+# sink.
 
 _ST10_SQL = """
     WITH m AS (SELECT * FROM part WHERE p_partkey % 2 = 0),
     s AS (SELECT * FROM part WHERE p_partkey % 2 = 1),
-    pairs AS (
-      SELECT m.p_partkey AS id_m, s.p_partkey AS id_s,
-             m.p_name AS n1, s.p_name AS n2
-      FROM m JOIN s ON m.p_brand = s.p_brand AND m.p_size = s.p_size
+    m1 AS (SELECT p_brand AS mb, p_size AS msz, p_name AS nm, count(*) AS c
+           FROM m GROUP BY 1, 2, 3),
+    mt AS (SELECT p_type AS mt, p_size AS msz, p_name AS nm, count(*) AS c
+           FROM m GROUP BY 1, 2, 3),
+    mbt AS (SELECT p_type AS mt, p_brand AS mb, p_size AS msz,
+                   p_name AS nm, count(*) AS c
+            FROM m GROUP BY 1, 2, 3, 4),
+    u AS (
+      SELECT s.p_partkey AS id_s, s.p_name AS sn, f.nm, f.c AS np
+      FROM s JOIN m1 f ON f.mb = s.p_brand AND f.msz = s.p_size
       UNION ALL
-      SELECT m.p_partkey, s.p_partkey, m.p_name, s.p_name
-      FROM m JOIN s ON m.p_type = s.p_type AND m.p_size = s.p_size
-                   AND m.p_brand <> s.p_brand
-    )
-    SELECT id_m, id_s, round(jaro_winkler_similarity(n1, n2), 6) AS sim
-    FROM pairs WHERE round(jaro_winkler_similarity(n1, n2), 6) >= 0.93
-    ORDER BY id_m, id_s
+      SELECT s.p_partkey, s.p_name, f.nm, f.c
+      FROM s JOIN mt f ON f.mt = s.p_type AND f.msz = s.p_size
+      UNION ALL
+      SELECT s.p_partkey, s.p_name, f.nm, -f.c
+      FROM s JOIN mbt f ON f.mt = s.p_type AND f.mb = s.p_brand
+                       AND f.msz = s.p_size
+    ),
+    tot AS (SELECT id_s, sn, nm, CAST(SUM(np) AS BIGINT) AS n_masters
+            FROM u GROUP BY 1, 2, 3 HAVING SUM(np) > 0)
+    SELECT id_s, nm AS name_m,
+           round(jaro_winkler_similarity(sn, nm), 6) AS sim, n_masters
+    FROM tot
+    WHERE round(jaro_winkler_similarity(sn, nm), 6) >= 0.93
+    ORDER BY id_s, name_m
 """
 
 
 @query("st10_streaming_linkage", _ST10_SQL)
 def st10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import uuid
+    import os
 
     from parquet_common_spark.operators.linkage import _jaro_winkler_udf
+    from parquet_common_spark.operators.pipeline_queries import _scratch_dir
     from parquet_common_spark.plans.common import ensure_session_env
 
     ensure_session_env(spark)
     batch = spark.read.parquet(f"{sf_dir}/part.parquet")
     master = batch.where(F.col("p_partkey") % 2 == 0).select(
-        F.col("p_partkey").alias("id_m"),
-        F.col("p_name").alias("n1"),
+        F.col("p_name").alias("nm"),
         F.col("p_brand").alias("mb"),
         F.col("p_type").alias("mt"),
         F.col("p_size").alias("msz"),
+    )
+    # static entity-level master frames — bounded by names × block keys,
+    # tiny at every sf, auto-broadcast into each micro-batch's joins
+    m1 = master.groupBy("mb", "msz", "nm").agg(F.count(F.lit(1)).alias("c"))
+    mtf = master.groupBy("mt", "msz", "nm").agg(F.count(F.lit(1)).alias("c"))
+    mbt = master.groupBy("mt", "mb", "msz", "nm").agg(
+        F.count(F.lit(1)).alias("c")
     )
     stream = (
         spark.readStream.schema(batch.schema)
@@ -3174,41 +3204,52 @@ def st10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("p_partkey") % 2 == 1)
         .select(
             F.col("p_partkey").alias("id_s"),
-            F.col("p_name").alias("n2"),
+            F.col("p_name").alias("sn"),
             F.col("p_brand").alias("sb"),
             F.col("p_type").alias("st"),
             F.col("p_size").alias("ssz"),
         )
     )
-    p1 = stream.join(
-        master,
-        (F.col("sb") == F.col("mb")) & (F.col("ssz") == F.col("msz")),
-        "inner",
-    )
-    p2 = stream.join(
-        master,
-        (F.col("st") == F.col("mt"))
-        & (F.col("ssz") == F.col("msz"))
-        & (F.col("sb") != F.col("mb")),  # disjoint from pass 1: map-side dedup
-        "inner",
-    )
+    sink_dir = _scratch_dir("pcs_st10", sf_dir)
+    out_dir = os.path.join(sink_dir, "out")
     jw = _jaro_winkler_udf()
-    scored = (
-        p1.unionByName(p2)
-        .withColumn("sim", F.round(jw(F.col("n1"), F.col("n2")), 6))
-        .where(F.col("sim") >= 0.93)
-        .select("id_m", "id_s", "sim")
-    )
-    sink = f"st10_{uuid.uuid4().hex[:8]}"
+
+    def _link(bdf: DataFrame, epoch: int) -> None:
+        j1 = bdf.join(
+            m1,
+            (F.col("sb") == F.col("mb")) & (F.col("ssz") == F.col("msz")),
+        ).select("id_s", "sn", "nm", F.col("c").alias("np"))
+        j2 = bdf.join(
+            mtf,
+            (F.col("st") == F.col("mt")) & (F.col("ssz") == F.col("msz")),
+        ).select("id_s", "sn", "nm", F.col("c").alias("np"))
+        j3 = bdf.join(
+            mbt,
+            (F.col("st") == F.col("mt"))
+            & (F.col("sb") == F.col("mb"))
+            & (F.col("ssz") == F.col("msz")),
+        ).select("id_s", "sn", "nm", (-F.col("c")).alias("np"))
+        (
+            j1.unionByName(j2)
+            .unionByName(j3)
+            .groupBy("id_s", "sn", "nm")
+            .agg(F.sum("np").cast("long").alias("n_masters"))
+            .where(F.col("n_masters") > 0)
+            .withColumn("sim", F.round(jw(F.col("sn"), F.col("nm")), 6))
+            .where(F.col("sim") >= 0.93)
+            .select("id_s", F.col("nm").alias("name_m"), "sim", "n_masters")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, f"epoch={epoch}"))
+        )
+
     q = (
-        scored.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
+        stream.writeStream.foreachBatch(_link)
+        .option("checkpointLocation", os.path.join(sink_dir, "ckpt"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(300)
-    return spark.table(sink).orderBy("id_m", "id_s")
+    return spark.read.parquet(out_dir).drop("epoch").orderBy("id_s", "name_m")
 
 
 # -------- st11: streaming k-means assignment (stream-static scoring)

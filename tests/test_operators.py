@@ -1576,6 +1576,53 @@ def test_blocked_linkage_max_block_rows_guard(spark):
     assert capped == {(1, 2), (3, 4), (3, 5), (4, 5), (6, 7)}
 
 
+def test_entity_linkage_matches_blocked(spark):
+    """entity_linkage (aggregate-then-link, r12) must equal
+    blocked_linkage's record pairs aggregated by unordered name pair —
+    the inclusion–exclusion across pass subsets and the same-name
+    c·(c−1)/2 terms are the parts worth distrusting.  Synthetic corpus
+    deliberately stresses: heavy exact-duplicate names, pairs caught by
+    both passes (the |A∩B| subtraction), pairs caught by only one, and
+    same-name pairs split across blocks."""
+    import random
+
+    from parquet_common_spark.operators.linkage import (
+        blocked_linkage,
+        entity_linkage,
+    )
+
+    rng = random.Random(42)
+    names = ["aaaa x", "aaaa y", "aaaa z", "bbbb p", "bbbb q", "cccc m"]
+    rows = [
+        (i, rng.choice(names), f"b{rng.randrange(3)}",
+         f"t{rng.randrange(3)}", rng.randrange(2))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, name string, brand string, typ string, size int"
+    )
+    blocking = [["brand", "size"], ["typ", "size"]]
+
+    rec = blocked_linkage(df, "id", "name", blocking, threshold=0.5).collect()
+    agg: dict[tuple[str, str], int] = {}
+    sims: dict[tuple[str, str], float] = {}
+    for r in rec:
+        key = tuple(sorted((r["name_1"], r["name_2"])))
+        agg[key] = agg.get(key, 0) + 1
+        sims[key] = r["sim"]
+
+    ent = entity_linkage(df, "name", blocking, threshold=0.5).collect()
+    got = {(r["name_1"], r["name_2"]): (r["n_pairs"], r["sim"]) for r in ent}
+    assert set(got) == set(agg)
+    for key, n in agg.items():
+        assert got[key][0] == n, (key, got[key], n)
+        assert got[key][1] == sims[key]
+    # sanity: the stress corpus actually exercised same-name pairs and
+    # multi-pass overlap
+    assert any(k[0] == k[1] for k in agg)
+    assert any(k[0] != k[1] for k in agg)
+
+
 def test_radius_search_matches_naive(spark):
     """radius_search == the naive per-pair cosine filter, exactly-once,
     and contains every top-k neighbor whose cosine clears the radius."""
