@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from parquet_common_spark.plans.common import dsum, load, query
+from parquet_common_spark.plans.common import await_stream, dsum, load, query
 
 # ---------------------------------------------------------------- windows
 
@@ -1747,7 +1747,7 @@ def st3(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        await_stream(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (
@@ -1875,7 +1875,7 @@ def st1(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        await_stream(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (
@@ -2057,7 +2057,7 @@ def st6(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(300)
+            await_stream(q)
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
             if prev_provider is None:
@@ -2151,7 +2151,7 @@ def st2(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        await_stream(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (
@@ -2267,7 +2267,7 @@ def st4(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_stream(q)
     return spark.read.parquet(out_dir).drop("epoch").orderBy("doc_id")
 
 
@@ -2343,7 +2343,7 @@ def st5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_stream(q)
     return (
         spark.table(sink)
         .dropDuplicates(["id_a", "id_b"])
@@ -2865,7 +2865,7 @@ def st8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_stream(q)
     return spark.table(sink).orderBy("err_id", "click_id")
 
 
@@ -2942,7 +2942,7 @@ def st9(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        await_stream(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(sink).orderBy("key", "version")
@@ -3248,7 +3248,7 @@ def st10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_stream(q)
     return spark.read.parquet(out_dir).drop("epoch").orderBy("id_s", "name_m")
 
 
@@ -3351,7 +3351,7 @@ def st11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    sq.awaitTermination(300)
+    await_stream(sq)
     return spark.table(sink).orderBy("vec_id")
 
 
@@ -3579,7 +3579,7 @@ def st12(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        await_stream(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (
@@ -3816,7 +3816,7 @@ def st13(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        await_stream(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (
@@ -4109,7 +4109,7 @@ def st14(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        await_stream(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     final = (

@@ -92,6 +92,37 @@ def read_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.read.parquet(f"{sf_dir}/events.parquet")
 
 
+def await_stream(q, deadline: float | None = None) -> None:
+    """Block until a bounded streaming query TERMINATES, not merely until a
+    timeout elapses.
+
+    ``q.awaitTermination(timeout)`` returns ``False`` on timeout without
+    stopping the query — code that follows it straight into a sink
+    read-back silently sees a PARTIAL result once the stream outlives the
+    timeout.  That is exactly a scale bug: every streaming arm finished
+    well under its old 300 s budget at driver SFs, but st6's sf100 run is
+    minutes of micro-batches.  All arms use ``trigger(availableNow=True)``
+    (or a bounded file set), so termination is guaranteed; this helper
+    loops until it happens, keeping a generous overall deadline purely as
+    a hang backstop that FAILS LOUDLY instead of returning partial data.
+
+    Deadline default: $PCS_STREAM_DEADLINE seconds (3600 if unset).
+    """
+    import os as _os
+    import time as _time
+
+    if deadline is None:
+        deadline = float(_os.environ.get("PCS_STREAM_DEADLINE", "3600"))
+    end = _time.monotonic() + deadline
+    while not q.awaitTermination(60):
+        if _time.monotonic() >= end:
+            q.stop()
+            raise TimeoutError(
+                f"streaming query {q.name or q.id} still active after "
+                f"{deadline:.0f}s deadline — refusing to read a partial sink"
+            )
+
+
 _RELATION_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 

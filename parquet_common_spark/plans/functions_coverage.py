@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from parquet_common_spark.plans.common import dsum, load, query
+from parquet_common_spark.plans.common import await_stream, dsum, load, query
 
 
 @query(
@@ -792,7 +792,7 @@ def pq5(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = C.convert_streaming(
         stream, f"{root}/shards", checkpoint_dir=f"{root}/ckpt", labels_col=None
     )
-    q.awaitTermination(300)
+    await_stream(q)
     import glob
 
     shard_dirs = sorted(glob.glob(f"{root}/shards/batch=*"))
@@ -1001,7 +1001,7 @@ def st7(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        await_stream(q)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     table = spark.table(sink)

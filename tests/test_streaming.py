@@ -424,3 +424,56 @@ def test_streaming_funnel_no_emission_without_first_step(spark, tmp_path):
     ).coalesce(1).write.mode("append").parquet(src)
     got = _drive_funnel(spark, src, "fn_none")
     assert got == []
+
+
+# ------------------------------------------------ await_stream contract (r12)
+
+
+def test_await_stream_blocks_until_termination_not_timeout():
+    """await_stream must loop past individual awaitTermination timeouts and
+    return only once the query actually terminates — the old fixed
+    ``q.awaitTermination(300)`` returned False at timeout and let callers
+    read a PARTIAL sink (the st6-at-sf100 hazard)."""
+    from parquet_common_spark.plans.common import await_stream
+
+    class FakeQuery:
+        def __init__(self, rounds_until_done):
+            self.rounds = rounds_until_done
+            self.stopped = False
+            self.name = "fake"
+            self.id = "fake-id"
+
+        def awaitTermination(self, timeout=None):
+            self.rounds -= 1
+            return self.rounds <= 0
+
+        def stop(self):
+            self.stopped = True
+
+    q = FakeQuery(rounds_until_done=3)
+    await_stream(q, deadline=3600)
+    assert q.rounds == 0 and not q.stopped
+
+
+def test_await_stream_deadline_raises_and_stops():
+    """Past the hang-backstop deadline it must STOP the query and raise —
+    never fall through to a sink read."""
+    import pytest
+
+    from parquet_common_spark.plans.common import await_stream
+
+    class NeverDone:
+        name = None
+        id = "never-done"
+        stopped = False
+
+        def awaitTermination(self, timeout=None):
+            return False
+
+        def stop(self):
+            self.stopped = True
+
+    q = NeverDone()
+    with pytest.raises(TimeoutError, match="never-done"):
+        await_stream(q, deadline=0)
+    assert q.stopped
