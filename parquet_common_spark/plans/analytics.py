@@ -16,7 +16,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from parquet_common_spark.plans.common import await_stream, dsum, load, query
+from parquet_common_spark.plans.common import (
+    await_stream,
+    dsum,
+    load,
+    query,
+    stream_shuffle_partitions,
+    stream_to_parquet,
+)
 
 # ---------------------------------------------------------------- windows
 
@@ -1713,7 +1720,6 @@ _ST3_SQL = """
 
 @query("st3_streaming_dedup", _ST3_SQL)
 def st3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import uuid
 
     from parquet_common_spark.plans.common import (
         ensure_session_env,
@@ -1736,22 +1742,20 @@ def st3(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = stream.withWatermark("ts", "1 day").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    sink = f"st3_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")  # one state store per partition
+    spark.conf.set(  # one state store per shuffle partition
+        "spark.sql.shuffle.partitions", stream_shuffle_partitions(sf_dir)
+    )
     try:
-        q = (
-            deduped.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        await_stream(q)
+        # file sink, not memory: deduped is one row per UNIQUE EVENT —
+        # the memory sink would collect the whole corpus onto the driver
+        # (the st6 maxResultSize class); the groupBy below then runs as
+        # an ordinary distributed batch agg over the sink files.
+        out = stream_to_parquet(deduped, sf_dir, "pcs_st3")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (
-        spark.table(sink)
+        out
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value"), 2).alias("sum_value"))
         .orderBy("event_type")
@@ -1866,7 +1870,9 @@ def st1(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scope down the stateful-agg partition count at check scale (one
     # state store per shuffle partition — see st2); restored right after
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", stream_shuffle_partitions(sf_dir)
+    )
     try:
         q = (
             agg.writeStream.format("memory")
@@ -1966,7 +1972,6 @@ def st6(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
     import time
-    import uuid
 
     from parquet_common_spark.plans.common import (
         ensure_session_env,
@@ -2022,7 +2027,9 @@ def st6(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        spark.conf.set(
+        "spark.sql.shuffle.partitions", stream_shuffle_partitions(sf_dir)
+    )
         # Session-window state for the whole first micro-batch (the full
         # events file) lives in the state store; the default
         # HDFSBacked provider keeps it as java-serialized JVM-heap maps
@@ -2103,7 +2110,6 @@ _ST2_SQL = """
 
 @query("st2_stream_stream_join", _ST2_SQL)
 def st2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import uuid
 
     from parquet_common_spark.plans.common import (
         ensure_session_env,
@@ -2136,26 +2142,23 @@ def st2(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") <= F.col("c_ts") + F.expr("INTERVAL 1 HOUR")),
         "inner",
     )
-    sink = f"st2_{uuid.uuid4().hex[:8]}"
     # a stream-stream join keeps one state store PER side PER shuffle
     # partition; at check scale 32 partitions are pure commit overhead.
     # The partition count is fixed at query start, so scope it down here
     # and restore (at cluster scale leave the session default).
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", stream_shuffle_partitions(sf_dir)
+    )
     try:
-        q = (
-            joined.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        await_stream(q)
+        # file sink: the join emits one row per matched click→purchase
+        # PAIR (data-proportional, quadratic under densification) — a
+        # memory sink would collect every pair onto the driver.
+        out = stream_to_parquet(joined, sf_dir, "pcs_st2")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (
-        spark.table(sink)
+        out
         .groupBy(F.col("c_user").alias("user_id"))
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
@@ -2293,7 +2296,6 @@ def _st5_sql() -> str:
 @query("st5_streaming_neardup", _st5_sql())
 def st5(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
-    import uuid
 
     from parquet_common_spark.operators import dedup as DD
     from parquet_common_spark.operators.pipeline_queries import _D8_SPLIT, _SH_TAU
@@ -2335,17 +2337,10 @@ def st5(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("jac", 6).alias("jaccard"),
         )
     )
-    sink = f"st5_{uuid.uuid4().hex[:8]}"
-    q = (
-        verified.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_stream(q)
+    # file sink: verified near-dup PAIRS are corpus-proportional — the
+    # memory sink would collect them all onto the driver (st6 class).
     return (
-        spark.table(sink)
+        stream_to_parquet(verified, sf_dir, "pcs_st5")
         .dropDuplicates(["id_a", "id_b"])
         .orderBy("id_a", "id_b")
     )
@@ -2815,7 +2810,6 @@ def st8(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream-static inner joins are stateless in Structured Streaming, so
     this runs in append mode with zero state store rows; the exact
     containment check is a map-only filter per micro-batch."""
-    import uuid
 
     from parquet_common_spark.plans.common import (
         ensure_session_env,
@@ -2857,16 +2851,11 @@ def st8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("tc") >= F.col("t0")) & (F.col("tc") < F.col("t1")))
         .select("err_id", "click_id")
     )
-    sink = f"st8_{uuid.uuid4().hex[:8]}"
-    q = (
-        matched.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    # file sink: matched (err, click) PAIRS are the e10 density family —
+    # quadratic under densification — never driver-collectible at scale.
+    return stream_to_parquet(matched, sf_dir, "pcs_st8").orderBy(
+        "err_id", "click_id"
     )
-    await_stream(q)
-    return spark.table(sink).orderBy("err_id", "click_id")
 
 
 # --------------- st9: streaming SCD2 (custom stateful operator)
@@ -2902,7 +2891,6 @@ def st9(spark: SparkSession, sf_dir: str) -> DataFrame:
     retention) — each micro-batch closes versions against the open run
     carried in state and emits exactly the batch operator's
     ``valid_to IS NOT NULL`` rows, which is the oracle here."""
-    import uuid
 
     from parquet_common_spark.plans.common import (
         ensure_session_env,
@@ -2931,21 +2919,17 @@ def st9(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = streaming_scd2(
         stream, "user_id", "event_type", "_tus", "event_id", "_et"
     )
-    sink = f"st9_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", stream_shuffle_partitions(sf_dir)
+    )
     try:
-        q = (
-            out.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        await_stream(q)
+        # file sink: closed SCD2 versions grow with the event stream
+        # (runs per key are data-proportional under densification).
+        res = stream_to_parquet(out, sf_dir, "pcs_st9")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.table(sink).orderBy("key", "version")
+    return res.orderBy("key", "version")
 
 
 # --------------- dq3: numeric distribution drift (PSI over value bins)
@@ -3316,7 +3300,6 @@ def _st11_sql(k: int = 4, dim: int = 64) -> str:
 
 @query("st11_streaming_kmeans", _st11_sql())
 def st11(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import uuid
 
     from parquet_common_spark.operators.clustering import (
         assign_to_centroids,
@@ -3343,16 +3326,9 @@ def st11(spark: SparkSession, sf_dir: str) -> DataFrame:
         cluster.alias("cluster"),
         F.round(F.sqrt(sqd), 6).alias("dist"),
     )
-    sink = f"st11_{uuid.uuid4().hex[:8]}"
-    sq = (
-        scored.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_stream(sq)
-    return spark.table(sink).orderBy("vec_id")
+    # file sink: scoring emits one row PER RECORD — the memory sink
+    # would collect the entire scored stream onto the driver (st6 class).
+    return stream_to_parquet(scored, sf_dir, "pcs_st11").orderBy("vec_id")
 
 
 # ------------ cdc2: as-of snapshot diff (time-travel table diff)
@@ -3570,7 +3546,9 @@ def st12(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sink = f"st12_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", stream_shuffle_partitions(sf_dir)
+    )
     try:
         q = (
             agg.writeStream.format("memory")
@@ -3776,7 +3754,6 @@ def st13(spark: SparkSession, sf_dir: str) -> DataFrame:
     per active user (watermark-expired); the per-batch fold is a
     pandas sort+shift per user group; the final sum is a
     |types|^2-key groupBy."""
-    import uuid
 
     from parquet_common_spark.plans.common import (
         ensure_session_env,
@@ -3805,22 +3782,18 @@ def st13(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = streaming_transitions(stream)
-    sink = f"st13_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", stream_shuffle_partitions(sf_dir)
+    )
     try:
-        q = (
-            out.writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        await_stream(q)
+        # file sink: per-batch (user, prev, next, n) rows grow with
+        # active users × batches — data-proportional, not collectible.
+        res = stream_to_parquet(out, sf_dir, "pcs_st13")
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return (
-        spark.table(sink)
+        res
         .groupBy("prev_type", "next_type")
         .agg(F.sum("n").cast("long").alias("n"))
         .orderBy("prev_type", "next_type")
@@ -4071,7 +4044,6 @@ def st14(spark: SparkSession, sf_dir: str) -> DataFrame:
     (max_by on step), and the final-step distribution must equal the
     batch CTE-chain oracle.  14th streaming entry.  Scale shape:
     one tuple per active user; the summary is a 3-key groupBy."""
-    import uuid
 
     from parquet_common_spark.plans.common import (
         ensure_session_env,
@@ -4098,14 +4070,33 @@ def st14(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = streaming_funnel(stream)
-    sink = f"st14_{uuid.uuid4().hex[:8]}"
+    # Update-mode drain through the idempotent per-epoch parquet pattern
+    # (st4's): the parquet file sink is append-only, and per-user update
+    # rows are data-proportional in active users — a memory sink would
+    # hold every emission on the driver.  Epoch subdirs overwrite on
+    # retry; the max_by(step) fold below collapses re-emissions exactly
+    # as it did over the memory sink's update stream.
+    import os
+
+    from parquet_common_spark.operators.pipeline_queries import _scratch_dir
+
+    sink_dir = _scratch_dir("pcs_st14", sf_dir)
+    out_dir = os.path.join(sink_dir, "out")
+
+    def _drain(bdf: DataFrame, epoch: int) -> None:
+        bdf.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={epoch}")
+        )
+
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", stream_shuffle_partitions(sf_dir)
+    )
     try:
         q = (
-            out.writeStream.format("memory")
-            .queryName(sink)
+            out.writeStream.foreachBatch(_drain)
             .outputMode("update")
+            .option("checkpointLocation", os.path.join(sink_dir, "ckpt"))
             .trigger(availableNow=True)
             .start()
         )
@@ -4113,7 +4104,9 @@ def st14(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     final = (
-        spark.table(sink)
+        spark.read.schema(out.schema)
+        .option("basePath", out_dir)
+        .parquet(out_dir)
         .groupBy("user_id")
         .agg(
             F.max_by(

@@ -123,6 +123,79 @@ def await_stream(q, deadline: float | None = None) -> None:
             )
 
 
+def stream_shuffle_partitions(
+    sf_dir: str,
+    table: str = "events.parquet",
+    per_bytes: int = 32 << 20,
+    lo: int = 4,
+    hi: int | None = None,
+) -> str:
+    """Input-size-aware shuffle partition count for the stateful
+    streaming arms.
+
+    Structured Streaming keeps ONE state store per shuffle partition,
+    and the count is frozen into the checkpoint at first run — so it
+    must be sized to the DATA, not the session default.  At check scale
+    (sf0.01–0.1, ≤2 MB of events) 32 stores are pure commit overhead,
+    which is why these arms historically pinned 4; but 4 is equally
+    wrong at sf100 (2 GB of events → 4 threads grinding 25M-row state
+    partitions each).  One partition per ~32 MB of source, clamped to
+    [4, cpu_count], reproduces the old behavior at driver SFs and
+    scales the state-store fan-out with the decade — the same sizing a
+    cluster job does via spark.sql.shuffle.partitions at submit.
+    """
+    import os as _os
+
+    if hi is None:
+        hi = _os.cpu_count() or 32
+    try:
+        size = _os.path.getsize(_os.path.join(sf_dir, table))
+    except OSError:
+        size = 0
+    return str(max(lo, min(hi, (size + per_bytes - 1) // per_bytes)))
+
+
+def stream_to_parquet(
+    df: DataFrame, sf_dir: str, tag: str, deadline: float | None = None
+) -> DataFrame:
+    """Run a bounded append-mode streaming frame through a parquet FILE
+    sink and return the (distributed, lazy) batch read-back.
+
+    The memory sink collects EVERY result row into driver JVM heap — fine
+    for bounded aggregates (st1's day×type counts), but an operator whose
+    output is data-proportional (st3 re-emits every unique event; st2
+    emits one row per matched pair; st11 scores every record) hits
+    spark.driver.maxResultSize at exactly the scale the state store starts
+    mattering (st6 measured this at sf10: 9.1M sessions ≈ 1.1 GiB collect,
+    r11 SCALE.md).  The parquet file sink keeps the result distributed
+    end-to-end — the cluster posture — and is exactly-once for
+    availableNow triggers via its own _spark_metadata commit log, so a
+    retried micro-batch can never double rows.
+
+    The read-back pins the stream's schema explicitly, so a run that
+    emits zero rows (possible at tiny SFs behind watermarks) returns an
+    empty frame instead of failing parquet schema inference.
+    """
+    import os as _os
+
+    from parquet_common_spark.operators.pipeline_queries import _scratch_dir
+
+    sink_dir = _scratch_dir(tag, sf_dir)
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", _os.path.join(sink_dir, "out"))
+        .option("checkpointLocation", _os.path.join(sink_dir, "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_stream(q, deadline)
+    return (
+        df.sparkSession.read.schema(df.schema)
+        .parquet(_os.path.join(sink_dir, "out"))
+    )
+
+
 _RELATION_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 

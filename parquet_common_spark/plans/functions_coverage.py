@@ -8,7 +8,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from parquet_common_spark.plans.common import await_stream, dsum, load, query
+from parquet_common_spark.plans.common import (
+    await_stream,
+    dsum,
+    load,
+    query,
+    stream_shuffle_partitions,
+)
 
 
 @query(
@@ -992,7 +998,10 @@ def st7(spark: SparkSession, sf_dir: str) -> DataFrame:
     table_stream = SK.count_min_table(stream, "text")
     sink = f"st7_{uuid.uuid4().hex[:8]}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        stream_shuffle_partitions(sf_dir, "documents.parquet"),
+    )
     try:
         q = (
             table_stream.writeStream.format("memory")

@@ -477,3 +477,27 @@ def test_await_stream_deadline_raises_and_stops():
     with pytest.raises(TimeoutError, match="never-done"):
         await_stream(q, deadline=0)
     assert q.stopped
+
+
+def test_stream_shuffle_partitions_sizing(tmp_path):
+    """One state store per ~32 MB of source, clamped to [4, cpu_count]:
+    driver SFs keep the historical 4; a 2 GB sf100 events file fans out
+    to the full machine instead of grinding 4 threads."""
+    from parquet_common_spark.plans.common import stream_shuffle_partitions
+
+    f = tmp_path / "events.parquet"
+    f.write_bytes(b"x" * 1024)  # tiny: clamps up to lo
+    assert stream_shuffle_partitions(str(tmp_path)) == "4"
+    assert stream_shuffle_partitions(str(tmp_path), hi=32) == "4"
+    # missing file: defensive lo (never crash the query on a stat)
+    assert stream_shuffle_partitions(str(tmp_path), "nope.parquet") == "4"
+    # synthetic sizes via per_bytes scaling: 2 GB at 32 MB/partition
+    # wants 64, clamps to hi
+    big = tmp_path / "big.parquet"
+    big.write_bytes(b"x" * (8 << 20))
+    assert stream_shuffle_partitions(
+        str(tmp_path), "big.parquet", per_bytes=1 << 20, hi=32
+    ) == "8"
+    assert stream_shuffle_partitions(
+        str(tmp_path), "big.parquet", per_bytes=64 << 10, hi=32
+    ) == "32"
