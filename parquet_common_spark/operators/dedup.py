@@ -171,13 +171,28 @@ def minhash_signature(col):
 
 def _signatures_arrow(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Arrow/numpy signature stage: same algorithm, same values as the
-    Column path, vectorized per batch.  Higher-order Column expressions
-    are interpreted per element; for this hash-heavy stage the Arrow
-    transfer + numpy broadcasting wins (measured at sf0.1 — see
-    minhash_lsh_pairs).  Map-only, no shuffle."""
+    Column path, vectorized ACROSS the whole batch (guide §4.2: hand
+    whole batches to native code, never loop rows in Python).
+
+    r12 rewrite, measured at sf0.1 (OPTIMIZATION_r12.md):
+      - token hashing runs as a length-sorted prefix-sliced numpy fold
+        over one char-code matrix (O(total chars) vectorized work, no
+        per-character Python loop);
+      - shingle windows, per-doc dedup (one ``np.unique`` over
+        doc-keyed composites) and the 32 MinHash mins
+        (``np.minimum.reduceat``) are single flat numpy passes —
+        the old per-document numpy-call loop was the actual cost, not
+        the arithmetic;
+      - output ListArrays are assembled directly from (values, offsets)
+        buffers via ``mapInArrow`` — zero per-row Python on the way out
+        (§4.2's offsets-array point).
+    Map-only, no shuffle; the input is ``spread()`` so a
+    single-row-group source still fans out across cores."""
     import re as _re
 
     from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    from parquet_common_spark.plans.common import spread
 
     out_schema = StructType(
         [
@@ -187,41 +202,118 @@ def _signatures_arrow(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ]
     )
     A, B, P, K = MINHASH_A, MINHASH_B, HASH_P, TOKEN_COMBINE
+    # tokens longer than this fall back to a per-char fold (rare —
+    # keeps the padded char matrix's memory O(total chars), never
+    # O(n_tokens * longest_token))
+    _WIDE = 64
 
     def batches(it):
         import numpy as np
-        import pandas as pd
+        import pyarrow as pa
 
-        Anp = np.asarray(A, dtype=np.int64)[:, None]
-        Bnp = np.asarray(B, dtype=np.int64)[:, None]
+        Anp = np.asarray(A, dtype=np.int64)
+        Bnp = np.asarray(B, dtype=np.int64)
         ws = _re.compile(r"\s+", _re.ASCII)  # Java \s is ASCII-only; match the JVM normalize_text path
 
-        def tok_hash(t: str) -> int:
-            h = 0
-            for ch in t:
-                h = (h * 131 + ord(ch)) % P
+        def tok_hashes_flat(flat: list) -> "np.ndarray":
+            """Polynomial hash of every token, vectorized: sort by length
+            desc so each char position updates a PREFIX slice (no masks),
+            exact same (h*131 + code) % P fold as the JVM path."""
+            n = len(flat)
+            h = np.zeros(n, dtype=np.int64)
+            if n == 0:
+                return h
+            lens = np.fromiter((len(t) for t in flat), dtype=np.int64, count=n)
+            order = np.argsort(-lens, kind="stable")
+            narrow = [flat[i] for i in order if lens[i] <= _WIDE]
+            k0 = n - len(narrow)  # tokens wider than _WIDE sort first
+            hs = np.zeros(n, dtype=np.int64)
+            for pos in range(k0):  # rare wide tokens: per-char fold
+                acc = 0
+                for ch in flat[order[pos]]:
+                    acc = (acc * 131 + ord(ch)) % P
+                hs[pos] = acc
+            if narrow:
+                arr = np.array(narrow, dtype=f"U{max(1, min(int(lens.max()), _WIDE))}")
+                # UCS4 view => one int32 code point per char, 0-padded
+                codes = arr.view(np.uint32).reshape(len(narrow), -1).astype(np.int64)
+                nlens = lens[order[k0:]]
+                acc = np.zeros(len(narrow), dtype=np.int64)
+                for j in range(codes.shape[1]):
+                    live = int(np.searchsorted(-nlens, -(j + 1), side="right"))
+                    if live == 0:
+                        break
+                    acc[:live] = (acc[:live] * 131 + codes[:live, j]) % P
+                hs[k0:] = acc
+            h[order] = hs
             return h
 
-        for pdf in it:
-            ids, shs, sigs = [], [], []
-            for i, text in zip(pdf[pdf.columns[0]], pdf[pdf.columns[1]]):
-                norm = ws.sub(" ", (text or "").lower()).strip(" ")
-                th = np.array([tok_hash(t) for t in norm.split(" ")], dtype=np.int64)
-                if len(th) >= 3:
-                    sh = ((th[:-2] * K + th[1:-1]) % P * K + th[2:]) % P
-                else:
+        for batch in it:
+            ids = batch.column(0).to_numpy(zero_copy_only=False)
+            texts = batch.column(1).to_pylist()
+            ndocs = len(texts)
+            if ndocs == 0:
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([], pa.int64()),
+                     pa.array([], pa.list_(pa.int64())),
+                     pa.array([], pa.list_(pa.int64()))],
+                    names=["_id", "_sh", "_sig"],
+                )
+                continue
+            doc_toks = [
+                ws.sub(" ", (t or "").lower()).strip(" ").split(" ") for t in texts
+            ]
+            counts = np.fromiter((len(ts) for ts in doc_toks), dtype=np.int64, count=ndocs)
+            flat = [tok for ts in doc_toks for tok in ts]
+            th = tok_hashes_flat(flat)
+            offs = np.concatenate(([0], np.cumsum(counts)))
+            # word-3-gram windows over the FLAT hash array; a window is
+            # valid iff it does not cross a doc boundary
+            doc_of = np.repeat(np.arange(ndocs, dtype=np.int64), counts)
+            if len(th) >= 3:
+                win = ((th[:-2] * K + th[1:-1]) % P * K + th[2:]) % P
+                valid = doc_of[:-2] == doc_of[2:]
+                win_doc = doc_of[:-2][valid]
+                win = win[valid]
+            else:
+                win = np.zeros(0, dtype=np.int64)
+                win_doc = np.zeros(0, dtype=np.int64)
+            # docs with <3 tokens: whole-doc fold (same as Column path)
+            short = np.flatnonzero(counts < 3)
+            if len(short):
+                sh_extra = np.zeros(len(short), dtype=np.int64)
+                for si, d in enumerate(short):
                     acc = 0
-                    for h in th:
-                        acc = (acc * K + int(h)) % P
-                    sh = np.array([acc], dtype=np.int64)
-                sh = np.unique(sh)
-                sig = ((Anp * sh[None, :] + Bnp) % P).min(axis=1)
-                ids.append(int(i))
-                shs.append(sh.tolist())
-                sigs.append(sig.tolist())
-            yield pd.DataFrame({"_id": ids, "_sh": shs, "_sig": sigs})
+                    for x in th[offs[d]:offs[d + 1]]:
+                        acc = (acc * K + int(x)) % P
+                    sh_extra[si] = acc
+                win = np.concatenate([win, sh_extra])
+                win_doc = np.concatenate([win_doc, short])
+            # per-doc DISTINCT + sort in one pass: unique of doc*P + sh
+            comb = np.unique(win_doc * P + win)
+            sh_doc = comb // P
+            sh_val = comb % P
+            starts = np.searchsorted(sh_doc, np.arange(ndocs, dtype=np.int64))
+            # 32 MinHash mins per doc, one flat pass per hash function
+            sig = np.empty((MINHASH_K, ndocs), dtype=np.int64)
+            for p in range(MINHASH_K):
+                sig[p] = np.minimum.reduceat((Anp[p] * sh_val + Bnp[p]) % P, starts)
+            sh_offsets = np.concatenate((starts, [len(sh_val)])).astype(np.int64)
+            sh_arr = pa.ListArray.from_arrays(
+                pa.array(sh_offsets, pa.int32()), pa.array(sh_val, pa.int64())
+            )
+            sig_arr = pa.ListArray.from_arrays(
+                pa.array(np.arange(ndocs + 1, dtype=np.int64) * MINHASH_K, pa.int32()),
+                pa.array(sig.T.ravel(), pa.int64()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(ids, pa.int64()), sh_arr, sig_arr],
+                names=["_id", "_sh", "_sig"],
+            )
 
-    return df.select(F.col(id_col), F.col(text_col)).mapInPandas(batches, schema=out_schema)
+    return spread(df.select(F.col(id_col), F.col(text_col))).mapInArrow(
+        batches, schema=out_schema
+    )
 
 
 def shingle_hashes_arrow(

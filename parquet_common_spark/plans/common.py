@@ -242,6 +242,34 @@ def load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return out
 
 
+def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
+    """Restore scan parallelism ahead of a compute-heavy map stage when
+    the source collapses to fewer partitions than the session's
+    parallelism.
+
+    Spark cannot split a single parquet row group across tasks, so a
+    table written as one row group (every driver testdata file at check
+    SFs) runs its ENTIRE scan stage — and everything codegen-fused into
+    it (heavy projections, partial aggregates, Arrow stages) — on one
+    core.  This is the guide's "unsplittable input" case (§2.5):
+    repartition immediately after the read.  ADAPTIVE by construction:
+    when the scan already has >= the session's parallelism (any
+    well-laid-out table at cluster scale), this returns ``df`` unchanged
+    and NO exchange is added, so at 100 TB the corpus is never
+    re-shuffled just to satisfy a local-mode layout quirk.  Catalyst
+    pushes filters and column pruning through the round-robin
+    repartition, so predicate pushdown to the scan is unaffected.
+    """
+    sc = df.sparkSession.sparkContext
+    target = partitions or sc.defaultParallelism
+    try:
+        if df.rdd.getNumPartitions() >= target:
+            return df
+    except Exception:  # noqa: BLE001 — conservatively skip on exotic plans
+        return df
+    return df.repartition(target)
+
+
 def dsum(col, scale: int = 4):
     """Order-insensitive money sum: per-term cast to DECIMAL recovers the
     exact `scale`-decimal-place value (inputs have ≤`scale` true decimal

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from parquet_common_spark.plans.common import dsum, load, query
+from parquet_common_spark.plans.common import dsum, load, query, spread
 
 
 @query(
@@ -47,8 +47,15 @@ from parquet_common_spark.plans.common import dsum, load, query
 )
 def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir, "lineitem")
+    # The 7-aggregate decimal partial agg is codegen-fused into the scan;
+    # on a single-row-group file that serializes the whole pass (guide
+    # §2.5 unsplittable input).  spread() restores map-side parallelism
+    # when (and only when) the scan is narrower than the session cores —
+    # measured 1.81 -> 1.26 s at sf0.1 (OPTIMIZATION_r12.md); a no-op on
+    # multi-row-group layouts, and the l_shipdate filter still pushes
+    # down through the repartition to the parquet scan.
     return (
-        t["lineitem"]
+        spread(t["lineitem"])
         .where(F.col("l_shipdate") <= "2000-12-01")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(

@@ -2290,3 +2290,84 @@ def test_minhash_verify_semi_join_paths_identical(spark, sf_dir):
         )
     )
     assert on == off and len(on) > 0
+
+
+def test_signatures_arrow_vectorized_edge_paths(spark):
+    """r12: the vectorized signature stage's fallback paths — tokens
+    wider than the padded-matrix cap (per-char fold), docs with <3
+    tokens (whole-doc fold), empty/null text, non-ASCII code points —
+    must agree exactly with the interpreted Column engine."""
+    from pyspark.sql import functions as F
+
+    from parquet_common_spark.operators import dedup as D
+
+    wide = "x" * 200  # > _WIDE: exercises the per-char fallback
+    rows = [
+        (1, "three little tokens here today"),
+        (2, "two tokens"),
+        (3, "one"),
+        (4, ""),
+        (6, f"prefix {wide} suffix tokens more words"),
+        (7, "naïve café über schön — ünïcodé tokens everywhere now"),
+        (8, "  leading   and  trailing   whitespace   runs  "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    col = (
+        df.select(
+            F.col("doc_id").alias("_id"),
+            D.shingle_hashes(F.col("text")).alias("_sh"),
+        )
+        .withColumn("_sig", D.minhash_signature_from_hashes(F.col("_sh")))
+        .orderBy("_id")
+        .collect()
+    )
+    arr = D._signatures_arrow(df, "doc_id", "text").orderBy("_id").collect()
+    assert [(r["_id"], sorted(r["_sh"]), list(r["_sig"])) for r in col] == [
+        (r["_id"], sorted(r["_sh"]), list(r["_sig"])) for r in arr
+    ]
+    # NULL text: the arrow path has always treated it as "" (the column
+    # path propagates null) — pin that the r12 rewrite kept the arrow
+    # semantics: null == empty string, bit-for-bit
+    nd = spark.createDataFrame([(1, None), (2, "")], "doc_id long, text string")
+    nr = {
+        r["_id"]: (list(r["_sh"]), list(r["_sig"]))
+        for r in D._signatures_arrow(nd, "doc_id", "text").collect()
+    }
+    assert nr[1] == nr[2]
+
+
+def test_t2_sort_first_order_contract(spark, sf_dir):
+    """r12: t2 replaced orderBy-above-projection with range-partition +
+    per-partition sort BELOW the projection; collected rows must still
+    come out exactly in doc_id order with identical values."""
+    from pyspark.sql import functions as F
+
+    from parquet_common_spark.operators import text as T
+    from parquet_common_spark.plans.common import REGISTRY, load
+    from parquet_common_spark.operators import pipeline_queries  # noqa: F401
+
+    got = [tuple(r) for r in REGISTRY["t2_quality_scores"].fn(spark, sf_dir).collect()]
+    docs = load(spark, sf_dir, "documents")["documents"]
+    want = [
+        tuple(r)
+        for r in docs.select(
+            "doc_id", T.quality_score(F.col("text")).alias("quality")
+        )
+        .orderBy("doc_id")
+        .collect()
+    ]
+    assert got == want and len(got) > 0
+
+
+def test_spread_is_adaptive(spark):
+    """r12: spread() repartitions ONLY when the source is narrower than
+    the session parallelism — already-parallel frames pass through
+    unchanged (no exchange added at cluster scale)."""
+    from parquet_common_spark.plans.common import spread
+
+    narrow = spark.range(1000).coalesce(1)
+    assert spread(narrow).rdd.getNumPartitions() == (
+        spark.sparkContext.defaultParallelism
+    )
+    wide = spark.range(1000).repartition(spark.sparkContext.defaultParallelism + 7)
+    assert spread(wide) is wide
