@@ -186,13 +186,16 @@ def _signatures_arrow(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
       - output ListArrays are assembled directly from (values, offsets)
         buffers via ``mapInArrow`` — zero per-row Python on the way out
         (§4.2's offsets-array point).
-    Map-only, no shuffle; the input is ``spread()`` so a
-    single-row-group source still fans out across cores."""
+    Map-only, no shuffle.  Deliberately NOT spread(): a Python stage
+    pays ~10-15 ms of per-task runner setup, so fanning a tiny corpus
+    out to 32 tasks costs more than the vectorized compute saves
+    (interleaved A/B in OPTIMIZATION_r12.md: 1-task 0.67 s vs 32-task
+    0.96 s for the full d2 at sf0.1); at corpus scale the scan is
+    already parallel and each task runs this same vectorized batch
+    loop."""
     import re as _re
 
     from pyspark.sql.types import ArrayType, LongType, StructField, StructType
-
-    from parquet_common_spark.plans.common import spread
 
     out_schema = StructType(
         [
@@ -311,7 +314,7 @@ def _signatures_arrow(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 names=["_id", "_sh", "_sig"],
             )
 
-    return spread(df.select(F.col(id_col), F.col(text_col))).mapInArrow(
+    return df.select(F.col(id_col), F.col(text_col)).mapInArrow(
         batches, schema=out_schema
     )
 

@@ -367,8 +367,16 @@ def t3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def t4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # t2-class fix (r12): sort the narrow scan columns first so the
+    # range exchange's sampling never re-executes the interpreted
+    # char_poly_hash projection, which then runs once and in parallel.
     docs = load(spark, sf_dir, "documents")["documents"]
-    return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint")).orderBy("doc_id")
+    ordered = (
+        docs.select("doc_id", "text")
+        .repartitionByRange("doc_id")
+        .sortWithinPartitions("doc_id")
+    )
+    return ordered.select("doc_id", T.fingerprint(F.col("text")).alias("fingerprint"))
 
 
 # --------------------------------------------------------- similarity search
@@ -474,8 +482,17 @@ def mm1(spark: SparkSession, sf_dir: str) -> DataFrame:
     the documented stub, mirrored arithmetically in the oracle."""
     from parquet_common_spark.operators.multimodal import attach_fake_media, decode_media
 
+    # t2-class fix (r12): orderBy ABOVE the Python decode stage made the
+    # range exchange's boundary sampling decode every payload a second
+    # time.  Sort the narrow source rows first (range partitions are
+    # ordered, mapInPandas is row-wise per batch), decode once.
     docs = load(spark, sf_dir, "documents")["documents"]
-    return decode_media(attach_fake_media(docs)).orderBy("doc_id")
+    ordered = (
+        docs.select("doc_id", "text")
+        .repartitionByRange("doc_id")
+        .sortWithinPartitions("doc_id")
+    )
+    return decode_media(attach_fake_media(ordered))
 
 
 @query(
@@ -547,9 +564,14 @@ def mm3(spark: SparkSession, sf_dir: str) -> DataFrame:
     256/max_side computed first, then per-axis truncation — the exact
     operation order of resize_media)."""
     from parquet_common_spark.operators.multimodal import attach_fake_media, resize_media
+    from parquet_common_spark.plans.common import presorted
 
+    # t2-class fix (r12): sort the narrow source before the Python
+    # resize stage instead of orderBy above it (boundary sampling was
+    # resizing every image twice); filter/select above a row-wise map
+    # preserve the presorted order.
     docs = load(spark, sf_dir, "documents")["documents"]
-    media = attach_fake_media(docs)
+    media = attach_fake_media(presorted(docs.select("doc_id", "text"), "doc_id"))
     out = resize_media(media, max_side=256).where(F.col("media_type") == "image")
     return (
         out.select(
@@ -583,9 +605,13 @@ def mm4(spark: SparkSession, sf_dir: str) -> DataFrame:
     8/16/24/32-int + IEEE-float to RMS/peak — is pinned by
     tests/test_mediacodec.py over synthesized sine WAVs."""
     from parquet_common_spark.operators.multimodal import attach_fake_media, audio_features
+    from parquet_common_spark.plans.common import presorted
 
+    # t2-class fix (r12): presort below the Python stage, decode once.
     docs = load(spark, sf_dir, "documents")["documents"]
-    return audio_features(attach_fake_media(docs)).orderBy("doc_id")
+    return audio_features(
+        attach_fake_media(presorted(docs.select("doc_id", "text"), "doc_id"))
+    )
 
 
 @query(
@@ -1026,9 +1052,15 @@ _T6_SQL = f"""
 
 @query("t6_repetition_filters", _T6_SQL)
 def t6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # t2-class fix (r12): presort below the interpreted bigram HOFs —
+    # the orderBy's boundary sampling was running the whole O(|grams|^2)
+    # top_bigram stage twice (see plans/common.presorted).
+    from parquet_common_spark.plans.common import presorted
+
     docs = load(spark, sf_dir, "documents")["documents"]
     staged = (
-        docs.withColumn("_toks", T.tokens(T.normalize_text(F.col("text"))))
+        presorted(docs.select("doc_id", "text"), "doc_id")
+        .withColumn("_toks", T.tokens(T.normalize_text(F.col("text"))))
         .withColumn("_grams", T.word_bigrams(F.col("_toks")))
         .withColumn("_top", T.top_bigram(F.col("_grams")))
     )
@@ -1047,7 +1079,6 @@ def t6(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dup_token_frac") <= _REP_DUP_MAX)
             & (F.col("top_bigram_frac") <= _REP_TOP2_MAX),
         )
-        .orderBy("doc_id")
     )
 
 
@@ -1103,13 +1134,19 @@ def t7(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("doc_id") % 7 == 0, F.lit(" call 555-123-4567")).otherwise(F.lit("")),
         F.when(F.col("doc_id") % 11 == 0, F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
     )
-    staged = docs.withColumn("pt", planted)
+    # t2-class fix (r12): presort below the regex bank so sampling
+    # never re-runs detection/redaction (plans/common.presorted).
+    from parquet_common_spark.plans.common import presorted
+
+    staged = presorted(docs.select("doc_id", "text"), "doc_id").withColumn(
+        "pt", planted
+    )
     counts = PII.pii_counts(F.col("pt"))
     return staged.select(
         "doc_id",
         *[c.cast("long").alias(f"n_{n}") for n, c in counts.items()],
         PII.redact_pii(F.col("pt")).alias("redacted"),
-    ).orderBy("doc_id")
+    )
 
 
 # ------------------------------------------------ p4: mixture sampling
@@ -1418,14 +1455,20 @@ def t9(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/text.py quality_classifier): map-only Column expressions,
     zero shuffles, no Python in the hot path; the oracle replays the
     hash, weight formula, fold order, and sigmoid exactly."""
+    # t2-class fix (r12): presort below the classifier projection
+    # (plans/common.presorted); the hash/fold feature stage runs once.
+    from parquet_common_spark.plans.common import presorted
+
     docs = load(spark, sf_dir, "documents")["documents"]
-    s = docs.select("doc_id", T.quality_classifier(F.col("text")).alias("_s"))
+    s = presorted(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id", T.quality_classifier(F.col("text")).alias("_s")
+    )
     return s.select(
         "doc_id",
         F.col("_s.n_tokens").cast("long").alias("n_tokens"),
         F.round(F.col("_s.prob"), 6).alias("quality_prob"),
         (F.col("_s.raw") >= 0).alias("keep"),
-    ).orderBy("doc_id")
+    )
 
 
 # ------------------------------------------- d8: incremental MinHash
@@ -2029,19 +2072,24 @@ def t11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch reading-ease per document from three JVM regexp counts —
     map-only Column expressions, zero shuffles, zero Python (see
     text.readability)."""
+    # t2-class fix (r12): presort below the regex projections
+    # (plans/common.presorted); each regexp_count runs once.
+    from parquet_common_spark.plans.common import presorted
+
     docs = load(spark, sf_dir, "documents")["documents"]
+    src = presorted(docs.select("doc_id", "text"), "doc_id")
     words = F.greatest(F.size(T.tokens(F.col("text"))), F.lit(1))
     sents = F.greatest(F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1))
     sylls = F.greatest(
         F.regexp_count(F.lower(F.col("text")), F.lit(r"[aeiouy]+")), F.lit(1)
     )
-    return docs.select(
+    return src.select(
         "doc_id",
         words.cast("long").alias("n_words"),
         sents.cast("long").alias("n_sentences"),
         sylls.cast("long").alias("n_syllables"),
         F.round(T.readability(F.col("text")), 6).alias("flesch"),
-    ).orderBy("doc_id")
+    )
 
 
 # ------------------------------- x9: Zipf-exponent corpus health

@@ -270,6 +270,24 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+def presorted(df: DataFrame, *cols: str) -> DataFrame:
+    """Range-partition + per-partition sort BEFORE an expensive
+    order-preserving map stage, replacing a final ``orderBy`` above it.
+
+    An ``orderBy`` directly above a map stage (no intervening exchange)
+    makes the range exchange's boundary-sampling job execute the map
+    stage a SECOND time — for regex projections and Python decode
+    stages that doubles the dominant cost (t2-class fix,
+    OPTIMIZATION_r12.md).  Sorting the narrow pre-map rows instead
+    samples only the cheap source, and rows leave a row-wise map stage
+    in exactly ORDER BY *cols* order: range partitions are ordered
+    between themselves, rows are sorted within each, and AQE may only
+    coalesce ADJACENT range partitions.  Only safe when the downstream
+    map is row-wise order-preserving (all codec/metric map stages here
+    are) and *cols* form a total order (unique keys)."""
+    return df.repartitionByRange(*cols).sortWithinPartitions(*cols)
+
+
 def dsum(col, scale: int = 4):
     """Order-insensitive money sum: per-term cast to DECIMAL recovers the
     exact `scale`-decimal-place value (inputs have ≤`scale` true decimal
