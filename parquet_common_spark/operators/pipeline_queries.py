@@ -525,14 +525,30 @@ def mm2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load(spark, sf_dir, "documents")["documents"]
-    media = attach_fake_media(docs)
-    frames = sample_frames(media, every_k=10)
+    # r12 (guide §4.1): only video rows are ever used, but media_type is
+    # a native column computed BELOW the opaque Python stages — filtering
+    # before them ships 1/3 of the payload bytes across the JVM→Python
+    # boundary (twice: decode branch + frame branch) instead of all of
+    # them.  Row-wise stages, so filter-below ≡ filter-above.
+    vid = attach_fake_media(docs).where(F.col("media_type") == "video")
+    frames = sample_frames(vid, every_k=10)
     agg = frames.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_sampled"),
         F.sum("frame_idx").cast("long").alias("sum_frame_idx"),
         F.sum(F.length("frame_payload")).cast("long").alias("frame_bytes"),
     )
-    dec = decode_media(media).where(F.col("media_type") == "video").select("doc_id", "n_frames")
+    # r12 (finding 2, join form): the final orderBy's range sampling
+    # re-executes any join input that is NOT a materialized exchange —
+    # here the Python decode branch ran twice.  A hash repartition of
+    # the narrow (doc_id, n_frames) rows puts the decode below a shuffle
+    # stage that AQE materializes once; sampling then reads shuffle
+    # output, not the Python lineage.
+    dec = (
+        decode_media(vid)
+        .where(F.col("media_type") == "video")
+        .select("doc_id", "n_frames")
+        .repartition("doc_id")
+    )
     return dec.join(agg, "doc_id").select(
         "doc_id", "n_frames", "n_sampled", "sum_frame_idx", "frame_bytes"
     ).orderBy("doc_id")
@@ -571,16 +587,23 @@ def mm3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # resizing every image twice); filter/select above a row-wise map
     # preserve the presorted order.
     docs = load(spark, sf_dir, "documents")["documents"]
-    media = attach_fake_media(presorted(docs.select("doc_id", "text"), "doc_id"))
-    out = resize_media(media, max_side=256).where(F.col("media_type") == "image")
-    return (
-        out.select(
-            "doc_id",
-            F.length("payload").cast("long").alias("n_bytes"),
-            "width",
-            "height",
-        )
-        .orderBy("doc_id")
+    # r12 (guide §4.1): only image rows are used, and media_type is a
+    # native column — filter BELOW the opaque Python resize so 1/3 of
+    # the payload bytes cross the JVM→Python boundary.  A row-wise
+    # filter preserves the presorted partition order.
+    media = attach_fake_media(presorted(docs.select("doc_id", "text"), "doc_id")).where(
+        F.col("media_type") == "image"
+    )
+    out = resize_media(media, max_side=256)
+    # No final orderBy: rows already leave the row-wise resize in
+    # doc_id order via the presort (mm1/mm4 shape) — a top-level
+    # orderBy would range-sample THROUGH the Python stage, resizing
+    # every image a second time.
+    return out.select(
+        "doc_id",
+        F.length("payload").cast("long").alias("n_bytes"),
+        "width",
+        "height",
     )
 
 

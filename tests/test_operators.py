@@ -2359,6 +2359,72 @@ def test_t2_sort_first_order_contract(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+def test_mm3_presort_order_contract(spark, sf_dir):
+    """r12: mm3 dropped its final orderBy (rides the presort through the
+    row-wise resize, mm1/mm4 shape) and pre-filters image rows below the
+    Python stage; collected rows must still come out exactly in doc_id
+    order with identical values to the orderBy-above form."""
+    from pyspark.sql import functions as F
+
+    from parquet_common_spark.operators.multimodal import attach_fake_media, resize_media
+    from parquet_common_spark.plans.common import REGISTRY
+    from parquet_common_spark.plans.common import load
+    from parquet_common_spark.operators import pipeline_queries  # noqa: F401
+
+    got = [tuple(r) for r in REGISTRY["mm3_resize_geometry"].fn(spark, sf_dir).collect()]
+    docs = load(spark, sf_dir, "documents")["documents"]
+    want = [
+        tuple(r)
+        for r in resize_media(attach_fake_media(docs), max_side=256)
+        .where(F.col("media_type") == "image")
+        .select(
+            "doc_id",
+            F.length("payload").cast("long").alias("n_bytes"),
+            "width",
+            "height",
+        )
+        .orderBy("doc_id")
+        .collect()
+    ]
+    assert got == want and len(got) > 0
+
+
+def test_mm2_prefilter_pair_contract(spark, sf_dir):
+    """r12: mm2 pre-filters video rows below BOTH Python stages and
+    materializes the decode branch under a hash exchange; the joined,
+    ordered output must equal the unfiltered-branch form exactly."""
+    from pyspark.sql import functions as F
+
+    from parquet_common_spark.operators.multimodal import (
+        attach_fake_media,
+        decode_media,
+        sample_frames,
+    )
+    from parquet_common_spark.plans.common import REGISTRY, load
+    from parquet_common_spark.operators import pipeline_queries  # noqa: F401
+
+    got = [tuple(r) for r in REGISTRY["mm2_frame_sampling"].fn(spark, sf_dir).collect()]
+    docs = load(spark, sf_dir, "documents")["documents"]
+    media = attach_fake_media(docs)
+    frames = sample_frames(media, every_k=10)
+    agg = frames.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("frame_idx").cast("long").alias("sum_frame_idx"),
+        F.sum(F.length("frame_payload")).cast("long").alias("frame_bytes"),
+    )
+    dec = decode_media(media).where(F.col("media_type") == "video").select(
+        "doc_id", "n_frames"
+    )
+    want = [
+        tuple(r)
+        for r in dec.join(agg, "doc_id")
+        .select("doc_id", "n_frames", "n_sampled", "sum_frame_idx", "frame_bytes")
+        .orderBy("doc_id")
+        .collect()
+    ]
+    assert got == want and len(got) > 0
+
+
 def test_spread_is_adaptive(spark):
     """r12: spread() repartitions ONLY when the source is narrower than
     the session parallelism — already-parallel frames pass through
