@@ -2437,3 +2437,24 @@ def test_spread_is_adaptive(spark):
     )
     wide = spark.range(1000).repartition(spark.sparkContext.defaultParallelism + 7)
     assert spread(wide) is wide
+
+
+def test_presorted_order_survives_rowwise_map(spark):
+    """r12: presorted(df, k) + a row-wise order-preserving map must
+    collect in exact ORDER BY k order with NO sort above the map — the
+    contract every sort-below-heavy-map query (t2/t4/.../mm1/mm3/mm4)
+    rides.  Uses a skewed, shuffled input so AQE's partition coalescing
+    (adjacent-only for range partitions) is exercised rather than a
+    single pre-ordered partition."""
+    from pyspark.sql import functions as F
+
+    from parquet_common_spark.plans.common import presorted
+
+    df = (
+        spark.range(10_000)
+        .select((F.col("id") * 2654435761 % 10_000).alias("k"))
+        .repartition(17)  # destroy source order/partitioning first
+    )
+    mapped = presorted(df, "k").select("k", (F.col("k") * 3).alias("v"))
+    got = [r.k for r in mapped.collect()]
+    assert got == sorted(got) and len(got) == 10_000
