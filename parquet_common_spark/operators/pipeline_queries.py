@@ -216,8 +216,14 @@ _D5_SQL = f"""
 @query("d5_embedding_neardup", _D5_SQL)
 def d5(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")["embeddings"]
-    return D.embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=_COS_TAU).orderBy(
-        "id_a", "id_b"
+    # r12 (finding 2): the final orderBy's range sampling re-executes the
+    # O(block^2) pairwise-cosine applyInPandas stage unless a shuffle
+    # materializes it first; one hash repartition of the narrow
+    # (id_a, id_b, cos) pair rows makes sampling read shuffle output.
+    return (
+        D.embedding_neardup_pairs(emb, "vec_id", "embedding", threshold=_COS_TAU)
+        .repartition("id_a", "id_b")
+        .orderBy("id_a", "id_b")
     )
 
 
@@ -2063,10 +2069,17 @@ def sim7(spark: SparkSession, sf_dir: str) -> DataFrame:
     lam*cos - (1-lam)*max-sim-to-selected).  The quadratic part is
     pool^2 inside a per-query applyInPandas group, never corpus^2."""
     emb = load(spark, sf_dir, "embeddings")["embeddings"]
-    return SIM.mmr_topk(
-        emb, emb.where(F.col("vec_id") < 3),
-        k=_SIM7_K, pool=_SIM7_POOL, lam=_SIM7_LAM,
-    ).orderBy("query_id", "mmr_rank")
+    # r12 (finding 2): one hash repartition of the narrow reranked rows
+    # materializes the greedy applyInPandas stage under a shuffle, so the
+    # final orderBy's range sampling does not re-execute it.
+    return (
+        SIM.mmr_topk(
+            emb, emb.where(F.col("vec_id") < 3),
+            k=_SIM7_K, pool=_SIM7_POOL, lam=_SIM7_LAM,
+        )
+        .repartition("query_id")
+        .orderBy("query_id", "mmr_rank")
+    )
 
 
 # --------------------------- t11: Flesch reading-ease readability
@@ -2776,11 +2789,19 @@ def sim8(spark: SparkSession, sf_dir: str) -> DataFrame:
     use the family's shared left-to-right accumulation so the DuckDB
     oracle is hash-exact at 6dp."""
     emb = load(spark, sf_dir, "embeddings")["embeddings"]
-    return SIM.radius_search(
-        emb.where(F.col("vec_id") >= 25),
-        emb.where(F.col("vec_id") < 25),
-        tau=0.3,
-    ).orderBy("query_id", "neighbor_id")
+    # r12 (finding 2): the radius pass itself stays map-only; one hash
+    # repartition of the narrow result pairs materializes it under a
+    # shuffle so the final orderBy's range sampling reads shuffle output
+    # instead of running the corpus x query cosine pass a second time.
+    return (
+        SIM.radius_search(
+            emb.where(F.col("vec_id") >= 25),
+            emb.where(F.col("vec_id") < 25),
+            tau=0.3,
+        )
+        .repartition("query_id", "neighbor_id")
+        .orderBy("query_id", "neighbor_id")
+    )
 
 
 @query(
