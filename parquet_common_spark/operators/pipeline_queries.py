@@ -742,7 +742,15 @@ def mm5(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["pixel_sum"].append(int(got.astype(np.int64).sum()))
             yield pd.DataFrame(out)
 
-    return ids.mapInPandas(batches, schema=schema).orderBy("doc_id")
+    # r12 (finding 2): hash-repartition the 64 narrow checksum rows so
+    # the final orderBy's range sampling reads shuffle output instead
+    # of re-executing the Python codec stage (interleaved A/B, see
+    # OPTIMIZATION_r12.md, sessions 4-5 table).
+    return (
+        ids.mapInPandas(batches, schema=schema)
+        .repartition("doc_id")
+        .orderBy("doc_id")
+    )
 
 
 # ------------------------------------- d6: duplicate clusters (iterative)
@@ -1248,9 +1256,16 @@ def p5(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = PK.pack_sequences(
         with_tokens, ["source", "doc_id"], "n_tokens", budget=_P5_BUDGET
     )
-    return out.select(
-        "doc_id", "source", "n_tokens", "cum_tokens", "pack_id", "pack_offset"
-    ).orderBy("doc_id")
+    # r12 (finding 2): one hash repartition of the narrow packed rows
+    # materializes the prefix-sum MapInPandas stage under a shuffle, so
+    # the final orderBy's range sampling does not re-execute it.
+    return (
+        out.select(
+            "doc_id", "source", "n_tokens", "cum_tokens", "pack_id", "pack_offset"
+        )
+        .repartition("doc_id")
+        .orderBy("doc_id")
+    )
 
 
 # ------------------------- c2: curation pipeline v2 (r5 ops composed)
@@ -1363,9 +1378,16 @@ def c2(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed = PK.pack_sequences(
         with_tokens, ["source", "doc_id"], "n_tokens", budget=_C2_BUDGET
     )
-    return packed.select(
-        "doc_id", "source", "n_tokens", "cum_tokens", "pack_id", "pack_offset"
-    ).orderBy("doc_id")
+    # r12 (finding 2): materialize the prefix-sum MapInPandas stage (and
+    # the whole curation lineage below it) under a hash shuffle so the
+    # final orderBy's range sampling does not re-execute it.
+    return (
+        packed.select(
+            "doc_id", "source", "n_tokens", "cum_tokens", "pack_id", "pack_offset"
+        )
+        .repartition("doc_id")
+        .orderBy("doc_id")
+    )
 
 
 @query(
@@ -2238,7 +2260,14 @@ def p9(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = PK.select_best_within_budget(
         scored, "doc_id", "n_tokens", "quality", budget=_P9_BUDGET
     )
-    return out.select("doc_id", "quality", "n_tokens", "cum_tokens").orderBy("doc_id")
+    # r12 (finding 2): materialize the prefix-sum MapInPandas stage under
+    # a hash shuffle so the final orderBy's range sampling does not
+    # re-execute it.
+    return (
+        out.select("doc_id", "quality", "n_tokens", "cum_tokens")
+        .repartition("doc_id")
+        .orderBy("doc_id")
+    )
 
 
 # ----------------------- x10: vocabulary coverage curve
@@ -2632,7 +2661,15 @@ def mm6(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["sample_sum"].append(int(got.astype(np.int64).sum()))
             yield pd.DataFrame(out)
 
-    return ids.mapInPandas(batches, schema=schema).orderBy("doc_id")
+    # r12 (finding 2): hash-repartition the 64 narrow checksum rows so
+    # the final orderBy's range sampling reads shuffle output instead
+    # of re-executing the Python codec stage (interleaved A/B, see
+    # OPTIMIZATION_r12.md, sessions 4-5 table).
+    return (
+        ids.mapInPandas(batches, schema=schema)
+        .repartition("doc_id")
+        .orderBy("doc_id")
+    )
 
 
 @query(
@@ -3389,7 +3426,15 @@ def mm7(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["pixel_sum"].append(int(img.sum()))
             yield pd.DataFrame(out)
 
-    return ids.mapInPandas(batches, schema=schema).orderBy("doc_id")
+    # r12 (finding 2): hash-repartition the 64 narrow checksum rows so
+    # the final orderBy's range sampling reads shuffle output instead
+    # of re-executing the Python codec stage (interleaved A/B, see
+    # OPTIMIZATION_r12.md, sessions 4-5 table).
+    return (
+        ids.mapInPandas(batches, schema=schema)
+        .repartition("doc_id")
+        .orderBy("doc_id")
+    )
 
 
 # -------------------------------------------- mm8: GIF frame checksum
@@ -3476,7 +3521,15 @@ def mm8(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["rgb_sum"].append(int(frames.astype(np.int64).sum()))
             yield pd.DataFrame(out)
 
-    return ids.mapInPandas(batches, schema=schema).orderBy("doc_id")
+    # r12 (finding 2): hash-repartition the 64 narrow checksum rows so
+    # the final orderBy's range sampling reads shuffle output instead
+    # of re-executing the Python codec stage (interleaved A/B, see
+    # OPTIMIZATION_r12.md, sessions 4-5 table).
+    return (
+        ids.mapInPandas(batches, schema=schema)
+        .repartition("doc_id")
+        .orderBy("doc_id")
+    )
 
 
 # ---------------------------------------------- gr4: k-hop reachability
@@ -3814,7 +3867,15 @@ def mm9(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["pixel_sum"].append(int(got.astype(np.int64).sum()))
             yield pd.DataFrame(out)
 
-    return ids.mapInPandas(batches, schema=schema).orderBy("doc_id")
+    # r12 (finding 2): hash-repartition the 64 narrow checksum rows so
+    # the final orderBy's range sampling reads shuffle output instead
+    # of re-executing the Python codec stage (interleaved A/B, see
+    # OPTIMIZATION_r12.md, sessions 4-5 table).
+    return (
+        ids.mapInPandas(batches, schema=schema)
+        .repartition("doc_id")
+        .orderBy("doc_id")
+    )
 
 
 # --------------------------------------------- dq5: k-anonymity audit
@@ -4189,7 +4250,15 @@ def mm10(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["rgb_sum"].append(int(got.astype(np.int64).sum()))
             yield pd.DataFrame(out)
 
-    return ids.mapInPandas(batches, schema=schema).orderBy("doc_id")
+    # r12 (finding 2): hash-repartition the 64 narrow checksum rows so
+    # the final orderBy's range sampling reads shuffle output instead
+    # of re-executing the Python codec stage (interleaved A/B, see
+    # OPTIMIZATION_r12.md, sessions 4-5 table).
+    return (
+        ids.mapInPandas(batches, schema=schema)
+        .repartition("doc_id")
+        .orderBy("doc_id")
+    )
 
 
 # ------------------------------ sim10: k-NN label classification
@@ -4347,7 +4416,15 @@ def mm11(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out["rgba_sum"].append(int(got.astype(np.int64).sum()))
             yield pd.DataFrame(out)
 
-    return ids.mapInPandas(batches, schema=schema).orderBy("doc_id")
+    # r12 (finding 2): hash-repartition the 64 narrow checksum rows so
+    # the final orderBy's range sampling reads shuffle output instead
+    # of re-executing the Python codec stage (interleaved A/B, see
+    # OPTIMIZATION_r12.md, sessions 4-5 table).
+    return (
+        ids.mapInPandas(batches, schema=schema)
+        .repartition("doc_id")
+        .orderBy("doc_id")
+    )
 
 
 # ---------------- a5: mergeable quantile sketch with error-bound audit
