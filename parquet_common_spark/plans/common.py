@@ -242,7 +242,7 @@ def load(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     return out
 
 
-def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
+def spread(df: DataFrame, partitions: int | None = None, *keys: str) -> DataFrame:
     """Restore scan parallelism ahead of a compute-heavy map stage when
     the source collapses to fewer partitions than the session's
     parallelism.
@@ -257,8 +257,17 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     well-laid-out table at cluster scale), this returns ``df`` unchanged
     and NO exchange is added, so at 100 TB the corpus is never
     re-shuffled just to satisfy a local-mode layout quirk.  Catalyst
-    pushes filters and column pruning through the round-robin
-    repartition, so predicate pushdown to the scan is unaffected.
+    pushes filters and column pruning through the repartition, so
+    predicate pushdown to the scan is unaffected.
+
+    Pass high-cardinality ``keys`` when the source has them: a keyless
+    round-robin exchange must first SORT its input rows within each map
+    task so retried tasks reproduce the same row-to-partition assignment
+    (spark.sql.execution.sortBeforeRepartition, guide §2.5) — on the
+    serial single-row-group scan this exchange exists to fix, that sort
+    runs on one core over the full table.  Hash partitioning on a
+    deterministic column needs no such sort and is equally retry-safe
+    (measured on q1: min 0.90 → 0.69 s, OPTIMIZATION_r12.md).
     """
     sc = df.sparkSession.sparkContext
     target = partitions or sc.defaultParallelism
@@ -267,6 +276,8 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
             return df
     except Exception:  # noqa: BLE001 — conservatively skip on exotic plans
         return df
+    if keys:
+        return df.repartition(target, *keys)
     return df.repartition(target)
 
 

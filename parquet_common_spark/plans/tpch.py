@@ -53,9 +53,13 @@ def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     # when (and only when) the scan is narrower than the session cores —
     # measured 1.81 -> 1.26 s at sf0.1 (OPTIMIZATION_r12.md); a no-op on
     # multi-row-group layouts, and the l_shipdate filter still pushes
-    # down through the repartition to the parquet scan.
+    # down through the repartition to the parquet scan.  Keyed on
+    # l_orderkey (uniform, ~150k distinct at sf0.1) so the exchange is a
+    # hash partition instead of round-robin: round-robin must pre-sort
+    # its input rows for retry determinism, serially on this one-task
+    # scan (min 0.90 -> 0.69 s interleaved A/B, OPTIMIZATION_r12.md).
     return (
-        spread(t["lineitem"])
+        spread(t["lineitem"], None, "l_orderkey")
         .where(F.col("l_shipdate") <= "2000-12-01")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(

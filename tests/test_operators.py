@@ -2439,6 +2439,22 @@ def test_spread_is_adaptive(spark):
     assert spread(wide) is wide
 
 
+def test_spread_keyed_hash_partitioning(spark):
+    """r12: spread(df, None, key) must hash-partition (no round-robin
+    pre-sort of the serial scan), stay adaptive (no-op on wide
+    sources), and preserve the row multiset exactly."""
+    from parquet_common_spark.plans.common import spread
+
+    narrow = spark.range(1000).coalesce(1)
+    out = spread(narrow, None, "id")
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(id" in plan and "roundrobin" not in plan.lower()
+    assert sorted(r.id for r in out.collect()) == list(range(1000))
+    wide = spark.range(1000).repartition(spark.sparkContext.defaultParallelism + 7)
+    assert spread(wide, None, "id") is wide
+
+
 def test_presorted_order_survives_rowwise_map(spark):
     """r12: presorted(df, k) + a row-wise order-preserving map must
     collect in exact ORDER BY k order with NO sort above the map — the

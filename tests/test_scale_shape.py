@@ -29,8 +29,22 @@ import pytest
 def plan_shape(df) -> dict:
     s = df._jdf.queryExecution().executedPlan().toString()
     return {
+        # REPARTITION_BY_NUM exchanges are spread()'s explicit adaptive
+        # repartitions — designed to vanish when the source is already
+        # parallel (e.g. multi-row-group sf1 layouts), so they are not
+        # part of the scale-invariant shape.  ENSURE_REQUIREMENTS (and
+        # REPARTITION_BY_COL) exchanges are the algorithmic ones pinned
+        # here.  (Round-robin spread was already excluded by the
+        # hash|range pattern; the r12 keyed spread made the exclusion
+        # explicit.)
         "shuffle_exchanges": len(
-            re.findall(r"Exchange (?:hash|range)partitioning", s)
+            [
+                m
+                for m in re.findall(
+                    r"Exchange (?:hash|range)partitioning[^\n]*", s
+                )
+                if "REPARTITION_BY_NUM" not in m
+            ]
         ),
         "broadcast_exchanges": s.count("BroadcastExchange"),
         "sort_merge_joins": s.count("SortMergeJoin"),
