@@ -256,8 +256,16 @@ def q7(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir)
+    # AQE broadcasts all four dims at check SFs, so the whole 4-probe +
+    # profit-expression + partial-agg stage stays codegen-fused into the
+    # serial single-row-group scan (guide §2.5).  The r12 session-1
+    # round-robin spread A/B lost (1.319 vs 1.763) because round-robin
+    # pays a hidden serial full-row pre-sort for retry determinism;
+    # KEYED spread does not, and wins: interleaved A/B min 1.131 ->
+    # 0.752, med 1.149 -> 0.960 (OPTIMIZATION_r12.md session 7).  Still
+    # a no-op on multi-row-group layouts (sf1+: plan unchanged).
     return (
-        t["lineitem"]
+        spread(t["lineitem"], None, "l_orderkey")
         .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
