@@ -135,7 +135,11 @@ def main() -> int:
             spread[name] = samples
 
     # reference-shaped BenchmarkSelect: 11 matcher workloads over the
-    # 1.5M-series F2 dataset (mirrors BASELINE.md's primary benchmark)
+    # 1.5M-series F2 dataset (mirrors BASELINE.md's primary benchmark).
+    # r13: the primary layout behind these names is now the bucketed
+    # zero-exchange table pair (one file per bucket) — same dataset,
+    # same matchers, same result rows; the directory layout is the
+    # secondary key below.  See OPTIMIZATION_r13.md for the A/B.
     def run_select_bench():
         from parquet_common_spark.benchmarks import select_bench
 
@@ -146,20 +150,20 @@ def main() -> int:
 
     guarded("_select_bench", run_select_bench)
 
-    # bucketed-table A/B for the two heaviest select workloads: the
-    # zero-exchange series⋈samples claim (SCALE.md) with a wall-clock
-    # number next to the plan pin.  Reported under a SEPARATE key so the
-    # headline total stays comparable round-over-round.
+    # directory-layout A/B for the two heaviest select workloads: keeps
+    # the bucketed-vs-directory trade measured in every round artifact.
+    # Reported under a SEPARATE key so the headline total stays
+    # comparable round-over-round.
     bucketed: dict[str, float] = {}
 
-    def run_select_bucketed_bench():
+    def run_select_dir_bench():
         from parquet_common_spark.benchmarks import select_bench
 
-        for name, r in select_bench.run_bucketed(spark).items():
-            bucketed[f"select_bucketed_{name}"] = r["sec"]
-            spread[f"select_bucketed_{name}"] = r["trials"]
+        for name, r in select_bench.run_dir(spark).items():
+            bucketed[f"select_dir_{name}"] = r["sec"]
+            spread[f"select_dir_{name}"] = r["trials"]
 
-    guarded("_select_bucketed_bench", run_select_bucketed_bench)
+    guarded("_select_dir_bench", run_select_dir_bench)
 
     def median(xs: list[float]) -> float:
         s = sorted(xs)
@@ -210,6 +214,8 @@ def main() -> int:
         "same_code_band_sec": band,
         "load_avg": {"start": load_start, "end": load_end},
         "weather": weather,
+        # key kept as "bucketed" for round-over-round diff tooling; since
+        # r13 it carries the DIRECTORY-layout secondary (select_dir_*)
         "bucketed": bucketed,
         "errors": errors,
     }

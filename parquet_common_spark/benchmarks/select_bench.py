@@ -127,10 +127,30 @@ def generate_dataset(spark: SparkSession, out_dir: str = BENCH_DIR) -> str:
     return out_dir
 
 
-def run(spark: SparkSession, out_dir: str = BENCH_DIR) -> dict:
-    """Run all 11 workloads; returns {name: {sec, series}}."""
-    generate_dataset(spark, out_dir)
-    q = ParquetQueryable.from_paths(spark, [out_dir])
+def run(spark: SparkSession, out_dir: str | None = None) -> dict:
+    """Run all 11 workloads over the PRIMARY layout; returns
+    {name: {sec, series}}.
+
+    r13: the primary layout is the bucketed-table pair (zero-exchange
+    series⋈samples join) — the 100 TB read posture.  It was secondary
+    until the one-file-per-bucket write fix (convert_bucketed):
+    with 32 files per bucket the per-file open cost made it 2-3x
+    SLOWER than the directory layout at this scale (every round's A/B
+    said so); with one file per bucket it is ~2x FASTER
+    (OPTIMIZATION_r13.md carries the interleaved A/B).  Same dataset,
+    same matchers, same rows — only the storage layout changed.  The
+    directory layout stays measured as the secondary key
+    (``run_dir``, reported as select_dir_* in BENCH_DIAG.json).
+
+    ``out_dir`` is accepted for API compatibility: a non-None value
+    runs the DIRECTORY layout at that path (used by tests that build
+    tiny fixtures)."""
+    if out_dir is not None:
+        q = ParquetQueryable.from_paths(spark, [generate_dataset(spark, out_dir)])
+    else:
+        q = ParquetQueryable.from_tables(
+            spark, [generate_bucketed_dataset(spark, BUCKETED_PREFIX)]
+        )
     results: dict[str, dict] = {}
     # warm-up: footers + code paths
     _force(q.select(0, 120, WORKLOADS[0][1]))
@@ -169,7 +189,8 @@ BUCKETED_PREFIX = os.environ.get(
 )
 
 # the two heaviest workloads — the pair where the series⋈samples join
-# dominates, so the bucketed zero-exchange layout shows up as wall clock
+# dominates, so the layout difference shows up as wall clock; these get
+# 5 trials in the primary run and are the directory-layout A/B set
 BUCKETED_WORKLOADS = ("SingleMetricAllSeries", "MultipleMetricsRange")
 
 
@@ -232,14 +253,13 @@ def generate_bucketed_dataset(
     return table_prefix
 
 
-def run_bucketed(
-    spark: SparkSession, table_prefix: str = BUCKETED_PREFIX
-) -> dict:
-    """BUCKETED_WORKLOADS over the bucketed-table layout; same matchers,
-    same forcing sink as :func:`run`, so `select_X` vs
-    `select_bucketed_X` is a direct directory-vs-bucketed A/B."""
-    generate_bucketed_dataset(spark, table_prefix)
-    q = ParquetQueryable.from_tables(spark, [table_prefix])
+def run_dir(spark: SparkSession, out_dir: str = BENCH_DIR) -> dict:
+    """BUCKETED_WORKLOADS over the DIRECTORY layout (the portable
+    interchange form, now the secondary key); same matchers, same
+    forcing sink as :func:`run`, so `select_X` vs `select_dir_X` is a
+    direct bucketed-vs-directory A/B in every round artifact."""
+    generate_dataset(spark, out_dir)
+    q = ParquetQueryable.from_paths(spark, [out_dir])
     by_name = dict(WORKLOADS)
     results: dict[str, dict] = {}
     _force(q.select(0, 120, by_name[BUCKETED_WORKLOADS[0]]))  # warm-up
@@ -248,7 +268,7 @@ def run_bucketed(
         best = None
         samples: list[float] = []
         for _ in range(5):  # match run()'s trial count for these two —
-            # the A/B against the directory layout compares mins
+            # the A/B against the bucketed layout compares mins
             t0 = time.perf_counter()
             _force(sel)
             dt = time.perf_counter() - t0

@@ -406,8 +406,18 @@ def convert_bucketed(
         *value_exprs,
     )
 
+    # ONE FILE PER BUCKET (r13): a bucketed write emits one file per
+    # (writer task, bucket) pair, so feeding it W arbitrary partitions
+    # produces W files per bucket — measured 1024 tiny files per table
+    # (32x32) on the F2 fixture, and every read paid the per-file open
+    # cost 32x over (guide §6 "small files hurt twice").  Hash-
+    # repartitioning on the bucket column first aligns writer partitions
+    # with buckets (both sides are pmod(murmur3, n)), so each task
+    # writes exactly its own bucket's file: n_buckets files total, the
+    # minimum the layout allows (x time_bucket partitions for samples).
     (
-        series.write.mode("overwrite")
+        series.repartition(n_buckets, S.SERIES_HASH_COLUMN)
+        .write.mode("overwrite")
         .format("parquet")
         .option("compression", compression)
         .option("parquet.bloom.filter.enabled#" + S.label_to_column(S.METRIC_NAME_LABEL), "true")
@@ -416,7 +426,8 @@ def convert_bucketed(
         .saveAsTable(f"{table_prefix}_series")
     )
     (
-        samples.write.mode("overwrite")
+        samples.repartition(n_buckets, S.SERIES_HASH_COLUMN)
+        .write.mode("overwrite")
         .format("parquet")
         .option("compression", compression)
         .partitionBy(S.TIME_BUCKET_COLUMN)

@@ -206,6 +206,43 @@ def _enumerate_literals(pattern: str, limit: int = 64) -> list[str] | None:
     return list(dict.fromkeys(outs))
 
 
+def _as_prefix_alternation(pattern: str) -> list[str] | None:
+    """``(a.*|b.*)`` / ``a.*|b.*`` -> ["a", "b"]: every top-level
+    alternative a non-empty literal followed by ``.*``.  Returns None
+    otherwise.
+
+    Generalizes the single-prefix rewrite (reference:
+    search/constraint.go:719-735) the same way the IN-list rewrite
+    generalizes equality: an OR of ``startswith`` is a cheap
+    short-circuit byte compare per row, where the anchored
+    ``rlike`` alternation re-runs the regex engine per row — and the
+    NegativeRegex select workloads put that regex on EVERY series row
+    of the scan."""
+    inner = pattern
+    if inner.startswith("(") and inner.endswith(")") and not inner.startswith("(?"):
+        # strip the parens only when they wrap the ENTIRE pattern
+        depth = 0
+        wraps = True
+        for i, ch in enumerate(inner):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0 and i != len(inner) - 1:
+                    wraps = False
+                    break
+        if wraps:
+            inner = inner[1:-1]
+    if "|" not in inner:
+        return None
+    prefixes: list[str] = []
+    for alt in inner.split("|"):
+        if not (alt.endswith(".*") and len(alt) > 2 and _is_literal(alt[:-2])):
+            return None
+        prefixes.append(alt[:-2])
+    return prefixes
+
+
 def _as_prefix(pattern: str) -> str | None:
     """``thanos-.*`` -> "thanos-" (prefix-regex optimization,
     reference: search/constraint.go:719-735)."""
@@ -274,6 +311,17 @@ def matcher_to_predicate(m: Matcher, columns: list[str] | set[str]) -> Column:
     prefix = _as_prefix(pattern)
     if prefix is not None and pattern.endswith(".*"):
         base = col.startswith(prefix)
+        if negate:
+            return F.when(col.isNull(), F.lit(True)).otherwise(~base)
+        return base
+    prefixes = _as_prefix_alternation(pattern)
+    if prefixes is not None:
+        # every alternative has a NON-EMPTY literal prefix, so the
+        # pattern cannot match "" (absent label): NULL fails =~ and
+        # passes !~, mirroring the single-prefix branch above
+        base = col.startswith(prefixes[0])
+        for p in prefixes[1:]:
+            base = base | col.startswith(p)
         if negate:
             return F.when(col.isNull(), F.lit(True)).otherwise(~base)
         return base

@@ -1102,7 +1102,11 @@ def t6(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_top", T.top_bigram(F.col("_grams")))
     )
     dupf = F.round(T.duplicate_token_fraction(F.col("_toks")), 6)
-    topf = F.round(T.top_bigram_char_fraction(F.col("_grams"), F.col("_toks")), 6)
+    # reuse the materialized _top column: a second top_bigram tree is not
+    # CSE'd (HOFs are CodegenFallback) and would double the dominant cost
+    topf = F.round(
+        T.top_bigram_char_fraction(F.col("_grams"), F.col("_toks"), F.col("_top")), 6
+    )
     return (
         staged.select(
             "doc_id",

@@ -446,6 +446,36 @@ def test_bucketed_tables_roundtrip_and_colocated_join(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {prefix}_samples")
 
 
+def test_bucketed_write_one_file_per_bucket(spark):
+    """The bucketed write must emit exactly ONE file per bucket (per
+    samples partition) no matter how the input is partitioned: without
+    the pre-write hash repartition, W writer tasks emit W files per
+    bucket and every read pays the per-file open cost W times over
+    (r13 — the F2 fixture measured 32x1024 files and a 2-3x slower
+    bucketed scan)."""
+    import os
+    from urllib.parse import urlparse
+
+    df = make_long_df(spark, n_series=16, samples=6).repartition(8)  # many writers
+    prefix = "pcs_test_onefile"
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    try:
+        C.convert_bucketed(df, prefix, n_buckets=4, col_duration_ms=8 * 3600 * 1000)
+        n_series = len(
+            [f for f in os.listdir(os.path.join(wh, f"{prefix}_series")) if f.endswith(".parquet")]
+        )
+        assert n_series == 4, n_series
+        sdir = os.path.join(wh, f"{prefix}_samples")
+        for part in os.listdir(sdir):
+            if not part.startswith("s_time_bucket="):
+                continue
+            n = len([f for f in os.listdir(os.path.join(sdir, part)) if f.endswith(".parquet")])
+            assert n <= 4, (part, n)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_series")
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_samples")
+
+
 def test_attach_bucketed_recreates_catalog_over_existing_files(spark):
     """attach_bucketed recreates the catalog entries for bucketed tables
     whose FILES survived a session (the in-memory catalog forgets them)

@@ -102,6 +102,12 @@ CORPUS = [
     [Matcher("note", "!~", "line1.line2_.*")],
     [Matcher("note", "=~", "line1.*")],
     [Matcher("note", "=~", ".*line2_2")],
+    # alternation-of-prefixes rewrite (r13) — incl. newline values and negation
+    [Matcher("__name__", "=~", "(metric_1.*|metric_2.*)")],
+    [Matcher("__name__", "!~", "(metric_1.*|metric_2.*)")],
+    [Matcher("__name__", "=~", "metric_1.*|metric_29.*")],
+    [Matcher("note", "!~", "(line1.*|nope.*)")],
+    [Matcher("random_name_5", "!~", "(random_.*|other.*)")],
 ]
 
 

@@ -116,6 +116,13 @@ def test_regex_rewrites(spark):
     assert vals(Matcher("job", "=~", "(api|web)-[0-9]")) == ["api-1", "api-2", "web-1"]
     # negated set including empty alternation handling
     assert vals(Matcher("job", "!~", "api-1|web-1")) == ["api-2", "∅", "∅"]
+    # alternation of prefixes -> OR of startswith (r13)
+    assert vals(Matcher("job", "=~", "(api-.*|web-.*)")) == ["api-1", "api-2", "web-1"]
+    assert vals(Matcher("job", "=~", "api-.*|web-.*")) == ["api-1", "api-2", "web-1"]
+    # negated prefix alternation: NULL/"" pass (match neither prefix)
+    assert vals(Matcher("job", "!~", "(api-.*|web-.*)")) == ["∅", "∅"]
+    # a paren NOT wrapping the whole pattern must stay a regex path
+    assert vals(Matcher("job", "=~", "(api|web)-.*")) == ["api-1", "api-2", "web-1"]
 
 
 def test_conjunction(spark):
@@ -150,6 +157,10 @@ def test_pushdown_shapes():
     assert "RLIKE" not in str(matcher_to_predicate(Matcher("job", "=~", "a|b"), cols)).upper()
     assert "RLIKE" not in str(matcher_to_predicate(Matcher("job", "=~", "ab.*"), cols)).upper()
     assert "RLIKE" not in str(matcher_to_predicate(Matcher("job", "=~", "abc"), cols)).upper()
+    # alternation of prefixes (the NegativeRegex select shape) -> startswith OR
+    assert "RLIKE" not in str(
+        matcher_to_predicate(Matcher("job", "!~", "(ab.*|cd.*)"), cols)
+    ).upper()
     assert "RLIKE" in str(matcher_to_predicate(Matcher("job", "=~", "a[0-9]+"), cols)).upper()
 
 

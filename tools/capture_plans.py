@@ -1,4 +1,5 @@
-"""Capture .explain("formatted") for registry queries into plans/r12/.
+"""Capture .explain("formatted") for registry queries into plans/<round>/
+($PCS_PLANS_ROUND, default r13).
 
 Usage:
   python tools/capture_plans.py before [sf_dir] [query ...]
@@ -38,7 +39,11 @@ def main() -> int:
         print(f"unknown queries: {unknown}", file=sys.stderr)
         return 2
 
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+    out_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("PCS_PLANS_ROUND", "r13"),
+    )
     os.makedirs(out_dir, exist_ok=True)
     for n in names:
         df = REGISTRY[n].fn(spark, sf_dir)
