@@ -21,72 +21,95 @@ from pyspark.sql import DataFrame, SparkSession
 # unchecked in a prior round, and (c) a rotating TPC-H slice.  The tail
 # holds queries hash-green in the latest checked round; the full set is
 # still verified locally via tools/check_correctness.py each round.
+_R13_CHANGED = [
+    # code-changed since last driver check: the 39 r12-changed paths
+    # (VERDICT r12 "Next round" item 1 — er1/st10's redefined
+    # entity-level output must be driver-verified), plus the r13
+    # inherited-commit surface (24918dd: matchers prefix-alternation
+    # rewrite -> m2/m3; top_bigram O(n log n) -> t6 already listed) and
+    # e1 (this round's count_distinct work).  Passed to
+    # rotate_window.py --changed; pinned by tests/test_driver_contract.
+    "q1_pricing_summary", "q9_product_profit", "t2_quality_scores",
+    "t4_fingerprints", "t6_repetition_filters", "t7_pii_redaction",
+    "t9_quality_classifier", "t11_readability",
+    "mm1_media_metadata", "mm2_frame_sampling", "mm3_resize_geometry",
+    "mm4_audio_features", "mm5_png_pixel_checksum", "mm6_flac_checksum",
+    "mm7_lossless_jpeg_checksum", "mm8_gif_frame_checksum",
+    "mm9_tiff_strip_checksum", "mm10_bmp_checksum", "mm11_ico_checksum",
+    "d2_minhash_lsh_dedup", "d8_incremental_dedup", "d5_embedding_neardup",
+    "sim7_mmr_rerank", "sim8_radius_search", "p5_sequence_packing",
+    "c2_curation_pipeline_v2", "p9_quality_budget_selection",
+    "er1_record_linkage", "st10_streaming_linkage",
+    "st1_streaming_daily_counts", "st2_stream_stream_join",
+    "st3_streaming_dedup", "st4_stream_static_decontam",
+    "st5_streaming_neardup", "st6_streaming_sessions",
+    "st8_streaming_interval_join", "st11_streaming_kmeans",
+    "st12_streaming_json_ingest", "e12_session_outage_overlap",
+    "m2_matcher_regex_set", "m3_matcher_negative_regex",
+    "e1_event_type_stats",
+]
+
 _CHECK_WINDOW = [
-    # r12 rotation — MECHANICAL, emitted by
-    # `python tools/rotate_window.py --max-round 11`
+    # r13 rotation — MECHANICAL, emitted by
+    # `python tools/rotate_window.py --max-round 12 --changed <_R13_CHANGED>`
     # (policy: never-checked > outstanding-failure > code-changed >
     # stalest-by-last-green-round, ties in registry order) and pinned by
     # tests/test_driver_contract.py::test_window_matches_rotation_policy.
-    # Ledger at r11 close: {r7: 13, r8: 44, r9: 43, r10: 50, r11: 50},
-    # zero never-checked, zero outstanding failures (CORRECTNESS_r11
-    # was 50/50 green).  Window = all 13 r7-stale entries + the 37
-    # stalest r8 entries in registry order, exactly VERDICT r11 item 1.
-    # st4 (in-window by staleness) also carries this round's only
-    # batch/streaming code change (idempotent per-epoch sink).
-    # DEFERRED to r13 (all driver-green r8, spot-checked by the r11
-    # judge and re-verifiable via tools/check_correctness.py): the
-    # remaining 7 r8 entries + the r9 cohort — rotate_window.py emits
-    # them mechanically.
-    "dq1_column_profile",
-    "dq2_key_integrity",
-    "dq3_numeric_drift",
-    "q21a_late_sole_suppliers",
-    "x1_token_frequencies",
-    "a2_approx_quantile",
-    "e6_value_histogram",
-    "f4_conditional_null",
-    "f6_bitwise_functions",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q18_large_volume_customer",
-    "q22_inactive_customers",
-    "d1_exact_dedup",
-    "d3_simhash_dedup",
-    "d4_ngram_jaccard_dedup",
+    # Ledger at r12 close: zero never-checked, zero outstanding failures
+    # (CORRECTNESS_r12 was 50/50 green).  Window = the 42 _R13_CHANGED
+    # entries in registry order (er1/st10's entity-level linkage output
+    # gets its first driver verification, VERDICT r12 gate item 1) + the
+    # 8 stalest r8-green entries.
+    "d2_minhash_lsh_dedup",
     "d5_embedding_neardup",
-    "t1_token_stats",
-    "sim1_cosine_topk",
+    "t2_quality_scores",
+    "t4_fingerprints",
     "mm1_media_metadata",
-    "t5_tfidf_terms",
-    "sim4_quantized_topk",
-    "p3_stratified_sample",
-    "d7_benchmark_decontam",
-    "p4_mixture_sample",
-    "x12_mixing_solver",
-    "m8_daily_series_delta",
-    "m10_histogram_quantile",
-    "m14_histogram_chunk_roundtrip",
-    "w6_sliding_windows",
+    "mm2_frame_sampling",
+    "mm3_resize_geometry",
+    "mm4_audio_features",
+    "mm5_png_pixel_checksum",
+    "t6_repetition_filters",
+    "t7_pii_redaction",
+    "p5_sequence_packing",
+    "c2_curation_pipeline_v2",
+    "t9_quality_classifier",
+    "d8_incremental_dedup",
+    "sim7_mmr_rerank",
+    "t11_readability",
+    "p9_quality_budget_selection",
+    "mm6_flac_checksum",
+    "er1_record_linkage",
+    "sim8_radius_search",
+    "mm7_lossless_jpeg_checksum",
+    "mm8_gif_frame_checksum",
+    "mm9_tiff_strip_checksum",
+    "mm10_bmp_checksum",
+    "mm11_ico_checksum",
+    "e1_event_type_stats",
+    "m2_matcher_regex_set",
+    "m3_matcher_negative_regex",
     "st3_streaming_dedup",
-    "w5_session_windows",
+    "st1_streaming_daily_counts",
+    "st6_streaming_sessions",
+    "st2_stream_stream_join",
     "st4_stream_static_decontam",
-    "cdc1_scd2_history",
-    "e10_interval_blast_radius",
+    "st5_streaming_neardup",
     "st8_streaming_interval_join",
-    "st9_streaming_scd2",
-    "e11_daily_ohlc",
     "e12_session_outage_overlap",
-    "q2a_top_supplier_per_nation",
-    "q8a_market_share",
-    "q11a_important_parts",
-    "q16a_part_supplier_stats",
-    "f3_array_functions",
-    "a1_approx_distinct",
-    "p1_pivot_event_counts",
-    "sql1_revenue_by_segment",
+    "st10_streaming_linkage",
+    "st11_streaming_kmeans",
+    "st12_streaming_json_ingest",
     "q1_pricing_summary",
-    "q4_order_priority",
-    "q7_volume_shipping",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q12_priority_shipping",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q19_bracket_revenue",
+    "t3_lang_id",
+    "gr1_pagerank",
 ]
 assert len(_CHECK_WINDOW) == 50, len(_CHECK_WINDOW)
 

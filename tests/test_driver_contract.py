@@ -17,17 +17,23 @@ sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(
 # from.  Bump this when rotating _CHECK_WINDOW for a new round — the pin
 # snapshots the ledger so a post-round CORRECTNESS file landing after
 # the commit cannot retroactively fail it.
-WINDOW_DERIVED_FROM_ROUND = 11
+WINDOW_DERIVED_FROM_ROUND = 12
 
 
 def test_window_matches_rotation_policy():
     """The committed _CHECK_WINDOW must equal the mechanical policy
-    output (never-checked > outstanding-failure > stalest), so rotations
-    stay auditable instead of hand-maintained (VERDICT r10 item 4)."""
+    output (never-checked > outstanding-failure > code-changed >
+    stalest), so rotations stay auditable instead of hand-maintained
+    (VERDICT r10 item 4).  The code-changed bucket is the committed
+    ``_R13_CHANGED`` list (VERDICT r12 item 1: every r12-changed path,
+    er1/st10 first, plus the r13 change surface)."""
     import __spark_entry__
     from rotate_window import next_window
 
-    window, buckets = next_window(max_round=WINDOW_DERIVED_FROM_ROUND)
+    window, buckets = next_window(
+        max_round=WINDOW_DERIVED_FROM_ROUND,
+        changed=list(__spark_entry__._R13_CHANGED),
+    )
     assert window == list(__spark_entry__._CHECK_WINDOW), {
         "only_in_committed": sorted(set(__spark_entry__._CHECK_WINDOW) - set(window)),
         "only_in_policy": sorted(set(window) - set(__spark_entry__._CHECK_WINDOW)),
